@@ -1,0 +1,144 @@
+"""Segmentation correctness: naive (exact vs gold) and CRF (learned)."""
+
+import numpy as np
+import pyarrow as pa
+
+from theoremkb_ray.schema import RESULT_KINDS
+from theoremkb_ray.stages.crf import (
+    CRFSegmenter,
+    LinearChainTagger,
+    feature_matrix,
+    gold_tags_flat,
+    tags_to_spans_flat,
+)
+from theoremkb_ray.stages.features import line_features
+from theoremkb_ray.stages.segment import NaiveSegmenter, naive_spans_flat
+from theoremkb_ray.stages.tokenize import tokenize_batch
+
+
+def _spans_set(tables):
+    df = tables["gold_spans"].to_pandas()
+    return set(
+        zip(df["doc_id"], df["label"], df["group"], df["start_line"], df["end_line"])
+    )
+
+
+def _extract_spans(corpus_tbl, segmenter):
+    batch = tokenize_batch(corpus_tbl)
+    doc_ids = (
+        corpus_tbl["repo"].to_pylist()
+    )
+    ids = [
+        f"{r}/{p}@{c}"
+        for r, p, c in zip(
+            corpus_tbl["repo"].to_pylist(),
+            corpus_tbl["path"].to_pylist(),
+            corpus_tbl["commit"].to_pylist(),
+        )
+    ]
+    out = segmenter(batch)
+    got = set()
+    spans_col = out["spans"].combine_chunks()
+    for i in range(out.num_rows):
+        for s in spans_col[i].as_py():
+            got.add(
+                (ids[i], s["label"], s["group"], s["start_line"], s["end_line"])
+            )
+    return got
+
+
+def test_line_features_basic():
+    flat = pa.array(
+        [
+            "\\textbf{Theorem 1.2.} some words",
+            "plain body line here",
+            "",
+            "qed",
+            "\\textit{Lemma 3.4.}",
+            "\\textbf{Proof of Theorem 1.2.}",
+        ]
+    )
+    f = line_features(flat)
+    assert f["bold"].tolist() == [True, False, False, False, False, True]
+    assert f["italic"].tolist() == [False, False, False, False, True, False]
+    assert f["blank"].tolist() == [False, False, True, False, False, False]
+    assert f["qed"].tolist() == [False, False, False, True, False, False]
+    kinds = [RESULT_KINDS[k] if k >= 0 else None for k in f["kind_id"]]
+    assert kinds == ["theorem", None, None, None, "lemma", "proof"]
+    assert f["head_num"].to_pylist() == ["1.2", "", "", "", "3.4", "1.2"]
+
+
+def test_naive_segmenter_exact_vs_gold(gold100):
+    got = _extract_spans(gold100["corpus"], NaiveSegmenter())
+    gold = _spans_set(gold100)
+    assert got == gold
+
+
+def test_crf_segmenter_matches_gold(gold100):
+    got = _extract_spans(gold100["corpus"], CRFSegmenter())
+    gold = _spans_set(gold100)
+    tp = len(got & gold)
+    p = tp / max(len(got), 1)
+    r = tp / max(len(gold), 1)
+    assert p >= 0.98 and r >= 0.98, (p, r)
+
+
+def test_crf_artifact_tagset_guard():
+    m = LinearChainTagger.load()
+    assert m.W.shape[0] == 1 + 2 * len(RESULT_KINDS)
+
+
+def test_bio_decode_orphan_I_starts_span():
+    # O, I-theorem (orphan), I-theorem, O  -> one theorem span lines 1-2
+    from theoremkb_ray.schema import TAG_TO_ID
+
+    tags = np.array(
+        [0, TAG_TO_ID["I-theorem"], TAG_TO_ID["I-theorem"], 0], dtype=np.int32
+    )
+    off = np.array([0, 4], dtype=np.int64)
+    s = tags_to_spans_flat(tags, off)
+    assert len(s["doc_idx"]) == 1
+    assert s["start_line"][0] == 1 and s["end_line"][0] == 2
+    assert RESULT_KINDS[s["label_id"][0]] == "theorem"
+
+
+def test_bio_decode_spans_do_not_cross_documents():
+    from theoremkb_ray.schema import TAG_TO_ID
+
+    b, i = TAG_TO_ID["B-lemma"], TAG_TO_ID["I-lemma"]
+    tags = np.array([b, i, i, i], dtype=np.int32)
+    off = np.array([0, 2, 4], dtype=np.int64)  # two docs of 2 lines
+    s = tags_to_spans_flat(tags, off)
+    assert len(s["doc_idx"]) == 2
+    assert s["doc_idx"].tolist() == [0, 1]
+    assert s["end_line"].tolist() == [1, 1]
+
+
+def test_gold_tags_roundtrip(gold100):
+    """gold spans -> tags -> spans is the identity."""
+    corpus = gold100["corpus"].to_pandas().head(20)
+    lines = [c.split("\n") for c in corpus["content"]]
+    off = np.zeros(len(lines) + 1, dtype=np.int64)
+    np.cumsum([len(l) for l in lines], out=off[1:])
+    ids = (corpus["repo"] + "/" + corpus["path"] + "@" + corpus["commit"]).to_numpy()
+    spans_df = gold100["gold_spans"].to_pandas()
+    spans_df = spans_df[spans_df["doc_id"].isin(set(ids))]
+    y = gold_tags_flat(off, ids, spans_df)
+    s = tags_to_spans_flat(y, off)
+    got = set(
+        zip(
+            [ids[d] for d in s["doc_idx"]],
+            [RESULT_KINDS[k] for k in s["label_id"]],
+            s["start_line"].tolist(),
+            s["end_line"].tolist(),
+        )
+    )
+    gold = set(
+        zip(
+            spans_df["doc_id"],
+            spans_df["label"],
+            spans_df["start_line"],
+            spans_df["end_line"],
+        )
+    )
+    assert got == gold

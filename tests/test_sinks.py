@@ -1,0 +1,112 @@
+"""Materialize sink: partitioning, sorting, dedup, manifests, resume,
+salting."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from theoremkb_ray.sources.sinks import (
+    add_partition_column,
+    materialize_triples,
+    read_triples,
+    subject_repo,
+)
+from theoremkb_ray.state.manifest import completed_partitions, read_manifests
+
+
+def _triples_tbl(n=100):
+    rng = np.random.RandomState(0)
+    repos = [f"org/r{int(i)}" for i in rng.randint(0, 10, n)]
+    subs = [f"{r}/f.tex@abc#theorem {i}.1" for i, r in enumerate(repos)]
+    return pa.table(
+        {
+            "subject": pa.array(subs),
+            "predicate": pa.array(["states"] * n),
+            "object": pa.array([f"e{i}" for i in range(n)]),
+            "confidence": pa.array([1.0] * n),
+            "provenance": pa.array(["t"] * n),
+        }
+    )
+
+
+def test_subject_repo_extraction():
+    out = subject_repo(
+        np.array(
+            ["org/name/src/a.tex@c#theorem 1.1", "org/name/x@c", "weird"],
+            dtype=object,
+        )
+    )
+    assert list(out) == ["org/name", "org/name", "weird"]
+
+
+def test_partition_deterministic_and_in_range():
+    t = _triples_tbl(50)
+    a = add_partition_column(t, 8)["part"].to_numpy()
+    b = add_partition_column(t, 8)["part"].to_numpy()
+    assert np.array_equal(a, b)
+    assert a.min() >= 0 and a.max() < 8
+
+
+def test_salting_spreads_hot_repo():
+    n = 200
+    t = pa.table(
+        {
+            "subject": pa.array(
+                [f"org/mega/f{i}.tex@c#theorem {i}" for i in range(n)]
+            ),
+            "predicate": pa.array(["states"] * n),
+            "object": pa.array([f"e{i}" for i in range(n)]),
+            "confidence": pa.array([1.0] * n),
+            "provenance": pa.array(["t"] * n),
+        }
+    )
+    plain = add_partition_column(t, 16)["part"].to_numpy()
+    assert len(np.unique(plain)) == 1  # one repo -> one partition
+    salted = add_partition_column(t, 16, salt_repos={"org/mega": 4})[
+        "part"
+    ].to_numpy()
+    assert len(np.unique(salted)) == 4
+
+
+def test_materialize_sorted_deduped_with_manifests(tmp_path):
+    out = str(tmp_path / "store")
+    t = _triples_tbl(100)
+    dup = pa.concat_tables([t, t.slice(0, 10)])  # inject exact dupes
+    ds = rd.from_arrow(dup)
+    summary = materialize_triples(ds, out, num_partitions=4, resume=False)
+    total = sum(r["rows"] for r in summary.take_all())
+    assert total == 100  # dupes collapsed
+    assert completed_partitions(out) != set()
+    # sorted within each partition + manifest row counts match
+    for m in read_manifests(out):
+        pdir = os.path.join(out, f"part={m['part']:05d}", "data.parquet")
+        tbl = pq.read_table(pdir)
+        assert tbl.num_rows == m["rows"]
+        subs = tbl["subject"].to_pylist()
+        assert subs == sorted(subs)
+        assert set(m) >= {"part", "rows", "content_hash", "stage", "lineage"}
+    # read back
+    assert read_triples(out).count() == 100
+
+
+def test_resume_skips_completed_partitions(tmp_path):
+    out = str(tmp_path / "store")
+    t = _triples_tbl(80)
+    ds = rd.from_arrow(t)
+    materialize_triples(ds, out, num_partitions=4, resume=False)
+    done_before = completed_partitions(out)
+    # tamper: remove one manifest -> that partition is pending again
+    victim = sorted(done_before)[0]
+    os.remove(os.path.join(out, "_manifests", f"manifest_{victim:05d}.json"))
+    summary = materialize_triples(
+        rd.from_arrow(t), out, num_partitions=4, resume=True
+    )
+    rewritten = {r["part"] for r in summary.take_all()}
+    assert rewritten == {victim}  # ONLY the pending partition was rewritten
+    assert completed_partitions(out) == done_before
+    assert read_triples(out).count() == 80

@@ -1,0 +1,156 @@
+"""Deterministic vectorized hashing kernels: stable 64-bit hashes,
+shingles, MinHash signatures, SimHash, rolling fingerprints.
+
+All hashes are process-independent (no PYTHONHASHSEED dependence):
+string hashing goes through pandas' C siphash (``pd.util.hash_array``
+with a fixed key), numeric mixing uses splitmix64-style arithmetic on
+uint64 with wraparound. These back the dedup / LSH candidate-generation
+stages (SURVEY.md §2.7 D1/D6) — the one sketch family added by design
+on top of the reference (which only has exact in-memory dedup, e.g.
+``drop_duplicates`` in NLP/2.1 cell 15).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_HASH_KEY = "theoremkb_ray0__"  # 16 bytes, fixed -> deterministic
+
+_U64 = np.uint64
+_MASK64 = _U64(0xFFFFFFFFFFFFFFFF)
+
+
+def hash_strings(values, seed: int = 0) -> np.ndarray:
+    """Stable uint64 hash of an array of strings (C siphash, no loop)."""
+    arr = np.asarray(values, dtype=object)
+    h = pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
+    if seed:
+        h = splitmix64(h ^ _U64(seed))
+    return h.astype(np.uint64)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants)."""
+    x = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + _U64(0x9E3779B97F4A7C15)) & _MASK64
+        x = ((x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)) & _MASK64
+        x = ((x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)) & _MASK64
+        x = x ^ (x >> _U64(31))
+    return x
+
+
+def shingle_hashes(token_hashes: np.ndarray, k: int = 3) -> np.ndarray:
+    """uint64 hashes of all k-grams of a token-hash sequence.
+
+    Combines k consecutive token hashes with a position-salted mix —
+    order-sensitive, vectorized (no Python loop over shingles).
+    """
+    n = len(token_hashes)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        k = n
+    th = token_hashes.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):  # k is tiny (3); inner ops are vectorized
+            acc = (acc * _U64(0x100000001B3) + th[j : n - k + 1 + j]) & _MASK64
+    return splitmix64(acc)
+
+
+# Fixed random-but-deterministic universal-hash parameters for MinHash.
+_MINHASH_RNG = np.random.RandomState(0xC0FFEE)
+
+
+def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(0xC0FFEE + num_perm)
+    a = rng.randint(1, 2**62, size=num_perm, dtype=np.int64).astype(np.uint64) | _U64(1)
+    b = rng.randint(0, 2**62, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(
+    shingles: np.ndarray, num_perm: int = 128
+) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of a shingle-hash set.
+
+    h_i(x) = splitmix-free universal hash (a_i * x + b_i) mod 2^64;
+    empty input yields the all-max signature (matches nothing).
+    """
+    if len(shingles) == 0:
+        return np.full(num_perm, _MASK64, dtype=np.uint64)
+    a, b = _minhash_params(num_perm)
+    with np.errstate(over="ignore"):
+        # (S, P) matrix of permuted hashes -> column mins
+        m = (shingles[:, None] * a[None, :] + b[None, :]) & _MASK64
+    return m.min(axis=0)
+
+
+def minhash_signatures(
+    list_of_shingle_arrays: list[np.ndarray], num_perm: int = 128
+) -> np.ndarray:
+    """Batch variant: (N, num_perm) uint64 signatures."""
+    out = np.empty((len(list_of_shingle_arrays), num_perm), dtype=np.uint64)
+    for i, s in enumerate(list_of_shingle_arrays):
+        out[i] = minhash_signature(s, num_perm)
+    return out
+
+
+def band_hashes(
+    signatures: np.ndarray, num_bands: int
+) -> np.ndarray:
+    """LSH band hashes: (N, num_bands) uint64, rows/band = P//num_bands.
+
+    Two rows sharing any ``(band_index, band_hash)`` pair are candidate
+    near-duplicates (classic MinHash-LSH banding).
+    """
+    n, p = signatures.shape
+    r = p // num_bands
+    assert r * num_bands == p, "num_perm must be divisible by num_bands"
+    bands = signatures[:, : r * num_bands].reshape(n, num_bands, r)
+    with np.errstate(over="ignore"):
+        acc = np.zeros((n, num_bands), dtype=np.uint64)
+        for j in range(r):
+            acc = (acc * _U64(0x100000001B3) + bands[:, :, j]) & _MASK64
+        # salt by band index so identical band contents in different
+        # bands never collide into one bucket key
+        acc = splitmix64(acc ^ np.arange(num_bands, dtype=np.uint64)[None, :])
+    return acc
+
+
+def simhash64(token_hashes_list: list[np.ndarray]) -> np.ndarray:
+    """64-bit SimHash per document from its token-hash array."""
+    out = np.empty(len(token_hashes_list), dtype=np.uint64)
+    for i, th in enumerate(token_hashes_list):
+        if len(th) == 0:
+            out[i] = 0
+            continue
+        bits = np.unpackbits(th.view(np.uint8).reshape(len(th), 8), axis=1)
+        votes = bits.sum(axis=0) * 2 - len(th)  # +1/-1 vote sums
+        sim = np.packbits((votes > 0).astype(np.uint8))
+        out[i] = sim.view(np.uint64)[0]
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays."""
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    return np.unpackbits(
+        x.view(np.uint8).reshape(len(x), 8), axis=1
+    ).sum(axis=1)
+
+
+def rolling_fingerprint(
+    token_hashes: np.ndarray, window: int = 8, keep_mod: int = 16
+) -> np.ndarray:
+    """Winnowing-style document fingerprint: rolling window hashes,
+    keep those ≡ 0 (mod keep_mod). Returns a sorted uint64 array."""
+    w = shingle_hashes(token_hashes, k=window)
+    if len(w) == 0:
+        return w
+    kept = w[w % _U64(keep_mod) == 0]
+    if len(kept) == 0:  # degenerate tiny doc: keep global min
+        kept = w.min(keepdims=True)
+    return np.unique(kept)

@@ -1,0 +1,178 @@
+"""Triple-store sink: sorted, repo-hash-partitioned parquet with
+per-partition manifests and resume.
+
+North-rule materialization (BASELINE.json): partition by
+``hash(repo-of-subject) % P`` with explicit salting of skewed
+mega-repos, sort each partition by (subject, predicate), write one
+directory per partition atomically, and record a manifest per
+partition so a restarted job skips finished partitions.
+
+Exact global dedup of triples is FREE here: a triple's partition is a
+pure function of its subject, so identical triples always land in the
+same partition and per-partition dedup == global dedup (no extra
+shuffle; SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.hashing import hash_strings, splitmix64
+from ..state.manifest import (
+    completed_partitions,
+    rollup_hash,
+    write_partition_manifest,
+)
+
+_RE_REPO = re.compile(r"^([^/]+/[^/]+)")
+
+
+def subject_repo(subjects: np.ndarray) -> np.ndarray:
+    """repo prefix ('org/name') of a subject entity/doc id (vectorized
+    enough: one C-regex match per row)."""
+    out = np.empty(len(subjects), dtype=object)
+    for i, s in enumerate(subjects):
+        m = _RE_REPO.match(s)
+        out[i] = m.group(1) if m else s
+    return out
+
+
+def add_partition_column(
+    batch: pa.Table,
+    num_partitions: int,
+    salt_repos: dict[str, int] | None = None,
+) -> pa.Table:
+    """part = hash(repo(subject)) % P, with hot repos salted across
+    ``salt_repos[repo]`` consecutive sub-partitions (north rule).
+
+    Salting keys on the full subject so a mega-repo's triples spread
+    deterministically over its salt range."""
+    subs = batch["subject"].to_numpy(zero_copy_only=False)
+    repos = subject_repo(subs)
+    h = hash_strings(repos)
+    part = (h % np.uint64(num_partitions)).astype(np.int64)
+    if salt_repos:
+        sub_h = splitmix64(hash_strings(subs))
+        for repo, factor in salt_repos.items():
+            mask = repos == repo
+            if mask.any():
+                base = int(hash_strings([repo])[0] % np.uint64(num_partitions))
+                salt = (sub_h[mask] % np.uint64(factor)).astype(np.int64)
+                part[mask] = (base + salt) % num_partitions
+    return batch.append_column("part", pa.array(part, pa.int64()))
+
+
+def detect_skewed_repos(
+    triples_ds, num_partitions: int, factor_cap: int = 8, sample_frac: float = 0.05
+) -> dict[str, int]:
+    """Pre-pass: find repos owning >> 1/P of triples (sampled count).
+
+    Returns {repo: salt_factor}. One cheap aggregation over a sample —
+    the explicit skew handling the north rule requires."""
+    from ray.data.aggregate import Count
+
+    def to_repo(b: pa.Table) -> pa.Table:
+        subs = b["subject"].to_numpy(zero_copy_only=False)
+        return pa.table({"repo": pa.array(subject_repo(subs), pa.string())})
+
+    sample = triples_ds.random_sample(sample_frac, seed=13)
+    counts = (
+        sample.map_batches(to_repo, batch_format="pyarrow")
+        .groupby("repo")
+        .count()
+        .to_pandas()
+    )
+    if len(counts) == 0:
+        return {}
+    total = counts["count()"].sum()
+    thresh = max(2.0 * total / num_partitions, 10)
+    hot = counts[counts["count()"] > thresh]
+    out = {}
+    for _, row in hot.iterrows():
+        factor = int(
+            min(factor_cap, np.ceil(row["count()"] / max(thresh, 1)))
+        )
+        if factor > 1:
+            out[row["repo"]] = factor
+    return out
+
+
+def _write_partition(
+    g: pd.DataFrame, out_dir: str, stage: str, lineage: str
+) -> pd.DataFrame:
+    part = int(g["part"].iloc[0])
+    g = (
+        g.drop(columns=["part"])
+        .drop_duplicates(["subject", "predicate", "object"])
+        .sort_values(["subject", "predicate", "object"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pdir = os.path.join(out_dir, f"part={part:05d}")
+    os.makedirs(pdir, exist_ok=True)
+    tmp = os.path.join(pdir, "data.parquet.tmp")
+    final = os.path.join(pdir, "data.parquet")
+    tbl = pa.Table.from_pandas(g, preserve_index=False)
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, final)
+    roll = rollup_hash(
+        ("\n".join(g["subject"] + "\t" + g["predicate"] + "\t" + g["object"]))
+        .encode()
+    )
+    write_partition_manifest(out_dir, part, len(g), roll, stage, lineage)
+    return pd.DataFrame({"part": [part], "rows": [len(g)]})
+
+
+def materialize_triples(
+    triples_ds,
+    out_dir: str,
+    num_partitions: int = 32,
+    resume: bool = True,
+    salt_repos: dict[str, int] | None = None,
+    auto_salt: bool = False,
+    lineage: str = "kg",
+):
+    """Write the triple store; returns a small Dataset of (part, rows).
+
+    resume=True skips partitions that already have a manifest (their
+    rows are filtered out BEFORE the shuffle, so a resumed run moves
+    only pending data).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    if auto_salt and salt_repos is None:
+        salt_repos = detect_skewed_repos(triples_ds, num_partitions)
+    ds = triples_ds.map_batches(
+        lambda b: add_partition_column(b, num_partitions, salt_repos),
+        batch_format="pyarrow",
+    )
+    done = completed_partitions(out_dir) if resume else set()
+    if done:
+        done_arr = pa.array(sorted(done), pa.int64())
+        ds = ds.map_batches(
+            lambda b: b.filter(
+                pa.compute.invert(
+                    pa.compute.is_in(b["part"], value_set=done_arr)
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    out = ds.groupby("part").map_groups(
+        lambda g: _write_partition(g, out_dir, "materialize", lineage),
+        batch_format="pandas",
+    )
+    # a sink must RUN; the summary is tiny (one row per partition)
+    return out.materialize()
+
+
+def read_triples(out_dir: str):
+    import glob
+
+    import ray.data as rd
+
+    parts = sorted(glob.glob(os.path.join(out_dir, "part=*", "*.parquet")))
+    return rd.read_parquet(parts)

@@ -1,0 +1,362 @@
+"""Entity canonicalization: near-duplicate result entities (forks /
+mirrors of a repo re-stating the same theorem) are merged to one
+canonical id.
+
+The reference only dedups result names per paper with a ``set()``
+(reference: Styling/tools/theoremdb/extract_graph.py:232-288) and
+matches theorems across papers pairwise with TF-IDF cosine
+(reference: Styling/tools/thm_similarity/model_tfidf.py:22-65). At
+corpus scale that becomes:
+
+1. candidate generation — MinHash-LSH banding over result-text
+   shingles: ``groupby((band_idx, band_hash))`` buckets; any two
+   entities sharing a bucket are candidates (SURVEY.md D6/J9).
+2. verify — SimHash-64 Hamming distance carried *in the band row*
+   (8 bytes) so verification needs no extra join: pairs with
+   hamming <= threshold survive.
+3. connected components — iterative min-label propagation via
+   ``groupby(node).aggregate(Min)``; O(log n) rounds, early-stopped by
+   a label checksum. (A driver-side union-find fast path exists for
+   provably-small edge sets.)
+4. rewrite — triples' subject/object mapped to the canonical (min)
+   entity id via a broadcast map (component count << corpus).
+
+Skew note: a hot LSH bucket (boilerplate text) would cost O(g^2)
+pairs; buckets larger than ``cap`` emit star edges to the bucket-min
+entity instead — O(g) edges, identical connected components.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..functions.hashing import (
+    band_hashes,
+    hamming64,
+    hash_strings,
+    minhash_signatures,
+    shingle_hashes,
+    simhash64,
+)
+
+NUM_PERM = 64
+NUM_BANDS = 16  # r = 4 -> catches Jaccard >= ~0.75 with high prob.
+HAMMING_MAX = 8
+
+
+class BandEmitter:
+    """map_batches callable: result rows -> LSH band rows.
+
+    Output: (entity_id, band_idx, band_hash, simhash, n_tokens).
+    Proof entities are excluded (identity lives on numbered results).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch["kind"], "proof")
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "entity_id": pa.array([], pa.string()),
+                    "band_idx": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.uint64()),
+                    "simhash": pa.array([], pa.uint64()),
+                    "n_tokens": pa.array([], pa.int32()),
+                }
+            )
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        eids = batch["entity_id"].to_numpy(zero_copy_only=False)
+        n = len(texts)
+        tok_hashes = []
+        for t in texts:
+            toks = t.split()
+            tok_hashes.append(
+                hash_strings(toks) if toks else np.empty(0, np.uint64)
+            )
+        shingles = [shingle_hashes(th, k=3) for th in tok_hashes]
+        sigs = minhash_signatures(shingles, NUM_PERM)
+        bands = band_hashes(sigs, NUM_BANDS)  # (n, NUM_BANDS)
+        sims = simhash64(tok_hashes)
+        n_tok = np.array([len(t) for t in tok_hashes], dtype=np.int32)
+
+        rep = NUM_BANDS
+        return pa.table(
+            {
+                "entity_id": pa.array(np.repeat(eids, rep), pa.string()),
+                "band_idx": pa.array(
+                    np.tile(np.arange(rep, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(bands.reshape(-1)),
+                "simhash": pa.array(np.repeat(sims, rep)),
+                "n_tokens": pa.array(np.repeat(n_tok, rep)),
+            }
+        )
+
+
+def _pairs_from_bucket(g: pd.DataFrame, cap: int = 50) -> pd.DataFrame:
+    """Candidate pairs within one (band_idx, band_hash) bucket.
+
+    <= cap rows: all pairs; above: star edges to the bucket-min entity
+    (same connected components, O(g) instead of O(g^2))."""
+    g = g.drop_duplicates("entity_id")
+    m = len(g)
+    if m < 2:
+        return pd.DataFrame(
+            {
+                "a": pd.Series(dtype=str),
+                "b": pd.Series(dtype=str),
+                "sim_a": pd.Series(dtype="uint64"),
+                "sim_b": pd.Series(dtype="uint64"),
+            }
+        )
+    e = g["entity_id"].to_numpy()
+    s = g["simhash"].to_numpy()
+    order = np.argsort(e)
+    e, s = e[order], s[order]
+    if m <= cap:
+        ia, ib = np.triu_indices(m, k=1)
+    else:
+        ia = np.zeros(m - 1, dtype=np.int64)  # star to min entity
+        ib = np.arange(1, m, dtype=np.int64)
+    return pd.DataFrame(
+        {"a": e[ia], "b": e[ib], "sim_a": s[ia], "sim_b": s[ib]}
+    )
+
+
+def candidate_pairs(band_ds, cap: int = 50):
+    """LSH bucket groupby -> verified near-dup edges (a, b, confidence)."""
+    pairs = band_ds.groupby(["band_idx", "band_hash"]).map_groups(
+        lambda g: _pairs_from_bucket(g, cap), batch_format="pandas"
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "confidence": pa.array([], pa.float64()),
+                }
+            )
+        ham = hamming64(
+            b["sim_a"].to_numpy(zero_copy_only=False),
+            b["sim_b"].to_numpy(zero_copy_only=False),
+        )
+        keep = ham <= HAMMING_MAX
+        conf = 1.0 - ham[keep] / 64.0
+        return pa.table(
+            {
+                "a": b["a"].filter(pa.array(keep)),
+                "b": b["b"].filter(pa.array(keep)),
+                "confidence": pa.array(conf, pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ connected components
+
+
+def connected_components_local(edges: pa.Table) -> dict[str, str]:
+    """Driver-side union-find fast path (edge set known to be small)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    a = edges["a"].to_pylist()
+    b = edges["b"].to_pylist()
+    for x, y in zip(a, b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    return {x: find(x) for x in set(a) | set(b)}
+
+
+def connected_components_distributed(edges_ds, max_iters: int = 6):
+    """Min-label propagation via groupby aggregate, early-stopped.
+
+    labels(node) <- min(labels(node), min over neighbors(labels));
+    repeated until the label multiset checksum stops changing. Each
+    iteration = one all-to-all shuffle on ``node``; components of
+    diameter d converge in <= d rounds (near-dup components are tiny).
+    Returns a Dataset (node, label).
+    """
+    from ray.data.aggregate import Min
+
+    # symmetric edge list
+    def sym(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [b["a"].combine_chunks(), b["b"].combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [b["b"].combine_chunks(), b["a"].combine_chunks()]
+                ),
+            }
+        )
+
+    E = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    labels = (
+        E.groupby("node")
+        .aggregate(Min("nbr", alias_name="label"))
+        .map_batches(
+            lambda b: b.set_column(
+                1,
+                "label",
+                pc.min_element_wise(b["label"], b["node"]),
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def checksum(lds) -> int:
+        def h(b: pa.Table) -> pa.Table:
+            s = hash_strings(
+                b["label"].to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            return pa.table({"h": pa.array([float(s.sum())])})
+
+        agg = lds.map_batches(h, batch_format="pyarrow").sum("h")
+        return int(agg) if agg is not None else 0
+
+    prev = checksum(labels)
+    for _ in range(max_iters):
+        # candidate labels arriving over edges: join labels onto edges
+        # via a groupby on node carrying both edge and label rows
+        lab_rows = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "nbr": pa.nulls(b.num_rows, pa.string()),
+                    "label": b["label"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        edge_rows = E.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "nbr": b["nbr"],
+                    "label": pa.nulls(b.num_rows, pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def propagate(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g["label"].dropna()
+            if len(lab) == 0:
+                return pd.DataFrame(
+                    {"node": pd.Series(dtype=str), "cand": pd.Series(dtype=str)}
+                )
+            label = lab.min()
+            node = g["node"].iloc[0]
+            nbrs = g["nbr"].dropna().unique()
+            out_nodes = list(nbrs) + [node]
+            return pd.DataFrame(
+                {"node": out_nodes, "cand": [label] * len(out_nodes)}
+            )
+
+        cands = (
+            lab_rows.union(edge_rows)
+            .groupby("node")
+            .map_groups(propagate, batch_format="pandas")
+        )
+        labels = (
+            cands.groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .materialize()
+        )
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+def canonical_map(
+    edges_ds, distributed_threshold: int = 200_000
+) -> dict[str, str]:
+    """edges Dataset -> {entity: canonical_entity} (non-identity only)."""
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return {}
+    if n_edges <= distributed_threshold:
+        tbl = _collect(edges_ds)
+        return {
+            k: v for k, v in connected_components_local(tbl).items() if k != v
+        }
+    labels = connected_components_distributed(edges_ds)
+    out: dict[str, str] = {}
+    for b in labels.iter_batches(batch_format="pyarrow"):
+        for n_, l_ in zip(b["node"].to_pylist(), b["label"].to_pylist()):
+            if n_ != l_:
+                out[n_] = l_
+    return out
+
+
+def _collect(ds) -> pa.Table:
+    tabs = [
+        pa.Table.from_batches([rb]) if isinstance(rb, pa.RecordBatch) else rb
+        for rb in ds.iter_batches(batch_format="pyarrow")
+    ]
+    if not tabs:
+        return pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+    return pa.concat_tables(tabs, promote_options="default")
+
+
+class TripleRewriter:
+    """Actor-pool callable: rewrite subject/object to canonical ids.
+
+    The canonical map is broadcast once via ``ray.put`` and fetched per
+    actor in ``__init__``."""
+
+    def __init__(self, map_ref) -> None:
+        self.canon: dict[str, str] = ray.get(map_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.canon:
+            return batch
+        subs = batch["subject"].to_numpy(zero_copy_only=False)
+        objs = batch["object"].to_numpy(zero_copy_only=False)
+        canon = self.canon
+        new_s = np.array([canon.get(s, s) for s in subs], dtype=object)
+        new_o = np.array([canon.get(o, o) for o in objs], dtype=object)
+        batch = batch.set_column(
+            batch.column_names.index("subject"),
+            "subject",
+            pa.array(new_s, pa.string()),
+        )
+        return batch.set_column(
+            batch.column_names.index("object"),
+            "object",
+            pa.array(new_o, pa.string()),
+        )
+
+
+def rewrite_triples(triples_ds, canon: dict[str, str], concurrency=(1, 4)):
+    if not canon:
+        return triples_ds
+    ref = ray.put(canon)
+    return triples_ds.map_batches(
+        TripleRewriter,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=concurrency,
+    )

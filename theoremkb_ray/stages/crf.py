@@ -1,0 +1,353 @@
+"""Linear-chain sequence tagger: the flagship learned segmenter.
+
+Re-expresses the reference's CRF extractor — a per-line
+``sklearn_crfsuite.CRF`` loaded lazily once and applied per paper
+(reference: Styling/src/lib/extractors/crf.py:43-132,
+Styling/src/lib/models/crf.py:20-99) — as a from-scratch numpy
+linear-chain model (averaged structured perceptron + Viterbi; no
+third-party CRF dependency exists in this environment). Tagging
+quality on the synthetic gold corpus is asserted by the pytest suite
+(P/R >= 0.95 per BASELINE.json).
+
+Scale design:
+- the model artifact (npz of emission + transition weights) is loaded
+  ONCE PER ACTOR in :class:`CRFSegmenter.__init__` and applied per
+  batch — the ``map_batches(Cls, concurrency=N)`` actor-pool pattern;
+- emission features are computed vectorized over the *flattened* line
+  array (stages/features.py);
+- Viterbi runs BATCHED over all documents of a batch at once
+  (padded (docs, time, states) dynamic program — numpy ops per time
+  step, no per-document Python loop).
+
+Label space: O + B-/I- per result kind (schema.TAGS), the same B/I/O
+codec the reference trains (Styling/src/lib/extractors/crf.py:178-194).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..schema import N_TAGS, RESULT_KINDS, TAG_TO_ID, TAGS
+from .features import line_features
+from .segment import spans_to_list_column
+from .tokenize import explode_lines
+
+N_FEATS = 24
+DEFAULT_MODEL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts",
+    "crf_line.npz",
+)
+
+
+def feature_matrix(flat_lines: pa.Array, offsets: np.ndarray) -> np.ndarray:
+    """(n_lines, N_FEATS) boolean indicator features, incl. ±1-line
+    context (the analog of the reference's prev/next delta features,
+    Styling/src/lib/paper/features.py:163-170)."""
+    f = line_features(flat_lines)
+    n = len(f["bold"])
+    X = np.zeros((n, N_FEATS), dtype=bool)
+    X[:, 0] = True  # bias
+    X[:, 1] = f["bold"]
+    X[:, 2] = f["italic"]
+    X[:, 3] = f["blank"]
+    X[:, 4] = f["qed"]
+    kid = f["kind_id"]
+    for k in range(len(RESULT_KINDS)):
+        X[:, 5 + k] = kid == k
+    X[:, 15] = f["has_head_num"]
+    styled_kind = (f["bold"] | f["italic"]) & (kid >= 0)
+    X[:, 16] = styled_kind
+    nw = f["n_words"]
+    X[:, 17] = nw <= 1
+    X[:, 18] = (nw >= 2) & (nw <= 4)
+    X[:, 19] = nw >= 5
+    # ±1-line context (shift within document: reset at boundaries)
+    prev_blank = np.roll(f["blank"], 1)
+    next_blank = np.roll(f["blank"], -1)
+    prev_styled = np.roll(styled_kind, 1)
+    doc_first = np.zeros(n, dtype=bool)
+    doc_last = np.zeros(n, dtype=bool)
+    if n:
+        starts = offsets[:-1][offsets[:-1] < n]
+        doc_first[starts] = True
+        ends = offsets[1:] - 1
+        doc_last[ends[(ends >= 0) & (ends < n)]] = True
+    X[:, 20] = np.where(doc_first, True, prev_blank)  # doc start ~ blank
+    X[:, 21] = np.where(doc_last, True, next_blank)
+    X[:, 22] = np.where(doc_first, False, prev_styled)
+    return X
+
+
+class LinearChainTagger:
+    """Weights + batched Viterbi decode + perceptron training."""
+
+    def __init__(
+        self, W: np.ndarray | None = None, T: np.ndarray | None = None
+    ) -> None:
+        self.W = W if W is not None else np.zeros((N_TAGS, N_FEATS))
+        self.T = T if T is not None else np.zeros((N_TAGS, N_TAGS))
+
+    # ------------------------------------------------------------ decode
+    def decode_batch(
+        self, X: np.ndarray, offsets: np.ndarray
+    ) -> np.ndarray:
+        """Viterbi over all docs at once. Returns flat tag ids (n_lines,)."""
+        n_docs = len(offsets) - 1
+        lengths = np.diff(offsets)
+        if len(X) == 0 or n_docs == 0:
+            return np.zeros(0, dtype=np.int32)
+        Tmax = int(lengths.max())
+        S = N_TAGS
+        emit_flat = X @ self.W.T  # (n_lines, S)
+        # padded emissions (docs, Tmax, S); padding gets -inf except O
+        emit = np.full((n_docs, Tmax, S), -1e30)
+        idx_doc = np.repeat(np.arange(n_docs), lengths)
+        idx_t = np.concatenate([np.arange(l) for l in lengths])
+        emit[idx_doc, idx_t] = emit_flat
+        emit[:, :, 0] = np.where(
+            emit[:, :, 0] < -1e29, 0.0, emit[:, :, 0]
+        )  # padding emits O at zero cost
+        dp = emit[:, 0].copy()  # (docs, S)
+        bp = np.zeros((n_docs, Tmax, S), dtype=np.int8)
+        Tt = self.T  # (S_prev, S_next)
+        for t in range(1, Tmax):
+            # scores (docs, S_prev, S_next)
+            sc = dp[:, :, None] + Tt[None, :, :]
+            best_prev = sc.argmax(axis=1)  # (docs, S_next)
+            dp = np.take_along_axis(sc, best_prev[:, None, :], axis=1)[
+                :, 0, :
+            ] + emit[:, t]
+            bp[:, t] = best_prev
+        # backtrack
+        tags = np.zeros((n_docs, Tmax), dtype=np.int32)
+        last = dp.argmax(axis=1)
+        for d in range(n_docs):
+            L = lengths[d]
+            # best state at the LAST REAL position: padded tail is all O
+            # with zero transitions, so argmax at Tmax is valid to trace
+            cur = last[d]
+            for t in range(Tmax - 1, -1, -1):
+                if t < L:
+                    tags[d, t] = cur
+                cur = bp[d, t, cur]
+        return tags[idx_doc, idx_t].astype(np.int32)
+
+    # ------------------------------------------------------------- train
+    def fit(
+        self,
+        X: np.ndarray,
+        offsets: np.ndarray,
+        y: np.ndarray,
+        epochs: int = 8,
+        seed: int = 0,
+    ) -> "LinearChainTagger":
+        """Averaged structured perceptron over per-document sequences."""
+        n_docs = len(offsets) - 1
+        rng = np.random.RandomState(seed)
+        W, T = self.W.copy(), self.T.copy()
+        Wsum, Tsum = np.zeros_like(W), np.zeros_like(T)
+        steps = 0
+        for _ in range(epochs):
+            order = rng.permutation(n_docs)
+            for d in order:
+                lo, hi = offsets[d], offsets[d + 1]
+                Xd, yd = X[lo:hi], y[lo:hi]
+                tagger = LinearChainTagger(W, T)
+                pred = tagger.decode_batch(
+                    Xd, np.array([0, hi - lo], dtype=np.int64)
+                )
+                if not np.array_equal(pred, yd):
+                    np.add.at(W, yd, Xd.astype(float))
+                    np.subtract.at(W, pred, Xd.astype(float))
+                    if hi - lo > 1:
+                        np.add.at(T, (yd[:-1], yd[1:]), 1.0)
+                        np.subtract.at(T, (pred[:-1], pred[1:]), 1.0)
+                Wsum += W
+                Tsum += T
+                steps += 1
+        self.W = Wsum / max(steps, 1)
+        self.T = Tsum / max(steps, 1)
+        return self
+
+    # -------------------------------------------------------- persistence
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez_compressed(
+            path, W=self.W, T=self.T, tags=np.array(TAGS), version=2
+        )
+
+    @classmethod
+    def load(cls, path: str = DEFAULT_MODEL_PATH) -> "LinearChainTagger":
+        z = np.load(path, allow_pickle=False)
+        assert list(z["tags"]) == list(TAGS), "tag-set mismatch vs artifact"
+        return cls(z["W"], z["T"])
+
+
+def tags_to_spans_flat(
+    tag_ids: np.ndarray, offsets: np.ndarray
+) -> dict[str, np.ndarray]:
+    """BIO decode: flat tag ids -> flat span rows (same contract as
+    segment.naive_spans_flat). B starts a span; I of the same kind
+    continues; anything else ends it. Group numbering restarts per doc
+    (the reference's group counter, extractors/crf.py:107-131)."""
+    n = len(tag_ids)
+    lengths = np.diff(offsets)
+    doc_idx_per_line = np.repeat(
+        np.arange(len(lengths), dtype=np.int64), lengths
+    )
+    # tag id -> (is_B, is_I, kind_id); TAGS = O, then B-k0,I-k0,B-k1,...
+    is_b = (tag_ids > 0) & ((tag_ids - 1) % 2 == 0)
+    is_i = (tag_ids > 0) & ((tag_ids - 1) % 2 == 1)
+    kind_of = np.where(tag_ids > 0, (tag_ids - 1) // 2, -1)
+
+    prev_tag = np.roll(tag_ids, 1)
+    prev_kind = np.where(prev_tag > 0, (prev_tag - 1) // 2, -1)
+    prev_in = prev_tag > 0
+    doc_first = np.zeros(n, dtype=bool)
+    starts_idx = offsets[:-1]
+    doc_first[starts_idx[starts_idx < n]] = True
+
+    # span starts: B anywhere, or I that does not continue a same-kind span
+    span_start = is_b | (
+        is_i & (doc_first | ~prev_in | (prev_kind != kind_of))
+    )
+    in_span = tag_ids > 0
+    starts = np.flatnonzero(span_start)
+    if len(starts) == 0:
+        return {
+            k: np.empty(0, dtype=np.int64)
+            for k in ("doc_idx", "label_id", "group", "start_line", "end_line")
+        }
+    # span end: last consecutive line with same kind and not a new start
+    next_start = np.roll(span_start, -1)
+    next_kind = np.roll(kind_of, -1)
+    next_in = np.roll(in_span, -1)
+    doc_last = np.zeros(n, dtype=bool)
+    ends_idx = offsets[1:] - 1
+    doc_last[ends_idx[(ends_idx >= 0) & (ends_idx < n)]] = True
+    span_end = in_span & (
+        doc_last | ~next_in | next_start | (next_kind != kind_of)
+    )
+    ends = np.flatnonzero(span_end)
+    assert len(ends) == len(starts)
+
+    doc_start = offsets[:-1][doc_idx_per_line]
+    span_doc = doc_idx_per_line[starts]
+    cs = np.cumsum(span_start)
+    base = cs[offsets[:-1][span_doc]] - span_start[offsets[:-1][span_doc]]
+    group = cs[starts] - base
+    return {
+        "doc_idx": span_doc,
+        "label_id": kind_of[starts].astype(np.int64),
+        "group": group.astype(np.int64),
+        "start_line": starts - doc_start[starts],
+        "end_line": ends - doc_start[starts],
+    }
+
+
+class CRFSegmenter:
+    """Actor-pool callable: tokenized batch -> batch + ``spans`` column.
+
+    Model artifact loaded once per actor (__init__), applied per batch.
+    """
+
+    def __init__(self, model_path: str = DEFAULT_MODEL_PATH) -> None:
+        self.model = LinearChainTagger.load(model_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, offsets = explode_lines(batch["lines"])
+        X = feature_matrix(flat, offsets)
+        tag_ids = self.model.decode_batch(X, offsets)
+        spans = tags_to_spans_flat(tag_ids, offsets)
+        col = spans_to_list_column(spans, batch.num_rows)
+        return batch.append_column("spans", col)
+
+
+def segment_crf(
+    ds,
+    model_path: str = DEFAULT_MODEL_PATH,
+    batch_size: int = 256,
+    concurrency=None,
+):
+    return ds.map_batches(
+        CRFSegmenter,
+        fn_constructor_args=(model_path,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None else (1, 8),
+    )
+
+
+# ------------------------------------------------------------------ training
+
+
+def gold_tags_flat(
+    offsets: np.ndarray,
+    doc_ids: np.ndarray,
+    spans_df,
+) -> np.ndarray:
+    """Project gold spans (doc_id, label, start_line, end_line) onto the
+    flat line array as tag ids (the analog of the reference's
+    ground-truth spatial projection, extractors/crf.py:165-176)."""
+    n = int(offsets[-1])
+    y = np.zeros(n, dtype=np.int32)
+    pos = {d: i for i, d in enumerate(doc_ids)}
+    for doc_id, label, s, e in zip(
+        spans_df["doc_id"], spans_df["label"], spans_df["start_line"],
+        spans_df["end_line"],
+    ):
+        d = pos.get(doc_id)
+        if d is None:
+            continue
+        base = offsets[d]
+        y[base + s] = TAG_TO_ID[f"B-{label}"]
+        if e > s:
+            y[base + s + 1 : base + e + 1] = TAG_TO_ID[f"I-{label}"]
+    return y
+
+
+def train_crf(
+    num_docs: int = 300,
+    seed: int = 7,
+    epochs: int = 8,
+    out_path: str = DEFAULT_MODEL_PATH,
+) -> tuple[LinearChainTagger, float]:
+    """Train on a synthetic gold corpus (disjoint seed from the test
+    fixtures); returns (model, token accuracy on a held-out corpus)."""
+    from ..synth import generate_corpus
+
+    tr = generate_corpus(num_docs, seed=seed, dup_fraction=0.0)
+    corpus = tr["corpus"].to_pandas()
+    lines_list = [c.split("\n") for c in corpus["content"]]
+    offsets = np.zeros(len(lines_list) + 1, dtype=np.int64)
+    np.cumsum([len(l) for l in lines_list], out=offsets[1:])
+    flat = pa.array(
+        [ln for doc in lines_list for ln in doc], pa.string()
+    )
+    X = feature_matrix(flat, offsets)
+    doc_ids = (
+        corpus["repo"] + "/" + corpus["path"] + "@" + corpus["commit"]
+    ).to_numpy()
+    y = gold_tags_flat(offsets, doc_ids, tr["gold_spans"].to_pandas())
+
+    model = LinearChainTagger().fit(X, offsets, y, epochs=epochs)
+
+    # held-out accuracy
+    te = generate_corpus(80, seed=seed + 1, dup_fraction=0.0)
+    c2 = te["corpus"].to_pandas()
+    ll2 = [c.split("\n") for c in c2["content"]]
+    off2 = np.zeros(len(ll2) + 1, dtype=np.int64)
+    np.cumsum([len(l) for l in ll2], out=off2[1:])
+    flat2 = pa.array([ln for doc in ll2 for ln in doc], pa.string())
+    X2 = feature_matrix(flat2, off2)
+    d2 = (c2["repo"] + "/" + c2["path"] + "@" + c2["commit"]).to_numpy()
+    y2 = gold_tags_flat(off2, d2, te["gold_spans"].to_pandas())
+    pred = model.decode_batch(X2, off2)
+    acc = float((pred == y2).mean())
+    if out_path:
+        model.save(out_path)
+    return model, acc

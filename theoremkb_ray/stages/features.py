@@ -1,0 +1,68 @@
+"""Per-line feature kernels (flat, vectorized).
+
+Re-expresses the reference's per-node feature extractors — font/style
+flags, word pattern, positional status (reference:
+Styling/src/lib/features/String.py:49-93, TextLine.py:14-99,
+status.py:8-19, misc/__init__.py:28-43) — as numpy / pyarrow.compute
+kernels over the *flattened* line array of a batch of documents. Both
+the naive segmenter and the CRF consume these; nothing here loops over
+Python rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import RESULT_KINDS
+
+_KIND_ARR = pa.array(RESULT_KINDS, pa.string())
+
+
+def line_features(flat_lines: pa.Array) -> dict[str, np.ndarray | pa.Array]:
+    """Vectorized per-line features over a flat line array.
+
+    Returns numpy arrays (+ two Arrow string arrays used downstream):
+      bold, italic, blank, qed, n_words, kind_id (int8, -1 = none),
+      has_head_num, head_num (string), first_pattern (string).
+    """
+    bold = pc.starts_with(flat_lines, "\\textbf{")
+    italic = pc.starts_with(flat_lines, "\\textit{")
+    blank = pc.equal(flat_lines, "")
+    qed = pc.equal(flat_lines, "qed")
+
+    stripped = pc.replace_substring_regex(
+        flat_lines, r"^\\text(?:bf|it)\{", ""
+    )
+    fw = pc.extract_regex(stripped, r"^(?P<w>[A-Za-z]+)")
+    first_word = pc.if_else(
+        pc.is_valid(fw), pc.struct_field(fw, "w"), pa.scalar("", pa.string())
+    )
+    first_pattern = pc.utf8_lower(first_word)
+    kind_id = pc.index_in(first_pattern, value_set=_KIND_ARR)
+    kind_id = pc.fill_null(kind_id, -1)
+
+    hn = pc.extract_regex(
+        stripped, r"^[A-Za-z]+(?: of [A-Za-z]+)? (?P<num>\d+(?:\.\d+)*)\."
+    )
+    has_head_num = pc.is_valid(hn)
+    head_num = pc.if_else(
+        has_head_num, pc.struct_field(hn, "num"), pa.scalar("", pa.string())
+    )
+    n_words = pc.count_substring(flat_lines, " ")
+
+    def np_(a, dtype):
+        return a.to_numpy(zero_copy_only=False).astype(dtype)
+
+    return {
+        "bold": np_(bold, bool),
+        "italic": np_(italic, bool),
+        "blank": np_(blank, bool),
+        "qed": np_(qed, bool),
+        "n_words": np_(n_words, np.int32) + 1,
+        "kind_id": np_(kind_id, np.int8),
+        "has_head_num": np_(has_head_num, bool),
+        "head_num": head_num,
+        "first_pattern": first_pattern,
+    }

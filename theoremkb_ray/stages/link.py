@@ -1,0 +1,180 @@
+"""Citation resolution: cross-document mention rows -> cites triples.
+
+Re-expresses the reference's citation-link table lookup
+(reference: Styling/tools/theoremdb/db.py:13-26 ``loadLinks`` building
+``(pdf_from -> tag -> pdf_to)`` and
+Styling/tools/references/get_links.py:105-162 bibliography resolution)
+as a **broadcast hash join**: the links side table is small relative to
+the corpus (one row per distinct citation edge), so it is ``ray.put``
+once and read by every map task — no shuffle. A partitioned hash-join
+fallback (``resolve_citations_shuffle``) covers a links table too big
+to broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..schema import PRED_CITES, entity_id
+
+
+def _links_dict(links_tbl: pa.Table) -> dict[tuple[str, str], str]:
+    df = links_tbl.to_pandas()
+    return {
+        (f, t): to
+        for f, t, to in zip(df["doc_from"], df["tag"], df["doc_to"])
+    }
+
+
+class CitationResolver:
+    """Actor-pool callable: extra-doc mention rows -> cites triples.
+
+    The broadcast links dict is fetched from the object store once per
+    actor in ``__init__`` (NOT re-shipped per batch)."""
+
+    def __init__(self, links_ref: "ray.ObjectRef") -> None:
+        self.links = ray.get(links_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = batch["src_entity"].to_numpy(zero_copy_only=False)
+        kind = batch["kind"].to_numpy(zero_copy_only=False)
+        num = batch["num"].to_numpy(zero_copy_only=False)
+        tag = batch["cite_tag"].to_numpy(zero_copy_only=False)
+        subs, objs = [], []
+        for i in range(len(doc)):
+            to = self.links.get((doc[i], tag[i]))
+            if to is None:
+                continue  # unresolvable tag -> dropped (dead-letter later)
+            subs.append(src[i])
+            objs.append(entity_id(to, f"{kind[i]} {num[i]}"))
+        n = len(subs)
+        return pa.table(
+            {
+                "subject": pa.array(subs, pa.string()),
+                "predicate": pa.array([PRED_CITES] * n, pa.string()),
+                "object": pa.array(objs, pa.string()),
+                "confidence": pa.array([1.0] * n, pa.float64()),
+                "provenance": pa.array(["mention.extra"] * n, pa.string()),
+            }
+        )
+
+
+def resolve_citations(
+    mentions_ds,
+    links_tbl: pa.Table,
+    batch_size: int = 4096,
+    concurrency=(1, 4),
+):
+    """Broadcast-join path (default; links table fits in memory)."""
+    extra = mentions_ds.map_batches(
+        lambda b: b.filter(pa.compute.not_equal(b["cite_tag"], "")),
+        batch_format="pyarrow",
+    )
+    links_ref = ray.put(_links_dict(links_tbl))
+    return extra.map_batches(
+        CitationResolver,
+        fn_constructor_args=(links_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def resolve_citations_shuffle(mentions_ds, links_ds, num_buckets: int = 64):
+    """Partitioned hash-join fallback for a links table too large to
+    broadcast: bucket both sides by hash(doc_from) and join per bucket.
+
+    Uses pandas merge inside ``map_groups`` — the documented pattern for
+    a both-sides-large equi-join (ray_guide 'Joins and lookups')."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash_strings
+
+    def add_bucket_m(b: pa.Table) -> pa.Table:
+        h = hash_strings(b["doc_id"].to_numpy(zero_copy_only=False))
+        return b.append_column(
+            "bucket", pa.array((h % num_buckets).astype(np.int64))
+        )
+
+    def add_bucket_l(b: pa.Table) -> pa.Table:
+        h = hash_strings(b["doc_from"].to_numpy(zero_copy_only=False))
+        return b.append_column(
+            "bucket", pa.array((h % num_buckets).astype(np.int64))
+        )
+
+    extra = mentions_ds.map_batches(
+        lambda b: b.filter(pc.not_equal(b["cite_tag"], "")),
+        batch_format="pyarrow",
+    ).map_batches(add_bucket_m, batch_format="pyarrow")
+    links_b = links_ds.map_batches(add_bucket_l, batch_format="pyarrow")
+
+    # align both sides to one schema (union needs identical columns)
+    COLS = [
+        ("doc_id", pa.string()),
+        ("src_entity", pa.string()),
+        ("kind", pa.string()),
+        ("num", pa.string()),
+        ("cite_tag", pa.string()),
+        ("doc_from", pa.string()),
+        ("tag", pa.string()),
+        ("doc_to", pa.string()),
+        ("bucket", pa.int64()),
+        ("side", pa.string()),
+    ]
+
+    def align(side):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.append_column(
+                "side", pa.array([side] * b.num_rows, pa.string())
+            )
+            cols = []
+            for name, typ in COLS:
+                if name in b.column_names:
+                    cols.append(b[name])
+                else:
+                    cols.append(pa.nulls(b.num_rows, typ))
+            return pa.table(dict(zip([c[0] for c in COLS], cols)))
+
+        return fn
+
+    unioned = extra.map_batches(align("m"), batch_format="pyarrow").union(
+        links_b.map_batches(align("l"), batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[g["side"] == "m"]
+        l = g[g["side"] == "l"]
+        if len(m) == 0 or len(l) == 0:
+            return pd.DataFrame(
+                {
+                    "subject": pd.Series(dtype=str),
+                    "predicate": pd.Series(dtype=str),
+                    "object": pd.Series(dtype=str),
+                    "confidence": pd.Series(dtype=float),
+                    "provenance": pd.Series(dtype=str),
+                }
+            )
+        j = m.merge(
+            l[["doc_from", "tag", "doc_to"]],
+            left_on=["doc_id", "cite_tag"],
+            right_on=["doc_from", "tag"],
+            how="inner",
+        )
+        obj = j["doc_to"] + "#" + j["kind"] + " " + j["num"]
+        return pd.DataFrame(
+            {
+                "subject": j["src_entity"],
+                "predicate": PRED_CITES,
+                "object": obj,
+                "confidence": 1.0,
+                "provenance": "mention.extra",
+            }
+        )
+
+    return unioned.groupby("bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )
