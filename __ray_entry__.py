@@ -1,44 +1,249 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline; ``queries()`` exposes one
+callable per implemented operator family (SURVEY.md §2) over the
+driver's parquet tables; ``oracle_sql()`` carries the DuckDB oracle
+for every SQL-expressible query (column names match exactly).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` happens here or in the library.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in __import__("sys").path:
+    __import__("sys").path.insert(0, _REPO)
+
+
+def _synth_dir(num_docs: int = 200, seed: int = 42) -> str:
+    from theoremkb_ray.synth import materialize_corpus
+
+    return materialize_corpus(
+        f"/tmp/tkb_synth_{num_docs}_{seed}", num_docs=num_docs, seed=seed
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: KG construction over a corpus in the BASELINE.json
+    input_hint shape — the sf0.001 documents table adapted to
+    (repo,path,commit,lang,content) UNION a planted synthetic corpus —
+    returning the canonicalized triple store Dataset."""
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.pipelines.kg import triples_dataset
+    from theoremkb_ray.sources.corpus import corpus_from_documents, read_corpus
+
+    sdir = _synth_dir(80)
+    links = pq.read_table(f"{sdir}/links.parquet")
+    synth_triples = triples_dataset(
+        read_corpus(f"{sdir}/corpus.parquet"),
+        links_tbl=links,
+        segmenter="crf",
+        canonicalize=True,
+    )
+    docs_triples = triples_dataset(
+        corpus_from_documents("/root/testdata/sf0.001"),
+        segmenter="naive",
+        canonicalize=False,
+    )
+    return synth_triples.union(docs_triples)
+
+
+# ------------------------------------------------------- queries registry
+
+
+def _kg_triples(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.pipelines.kg import triples_dataset
+    from theoremkb_ray.sources.corpus import read_corpus
+
+    sdir = _synth_dir(200)
+    links = pq.read_table(f"{sdir}/links.parquet")
+    return triples_dataset(
+        read_corpus(f"{sdir}/corpus.parquet"),
+        links_tbl=links,
+        segmenter="crf",
+        canonicalize=False,
+    )
+
+
+def _kg_triples_canonical(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.pipelines.kg import triples_dataset
+    from theoremkb_ray.sources.corpus import read_corpus
+
+    sdir = _synth_dir(200)
+    links = pq.read_table(f"{sdir}/links.parquet")
+    return triples_dataset(
+        read_corpus(f"{sdir}/corpus.parquet"),
+        links_tbl=links,
+        segmenter="crf",
+        canonicalize=True,
+    )
+
+
+def _kg_results(sf_dir: str):
+    from theoremkb_ray.pipelines.kg import results_dataset
+    from theoremkb_ray.sources.corpus import read_corpus
+
+    sdir = _synth_dir(200)
+    return results_dataset(
+        read_corpus(f"{sdir}/corpus.parquet"), segmenter="crf"
+    ).select_columns(
+        ["doc_id", "kind", "group", "name", "entity_id", "start_line", "end_line"]
+    )
+
+
+def _docs_segment(sf_dir: str):
+    """Naive segmenter over the driver documents table (adapter path)."""
+    from theoremkb_ray.pipelines.kg import results_dataset
+    from theoremkb_ray.sources.corpus import corpus_from_documents
+
+    return results_dataset(
+        corpus_from_documents(sf_dir), segmenter="naive", verify_sha=False
+    ).select_columns(["doc_id", "kind", "name"])
+
+
+def _minhash_dedup_docs(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from theoremkb_ray.stages.dedup import minhash_dedup
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return minhash_dedup(ds).groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def _simhash_dedup_docs(sf_dir: str):
+    import ray.data as rd
+
+    from theoremkb_ray.stages.dedup import dup_assignments, simhash_dup_edges
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    canon = dup_assignments(simhash_dup_edges(ds))
+    import pandas as pd
+
+    items = sorted(canon.items())
+    return pd.DataFrame(
+        {
+            "doc_id": [k for k, _ in items],
+            "canonical": [v for _, v in items],
+        }
+    )
+
+
+def _langid_docs(sf_dir: str):
+    import ray.data as rd
+
+    from theoremkb_ray.stages.textstats import langid
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return langid(ds).select_columns(["doc_id", "lang_pred"])
+
+
+def _fingerprint_docs(sf_dir: str):
+    import ray.data as rd
+
+    from theoremkb_ray.stages.textstats import fingerprints
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return fingerprints(ds).select_columns(["doc_id", "fingerprint64"])
+
+
+def _ivf_topk(sf_dir: str):
+    import numpy as np
+    import ray.data as rd
+
+    from theoremkb_ray.stages.similarity import ivf_topk
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    import pyarrow.parquet as pq
+
+    q = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).slice(0, 3)
+    Q = np.stack([np.asarray(v, np.float64) for v in q["embedding"].to_pylist()])
+    out = ivf_topk(ds, Q, k=5, num_centroids=8, nprobe=4).to_pandas()
+    return out[["query_id", "vec_id", "rank"]]
+
+
+def _embedding_dups(sf_dir: str):
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from theoremkb_ray.stages.dedup import dup_assignments, embedding_dup_edges
+
+    dim = len(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .slice(0, 1)["embedding"]
+        .to_pylist()[0]
+    )
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    canon = dup_assignments(embedding_dup_edges(ds, dim=dim))
+    items = sorted(canon.items())
+    return pd.DataFrame(
+        {"vec_id": [k for k, _ in items], "canonical": [v for _, v in items]}
+    )
+
+
+def _media_decode(sf_dir: str):
+    import ray.data as rd
+
+    from theoremkb_ray.stages.multimodal import decode_media, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(64, seed=7))
+    return decode_media(ds, backend="fake").select_columns(
+        ["media_id", "kind", "payload_bytes"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from theoremkb_ray.pipelines.relational import REGISTRY
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {
+        name: fn for name, (fn, _sql) in REGISTRY.items()
+    }
+    out.update(
+        {
+            "kg_triples": _kg_triples,
+            "kg_triples_canonical": _kg_triples_canonical,
+            "kg_results": _kg_results,
+            "docs_segment": _docs_segment,
+            "minhash_dedup_docs": _minhash_dedup_docs,
+            "simhash_dedup_docs": _simhash_dedup_docs,
+            "langid_docs": _langid_docs,
+            "fingerprint_docs": _fingerprint_docs,
+            "ivf_topk": _ivf_topk,
+            "embedding_dups": _embedding_dups,
+            "media_decode": _media_decode,
+        }
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from theoremkb_ray.pipelines.relational import REGISTRY
+
+    return {
+        name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None
+    }

@@ -1,0 +1,204 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": "kg_e2e", "value": <sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "kg_docs": N, "kg_triples": N, "kg_triples_per_sec": N}
+
+``--scaling`` runs the headline KG pipeline twice in fresh
+subprocesses (num_cpus=8 then 32) on the SAME input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for the
+N-vs-4N-node cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+ONLY = os.environ.get("GRAFT_BENCH_ONLY", "")
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _kg_corpus_dir(sf: float) -> str:
+    """Bench corpus scaled with sf (sf0.1 -> 8000 docs). Generated in
+    parallel once and cached — generation is excluded from timing."""
+    from theoremkb_ray.synth import materialize_corpus_parallel
+
+    num_docs = max(200, int(80_000 * sf))
+    return materialize_corpus_parallel(
+        f"/tmp/tkb_bench_corpus_{num_docs}", num_docs=num_docs, seed=42
+    )
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from theoremkb_ray.pipelines.kg import triples_dataset
+    from theoremkb_ray.sources.sinks import materialize_triples
+
+    sf = _sf_of(SF_DIR)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---------------- headline: KG construction end-to-end ----------
+    cdir = _kg_corpus_dir(sf)
+    links = pq.read_table(f"{cdir}/links")
+    out_dir = f"/tmp/tkb_bench_store_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # warm the page cache so we measure compute+shuffle, not cold disk
+    _ = rd.read_parquet(f"{cdir}/corpus").count()
+
+    t0 = time.perf_counter()
+    corpus = rd.read_parquet(f"{cdir}/corpus")
+    n_docs = corpus.count()
+    triples = triples_dataset(
+        corpus, links_tbl=links, segmenter="crf", canonicalize=True
+    )
+    summary = materialize_triples(
+        triples, out_dir, num_partitions=64, resume=False, auto_salt=True
+    )
+    n_triples = sum(r["rows"] for r in summary.take_all())
+    kg_sec = time.perf_counter() - t0
+    timings["kg"] = round(kg_sec, 3)
+    extras["kg_docs"] = n_docs
+    extras["kg_triples"] = n_triples
+    extras["kg_triples_per_sec"] = round(n_triples / kg_sec, 1)
+    extras["kg_docs_per_sec"] = round(n_docs / kg_sec, 1)
+
+    if ONLY != "kg":
+        # ---------------- relational suite over the sf tables --------
+        from theoremkb_ray.pipelines.relational import REGISTRY
+
+        for name, (fn, _sql) in REGISTRY.items():
+            t0 = time.perf_counter()
+            res = fn(SF_DIR)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+        # ---------------- dedup over documents ----------------------
+        from ray.data.aggregate import Count
+
+        from theoremkb_ray.stages.dedup import minhash_dedup
+
+        t0 = time.perf_counter()
+        docs = rd.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        minhash_dedup(docs).groupby("lang").aggregate(
+            Count(alias_name="n")
+        ).to_pandas()
+        timings["minhash_dedup"] = round(time.perf_counter() - t0, 3)
+
+        # ---------------- textstats sweep ----------------------------
+        from theoremkb_ray.stages.textstats import langid, quality, token_counts
+
+        t0 = time.perf_counter()
+        docs = rd.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        token_counts(quality(langid(docs))).map_batches(
+            lambda b: b.drop_columns(["text"]), batch_format="pyarrow"
+        ).count()
+        timings["textstats"] = round(time.perf_counter() - t0, 3)
+
+        # ---------------- ANN top-k ----------------------------------
+        import numpy as np
+
+        from theoremkb_ray.stages.similarity import brute_topk
+
+        t0 = time.perf_counter()
+        emb = rd.read_parquet(
+            f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        q = pq.read_table(
+            f"{SF_DIR}/embeddings.parquet", columns=["embedding"]
+        ).slice(0, 8)
+        Q = np.stack(
+            [np.asarray(v, np.float32) for v in q["embedding"].to_pylist()]
+        )
+        brute_topk(emb, Q, k=10).to_pandas()
+        timings["ann_brute"] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "kg_e2e",
+        "value": timings["kg"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+
+
+def run_scaling() -> dict:
+    """Same KG job at 8 and 32 CPUs in fresh processes."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ONLY="kg"
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "kg_scaling",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "throughput_8_docs_per_sec": r_lo["kg_docs_per_sec"],
+        "throughput_32_docs_per_sec": r_hi["kg_docs_per_sec"],
+        "triples_per_sec_8": r_lo["kg_triples_per_sec"],
+        "triples_per_sec_32": r_hi["kg_triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,137 @@
+"""Dedup operator tests over a synthetic documents table."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from theoremkb_ray.stages.dedup import (
+    dup_assignments,
+    embedding_dup_edges,
+    exact_dedup,
+    minhash_dedup,
+    minhash_dup_edges,
+    ngram_jaccard_edges,
+    simhash_dup_edges,
+)
+
+_WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu nu "
+    "xi omicron pi rho sigma tau upsilon phi chi psi omega".split()
+)
+
+
+def _docs(n=40, n_dup=6, seed=3):
+    """n base docs + n_dup near-duplicates (few words changed) +
+    2 exact duplicates."""
+    rng = np.random.RandomState(seed)
+    texts, ids = [], []
+    for i in range(n):
+        w = [ _WORDS[j] for j in rng.randint(0, len(_WORDS), 60) ]
+        texts.append(" ".join(w))
+        ids.append(f"d{i:03d}")
+    for i in range(n_dup):
+        w = texts[i].split()
+        for j in rng.randint(0, len(w), 2):
+            w[j] = _WORDS[int(rng.randint(0, len(_WORDS)))]
+        texts.append(" ".join(w))
+        ids.append(f"n{i:03d}")
+    texts.append(texts[0])
+    ids.append("x000")  # exact dup of d000
+    texts.append(texts[1])
+    ids.append("x001")
+    return pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+
+def test_exact_dedup_keeps_min_id():
+    t = _docs()
+    out = exact_dedup(rd.from_arrow(t)).to_pandas()
+    assert len(out) == t.num_rows - 2  # two exact dupes removed
+    assert "x000" not in set(out["doc_id"])  # d000 < x000 kept
+    assert "d000" in set(out["doc_id"])
+
+
+def test_minhash_finds_near_dups():
+    t = _docs()
+    edges = minhash_dup_edges(rd.from_arrow(t))
+    canon = dup_assignments(edges)
+    # each near-dup n00i must map to its base d00i (or share a component)
+    for i in range(6):
+        a, b = f"d{i:03d}", f"n{i:03d}"
+        assert canon.get(b) == a or canon.get(a) == b, (a, b, canon)
+    # unrelated docs must NOT be merged
+    merged = set(canon) | set(canon.values())
+    assert len(merged) <= 2 * (6 + 2) + 2
+
+
+def test_minhash_dedup_filters_rows():
+    t = _docs()
+    out = minhash_dedup(rd.from_arrow(t)).to_pandas()
+    kept = set(out["doc_id"])
+    assert "d000" in kept and "n000" not in kept and "x000" not in kept
+    assert len(out) == 40  # 40 unique base docs survive
+
+
+def test_simhash_finds_near_identical():
+    """SimHash dedup (Manku-style, hamming<=3) targets NEAR-IDENTICAL
+    docs: 1 word changed out of 200."""
+    rng = np.random.RandomState(5)
+    texts, ids = [], []
+    for i in range(20):
+        w = [_WORDS[j] for j in rng.randint(0, len(_WORDS), 200)]
+        texts.append(" ".join(w))
+        ids.append(f"d{i:03d}")
+    for i in range(5):
+        w = texts[i].split()
+        w[int(rng.randint(0, len(w)))] = _WORDS[int(rng.randint(0, len(_WORDS)))]
+        texts.append(" ".join(w))
+        ids.append(f"n{i:03d}")
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    canon = dup_assignments(simhash_dup_edges(rd.from_arrow(t)))
+    hit = sum(
+        1
+        for i in range(5)
+        if canon.get(f"n{i:03d}") == f"d{i:03d}"
+        or canon.get(f"d{i:03d}") == f"n{i:03d}"
+    )
+    assert hit >= 4
+
+
+def test_ngram_jaccard_exact_verify():
+    t = _docs()
+    edges = ngram_jaccard_edges(rd.from_arrow(t), threshold=0.6)
+    pairs = set(zip(edges["a"].to_pylist(), edges["b"].to_pylist()))
+    assert ("d000", "x000") in pairs or ("x000", "d000") in pairs
+    js = edges["jaccard"].to_pylist()
+    assert all(j >= 0.6 for j in js)
+    exact = [
+        j
+        for a, b, j in zip(
+            edges["a"].to_pylist(), edges["b"].to_pylist(), js
+        )
+        if (a, b) in {("d000", "x000"), ("d001", "x001")}
+    ]
+    assert all(j == 1.0 for j in exact)
+
+
+def test_embedding_dup_edges():
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal((30, 32)).astype(np.float32)
+    near = base[:5] + rng.standard_normal((5, 32)).astype(np.float32) * 0.01
+    vecs = np.concatenate([base, near])
+    ids = [f"v{i:03d}" for i in range(30)] + [f"w{i:03d}" for i in range(5)]
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    canon = dup_assignments(embedding_dup_edges(rd.from_arrow(t), dim=32))
+    hit = sum(
+        1
+        for i in range(5)
+        if canon.get(f"w{i:03d}") == f"v{i:03d}"
+        or canon.get(f"v{i:03d}") == f"w{i:03d}"
+    )
+    assert hit >= 4

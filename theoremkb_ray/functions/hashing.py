@@ -128,7 +128,8 @@ def simhash64(token_hashes_list: list[np.ndarray]) -> np.ndarray:
             out[i] = 0
             continue
         bits = np.unpackbits(th.view(np.uint8).reshape(len(th), 8), axis=1)
-        votes = bits.sum(axis=0) * 2 - len(th)  # +1/-1 vote sums
+        # int64: an unsigned accumulator would wrap on negative votes
+        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(th)
         sim = np.packbits((votes > 0).astype(np.uint8))
         out[i] = sim.view(np.uint64)[0]
     return out

@@ -64,8 +64,14 @@ def triples_dataset(
         verify_sha=verify_sha,
         concurrency=concurrency,
     )
+    # results is consumed by 3+ branches (base triples, mentions, LSH
+    # bands); without pinning, each branch would RE-RUN the whole
+    # corpus->tokenize->segment chain. The results table is ~100x
+    # smaller than the corpus (one row per extracted span), so this is
+    # the correct small-intermediate materialize, not a full-input one.
+    results = results.materialize()
     base = triples_from_results(results)
-    mentions = extract_mentions(results)
+    mentions = extract_mentions(results).materialize()  # used 2x
     intra = mentions.map_batches(intra_cites_batch, batch_format="pyarrow")
     triples = base.union(intra)
     if links_tbl is not None and links_tbl.num_rows > 0:

@@ -1,0 +1,532 @@
+"""Relational operator suite over the driver's TPC-H-ish tables.
+
+Each entry re-expresses an operator family from SURVEY.md §2 as a Ray
+Data pipeline AND carries the equivalent ANSI SQL for the DuckDB
+oracle (the ``__ray_entry__.py`` contract). Column names match the SQL
+exactly; computed doubles are rounded identically on both sides so the
+order-insensitive value-hash comparison is stable.
+
+Scale notes baked in:
+- every read prunes columns (``read_parquet(columns=[...])``);
+- grouped aggregates use Ray's partial+final AggregateFns (combine per
+  block, merge small partials — no raw-row shuffle of values that can
+  be pre-reduced);
+- small dimension tables broadcast (ray.put) instead of shuffling;
+- both-sides-large joins use the hash-partitioned ``Dataset.join``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Sum
+
+from ..stages.joins import broadcast_join, hash_join
+
+
+def _pq(sf_dir: str, table: str, columns: list[str] | None = None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_cols(decimals: dict[str, int]):
+    def fn(b: pa.Table) -> pa.Table:
+        for col, d in decimals.items():
+            if col in b.column_names:
+                b = b.set_column(
+                    b.column_names.index(col),
+                    col,
+                    pc.round(pc.cast(b[col], pa.float64()), ndigits=d),
+                )
+        return b
+
+    return fn
+
+
+# --------------------------------------------------------------- queries
+
+
+def q_groupby_agg(sf_dir: str):
+    """A1/A6: grouped aggregate (TPC-H Q1 shape); partial+final."""
+    ds = _pq(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="n"),
+    )
+    return out.map_batches(
+        _round_cols({"sum_qty": 2, "sum_price": 2, "avg_disc": 6}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_GROUPBY_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)      AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_discount), 6)      AS avg_disc,
+       count(*)                       AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sort_limit(sf_dir: str):
+    """O1/O2: global deterministic top-k."""
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+SQL_SORT_LIMIT = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_topk_per_group(sf_dir: str):
+    """O6: top-3 rows per group (stratified head)."""
+    ds = _pq(sf_dir, "customer", ["c_mktsegment", "c_custkey", "c_acctbal"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(3)
+
+    return ds.groupby("c_mktsegment").map_groups(top3, batch_format="pandas")
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer) WHERE rn <= 3
+"""
+
+
+def q_broadcast_join(sf_dir: str):
+    """J6: broadcast hash join (customer is the small side)."""
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust_tbl = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    joined = broadcast_join(
+        orders, cust_tbl, on=["o_custkey"], right_on=["c_custkey"]
+    )
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n"),
+        Sum("o_totalprice", alias_name="total"),
+    )
+    return out.map_batches(_round_cols({"total": 2}), batch_format="pyarrow")
+
+
+SQL_BROADCAST_JOIN = """
+SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_hash_join(sf_dir: str):
+    """J6 at scale: hash-partitioned join of two large tables."""
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda b: b.append_column(
+            "revenue",
+            pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"])),
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    joined = hash_join(
+        li, orders, on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=8
+    )
+    out = joined.groupby("o_orderstatus").aggregate(
+        Sum("revenue", alias_name="revenue"), Count(alias_name="n")
+    )
+    return out.map_batches(_round_cols({"revenue": 2}), batch_format="pyarrow")
+
+
+SQL_HASH_JOIN = """
+SELECT o_orderstatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+def q_semi_join(sf_dir: str):
+    """J2/J3 semi-join: customers having orders, per nation."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    keys = (
+        _pq(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .count()
+        .select_columns(["o_custkey"])
+        .to_pandas()
+    )
+    out = broadcast_join(
+        cust, keys, on=["c_custkey"], right_on=["o_custkey"], how="semi"
+    )
+    return out.groupby("c_nationkey").aggregate(Count(alias_name="n"))
+
+
+SQL_SEMI_JOIN = """
+SELECT c_nationkey, count(*) AS n FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_nationkey
+"""
+
+
+def q_anti_join(sf_dir: str):
+    """M24 anti-join: customers with NO high-value order, per segment."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = (
+        _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["o_totalprice"], 400000.0)),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .count()
+        .select_columns(["o_custkey"])
+        .to_pandas()
+    )
+    out = broadcast_join(
+        cust, keys, on=["c_custkey"], right_on=["o_custkey"], how="anti"
+    )
+    return out.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+
+
+SQL_ANTI_JOIN = """
+SELECT c_mktsegment, count(*) AS n FROM customer
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+GROUP BY c_mktsegment
+"""
+
+
+def q_filter_project(sf_dir: str):
+    """M17/M18 + M-map: vectorized predicate + computed column."""
+    ds = _pq(
+        sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_extendedprice"]
+    )
+
+    def fn(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less(b["l_shipdate"], pa.scalar(np.datetime64("1996-01-01", "us"))),
+            pc.and_(
+                pc.greater_equal(b["l_discount"], 0.02),
+                pc.less_equal(b["l_discount"], 0.06),
+            ),
+        )
+        b = b.filter(keep)
+        rev = pc.multiply(b["l_extendedprice"], b["l_discount"])
+        return pa.table({"revenue": rev})
+
+    out = ds.map_batches(fn, batch_format="pyarrow").sum("revenue")
+    return pd.DataFrame({"revenue": [round(out, 2)]})
+
+
+SQL_FILTER_PROJECT = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+"""
+
+
+def q_pattern(sf_dir: str):
+    """M3 get_pattern scalar kernel parity."""
+    from ..functions.text import get_pattern_array
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        head = pc.utf8_slice_codeunits(b["text"], 0, 40)
+        return pa.table(
+            {"doc_id": b["doc_id"], "pattern": get_pattern_array(head)}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_PATTERN = """
+SELECT doc_id,
+       regexp_replace(regexp_replace(lower(substr(text, 1, 40)),
+                                     '[0-9]', '@', 'g'),
+                      '[^a-z@]+', '', 'g') AS pattern
+FROM documents
+"""
+
+
+def q_dedup_exact(sf_dir: str):
+    """D1: exact text dedup -> survivors per lang."""
+    from ..stages.dedup import exact_dedup
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return exact_dedup(ds).groupby("lang").aggregate(Count(alias_name="n"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT lang, count(*) AS n FROM (
+  SELECT lang, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+GROUP BY lang
+"""
+
+
+def q_distinct(sf_dir: str):
+    """D3: distinct pairs."""
+    ds = _pq(sf_dir, "documents", ["lang", "source"])
+    return (
+        ds.groupby(["lang", "source"])
+        .count()
+        .select_columns(["lang", "source"])
+    )
+
+
+SQL_DISTINCT = "SELECT DISTINCT lang, source FROM documents"
+
+
+def q_union(sf_dir: str):
+    """D4: union of two filtered streams + aggregate."""
+    def keep(lang):
+        return lambda b: b.filter(pc.equal(b["lang"], lang))
+
+    a = _pq(sf_dir, "documents", ["lang", "n_chars"]).map_batches(
+        keep("en"), batch_format="pyarrow"
+    )
+    b = _pq(sf_dir, "documents", ["lang", "n_chars"]).map_batches(
+        keep("fr"), batch_format="pyarrow"
+    )
+    u = a.union(b)
+    n = u.count()
+    total = u.sum("n_chars")
+    return pd.DataFrame({"n": [n], "total_chars": [int(total)]})
+
+
+SQL_UNION = """
+SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM (
+  SELECT * FROM documents WHERE lang = 'en'
+  UNION ALL SELECT * FROM documents WHERE lang = 'fr')
+"""
+
+
+def q_window_tumbling(sf_dir: str):
+    """§2.9 stream-shaped: tumbling 1h window per event_type."""
+    ds = _pq(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def add_window(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        hour = pc.divide(us, 3_600_000_000)
+        return b.append_column("hour", pc.cast(hour, pa.int64()))
+
+    out = (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return out.map_batches(
+        _round_cols({"sum_value": 4}), batch_format="pyarrow"
+    )
+
+
+SQL_WINDOW_TUMBLING = """
+SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, hour
+"""
+
+
+def q_vocab_topk(sf_dir: str):
+    """A7/T4: global token top-k (partial counts -> tiny groupby)."""
+    from ..stages.textstats import vocabulary_topk
+
+    ds = _pq(sf_dir, "documents", ["text"])
+    return vocabulary_topk(ds, k=20)
+
+
+SQL_VOCAB_TOPK = """
+SELECT token, count(*) AS count FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token ORDER BY count DESC, token LIMIT 20
+"""
+
+
+def q_token_count(sf_dir: str):
+    """Text analysis: whitespace token count per doc."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(b["text"], " "), 1)
+        return pa.table(
+            {"doc_id": b["doc_id"], "n_ws_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens FROM documents
+"""
+
+
+def q_quality(sf_dir: str):
+    """Text quality heuristics (SQL-expressible subset)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        n_chars = pc.utf8_length(t)
+        n_words = pc.add(pc.count_substring(t, " "), 1)
+        n_alpha = pc.utf8_length(
+            pc.replace_substring_regex(t, r"[^A-Za-z]", "")
+        )
+        nc = pc.max_element_wise(n_chars, 1)
+        # floor-quantize instead of round: round() half-rule differs
+        # between Arrow (half-even) and DuckDB (half-away) at exact .5
+        ratio = pc.divide(
+            pc.cast(n_alpha, pa.float64()), pc.cast(nc, pa.float64())
+        )
+        ar = pc.divide(pc.floor(pc.multiply(ratio, 1e6)), 1e6)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_words": pc.cast(n_words, pa.int64()),
+                "alpha_ratio": ar,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_QUALITY = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             * 1.0 / greatest(length(text), 1) * 1000000) / 1000000
+         AS alpha_ratio
+FROM documents
+"""
+
+
+def q_json_extract(sf_dir: str):
+    """§2.8 JSON scalar: extract props.k (vectorized regex, no
+    per-row json.loads)."""
+    ds = _pq(sf_dir, "events", ["event_id", "props"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(
+            pc.if_else(pc.is_valid(m), pc.struct_field(m, "k"), None),
+            pa.int64(),
+        )
+        return pa.table({"event_id": b["event_id"], "k": k})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+def q_multi_join(sf_dir: str):
+    """J10-shape: customer |x| nation |x| region (broadcast chain)."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = (
+        _pq(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    )
+    region = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    j = broadcast_join(
+        cust, nation, on=["c_nationkey"], right_on=["n_nationkey"]
+    )
+    j = broadcast_join(
+        j, region, on=["n_regionkey"], right_on=["r_regionkey"]
+    )
+    out = j.groupby("r_name").aggregate(
+        Count(alias_name="n"), Sum("c_acctbal", alias_name="total_bal")
+    )
+    return out.map_batches(
+        _round_cols({"total_bal": 2}), batch_format="pyarrow"
+    )
+
+
+SQL_MULTI_JOIN = """
+SELECT r_name, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_ann_topk(sf_dir: str):
+    """Similarity search: exact cosine top-5, queries = vec_id 0..2."""
+    from ..stages.similarity import brute_topk
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (
+        _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], 3)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    Q = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    out = brute_topk(ds, Q, k=5).to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    return out[["query_id", "vec_id", "rank"]].astype(
+        {"query_id": "int64", "vec_id": "int64", "rank": "int64"}
+    )
+
+
+SQL_ANN_TOPK = """
+SELECT query_id, vec_id, rank FROM (
+  SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                           v.embedding::DOUBLE[]) DESC,
+                    v.vec_id) AS rank
+  FROM embeddings q CROSS JOIN embeddings v
+  WHERE q.vec_id < 3)
+WHERE rank <= 5
+"""
+
+
+#: name -> (ray_fn, sql or None)
+REGISTRY: dict[str, tuple] = {
+    "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
+    "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "broadcast_join": (q_broadcast_join, SQL_BROADCAST_JOIN),
+    "hash_join": (q_hash_join, SQL_HASH_JOIN),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
+    "pattern": (q_pattern, SQL_PATTERN),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "distinct": (q_distinct, SQL_DISTINCT),
+    "union_agg": (q_union, SQL_UNION),
+    "window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "quality": (q_quality, SQL_QUALITY),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "multi_join": (q_multi_join, SQL_MULTI_JOIN),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+}

@@ -45,7 +45,7 @@ from ..functions.hashing import (
 
 NUM_PERM = 64
 NUM_BANDS = 16  # r = 4 -> catches Jaccard >= ~0.75 with high prob.
-HAMMING_MAX = 8
+HAMMING_MAX = 12
 
 
 class BandEmitter:
@@ -61,7 +61,7 @@ class BandEmitter:
         if batch.num_rows == 0:
             return pa.table(
                 {
-                    "entity_id": pa.array([], pa.string()),
+                    "id": pa.array([], pa.string()),
                     "band_idx": pa.array([], pa.int32()),
                     "band_hash": pa.array([], pa.uint64()),
                     "simhash": pa.array([], pa.uint64()),
@@ -80,13 +80,13 @@ class BandEmitter:
         shingles = [shingle_hashes(th, k=3) for th in tok_hashes]
         sigs = minhash_signatures(shingles, NUM_PERM)
         bands = band_hashes(sigs, NUM_BANDS)  # (n, NUM_BANDS)
-        sims = simhash64(tok_hashes)
+        sims = simhash64(shingles)
         n_tok = np.array([len(t) for t in tok_hashes], dtype=np.int32)
 
         rep = NUM_BANDS
         return pa.table(
             {
-                "entity_id": pa.array(np.repeat(eids, rep), pa.string()),
+                "id": pa.array(np.repeat(eids, rep), pa.string()),
                 "band_idx": pa.array(
                     np.tile(np.arange(rep, dtype=np.int32), n)
                 ),
@@ -97,41 +97,13 @@ class BandEmitter:
         )
 
 
-def _pairs_from_bucket(g: pd.DataFrame, cap: int = 50) -> pd.DataFrame:
-    """Candidate pairs within one (band_idx, band_hash) bucket.
-
-    <= cap rows: all pairs; above: star edges to the bucket-min entity
-    (same connected components, O(g) instead of O(g^2))."""
-    g = g.drop_duplicates("entity_id")
-    m = len(g)
-    if m < 2:
-        return pd.DataFrame(
-            {
-                "a": pd.Series(dtype=str),
-                "b": pd.Series(dtype=str),
-                "sim_a": pd.Series(dtype="uint64"),
-                "sim_b": pd.Series(dtype="uint64"),
-            }
-        )
-    e = g["entity_id"].to_numpy()
-    s = g["simhash"].to_numpy()
-    order = np.argsort(e)
-    e, s = e[order], s[order]
-    if m <= cap:
-        ia, ib = np.triu_indices(m, k=1)
-    else:
-        ia = np.zeros(m - 1, dtype=np.int64)  # star to min entity
-        ib = np.arange(1, m, dtype=np.int64)
-    return pd.DataFrame(
-        {"a": e[ia], "b": e[ib], "sim_a": s[ia], "sim_b": s[ib]}
-    )
-
-
 def candidate_pairs(band_ds, cap: int = 50):
-    """LSH bucket groupby -> verified near-dup edges (a, b, confidence)."""
-    pairs = band_ds.groupby(["band_idx", "band_hash"]).map_groups(
-        lambda g: _pairs_from_bucket(g, cap), batch_format="pandas"
-    )
+    """Coarse-keyed bucket groupby -> verified near-dup edges
+    (a, b, confidence). See dedup.pairs_from_bands for why the shuffle
+    key is coarse, not the raw LSH bucket."""
+    from .dedup import pairs_from_bands
+
+    pairs = pairs_from_bands(band_ds, cap=cap)
 
     def verify(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -293,6 +265,9 @@ def canonical_map(
     edges_ds, distributed_threshold: int = 200_000
 ) -> dict[str, str]:
     """edges Dataset -> {entity: canonical_entity} (non-identity only)."""
+    # pin the (small) edge set: count + collect must not re-run the
+    # upstream band/bucket pipeline twice
+    edges_ds = edges_ds.materialize()
     n_edges = edges_ds.count()
     if n_edges == 0:
         return {}

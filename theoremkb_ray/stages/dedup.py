@@ -1,0 +1,476 @@
+"""Deduplication operators over a document table (exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine).
+
+The reference only ever dedups exactly and in memory
+(``drop_duplicates(subset=["texts"])``, NLP/2.1 cell 15; per-result
+``set()`` dedup, tools/theoremdb/extract_graph.py:55-61). These
+operators are the corpus-scale generalization this engine adds by
+design (SURVEY.md §2.7 D1/D6): every variant is
+
+    per-batch vectorized sketch  ->  bucket groupby (the one shuffle)
+    ->  per-bucket verify        ->  connected components -> canonical
+
+Common output contract: ``assignments(ds) -> Dataset(id, canonical)``
+with identity rows for unique documents, and ``dedup(ds)`` keeping
+only canonical rows. Canonical = lexicographic min of each duplicate
+component (deterministic under any parallelism).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import (
+    band_hashes,
+    hamming64,
+    hash_strings,
+    minhash_signatures,
+    shingle_hashes,
+    simhash64,
+)
+from .canonicalize import connected_components_local, _collect
+
+# --------------------------------------------------------------- exact dedup
+
+
+def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
+    h = hash_strings(batch[col].to_numpy(zero_copy_only=False))
+    return batch.append_column("text_hash", pa.array(h))
+
+
+def exact_dedup(
+    ds, col: str = "text", id_col: str = "doc_id", coarse: int = 64
+):
+    """Exact dedup: hash-partition on content hash, keep the min-id row
+    per group (the reference's drop_duplicates, distributed).
+
+    The shuffle key is ``text_hash % coarse`` — NOT the raw hash:
+    grouping by the raw 64-bit hash would make one Ray group per
+    unique document (scheduler overhead linear in distinct docs).
+    Within a coarse group the exact dedup is a vectorized pandas
+    drop-min; correctness is unchanged because a text's rows always
+    share a coarse bucket."""
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        b = add_text_hash(b, col)
+        h = b["text_hash"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "coarse", pa.array((h % np.uint64(coarse)).astype(np.int64))
+        )
+
+    def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text_hash", id_col], kind="mergesort")
+        return g.drop_duplicates("text_hash", keep="first")
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(first_per_text, batch_format="pandas")
+        .drop_columns(["text_hash", "coarse"])
+    )
+
+
+# ----------------------------------------------------------- minhash-LSH
+
+
+class MinHashBandEmitter:
+    """Stateless-but-configured batch fn: doc rows -> LSH band rows
+    carrying the verification payload (simhash + token count)."""
+
+    def __init__(
+        self,
+        col: str = "text",
+        id_col: str = "doc_id",
+        num_perm: int = 64,
+        num_bands: int = 16,
+        shingle_k: int = 3,
+    ) -> None:
+        self.col, self.id_col = col, id_col
+        self.num_perm, self.num_bands = num_perm, num_bands
+        self.shingle_k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_numpy(zero_copy_only=False)
+        ids = pc.cast(batch[self.id_col], pa.string()).to_numpy(
+            zero_copy_only=False
+        )
+        tok_hashes = []
+        for t in texts:
+            toks = t.split()
+            tok_hashes.append(
+                hash_strings(toks) if toks else np.empty(0, np.uint64)
+            )
+        shingles = [shingle_hashes(th, self.shingle_k) for th in tok_hashes]
+        sigs = minhash_signatures(shingles, self.num_perm)
+        bands = band_hashes(sigs, self.num_bands)
+        # simhash over SHINGLES, not unigrams: near-identical word
+        # multisets (small vocabularies) stay separable
+        sims = simhash64(shingles)
+        n_tok = np.array([len(t) for t in tok_hashes], dtype=np.int32)
+        n, rep = len(texts), self.num_bands
+        return pa.table(
+            {
+                "id": pa.array(np.repeat(ids, rep), pa.string()),
+                "band_idx": pa.array(np.tile(np.arange(rep, dtype=np.int32), n)),
+                "band_hash": pa.array(bands.reshape(-1)),
+                "simhash": pa.array(np.repeat(sims, rep)),
+                "n_tokens": pa.array(np.repeat(n_tok, rep)),
+            }
+        )
+
+
+_EMPTY_PAIRS = {
+    "a": pd.Series(dtype=str),
+    "b": pd.Series(dtype=str),
+    "sim_a": pd.Series(dtype="uint64"),
+    "sim_b": pd.Series(dtype="uint64"),
+}
+
+
+def _pairs_from_coarse(g: pd.DataFrame, cap: int = 50) -> pd.DataFrame:
+    """Pair generation inside ONE COARSE bucket (= many LSH buckets).
+
+    Grouping by the raw (band_idx, band_hash) key would create millions
+    of tiny Ray groups — pure scheduler overhead. Instead the shuffle
+    key is ``band_hash % COARSE`` and the exact sub-bucketing happens
+    here in pandas: filter to rows whose sub-bucket has >= 2 members
+    (kills ~everything), then loop only over actual candidate buckets.
+    <= cap members: all pairs; above: star edges to the min id (same
+    connected components, linear cost — the hot-bucket guard)."""
+    g = g.drop_duplicates(["band_idx", "band_hash", "id"])
+    dup = g[g.duplicated(["band_idx", "band_hash"], keep=False)]
+    if dup.empty:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    dup = dup.sort_values(
+        ["band_idx", "band_hash", "id"], kind="mergesort"
+    )
+    out_a, out_b, out_sa, out_sb = [], [], [], []
+    for _, sub in dup.groupby(["band_idx", "band_hash"], sort=False):
+        ids = sub["id"].to_numpy()
+        sims = sub["simhash"].to_numpy()
+        m = len(ids)
+        if m <= cap:
+            ia, ib = np.triu_indices(m, k=1)
+        else:
+            ia = np.zeros(m - 1, dtype=np.int64)
+            ib = np.arange(1, m, dtype=np.int64)
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
+        out_sa.append(sims[ia])
+        out_sb.append(sims[ib])
+    return pd.DataFrame(
+        {
+            "a": np.concatenate(out_a),
+            "b": np.concatenate(out_b),
+            "sim_a": np.concatenate(out_sa),
+            "sim_b": np.concatenate(out_sb),
+        }
+    )
+
+
+COARSE_BUCKETS = 64
+
+
+def pairs_from_bands(band_ds, cap: int = 50, coarse: int = COARSE_BUCKETS):
+    """LSH band rows -> candidate pair rows via ONE coarse-keyed
+    shuffle (see :func:`_pairs_from_coarse`)."""
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        h = b["band_hash"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "coarse", pa.array((h % np.uint64(coarse)).astype(np.int64))
+        )
+
+    return (
+        band_ds.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(
+            lambda g: _pairs_from_coarse(g, cap), batch_format="pandas"
+        )
+    )
+
+
+def _verify_hamming(b: pa.Table, max_ham: int) -> pa.Table:
+    if b.num_rows == 0:
+        return pa.table(
+            {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+        )
+    ham = hamming64(
+        b["sim_a"].to_numpy(zero_copy_only=False),
+        b["sim_b"].to_numpy(zero_copy_only=False),
+    )
+    keep = pa.array(ham <= max_ham)
+    return pa.table({"a": b["a"].filter(keep), "b": b["b"].filter(keep)})
+
+
+def minhash_dup_edges(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 12,
+    num_perm: int = 64,
+    num_bands: int = 16,
+):
+    bands = ds.map_batches(
+        MinHashBandEmitter(col, id_col, num_perm, num_bands),
+        batch_format="pyarrow",
+        batch_size=2048,
+    )
+    pairs = pairs_from_bands(bands)
+    return pairs.map_batches(
+        lambda b: _verify_hamming(b, max_hamming), batch_format="pyarrow"
+    )
+
+
+def dup_assignments(edges_ds) -> dict[str, str]:
+    """Edge Dataset -> {id: canonical_id} (identity entries omitted)."""
+    tbl = _collect(edges_ds)
+    if tbl.num_rows == 0:
+        return {}
+    return {
+        k: v
+        for k, v in connected_components_local(tbl).items()
+        if k != v
+    }
+
+
+def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id", **kw):
+    """Keep one representative (min id) per near-duplicate component."""
+    import ray
+
+    canon = dup_assignments(minhash_dup_edges(ds, col, id_col, **kw))
+    dup_ids = ray.put(set(canon.keys()))
+
+    class DropDups:
+        def __init__(self, ref) -> None:
+            self.dups = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = pc.cast(b[id_col], pa.string()).to_numpy(
+                zero_copy_only=False
+            )
+            keep = pa.array([i not in self.dups for i in ids])
+            return b.filter(keep)
+
+    return ds.map_batches(
+        DropDups,
+        fn_constructor_args=(dup_ids,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+# --------------------------------------------------------------- simhash
+
+
+class SimHashEmitter:
+    """doc rows -> (id, simhash, 8x8-bit band keys) rows.
+
+    Near-identical docs (hamming <= 7 over 64 bits) share at least one
+    exact 8-bit band (pigeonhole) -> bucket groupby finds ALL such
+    candidates. Tradeoff vs MinHash-LSH: 8-bit keys collide at ~1/256
+    per band for unrelated docs, so buckets grow linearly with corpus
+    size — the star-edge cap + hamming verify keep that linear, but at
+    web scale prefer :func:`minhash_dup_edges` (this variant is the
+    cheap near-IDENTICAL detector, Manku-style)."""
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id") -> None:
+        self.col, self.id_col = col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_numpy(zero_copy_only=False)
+        ids = pc.cast(batch[self.id_col], pa.string()).to_numpy(
+            zero_copy_only=False
+        )
+        th = [
+            hash_strings(t.split()) if t else np.empty(0, np.uint64)
+            for t in texts
+        ]
+        sims = simhash64([shingle_hashes(x, 3) for x in th])
+        n = len(ids)
+        bands = np.stack(
+            [(sims >> np.uint64(8 * i)) & np.uint64(0xFF) for i in range(8)],
+            axis=1,
+        )
+        return pa.table(
+            {
+                "id": pa.array(np.repeat(ids, 8), pa.string()),
+                "band_idx": pa.array(np.tile(np.arange(8, dtype=np.int32), n)),
+                "band_hash": pa.array(bands.reshape(-1)),
+                "simhash": pa.array(np.repeat(sims, 8)),
+                "n_tokens": pa.array(
+                    np.repeat(
+                        np.array([len(x) for x in th], dtype=np.int32), 8
+                    )
+                ),
+            }
+        )
+
+
+def simhash_dup_edges(
+    ds, col: str = "text", id_col: str = "doc_id", max_hamming: int = 6
+):
+    bands = ds.map_batches(
+        SimHashEmitter(col, id_col), batch_format="pyarrow", batch_size=2048
+    )
+    pairs = pairs_from_bands(bands)
+    return pairs.map_batches(
+        lambda b: _verify_hamming(b, max_hamming), batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------- n-gram Jaccard verify
+
+
+class NgramSetStore:
+    """Recompute char-n-gram sets for candidate verification."""
+
+    @staticmethod
+    def ngrams(text: str, n: int = 5) -> np.ndarray:
+        if len(text) < n:
+            return hash_strings([text]) if text else np.empty(0, np.uint64)
+        grams = [text[i : i + n] for i in range(len(text) - n + 1)]
+        return np.unique(hash_strings(grams))
+
+
+def ngram_jaccard_edges(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n: int = 5,
+):
+    """Candidates from MinHash-LSH; verification = EXACT char-n-gram
+    Jaccard (the precise-but-costlier cousin of the hamming verify).
+
+    The text needed for exact verification is re-joined onto the pair
+    via a broadcast id->ngram-set map built from a projection of the
+    input (small side: only ids that appear in candidate pairs).
+    """
+    import ray
+
+    cand = minhash_dup_edges(ds, col, id_col, max_hamming=64)  # no pre-filter
+    cand_tbl = _collect(cand)
+    need = set(cand_tbl["a"].to_pylist()) | set(cand_tbl["b"].to_pylist())
+    need_ref = ray.put(need)
+
+    class GramEmitter:
+        def __init__(self, ref) -> None:
+            self.need = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = pc.cast(b[id_col], pa.string()).to_numpy(
+                zero_copy_only=False
+            )
+            texts = b[col].to_numpy(zero_copy_only=False)
+            out_id, out_g = [], []
+            for i, t in zip(ids, texts):
+                if i in self.need:
+                    out_id.append(i)
+                    out_g.append(NgramSetStore.ngrams(t, n))
+            return pa.table(
+                {
+                    "id": pa.array(out_id, pa.string()),
+                    "grams": pa.array(
+                        [g.tolist() for g in out_g], pa.list_(pa.uint64())
+                    ),
+                }
+            )
+
+    grams_tbl = _collect(
+        ds.map_batches(
+            GramEmitter,
+            fn_constructor_args=(need_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    )
+    gmap = {
+        i: np.array(g, dtype=np.uint64)
+        for i, g in zip(
+            grams_tbl["id"].to_pylist(), grams_tbl["grams"].to_pylist()
+        )
+    }
+    a_out, b_out, j_out = [], [], []
+    seen = set()
+    for a, b_ in zip(cand_tbl["a"].to_pylist(), cand_tbl["b"].to_pylist()):
+        if (a, b_) in seen:
+            continue
+        seen.add((a, b_))
+        ga, gb = gmap.get(a), gmap.get(b_)
+        if ga is None or gb is None or len(ga) == 0 or len(gb) == 0:
+            continue
+        inter = len(np.intersect1d(ga, gb, assume_unique=True))
+        union = len(ga) + len(gb) - inter
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            a_out.append(a)
+            b_out.append(b_)
+            j_out.append(j)
+    return pa.table(
+        {
+            "a": pa.array(a_out, pa.string()),
+            "b": pa.array(b_out, pa.string()),
+            "jaccard": pa.array(j_out, pa.float64()),
+        }
+    )
+
+
+# ------------------------------------------------------- embedding cosine
+
+
+class SRPBandEmitter:
+    """Signed-random-projection LSH for embedding vectors: 64 sign bits
+    -> 4x16-bit bands; cosine-similar vectors collide whp."""
+
+    def __init__(self, dim: int, id_col: str = "vec_id", col: str = "embedding") -> None:
+        rng = np.random.RandomState(0xBEEF)
+        self.R = rng.standard_normal((dim, 64)).astype(np.float32)
+        self.id_col, self.col = id_col, col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[self.id_col], pa.string()).to_numpy(
+            zero_copy_only=False
+        )
+        emb = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in batch[self.col].to_pylist()]
+        )
+        proj = emb @ self.R  # (n, 64)
+        bits = (proj > 0).astype(np.uint8)
+        sig = np.packbits(bits, axis=1).view(np.uint64).reshape(-1)
+        n = len(ids)
+        bands = np.stack(
+            [(sig >> np.uint64(16 * i)) & np.uint64(0xFFFF) for i in range(4)],
+            axis=1,
+        )
+        return pa.table(
+            {
+                "id": pa.array(np.repeat(ids, 4), pa.string()),
+                "band_idx": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "band_hash": pa.array(bands.reshape(-1)),
+                "simhash": pa.array(np.repeat(sig, 4)),
+                "n_tokens": pa.array(np.zeros(4 * n, dtype=np.int32)),
+            }
+        )
+
+
+def embedding_dup_edges(
+    ds,
+    dim: int,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    max_hamming: int = 6,
+):
+    """Near-duplicate vectors by SRP-simhash hamming (cos >= ~0.96)."""
+    bands = ds.map_batches(
+        SRPBandEmitter(dim, id_col, col),
+        batch_format="pyarrow",
+        batch_size=2048,
+    )
+    pairs = pairs_from_bands(bands)
+    return pairs.map_batches(
+        lambda b: _verify_hamming(b, max_hamming), batch_format="pyarrow"
+    )

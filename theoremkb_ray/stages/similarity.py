@@ -1,0 +1,236 @@
+"""Similarity search over an embedding column (list<float>).
+
+Two paths (SURVEY.md training-data additions; the reference's analog
+is the GloVe+Annoy / TF-IDF cosine theorem matcher,
+Styling/tools/thm_similarity/glovetools.py:10-33, model_tfidf.py:22-65):
+
+- :func:`brute_topk` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``), every batch does ONE numpy matmul
+  against it and keeps a per-batch top-k; a final tiny groupby merges
+  per-batch candidates into the global top-k. Work per batch is
+  (batch x dim) @ (dim x q) — fully vectorized, no shuffle of the
+  vectors themselves.
+- :func:`ivf_topk` — the scale path: a coarse quantizer (k-means
+  trained on a driver-side sample) assigns each vector to a centroid
+  list; a query only scans the ``nprobe`` nearest lists. The centroid
+  assignment is a map_batches; candidate scanning shuffles only the
+  probed lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+def _stack(col) -> np.ndarray:
+    """list<float> column -> (n, d) float32 matrix."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float32)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return m / nrm
+
+
+class BruteScorer:
+    """Actor: query matrix fetched once in __init__; per batch one
+    matmul + argpartition top-k."""
+
+    def __init__(self, q_ref, k: int, id_col: str, col: str) -> None:
+        q = ray.get(q_ref)
+        self.Q = _normalize(np.asarray(q, dtype=np.float32))  # (q, d)
+        self.k = k
+        self.id_col, self.col = id_col, col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        V = _normalize(_stack(batch[self.col]))  # (n, d)
+        S = V @ self.Q.T  # (n, q)
+        k = min(self.k, S.shape[0])
+        top = np.argpartition(-S, k - 1, axis=0)[:k]  # (k, q)
+        qn, out_q, out_id, out_s = S.shape[1], [], [], []
+        for qi in range(qn):
+            sel = top[:, qi]
+            out_q.extend([qi] * len(sel))
+            out_id.extend(ids[sel].tolist())
+            out_s.extend(S[sel, qi].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def brute_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    concurrency=(1, 8),
+):
+    """Exact cosine top-k of each query over the whole dataset.
+
+    Returns Dataset(query_id, vec_id, score, rank) with k rows/query.
+    """
+    q_ref = ray.put(np.asarray(queries, dtype=np.float32))
+    cands = ds.map_batches(
+        BruteScorer,
+        fn_constructor_args=(q_ref, k, id_col, col),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return cands.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# ----------------------------------------------------------------- IVF
+
+
+def train_centroids(
+    ds,
+    num_centroids: int = 16,
+    col: str = "embedding",
+    sample_limit: int = 20_000,
+    iters: int = 10,
+    seed: int = 0,
+) -> np.ndarray:
+    """Lloyd k-means on a driver-side sample (the coarse quantizer).
+
+    The sample is bounded (``limit``) regardless of dataset size — the
+    training cost does not grow with the corpus."""
+    sample = ds.limit(sample_limit).to_pandas()
+    X = _normalize(
+        np.stack([np.asarray(v, np.float32) for v in sample[col]])
+    )
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        S = X @ C.T
+        assign = S.argmax(axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+class IVFAssigner:
+    def __init__(self, c_ref, id_col: str, col: str) -> None:
+        self.C = ray.get(c_ref)
+        self.id_col, self.col = id_col, col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        V = _normalize(_stack(batch[self.col]))
+        assign = (V @ self.C.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("centroid", pa.array(assign))
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """Approximate cosine top-k: scan only the nprobe nearest centroid
+    lists per query. Recall < 1.0 by design; tested vs brute force."""
+    C = train_centroids(ds, num_centroids, col)
+    c_ref = ray.put(C)
+    assigned = ds.map_batches(
+        IVFAssigner,
+        fn_constructor_args=(c_ref, id_col, col),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    # mark batches: keep only vectors whose centroid is probed by some
+    # query; score those vectors against the probing queries only
+    probe_of_centroid: dict[int, list[int]] = {}
+    for qi, ps in enumerate(probes):
+        for p in ps:
+            probe_of_centroid.setdefault(int(p), []).append(qi)
+    poc_ref = ray.put(probe_of_centroid)
+    q_ref = ray.put(Q)
+
+    class ProbeScorer:
+        def __init__(self) -> None:
+            self.poc = ray.get(poc_ref)
+            self.Q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cent = batch["centroid"].to_numpy(zero_copy_only=False)
+            keep = np.array([int(c) in self.poc for c in cent])
+            if not keep.any():
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], batch[id_col].type),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            b = batch.filter(pa.array(keep))
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            V = _normalize(_stack(b[col]))
+            cent_b = b["centroid"].to_numpy(zero_copy_only=False)
+            out_q, out_id, out_s = [], [], []
+            for c in np.unique(cent_b):
+                qis = self.poc[int(c)]
+                m = cent_b == c
+                S = V[m] @ self.Q[qis].T  # (n_c, len(qis))
+                idx = np.flatnonzero(m)
+                kk = min(k, S.shape[0])
+                top = np.argpartition(-S, kk - 1, axis=0)[:kk]
+                for j, qi in enumerate(qis):
+                    sel = top[:, j]
+                    out_q.extend([qi] * len(sel))
+                    out_id.extend(ids[idx[sel]].tolist())
+                    out_s.extend(S[sel, j].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_id),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    cands = assigned.map_batches(
+        ProbeScorer,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return cands.groupby("query_id").map_groups(merge, batch_format="pandas")

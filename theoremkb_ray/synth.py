@@ -311,6 +311,53 @@ def _fork_doc(d: GoldDoc, rng: np.random.RandomState) -> tuple[GoldDoc, list[tup
     return fork, dup_pairs
 
 
+def _doc_plan(i: int, num_docs: int, seed: int, skew: bool):
+    """Entity plan of doc i (re-derives the rng stream prefix)."""
+    rng = np.random.RandomState((seed * 1_000_003 + i) % (2**31 - 1))
+    repo, path, commit = _doc_identity(i, num_docs, skew)
+    doc_id = f"{repo}/{path}@{commit}"
+    _ = rng.randint(0, len(_LANGS))  # lang draw (keep stream aligned)
+    n_sec = int(rng.randint(1, 4))
+    ents = []
+    for sec in range(1, n_sec + 1):
+        n_res = int(rng.randint(1, 5))
+        for j in range(1, n_res + 1):
+            kind = _KINDS[int(rng.choice(len(_KINDS), p=_KPROBS))]
+            ents.append((kind, f"{sec}.{j}"))
+    return (doc_id, ents)
+
+
+def generate_chunk(
+    lo: int,
+    hi: int,
+    num_docs: int,
+    seed: int = 42,
+    skew: bool = True,
+    dup_fraction: float = 0.1,
+) -> dict[str, pa.Table]:
+    """Generate docs [lo, hi). Fully per-doc deterministic (fork
+    decisions use per-doc seeds), so chunked/parallel generation yields
+    byte-identical output to one sequential pass."""
+    plan_lo = max(0, lo - 5)
+    plans = {
+        j: _doc_plan(j, num_docs, seed, skew) for j in range(plan_lo, hi)
+    }
+    docs: list[GoldDoc] = []
+    dup_pairs: list[tuple[str, str]] = []
+    for i in range(lo, hi):
+        targets = [plans[j] for j in range(max(0, i - 5), i)]
+        d = generate_doc(i, num_docs, seed=seed, skew=skew, targets=targets)
+        docs.append(d)
+        frng = np.random.RandomState(
+            (seed * 2_000_003 + 777 + i) % (2**31 - 1)
+        )
+        if frng.rand() < dup_fraction:
+            fork, pairs = _fork_doc(d, frng)
+            docs.append(fork)
+            dup_pairs.extend(pairs)
+    return _tables_from_docs(docs, dup_pairs)
+
+
 def generate_corpus(
     num_docs: int = 100,
     seed: int = 42,
@@ -322,50 +369,28 @@ def generate_corpus(
     Returns dict with keys: ``corpus`` (F1 + sha256), ``gold_spans``
     (F2), ``gold_triples`` (F3), ``links`` (F4), ``gold_dup_pairs``.
     """
-    # pass 1: entity plans for cross-citation targets (cheap re-derive)
-    plans: list[tuple[str, list[tuple[str, str]]]] = []
-    for i in range(num_docs):
-        rng = np.random.RandomState((seed * 1_000_003 + i) % (2**31 - 1))
-        repo, path, commit = _doc_identity(i, num_docs, skew)
-        doc_id = f"{repo}/{path}@{commit}"
-        _ = rng.randint(0, len(_LANGS))  # lang draw (keep stream aligned)
-        n_sec = int(rng.randint(1, 4))
-        ents = []
-        for sec in range(1, n_sec + 1):
-            n_res = int(rng.randint(1, 5))
-            for j in range(1, n_res + 1):
-                kind = _KINDS[int(rng.choice(len(_KINDS), p=_KPROBS))]
-                ents.append((kind, f"{sec}.{j}"))
-        plans.append((doc_id, ents))
+    return generate_chunk(0, num_docs, num_docs, seed, skew, dup_fraction)
 
-    docs: list[GoldDoc] = []
-    dup_pairs: list[tuple[str, str]] = []
-    fork_rng = np.random.RandomState(seed + 777)
-    for i in range(num_docs):
-        # each doc may cite among up to 5 other docs (deterministic slice)
-        lo = max(0, i - 5)
-        targets = [p for j, p in enumerate(plans[lo:i]) ]
-        d = generate_doc(i, num_docs, seed=seed, skew=skew, targets=targets)
-        docs.append(d)
-        if fork_rng.rand() < dup_fraction:
-            fork, pairs = _fork_doc(d, fork_rng)
-            docs.append(fork)
-            dup_pairs.extend(pairs)
 
+def _tables_from_docs(
+    docs: list[GoldDoc], dup_pairs: list[tuple[str, str]]
+) -> dict[str, pa.Table]:
+
+    S = pa.string()
     corpus = pa.table(
         {
-            "repo": [d.repo for d in docs],
-            "path": [d.path for d in docs],
-            "commit": [d.commit for d in docs],
-            "lang": [d.lang for d in docs],
-            "content": [d.content for d in docs],
-            "content_sha256": [d.sha256 for d in docs],
+            "repo": pa.array([d.repo for d in docs], S),
+            "path": pa.array([d.path for d in docs], S),
+            "commit": pa.array([d.commit for d in docs], S),
+            "lang": pa.array([d.lang for d in docs], S),
+            "content": pa.array([d.content for d in docs], S),
+            "content_sha256": pa.array([d.sha256 for d in docs], S),
         }
     )
     gold_spans = pa.table(
         {
-            "doc_id": [d.doc_id for d in docs for _ in d.spans],
-            "label": [s[0] for d in docs for s in d.spans],
+            "doc_id": pa.array([d.doc_id for d in docs for _ in d.spans], S),
+            "label": pa.array([s[0] for d in docs for s in d.spans], S),
             "group": pa.array(
                 [s[1] for d in docs for s in d.spans], pa.int64()
             ),
@@ -379,22 +404,22 @@ def generate_corpus(
     )
     gold_triples = pa.table(
         {
-            "subject": [t[0] for d in docs for t in d.triples],
-            "predicate": [t[1] for d in docs for t in d.triples],
-            "object": [t[2] for d in docs for t in d.triples],
+            "subject": pa.array([t[0] for d in docs for t in d.triples], S),
+            "predicate": pa.array([t[1] for d in docs for t in d.triples], S),
+            "object": pa.array([t[2] for d in docs for t in d.triples], S),
         }
     )
     links = pa.table(
         {
-            "doc_from": [d.doc_id for d in docs for _ in d.links],
-            "tag": [l[0] for d in docs for l in d.links],
-            "doc_to": [l[1] for d in docs for l in d.links],
+            "doc_from": pa.array([d.doc_id for d in docs for _ in d.links], S),
+            "tag": pa.array([l[0] for d in docs for l in d.links], S),
+            "doc_to": pa.array([l[1] for d in docs for l in d.links], S),
         }
     )
     gold_dups = pa.table(
         {
-            "entity_a": [p[0] for p in dup_pairs],
-            "entity_b": [p[1] for p in dup_pairs],
+            "entity_a": pa.array([p[0] for p in dup_pairs], S),
+            "entity_b": pa.array([p[1] for p in dup_pairs], S),
         }
     )
     return {
@@ -437,6 +462,58 @@ def materialize_corpus(
     tables = generate_corpus(num_docs, seed, skew, dup_fraction)
     for name, tbl in tables.items():
         pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"))
+    with open(manifest, "w") as f:
+        json.dump(spec, f)
+    return out_dir
+
+
+def materialize_corpus_parallel(
+    out_dir: str,
+    num_docs: int,
+    seed: int = 42,
+    skew: bool = True,
+    dup_fraction: float = 0.1,
+    chunk: int = 2000,
+) -> str:
+    """Bench-scale corpus generation: Ray tasks generate chunks in
+    parallel, each writing its own parquet shards (byte-identical to a
+    sequential pass thanks to per-doc seeding). Cached by spec."""
+    import json
+
+    import ray
+
+    manifest = os.path.join(out_dir, "_synth.json")
+    spec = {
+        "num_docs": num_docs,
+        "seed": seed,
+        "skew": skew,
+        "dup_fraction": dup_fraction,
+        "chunk": chunk,
+        "version": 3,
+        "parallel": True,
+    }
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            if json.load(f) == spec:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for name in ("corpus", "gold_spans", "gold_triples", "links", "gold_dup_pairs"):
+        os.makedirs(os.path.join(out_dir, name), exist_ok=True)
+
+    @ray.remote
+    def gen(lo: int, hi: int, ci: int) -> int:
+        tables = generate_chunk(lo, hi, num_docs, seed, skew, dup_fraction)
+        for name, tbl in tables.items():
+            pq.write_table(
+                tbl, os.path.join(out_dir, name, f"part-{ci:05d}.parquet")
+            )
+        return tbl.num_rows
+
+    refs = [
+        gen.remote(lo, min(lo + chunk, num_docs), ci)
+        for ci, lo in enumerate(range(0, num_docs, chunk))
+    ]
+    ray.get(refs)
     with open(manifest, "w") as f:
         json.dump(spec, f)
     return out_dir
