@@ -217,6 +217,62 @@ def _media_decode(sf_dir: str):
     )
 
 
+def _agreement_diff(sf_dir: str):
+    """J8 agreement: naive vs CRF segmenter over the synth corpus."""
+    from theoremkb_ray.sources.corpus import read_corpus
+    from theoremkb_ray.stages.agreement import agreement
+    from theoremkb_ray.stages.ingest import ingest
+    from theoremkb_ray.stages.tokenize import tokenize
+
+    sdir = _synth_dir(200)
+    return agreement(tokenize(ingest(read_corpus(f"{sdir}/corpus.parquet"))))
+
+
+def _seg_report(sf_dir: str):
+    """cli.py-test analog: line-level P/R/F1 of the CRF vs gold."""
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.sources.corpus import read_corpus
+    from theoremkb_ray.stages.agreement import classification_report
+    from theoremkb_ray.stages.crf import segment_crf
+    from theoremkb_ray.stages.ingest import ingest
+    from theoremkb_ray.stages.tokenize import tokenize
+
+    sdir = _synth_dir(200)
+    ds = segment_crf(tokenize(ingest(read_corpus(f"{sdir}/corpus.parquet"))))
+    gold = pq.read_table(f"{sdir}/gold_spans.parquet")
+    return classification_report(ds, gold)
+
+
+def _split_stratified(sf_dir: str):
+    """O5/O6: deterministic hash split + stratified sample summary."""
+    import pandas as pd
+    import ray.data as rd
+
+    from theoremkb_ray.stages.sampling import stratified_sample, train_test_split
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    train, test = train_test_split(ds, "doc_id", 0.2, seed=11)
+    strat = stratified_sample(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        ),
+        "lang",
+        10,
+        key_col="doc_id",
+        seed=11,
+    )
+    return pd.DataFrame(
+        {
+            "n_train": [train.count()],
+            "n_test": [test.count()],
+            "n_strat": [strat.count()],
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from theoremkb_ray.pipelines.relational import REGISTRY
 
@@ -236,6 +292,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ivf_topk": _ivf_topk,
             "embedding_dups": _embedding_dups,
             "media_decode": _media_decode,
+            "agreement_diff": _agreement_diff,
+            "seg_report": _seg_report,
+            "split_stratified": _split_stratified,
         }
     )
     return out

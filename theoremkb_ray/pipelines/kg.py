@@ -21,10 +21,8 @@ import pyarrow as pa
 
 from ..sources.corpus import read_corpus
 from ..stages.ingest import ingest
-from ..stages.link import resolve_citations
-from ..stages.mentions import extract_mentions, intra_cites_batch
 from ..stages.segment import segment_naive
-from ..stages.stitch import stitch, triples_from_results
+from ..stages.stitch import stitch
 from ..stages.tokenize import tokenize
 
 
@@ -57,26 +55,25 @@ def triples_dataset(
     canonicalize: bool = False,
     concurrency=None,
 ):
-    """corpus (+ links side table) -> triple Dataset (pre-materialize)."""
+    """corpus (+ links side table) -> triple Dataset (pre-materialize).
+
+    Execution shape (latency-aware): ONE execution produces the
+    materialized results table (corpus -> ... -> stitch; results are
+    ~100x smaller than the corpus, so this is a small-intermediate
+    pin, not a full-input materialize). Triple emission is a single
+    FUSED stateless pass over results (states + proved_by + intra/extra
+    cites with the broadcast links dict) — see stages/emit.py for why.
+    Canonicalization adds one more execution over the same results.
+    """
+    from ..stages.emit import emit_triples
+
     results = results_dataset(
         corpus_ds,
         segmenter=segmenter,
         verify_sha=verify_sha,
         concurrency=concurrency,
-    )
-    # results is consumed by 3+ branches (base triples, mentions, LSH
-    # bands); without pinning, each branch would RE-RUN the whole
-    # corpus->tokenize->segment chain. The results table is ~100x
-    # smaller than the corpus (one row per extracted span), so this is
-    # the correct small-intermediate materialize, not a full-input one.
-    results = results.materialize()
-    base = triples_from_results(results)
-    mentions = extract_mentions(results).materialize()  # used 2x
-    intra = mentions.map_batches(intra_cites_batch, batch_format="pyarrow")
-    triples = base.union(intra)
-    if links_tbl is not None and links_tbl.num_rows > 0:
-        extra = resolve_citations(mentions, links_tbl)
-        triples = triples.union(extra)
+    ).materialize()
+    triples = emit_triples(results, links_tbl)
     if canonicalize:
         from ..stages.canonicalize import (
             BandEmitter,
@@ -86,8 +83,7 @@ def triples_dataset(
         )
 
         bands = results.map_batches(
-            BandEmitter, batch_format="pyarrow", batch_size=1024,
-            concurrency=(1, 4),
+            BandEmitter(), batch_format="pyarrow", batch_size=1024
         )
         edges = candidate_pairs(bands)
         canon = canonical_map(edges)

@@ -508,6 +508,194 @@ WHERE rank <= 5
 """
 
 
+def q_stats_agg(sf_dir: str):
+    """A1-style rollup stats: std/min/max per group (partial+final)."""
+    from ray.data.aggregate import Max, Min, Std
+
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = ds.groupby("l_returnflag").aggregate(
+        Std("l_quantity", alias_name="std_qty"),
+        Min("l_quantity", alias_name="min_qty"),
+        Max("l_quantity", alias_name="max_qty"),
+    )
+    return out.map_batches(
+        _round_cols({"std_qty": 4, "min_qty": 4, "max_qty": 4}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_STATS_AGG = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS std_qty,
+       round(min(l_quantity), 4)         AS min_qty,
+       round(max(l_quantity), 4)         AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join (SURVEY.md custom-operator case): each 'click' event
+    matched to the latest prior 'view' event of the same user.
+    Partition by user -> per-group pandas merge_asof (sorted within
+    group; the documented bucketed as-of pattern)."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        views = g[g["event_type"] == "view"].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        if len(clicks) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "view_event_id": pd.Series(dtype="float64"),
+                }
+            )
+        j = pd.merge_asof(
+            clicks,
+            views[["ts", "event_id"]].rename(
+                columns={"event_id": "view_event_id"}
+            ),
+            on="ts",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        return j[["event_id", "user_id", "view_event_id"]]
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+    def fix_types(b: pa.Table) -> pa.Table:
+        col = pc.cast(b["view_event_id"], pa.float64())
+        return b.set_column(
+            b.column_names.index("view_event_id"), "view_event_id", col
+        )
+
+    return out.map_batches(fix_types, batch_format="pyarrow")
+
+
+SQL_ASOF_JOIN = """
+SELECT c.event_id AS event_id, c.user_id AS user_id,
+       CAST(v.event_id AS DOUBLE) AS view_event_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts > v.ts
+"""
+
+
+def q_session_window(sf_dir: str):
+    """Session windows (streaming §2.9): per user, a >30-minute gap
+    starts a new session; emit session counts per user."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values(kind="mergesort").to_numpy()
+        if len(ts) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"),
+                 "n_sessions": pd.Series(dtype="int64")}
+            )
+        # compare in microseconds — truncating to whole seconds would
+        # disagree with SQL epoch() on gaps within 1s of the threshold
+        gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        n = 1 + int((gaps_us > 1800 * 1_000_000).sum())
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]}
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_SESSION_WINDOW = """
+SELECT user_id, count(*) AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM (SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events))
+WHERE new_session = 1 GROUP BY user_id
+"""
+
+
+def q_running_sum(sf_dir: str):
+    """Running aggregate: cumulative value per user ordered by
+    (ts, event_id) — ordered-fold semantics inside map_groups."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        run = g["value"].cumsum().round(4)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "running_value": run,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_RUNNING_SUM = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4)
+         AS running_value
+FROM events
+"""
+
+
+def q_rollup_words(sf_dir: str):
+    """A1 hierarchical rollup analog: child (word) stats rolled up to
+    the parent (document): n/avg-len/max-len per doc — computed
+    vectorized per batch (no per-word rows ever leave the task)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        offs = flat.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = flat.values
+        if offs[0] != 0:
+            vals = vals.slice(offs[0])
+            offs = offs - offs[0]
+        lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_docs = b.num_rows
+        counts = np.diff(offs)
+        sums = np.add.reduceat(lens, offs[:-1], dtype=np.float64)
+        sums[counts == 0] = 0.0
+        maxs = np.maximum.reduceat(lens, offs[:-1]) if len(lens) else np.zeros(n_docs)
+        maxs = np.where(counts == 0, 0, maxs)
+        avg = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
+        avg = np.floor(avg * 1e6) / 1e6
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_words": pa.array(counts.astype(np.int64)),
+                "avg_word_len": pa.array(avg, pa.float64()),
+                "max_word_len": pa.array(maxs.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_ROLLUP_WORDS = """
+SELECT doc_id,
+       count(*) AS n_words,
+       floor(avg(length(w)) * 1000000) / 1000000 AS avg_word_len,
+       max(length(w)) AS max_word_len
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY doc_id
+"""
+
+
 #: name -> (ray_fn, sql or None)
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
@@ -529,4 +717,9 @@ REGISTRY: dict[str, tuple] = {
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "multi_join": (q_multi_join, SQL_MULTI_JOIN),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "stats_agg": (q_stats_agg, SQL_STATS_AGG),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "session_window": (q_session_window, SQL_SESSION_WINDOW),
+    "running_sum": (q_running_sum, SQL_RUNNING_SUM),
+    "rollup_words": (q_rollup_words, SQL_ROLLUP_WORDS),
 }

@@ -53,6 +53,8 @@ def add_partition_column(
 
     Salting keys on the full subject so a mega-repo's triples spread
     deterministically over its salt range."""
+    if "part" in batch.column_names:  # re-materializing a read-back store
+        batch = batch.drop_columns(["part"])
     subs = batch["subject"].to_numpy(zero_copy_only=False)
     repos = subject_repo(subs)
     h = hash_strings(repos)

@@ -295,43 +295,37 @@ def _collect(ds) -> pa.Table:
     return pa.concat_tables(tabs, promote_options="default")
 
 
-class TripleRewriter:
-    """Actor-pool callable: rewrite subject/object to canonical ids.
+def _rewrite_batch(batch: pa.Table, map_ref) -> pa.Table:
+    """Rewrite subject/object to canonical ids. The canonical map is
+    broadcast once (ray.put) and fetched once per worker process via
+    the broadcast cache — stateless tasks, no actor-pool startup."""
+    from ..state.broadcast import get_broadcast
 
-    The canonical map is broadcast once via ``ray.put`` and fetched per
-    actor in ``__init__``."""
-
-    def __init__(self, map_ref) -> None:
-        self.canon: dict[str, str] = ray.get(map_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.canon:
-            return batch
-        subs = batch["subject"].to_numpy(zero_copy_only=False)
-        objs = batch["object"].to_numpy(zero_copy_only=False)
-        canon = self.canon
-        new_s = np.array([canon.get(s, s) for s in subs], dtype=object)
-        new_o = np.array([canon.get(o, o) for o in objs], dtype=object)
-        batch = batch.set_column(
-            batch.column_names.index("subject"),
-            "subject",
-            pa.array(new_s, pa.string()),
-        )
-        return batch.set_column(
-            batch.column_names.index("object"),
-            "object",
-            pa.array(new_o, pa.string()),
-        )
+    canon: dict[str, str] = get_broadcast(map_ref)
+    if not canon:
+        return batch
+    subs = batch["subject"].to_numpy(zero_copy_only=False)
+    objs = batch["object"].to_numpy(zero_copy_only=False)
+    new_s = np.array([canon.get(s, s) for s in subs], dtype=object)
+    new_o = np.array([canon.get(o, o) for o in objs], dtype=object)
+    batch = batch.set_column(
+        batch.column_names.index("subject"),
+        "subject",
+        pa.array(new_s, pa.string()),
+    )
+    return batch.set_column(
+        batch.column_names.index("object"),
+        "object",
+        pa.array(new_o, pa.string()),
+    )
 
 
-def rewrite_triples(triples_ds, canon: dict[str, str], concurrency=(1, 4)):
+def rewrite_triples(triples_ds, canon: dict[str, str], concurrency=None):
     if not canon:
         return triples_ds
     ref = ray.put(canon)
     return triples_ds.map_batches(
-        TripleRewriter,
-        fn_constructor_args=(ref,),
+        lambda b: _rewrite_batch(b, ref),
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=concurrency,
     )

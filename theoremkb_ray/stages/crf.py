@@ -273,12 +273,19 @@ def segment_crf(
     batch_size: int = 256,
     concurrency=None,
 ):
+    if concurrency is None:
+        # autoscale the actor pool up to the cluster CPU count —
+        # a fixed small cap would throttle larger clusters
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (1, max(4, ncpu))
     return ds.map_batches(
         CRFSegmenter,
         fn_constructor_args=(model_path,),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency if concurrency is not None else (1, 8),
+        concurrency=concurrency,
     )
 
 

@@ -54,3 +54,37 @@ def ingest(ds, verify: bool = True, batch_size: int = 512):
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+
+def clamp_content(ds, max_bytes: int = 2_000_000):
+    """Per-row cost cap: truncate pathological documents to
+    ``max_bytes`` and flag them (``clamped`` column) instead of letting
+    one mega-file stall a whole task — the engine-grade version of the
+    reference's hard-coded paper blacklist (reference:
+    Styling/src/cli.py:213). Truncation lands on a line boundary so
+    the tokenizer still sees whole lines; flagged rows double as the
+    dead-letter record (filter ``clamped`` to audit them)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lens = pc.binary_length(b["content"]).to_numpy(zero_copy_only=False)
+        over = lens > max_bytes
+        if not over.any():
+            return b.append_column(
+                "clamped", pa.array(np.zeros(b.num_rows, dtype=bool))
+            )
+        contents = b["content"].to_numpy(zero_copy_only=False)
+        out = contents.copy()
+        for i in np.flatnonzero(over):
+            cut = contents[i][:max_bytes]
+            nl = cut.rfind("\n")
+            out[i] = cut[: nl if nl > 0 else max_bytes]
+        b = b.set_column(
+            b.column_names.index("content"),
+            "content",
+            pa.array(out, pa.string()),
+        )
+        return b.append_column("clamped", pa.array(over))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
