@@ -91,16 +91,23 @@ def run_bench() -> dict:
     # warm the page cache so we measure compute+shuffle, not cold disk
     _ = rd.read_parquet(f"{cdir}/corpus").count()
 
+    def mark(msg: str) -> None:
+        print(f"[bench {NUM_CPUS}cpu +{time.perf_counter()-t0:.0f}s] {msg}",
+              file=sys.stderr, flush=True)
+
     t0 = time.perf_counter()
     corpus = rd.read_parquet(f"{cdir}/corpus")
     n_docs = corpus.count()
+    mark(f"corpus counted: {n_docs}")
     triples = triples_dataset(
         corpus, links_tbl=links, segmenter="crf", canonicalize=True
     )
+    mark("triples dataset built (results+canon done)")
     summary = materialize_triples(
         triples, out_dir, num_partitions=64, resume=False, auto_salt=True
     )
     n_triples = sum(r["rows"] for r in summary.take_all())
+    mark(f"sink done: {n_triples} triples")
     kg_sec = time.perf_counter() - t0
     timings["kg"] = round(kg_sec, 3)
     extras["kg_docs"] = n_docs

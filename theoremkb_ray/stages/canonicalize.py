@@ -97,13 +97,37 @@ class BandEmitter:
         )
 
 
+def dedup_pairs(pairs_ds, coarse: int = 64):
+    """Drop duplicate (a, b) edges (a pair surfaces in up to NUM_BANDS
+    LSH bands). One coarse-keyed shuffle on the pair hash; exactness
+    holds because a pair's rows always share a coarse bucket."""
+
+    def add_ph(b: pa.Table) -> pa.Table:
+        ph = hash_strings(b["a"].to_numpy(zero_copy_only=False)) ^ hash_strings(
+            b["b"].to_numpy(zero_copy_only=False)
+        )
+        return b.append_column(
+            "ph", pa.array((ph % np.uint64(coarse)).astype(np.int64))
+        )
+
+    def drop(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"]).drop(columns=["ph"])
+
+    return (
+        pairs_ds.map_batches(add_ph, batch_format="pyarrow")
+        .groupby("ph")
+        .map_groups(drop, batch_format="pandas")
+    )
+
+
 def candidate_pairs(band_ds, cap: int = 50):
     """Coarse-keyed bucket groupby -> verified near-dup edges
-    (a, b, confidence). See dedup.pairs_from_bands for why the shuffle
-    key is coarse, not the raw LSH bucket."""
+    (a, b, confidence), deduplicated across bands. See
+    dedup.pairs_from_bands for why the shuffle key is coarse, not the
+    raw LSH bucket."""
     from .dedup import pairs_from_bands
 
-    pairs = pairs_from_bands(band_ds, cap=cap)
+    pairs = dedup_pairs(pairs_from_bands(band_ds, cap=cap))
 
     def verify(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -156,18 +180,17 @@ def connected_components_local(edges: pa.Table) -> dict[str, str]:
     return {x: find(x) for x in set(a) | set(b)}
 
 
-def connected_components_distributed(edges_ds, max_iters: int = 6):
-    """Min-label propagation via groupby aggregate, early-stopped.
+def connected_components_distributed(edges_ds, max_iters: int = 8):
+    """Min-label propagation with hash-partitioned joins.
 
-    labels(node) <- min(labels(node), min over neighbors(labels));
-    repeated until the label multiset checksum stops changing. Each
-    iteration = one all-to-all shuffle on ``node``; components of
-    diameter d converge in <= d rounds (near-dup components are tiny).
-    Returns a Dataset (node, label).
-    """
+    labels(v) <- min(labels(v), min over neighbors u of labels(u)),
+    iterated until the label-multiset checksum is stable. Per round:
+    one Dataset.join (edges |x| labels on node) + one groupby-Min —
+    two keyed exchanges over edge-sized data, NO per-node task
+    granularity. Components of diameter d converge in <= d rounds.
+    Returns a Dataset (node, label)."""
     from ray.data.aggregate import Min
 
-    # symmetric edge list
     def sym(b: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -186,9 +209,7 @@ def connected_components_distributed(edges_ds, max_iters: int = 6):
         .aggregate(Min("nbr", alias_name="label"))
         .map_batches(
             lambda b: b.set_column(
-                1,
-                "label",
-                pc.min_element_wise(b["label"], b["node"]),
+                1, "label", pc.min_element_wise(b["label"], b["node"])
             ),
             batch_format="pyarrow",
         )
@@ -205,52 +226,30 @@ def connected_components_distributed(edges_ds, max_iters: int = 6):
         agg = lds.map_batches(h, batch_format="pyarrow").sum("h")
         return int(agg) if agg is not None else 0
 
+    # join partition count bounded by cluster CPUs: Dataset.join spawns
+    # one aggregator actor per partition, and a partition count above
+    # the CPU count deadlocks a small cluster (aggregators reserve the
+    # slots the map tasks need)
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    n_parts = max(2, min(16, ncpu // 2))
+
     prev = checksum(labels)
     for _ in range(max_iters):
-        # candidate labels arriving over edges: join labels onto edges
-        # via a groupby on node carrying both edge and label rows
-        lab_rows = labels.map_batches(
-            lambda b: pa.table(
-                {
-                    "node": b["node"],
-                    "nbr": pa.nulls(b.num_rows, pa.string()),
-                    "label": b["label"],
-                }
-            ),
+        # label of each edge's node, delivered to its neighbor
+        joined = E.join(
+            labels, join_type="inner", num_partitions=n_parts, on=("node",)
+        )
+        cand = joined.map_batches(
+            lambda b: pa.table({"node": b["nbr"], "cand": b["label"]}),
             batch_format="pyarrow",
         )
-        edge_rows = E.map_batches(
-            lambda b: pa.table(
-                {
-                    "node": b["node"],
-                    "nbr": b["nbr"],
-                    "label": pa.nulls(b.num_rows, pa.string()),
-                }
-            ),
+        self_rows = labels.map_batches(
+            lambda b: pa.table({"node": b["node"], "cand": b["label"]}),
             batch_format="pyarrow",
-        )
-
-        def propagate(g: pd.DataFrame) -> pd.DataFrame:
-            lab = g["label"].dropna()
-            if len(lab) == 0:
-                return pd.DataFrame(
-                    {"node": pd.Series(dtype=str), "cand": pd.Series(dtype=str)}
-                )
-            label = lab.min()
-            node = g["node"].iloc[0]
-            nbrs = g["nbr"].dropna().unique()
-            out_nodes = list(nbrs) + [node]
-            return pd.DataFrame(
-                {"node": out_nodes, "cand": [label] * len(out_nodes)}
-            )
-
-        cands = (
-            lab_rows.union(edge_rows)
-            .groupby("node")
-            .map_groups(propagate, batch_format="pandas")
         )
         labels = (
-            cands.groupby("node")
+            cand.union(self_rows)
+            .groupby("node")
             .aggregate(Min("cand", alias_name="label"))
             .materialize()
         )
@@ -262,7 +261,7 @@ def connected_components_distributed(edges_ds, max_iters: int = 6):
 
 
 def canonical_map(
-    edges_ds, distributed_threshold: int = 200_000
+    edges_ds, distributed_threshold: int = 5_000_000
 ) -> dict[str, str]:
     """edges Dataset -> {entity: canonical_entity} (non-identity only)."""
     # pin the (small) edge set: count + collect must not re-run the
