@@ -65,14 +65,23 @@ def triples_dataset(
     cites with the broadcast links dict) — see stages/emit.py for why.
     Canonicalization adds one more execution over the same results.
     """
-    from ..stages.emit import emit_triples
-
     results = results_dataset(
         corpus_ds,
         segmenter=segmenter,
         verify_sha=verify_sha,
         concurrency=concurrency,
     ).materialize()
+    return triples_from_materialized_results(
+        results, links_tbl=links_tbl, canonicalize=canonicalize
+    )
+
+
+def triples_from_materialized_results(
+    results, links_tbl: pa.Table | None = None, canonicalize: bool = False
+):
+    """Second half of the flagship: (pinned) results -> triples."""
+    from ..stages.emit import emit_triples
+
     triples = emit_triples(results, links_tbl)
     if canonicalize:
         from ..stages.canonicalize import (
@@ -100,16 +109,47 @@ def run_kg(
     num_partitions: int = 32,
     resume: bool = True,
     auto_salt: bool = True,
+    results_checkpoint: str | None = None,
 ):
     """End-to-end: corpus parquet -> materialized triple store.
 
+    ``results_checkpoint``: directory for the mid-pipeline results
+    checkpoint (per-partition manifests + lineage). A restarted run
+    whose checkpoint is complete SKIPS ingest/tokenize/segment/stitch
+    entirely and resumes at linking/canonicalization — the north-rule
+    mid-pipeline resume. A partially complete checkpoint re-runs the
+    front half but only writes pending partitions.
+
     Returns the (part, rows) summary Dataset from the sink."""
     from ..sources.sinks import materialize_triples
+    from ..state.checkpoint import (
+        checkpoint_complete,
+        checkpoint_dataset,
+        read_checkpoint,
+    )
 
-    corpus = read_corpus(corpus_path)
-    triples = triples_dataset(
-        corpus, links_tbl=links_tbl, segmenter=segmenter,
-        canonicalize=canonicalize,
+    ckpt_parts = 32
+    if (
+        results_checkpoint
+        and resume
+        and checkpoint_complete(results_checkpoint, ckpt_parts)
+    ):
+        results = read_checkpoint(results_checkpoint).materialize()
+    else:
+        corpus = read_corpus(corpus_path)
+        results = results_dataset(corpus, segmenter=segmenter).materialize()
+        if results_checkpoint:
+            checkpoint_dataset(
+                results,
+                results_checkpoint,
+                key_col="doc_id",
+                num_partitions=ckpt_parts,
+                resume=resume,
+                stage="results",
+                lineage=corpus_path,
+            )
+    triples = triples_from_materialized_results(
+        results, links_tbl=links_tbl, canonicalize=canonicalize
     )
     return materialize_triples(
         triples,
@@ -117,4 +157,5 @@ def run_kg(
         num_partitions=num_partitions,
         resume=resume,
         auto_salt=auto_salt,
+        lineage=results_checkpoint or corpus_path,
     )
