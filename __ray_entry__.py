@@ -217,6 +217,35 @@ def _media_decode(sf_dir: str):
     )
 
 
+def _tfidf_match(sf_dir: str):
+    """T6/J9: TF-IDF theorem matching, fork docs vs their originals."""
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.pipelines.kg import results_dataset
+    from theoremkb_ray.sources.corpus import read_corpus
+    from theoremkb_ray.stages.match import tfidf_match
+
+    sdir = _synth_dir(200)
+    corpus = pq.read_table(f"{sdir}/corpus.parquet").to_pandas()
+    forks = corpus[corpus["repo"].str.startswith("fork/")]
+    pairs = []
+    for r in forks.itertuples():
+        orig = corpus[
+            (corpus["path"] == r.path)
+            & (~corpus["repo"].str.startswith("fork/"))
+        ].iloc[0]
+        pairs.append(
+            (
+                f"{r.repo}/{r.path}@{r.commit}",
+                f"{orig.repo}/{orig.path}@{orig.commit}",
+            )
+        )
+    results = results_dataset(
+        read_corpus(f"{sdir}/corpus.parquet"), segmenter="crf"
+    ).materialize()
+    return tfidf_match(results, pairs)
+
+
 def _agreement_diff(sf_dir: str):
     """J8 agreement: naive vs CRF segmenter over the synth corpus."""
     from theoremkb_ray.sources.corpus import read_corpus
@@ -295,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "agreement_diff": _agreement_diff,
             "seg_report": _seg_report,
             "split_stratified": _split_stratified,
+            "tfidf_match": _tfidf_match,
         }
     )
     return out

@@ -142,3 +142,42 @@ def test_gold_tags_roundtrip(gold100):
         )
     )
     assert got == gold
+
+
+def test_collapse_labels_and_docclass():
+    from theoremkb_ray.stages.features import collapse_labels, sniff_docclass
+
+    out = collapse_labels(
+        pa.array(["theorem", "lemma", "proof", "O", "definition"])
+    ).to_pylist()
+    assert out == ["Theorem", "Theorem", "Proof", "Basic", "Theorem"]
+    cls = sniff_docclass(
+        pa.array(
+            [
+                "\\documentclass[11pt]{article}\nbody",
+                "\\documentclass{beamer}",
+                "no class here",
+            ]
+        )
+    ).to_pylist()
+    assert cls == ["article", "beamer", None]
+
+
+def test_registry_extension_surface(gold100):
+    import ray.data as rd
+
+    from theoremkb_ray.pipelines.kg import results_dataset
+    from theoremkb_ray.registry import (
+        get_segmenter,
+        list_segmenters,
+        register_segmenter,
+    )
+    from theoremkb_ray.stages.segment import segment_naive
+
+    assert "results.naive" in list_segmenters()
+    register_segmenter("results.custom", lambda ds: segment_naive(ds))
+    out = results_dataset(
+        rd.from_arrow(gold100["corpus"].slice(0, 5)),
+        segmenter="results.custom",
+    )
+    assert out.count() > 0

@@ -43,7 +43,10 @@ def results_dataset(
 
         ds = segment_crf(ds, concurrency=concurrency)
     else:
-        raise ValueError(f"unknown segmenter {segmenter!r}")
+        # user-extension surface: registered segmenters (registry.py)
+        from ..registry import get_segmenter
+
+        ds = get_segmenter(segmenter)(ds)
     return stitch(ds)
 
 

@@ -19,6 +19,30 @@ from ..schema import RESULT_KINDS
 
 _KIND_ARR = pa.array(RESULT_KINDS, pa.string())
 
+#: M20 label collapse (reference: NLP/2.1 cell 12 ``round_labels``):
+#: the 3-class view used by the reference's NLP classifiers.
+COLLAPSE_3 = {
+    **{k: "Theorem" for k in RESULT_KINDS if k != "proof"},
+    "proof": "Proof",
+    "O": "Basic",
+}
+
+
+def collapse_labels(labels: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Map fine-grained result labels -> {Theorem, Proof, Basic}."""
+    fine = pa.array(list(COLLAPSE_3.keys()), pa.string())
+    coarse = pa.array(list(COLLAPSE_3.values()), pa.string())
+    idx = pc.index_in(labels, value_set=fine)
+    return pc.take(coarse, pc.fill_null(idx, len(COLLAPSE_3) - 1))
+
+
+def sniff_docclass(contents: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """M23 document-class sniff (reference:
+    Styling/tools/theoremdb/db.py:38-58): extract the
+    ``\\documentclass{...}`` argument, null when absent."""
+    m = pc.extract_regex(contents, r"\\documentclass(?:\[[^\]]*\])?\{(?P<c>[^}]*)\}")
+    return pc.if_else(pc.is_valid(m), pc.struct_field(m, "c"), None)
+
 
 def line_features(flat_lines: pa.Array) -> dict[str, np.ndarray | pa.Array]:
     """Vectorized per-line features over a flat line array.
