@@ -241,26 +241,18 @@ def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id", **kw):
     """Keep one representative (min id) per near-duplicate component."""
     import ray
 
+    from ..state.broadcast import get_broadcast
+
     canon = dup_assignments(minhash_dup_edges(ds, col, id_col, **kw))
-    dup_ids = ray.put(set(canon.keys()))
+    dup_ref = ray.put(set(canon.keys()))
 
-    class DropDups:
-        def __init__(self, ref) -> None:
-            self.dups = ray.get(ref)
+    def drop(b: pa.Table) -> pa.Table:
+        dups = get_broadcast(dup_ref)
+        ids = pc.cast(b[id_col], pa.string()).to_numpy(zero_copy_only=False)
+        keep = pa.array([i not in dups for i in ids])
+        return b.filter(keep)
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = pc.cast(b[id_col], pa.string()).to_numpy(
-                zero_copy_only=False
-            )
-            keep = pa.array([i not in self.dups for i in ids])
-            return b.filter(keep)
-
-    return ds.map_batches(
-        DropDups,
-        fn_constructor_args=(dup_ids,),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    return ds.map_batches(drop, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------- simhash

@@ -21,38 +21,28 @@ import pyarrow as pa
 import ray
 
 
-class _BroadcastJoiner:
-    def __init__(self, right_ref, on, right_on, how) -> None:
-        right = ray.get(right_ref)
-        self.right = right if isinstance(right, pd.DataFrame) else right.to_pandas()
-        self.on = list(on)
-        self.right_on = list(right_on)
-        self.how = how
-        if how in ("semi", "anti"):
-            self.keys = set(
-                map(tuple, self.right[self.right_on].itertuples(index=False))
-            )
+def _join_batch(
+    batch: pd.DataFrame, right_ref, on, right_on, how
+) -> pd.DataFrame:
+    """Stateless join task: the right side is fetched ONCE per worker
+    process via the broadcast cache (same amortization as an actor's
+    __init__ without paying actor-pool startup)."""
+    from ..state.broadcast import get_broadcast
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if self.how in ("semi", "anti"):
+    right = get_broadcast(right_ref)
+    if not isinstance(right, pd.DataFrame):
+        right = right.to_pandas()
+    if how in ("semi", "anti"):
+        if len(right_on) == 1:
+            mask = batch[on[0]].isin(set(right[right_on[0]]))
+        else:
+            keys = set(map(tuple, right[right_on].itertuples(index=False)))
             mask = pd.Series(
-                list(
-                    map(
-                        tuple,
-                        batch[self.on].itertuples(index=False),
-                    )
-                ),
+                list(map(tuple, batch[on].itertuples(index=False))),
                 index=batch.index,
-            ).isin(self.keys)
-            if self.how == "anti":
-                mask = ~mask
-            return batch[mask]
-        return batch.merge(
-            self.right,
-            left_on=self.on,
-            right_on=self.right_on,
-            how=self.how,
-        )
+            ).isin(keys)
+        return batch[~mask if how == "anti" else mask]
+    return batch.merge(right, left_on=on, right_on=right_on, how=how)
 
 
 def broadcast_join(
@@ -61,18 +51,18 @@ def broadcast_join(
     on: list[str],
     right_on: list[str] | None = None,
     how: str = "inner",
-    concurrency=(1, 8),
+    concurrency=None,  # kept for API compat; stateless tasks autoscale
     batch_size: int = 8192,
 ):
     """Broadcast hash join; right side must fit in worker memory."""
     assert how in ("inner", "left", "semi", "anti")
     right_ref = ray.put(right)
+    on = list(on)
+    r_on = list(right_on or on)
     return left_ds.map_batches(
-        _BroadcastJoiner,
-        fn_constructor_args=(right_ref, on, right_on or on, how),
+        lambda b: _join_batch(b, right_ref, on, r_on, how),
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 
