@@ -110,3 +110,40 @@ def test_resume_skips_completed_partitions(tmp_path):
     assert rewritten == {victim}  # ONLY the pending partition was rewritten
     assert completed_partitions(out) == done_before
     assert read_triples(out).count() == 80
+
+
+def test_export_graph_csv(tmp_path):
+    import glob
+
+    from theoremkb_ray.sources.sinks import export_graph_csv
+
+    out = str(tmp_path / "store")
+    t = _triples_tbl(60)
+    # add a cites edge (cross-doc) and a proved_by (intra)
+    extra = pa.table(
+        {
+            "subject": pa.array(
+                ["org/r1/f.tex@abc#theorem 1.1", "org/r2/f.tex@abc#theorem 2.1"]
+            ),
+            "predicate": pa.array(["cites", "proved_by"]),
+            "object": pa.array(
+                ["org/r9/g.tex@def#lemma 3.1", "org/r2/f.tex@abc#proof 4"]
+            ),
+            "confidence": pa.array([1.0, 1.0]),
+            "provenance": pa.array(["t", "t"]),
+        }
+    )
+    ds = rd.from_arrow(pa.concat_tables([t, extra]))
+    materialize_triples(ds, out, num_partitions=4, resume=False)
+    counts = export_graph_csv(out, str(tmp_path / "csv"))
+    assert counts["nodes"] == 60 and counts["edges"] == 2
+    import pandas as pd
+
+    edge_files = glob.glob(str(tmp_path / "csv" / "graph_intra_extra" / "*"))
+    edges = pd.concat([pd.read_csv(f) for f in edge_files])
+    assert set(edges.columns) == {
+        "pdf_from", "theorem_in", "theorem_ref", "intra", "ref_tag",
+    }
+    by_tag = edges.set_index("ref_tag")
+    assert bool(by_tag.loc["cites", "intra"]) is False
+    assert bool(by_tag.loc["proved_by", "intra"]) is True

@@ -171,6 +171,59 @@ def materialize_triples(
     return out.materialize()
 
 
+def export_graph_csv(store_dir: str, out_dir: str) -> dict[str, int]:
+    """Export the triple store in the REFERENCE'S output shape
+    (reference: Styling/tools/theoremdb/extract_graph.py:298-307):
+
+    - ``graph_results.csv``  — node table ``(pdf_from, result)``
+      from the ``states`` triples;
+    - ``graph_intra_extra.csv`` — edge table ``(pdf_from, theorem_in,
+      theorem_ref, intra, ref_tag)`` from ``cites``/``proved_by``
+      triples (intra = same-document reference).
+
+    A user of the reference can consume these files unchanged. Each
+    output is a directory of CSV shards (``Dataset.write_csv``);
+    returns row counts."""
+    import pyarrow.compute as pc2
+    import ray.data as rd
+
+    ds = read_triples(store_dir)
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        b = b.filter(pc2.equal(b["predicate"], "states"))
+        return pa.table(
+            {"pdf_from": b["subject"], "result": b["object"]}
+        )
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        b = b.filter(pc2.not_equal(b["predicate"], "states"))
+        subs = b["subject"].to_numpy(zero_copy_only=False)
+        objs = b["object"].to_numpy(zero_copy_only=False)
+        preds = b["predicate"].to_numpy(zero_copy_only=False)
+        doc_of = lambda e: e.split("#", 1)[0]  # noqa: E731
+        pdf_from = np.array([doc_of(s) for s in subs], dtype=object)
+        intra = np.array(
+            [doc_of(s) == doc_of(o) for s, o in zip(subs, objs)]
+        )
+        return pa.table(
+            {
+                "pdf_from": pa.array(pdf_from, pa.string()),
+                "theorem_in": b["subject"],
+                "theorem_ref": b["object"],
+                "intra": pa.array(intra),
+                "ref_tag": pa.array(list(preds), pa.string()),
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    nodes = ds.map_batches(to_nodes, batch_format="pyarrow")
+    edges = ds.map_batches(to_edges, batch_format="pyarrow")
+    n_nodes, n_edges = nodes.count(), edges.count()
+    nodes.write_csv(os.path.join(out_dir, "graph_results"))
+    edges.write_csv(os.path.join(out_dir, "graph_intra_extra"))
+    return {"nodes": n_nodes, "edges": n_edges}
+
+
 def read_triples(out_dir: str):
     import glob
 
