@@ -181,3 +181,51 @@ def test_registry_extension_surface(gold100):
         segmenter="results.custom",
     )
     assert out.count() > 0
+
+
+def test_distributed_training_matches_quality(gold100):
+    """cli.py-train analog: distributed featurize -> fit reaches the
+    same quality as the local trainer on held-out docs."""
+    import ray.data as rd
+
+    from theoremkb_ray.stages.crf import (
+        feature_matrix,
+        gold_tags_flat,
+        train_crf_distributed,
+    )
+    from theoremkb_ray.synth import generate_corpus
+
+    tr = generate_corpus(120, seed=21, dup_fraction=0.0)
+    model = train_crf_distributed(
+        rd.from_arrow(tr["corpus"]), tr["gold_spans"], epochs=10,
+        out_path=None,
+    )
+    te = generate_corpus(40, seed=22, dup_fraction=0.0)
+    c2 = te["corpus"].to_pandas()
+    lines = [c.split("\n") for c in c2["content"]]
+    off = np.zeros(len(lines) + 1, dtype=np.int64)
+    np.cumsum([len(l) for l in lines], out=off[1:])
+    flat = pa.array([ln for d in lines for ln in d], pa.string())
+    X = feature_matrix(flat, off)
+    ids = (c2["repo"] + "/" + c2["path"] + "@" + c2["commit"]).to_numpy()
+    y = gold_tags_flat(off, ids, te["gold_spans"].to_pandas())
+    pred = model.decode_batch(X, off)
+    assert (pred == y).mean() >= 0.995
+
+
+def test_balance_window_training_payload(gold100):
+    import ray.data as rd
+
+    from theoremkb_ray.stages.crf import featurize_for_training
+
+    tr = generate_corpus_cached = gold100
+    full = featurize_for_training(
+        rd.from_arrow(tr["corpus"].slice(0, 20)), tr["gold_spans"]
+    ).to_pandas()
+    sampled = featurize_for_training(
+        rd.from_arrow(tr["corpus"].slice(0, 20)),
+        tr["gold_spans"],
+        balance_window=2,
+    ).to_pandas()
+    assert sampled["n_lines"].sum() <= full["n_lines"].sum()
+    assert sampled["n_lines"].sum() > 0

@@ -317,6 +317,137 @@ def gold_tags_flat(
     return y
 
 
+class FeaturizeForTraining:
+    """map_batches callable: tokenized docs + broadcast gold spans ->
+    per-document (features, tags) training payloads.
+
+    The distributed half of training (the analog of the reference's
+    streaming joblib featurize, Styling/src/lib/extractors/crf.py:19-40,
+    228-242): feature extraction + gold projection + optional
+    balance-window sampling fan out over the cluster; only the compact
+    (X, y) arrays come back to the fitting process (perceptron updates
+    are inherently sequential, like the reference's lbfgs fit)."""
+
+    def __init__(self, gold_ref, balance_window: int | None = None) -> None:
+        import ray as _ray
+
+        self.gold_by_doc: dict[str, list] = _ray.get(gold_ref)
+        self.window = balance_window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .sampling import balance_context_window
+        from .tokenize import explode_lines
+
+        flat, offsets = explode_lines(batch["lines"])
+        X = feature_matrix(flat, offsets)
+        docs = batch["doc_id"].to_pylist()
+        y = np.zeros(int(offsets[-1]), dtype=np.int32)
+        for i, d in enumerate(docs):
+            base = offsets[i]
+            for label, s0, s1 in self.gold_by_doc.get(d, []):
+                y[base + s0] = TAG_TO_ID[f"B-{label}"]
+                if s1 > s0:
+                    y[base + s0 + 1 : base + s1 + 1] = TAG_TO_ID[f"I-{label}"]
+        if self.window is not None:
+            keep = balance_context_window(y, offsets, window=self.window)
+        else:
+            keep = np.ones(len(y), dtype=bool)
+        # pack per-doc payloads (variable-length) as list columns
+        feats, tags, lens = [], [], []
+        for i in range(batch.num_rows):
+            lo, hi = offsets[i], offsets[i + 1]
+            m = keep[lo:hi]
+            feats.append(
+                np.packbits(X[lo:hi][m], axis=1).reshape(-1).tolist()
+            )
+            tags.append(y[lo:hi][m].tolist())
+            lens.append(int(m.sum()))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_lines": pa.array(lens, pa.int64()),
+                "packed_feats": pa.array(feats, pa.list_(pa.uint8())),
+                "tags": pa.array(tags, pa.list_(pa.int32())),
+            }
+        )
+
+
+def featurize_for_training(
+    corpus_ds, gold_spans: pa.Table, balance_window: int | None = None,
+    concurrency=(1, 8),
+):
+    """Distributed featurize+label stage; returns the training Dataset."""
+    import ray as _ray
+
+    from .ingest import ingest
+    from .tokenize import tokenize
+
+    gold_by_doc: dict[str, list] = {}
+    for d, l, s0, s1 in zip(
+        gold_spans["doc_id"].to_pylist(),
+        gold_spans["label"].to_pylist(),
+        gold_spans["start_line"].to_pylist(),
+        gold_spans["end_line"].to_pylist(),
+    ):
+        gold_by_doc.setdefault(d, []).append((l, s0, s1))
+    ref = _ray.put(gold_by_doc)
+    ds = tokenize(ingest(corpus_ds, verify=False))
+    return ds.map_batches(
+        FeaturizeForTraining,
+        fn_constructor_args=(ref, balance_window),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+    )
+
+
+def fit_from_training_ds(
+    train_ds, epochs: int = 8, seed: int = 0
+) -> LinearChainTagger:
+    """Collect the compact featurized payloads and fit the perceptron.
+
+    The payload is bit-packed features + int32 tags — ~4 bytes/line,
+    orders of magnitude smaller than the corpus; collecting it is the
+    deliberate driver-side step (model fitting is sequential)."""
+    Xs, ys = [], []
+    n_bytes = (N_FEATS + 7) // 8
+    for b in train_ds.iter_batches(batch_format="pyarrow"):
+        for packed, tags in zip(
+            b["packed_feats"].to_pylist(), b["tags"].to_pylist()
+        ):
+            if not tags:
+                continue
+            arr = np.frombuffer(
+                bytes(packed), dtype=np.uint8
+            ).reshape(len(tags), n_bytes)
+            Xs.append(
+                np.unpackbits(arr, axis=1)[:, :N_FEATS].astype(bool)
+            )
+            ys.append(np.asarray(tags, dtype=np.int32))
+    offsets = np.zeros(len(Xs) + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in Xs], out=offsets[1:])
+    X = np.concatenate(Xs) if Xs else np.zeros((0, N_FEATS), dtype=bool)
+    y = np.concatenate(ys) if ys else np.zeros(0, dtype=np.int32)
+    return LinearChainTagger().fit(X, offsets, y, epochs=epochs, seed=seed)
+
+
+def train_crf_distributed(
+    corpus_ds,
+    gold_spans: pa.Table,
+    epochs: int = 8,
+    balance_window: int | None = None,
+    out_path: str | None = None,
+) -> LinearChainTagger:
+    """cli.py-train analog: distributed featurize -> driver fit."""
+    train_ds = featurize_for_training(
+        corpus_ds, gold_spans, balance_window=balance_window
+    )
+    model = fit_from_training_ds(train_ds, epochs=epochs)
+    if out_path:
+        model.save(out_path)
+    return model
+
+
 def train_crf(
     num_docs: int = 300,
     seed: int = 7,
