@@ -147,20 +147,43 @@ def _pairs_from_coarse(g: pd.DataFrame, cap: int = 50) -> pd.DataFrame:
     dup = dup.sort_values(
         ["band_idx", "band_hash", "id"], kind="mergesort"
     )
+    ids = dup["id"].to_numpy()
+    sims = dup["simhash"].to_numpy()
+    bi = dup["band_idx"].to_numpy()
+    bh = dup["band_hash"].to_numpy()
+    n = len(ids)
+    # run boundaries of equal (band_idx, band_hash) — pure numpy;
+    # iterating pandas groups costs ~0.5 ms/group and melts down at
+    # millions of candidate buckets
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(bi[1:], bi[:-1], out=change[1:])
+    change[1:] |= bh[1:] != bh[:-1]
+    starts = np.flatnonzero(change)
+    lens = np.diff(np.append(starts, n))
+
     out_a, out_b, out_sa, out_sb = [], [], [], []
-    for _, sub in dup.groupby(["band_idx", "band_hash"], sort=False):
-        ids = sub["id"].to_numpy()
-        sims = sub["simhash"].to_numpy()
-        m = len(ids)
+    # len-2 runs (the overwhelming case): one vectorized emit
+    two = starts[lens == 2]
+    if len(two):
+        out_a.append(ids[two])
+        out_b.append(ids[two + 1])
+        out_sa.append(sims[two])
+        out_sb.append(sims[two + 1])
+    # longer runs: loop only over those (rare)
+    for s, ln in zip(starts[lens > 2], lens[lens > 2]):
+        m = int(ln)
         if m <= cap:
             ia, ib = np.triu_indices(m, k=1)
-        else:
+        else:  # hot bucket -> star edges (same components, linear)
             ia = np.zeros(m - 1, dtype=np.int64)
             ib = np.arange(1, m, dtype=np.int64)
-        out_a.append(ids[ia])
-        out_b.append(ids[ib])
-        out_sa.append(sims[ia])
-        out_sb.append(sims[ib])
+        out_a.append(ids[s + ia])
+        out_b.append(ids[s + ib])
+        out_sa.append(sims[s + ia])
+        out_sb.append(sims[s + ib])
+    if not out_a:
+        return pd.DataFrame(_EMPTY_PAIRS)
     return pd.DataFrame(
         {
             "a": np.concatenate(out_a),
