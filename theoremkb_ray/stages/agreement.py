@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..schema import RESULT_KINDS
+
 from .crf import CRFSegmenter
 from .segment import NaiveSegmenter
 from .tokenize import explode_lines

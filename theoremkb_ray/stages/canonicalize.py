@@ -305,8 +305,12 @@ def _rewrite_batch(batch: pa.Table, map_ref) -> pa.Table:
         return batch
     subs = batch["subject"].to_numpy(zero_copy_only=False)
     objs = batch["object"].to_numpy(zero_copy_only=False)
-    new_s = np.array([canon.get(s, s) for s in subs], dtype=object)
-    new_o = np.array([canon.get(o, o) for o in objs], dtype=object)
+    # pandas map = C hash lookups; a Python dict.get loop here costs
+    # real time on a multi-million-triple store
+    s_ser = pd.Series(subs)
+    o_ser = pd.Series(objs)
+    new_s = s_ser.map(canon).fillna(s_ser).to_numpy()
+    new_o = o_ser.map(canon).fillna(o_ser).to_numpy()
     batch = batch.set_column(
         batch.column_names.index("subject"),
         "subject",

@@ -15,7 +15,7 @@ reference makes implicitly by loading its links CSV into a dict
 
 from __future__ import annotations
 
-import numpy as np
+
 import pandas as pd
 import pyarrow as pa
 import ray

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import re
 
-import numpy as np
+
 import pyarrow as pa
 
 from ..schema import ABBREVIATIONS, NUMBERED_KINDS, PRED_CITES, entity_id

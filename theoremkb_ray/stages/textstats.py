@@ -11,7 +11,7 @@ kernels; the language profiles and regexes live in actor ``__init__``.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -27,7 +27,6 @@ import pyarrow.parquet as pq
 
 from .schema import (
     ABBREVIATIONS,
-    NUMBERED_KINDS,
     PRED_CITES,
     PRED_PROVED_BY,
     PRED_STATES,
