@@ -147,3 +147,47 @@ def test_export_graph_csv(tmp_path):
     by_tag = edges.set_index("ref_tag")
     assert bool(by_tag.loc["cites", "intra"]) is False
     assert bool(by_tag.loc["proved_by", "intra"]) is True
+
+
+def test_detect_skewed_repos():
+    from theoremkb_ray.sources.sinks import detect_skewed_repos
+
+    n = 2000
+    # one repo owns half the triples
+    repos = ["org/mega"] * (n // 2) + [f"org/r{i}" for i in range(n // 2)]
+    t = pa.table(
+        {
+            "subject": pa.array([f"{r}/f.tex@c#theorem {i}" for i, r in enumerate(repos)]),
+            "predicate": pa.array(["states"] * n),
+            "object": pa.array([f"e{i}" for i in range(n)]),
+            "confidence": pa.array([1.0] * n),
+            "provenance": pa.array(["t"] * n),
+        }
+    )
+    hot = detect_skewed_repos(rd.from_arrow(t), num_partitions=16,
+                              sample_frac=0.5)
+    assert "org/mega" in hot and hot["org/mega"] >= 2
+    assert all(not r.startswith("org/r") for r in hot)
+
+
+def test_clamp_content():
+    from theoremkb_ray.stages.ingest import clamp_content
+
+    big = "\n".join(["x" * 80] * 100)  # ~8.1 KB
+    t = pa.table(
+        {
+            "repo": pa.array(["a/b", "a/c"]),
+            "path": pa.array(["p", "p"]),
+            "commit": pa.array(["1", "2"]),
+            "lang": pa.array(["tex", "tex"]),
+            "content": pa.array(["small doc", big]),
+        }
+    )
+    out = clamp_content(rd.from_arrow(t), max_bytes=1000).to_pandas()
+    out = out.sort_values("commit")
+    assert not out["clamped"].iloc[0]
+    assert out["clamped"].iloc[1]
+    clamped = out["content"].iloc[1]
+    assert len(clamped) <= 1000
+    assert not clamped.endswith("\n")  # cut lands on a line boundary
+    assert out["content"].iloc[0] == "small doc"
