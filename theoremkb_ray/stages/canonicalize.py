@@ -51,7 +51,7 @@ HAMMING_MAX = 12
 class BandEmitter:
     """map_batches callable: result rows -> LSH band rows.
 
-    Output: (entity_id, band_idx, band_hash, simhash, n_tokens).
+    Output: (id, band_idx, band_hash, simhash).
     Proof entities are excluded (identity lives on numbered results).
     """
 
@@ -65,7 +65,6 @@ class BandEmitter:
                     "band_idx": pa.array([], pa.int32()),
                     "band_hash": pa.array([], pa.uint64()),
                     "simhash": pa.array([], pa.uint64()),
-                    "n_tokens": pa.array([], pa.int32()),
                 }
             )
         texts = batch["text"].to_numpy(zero_copy_only=False)
@@ -81,9 +80,10 @@ class BandEmitter:
         sigs = minhash_signatures(shingles, NUM_PERM)
         bands = band_hashes(sigs, NUM_BANDS)  # (n, NUM_BANDS)
         sims = simhash64(shingles)
-        n_tok = np.array([len(t) for t in tok_hashes], dtype=np.int32)
 
         rep = NUM_BANDS
+        # NOTE: no extra payload beyond the 8-byte simhash — every
+        # column here is multiplied by NUM_BANDS in the shuffle
         return pa.table(
             {
                 "id": pa.array(np.repeat(eids, rep), pa.string()),
@@ -92,7 +92,6 @@ class BandEmitter:
                 ),
                 "band_hash": pa.array(bands.reshape(-1)),
                 "simhash": pa.array(np.repeat(sims, rep)),
-                "n_tokens": pa.array(np.repeat(n_tok, rep)),
             }
         )
 
