@@ -41,11 +41,12 @@ def _kg_corpus_dir(sf: float) -> str:
     parallel once and cached — generation is excluded from timing."""
     from theoremkb_ray.synth import materialize_corpus_parallel
 
-    # 1M docs/sf so the parallel fraction dominates fixed scheduler
+    # 2.5M docs/sf so the parallel fraction dominates fixed scheduler
     # latency (at ~8k docs the whole pipeline runs in ~10s and the
     # scaling measurement reads Ray's constant overheads, not the
-    # engine). chunk=500 -> 200+ parquet shards keep every CPU busy.
-    num_docs = max(200, int(1_000_000 * sf))
+    # engine; measured fixed cost is ~12s per run).
+    # chunk=500 -> hundreds of parquet shards keep every CPU busy.
+    num_docs = max(200, int(2_500_000 * sf))
     return materialize_corpus_parallel(
         f"/tmp/tkb_bench_corpus_{num_docs}",
         num_docs=num_docs,

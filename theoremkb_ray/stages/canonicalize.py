@@ -119,16 +119,17 @@ def dedup_pairs(pairs_ds, coarse: int = 64):
     )
 
 
-def candidate_pairs(band_ds, cap: int = 50, dedup: bool = False):
+def candidate_pairs(band_ds, cap: int = 50, dedup: bool = True):
     """Coarse-keyed bucket groupby -> verified near-dup edges
-    (a, b, confidence). See dedup.pairs_from_bands for why the shuffle
-    key is coarse, not the raw LSH bucket.
+    (a, b, confidence), deduplicated across bands by default.
 
-    A pair surfaces in up to NUM_BANDS bands; by default the duplicate
-    edges are KEPT — union-find and min-label propagation are
-    idempotent, and the dedup shuffle costs more than the duplicates
-    do (measured ~11 s of pure shuffle latency at 110k docs). Pass
-    dedup=True when the consumer needs distinct edges."""
+    A pair surfaces in up to NUM_BANDS bands. Keeping the duplicates
+    is semantically fine (union-find / min-label propagation are
+    idempotent) and skips one shuffle — but it inflates the SERIAL
+    driver-side edge collect + union-find 16x, which measurably hurts
+    scaling efficiency as the corpus grows. The parallel dedup shuffle
+    wins; dedup=False exists for pipelines that keep the edges
+    distributed end-to-end."""
     from .dedup import pairs_from_bands
 
     pairs = pairs_from_bands(band_ds, cap=cap)
