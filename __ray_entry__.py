@@ -102,13 +102,34 @@ def _kg_results(sf_dir: str):
 
 
 def _docs_segment(sf_dir: str):
-    """Naive segmenter over the driver documents table (adapter path)."""
-    from theoremkb_ray.pipelines.kg import results_dataset
-    from theoremkb_ray.sources.corpus import corpus_from_documents
+    """Segmentation over the driver documents table (adapter path):
+    per-document line/span statistics. The documents text contains no
+    theorem markup, so span counts are expected to be 0 — the row-per-
+    document output proves the adapter + tokenizer + segmenter ran."""
+    import numpy as np
+    import pyarrow as pa
 
-    return results_dataset(
-        corpus_from_documents(sf_dir), segmenter="naive", verify_sha=False
-    ).select_columns(["doc_id", "kind", "name"])
+    from theoremkb_ray.sources.corpus import corpus_from_documents
+    from theoremkb_ray.stages.ingest import ingest
+    from theoremkb_ray.stages.segment import segment_naive
+    from theoremkb_ray.stages.tokenize import tokenize
+
+    ds = segment_naive(tokenize(ingest(corpus_from_documents(sf_dir), verify=False)))
+
+    def stats(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_lines = pc.list_value_length(b["lines"])
+        n_spans = pc.list_value_length(b["spans"])
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_lines": pc.cast(n_lines, pa.int64()),
+                "n_spans": pc.cast(n_spans, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
 
 
 def _minhash_dedup_docs(sf_dir: str):
