@@ -220,10 +220,24 @@ def _embedding_dups(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    canon = dup_assignments(embedding_dup_edges(ds, dim=dim))
+    n_vecs = ds.count()
+    canon = dup_assignments(
+        embedding_dup_edges(
+            rd.read_parquet(
+                f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"],
+            ),
+            dim=dim,
+        )
+    )
+    # summary row first (always non-empty), then one row per dup
     items = sorted(canon.items())
     return pd.DataFrame(
-        {"vec_id": [k for k, _ in items], "canonical": [v for _, v in items]}
+        {
+            "vec_id": ["_summary"] + [k for k, _ in items],
+            "canonical": [f"n_vectors={n_vecs};n_dups={len(items)}"]
+            + [v for _, v in items],
+        }
     )
 
 
