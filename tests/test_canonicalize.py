@@ -56,3 +56,51 @@ def test_dedup_pairs():
     out = dedup_pairs(rd.from_arrow(t)).to_pandas()
     assert len(out) == 3
     assert set(zip(out["a"], out["b"])) == {("x", "z"), ("x", "w"), ("y", "z")}
+
+
+def _triples_tbl():
+    return pa.table(
+        {
+            "subject": pa.array(["b", "q", "y", "d"]),
+            "predicate": pa.array(["cites"] * 4),
+            "object": pa.array(["c", "x", "q", "z"]),
+            "confidence": pa.array([1.0] * 4),
+            "provenance": pa.array(["t"] * 4),
+        }
+    )
+
+
+def test_canonicalize_triples_paths_identical():
+    """All three physical plans (driver union-find + broadcast,
+    distributed CC + broadcast, distributed CC + hash-join rewrite)
+    produce the same rewritten triples."""
+    from theoremkb_ray.stages.canonicalize import canonicalize_triples
+
+    def run(edge_threshold, map_broadcast_max):
+        out = canonicalize_triples(
+            rd.from_arrow(_triples_tbl()),
+            rd.from_arrow(_edges_tbl()),
+            edge_threshold=edge_threshold,
+            map_broadcast_max=map_broadcast_max,
+        ).to_pandas()
+        return sorted(zip(out["subject"], out["predicate"], out["object"]))
+
+    local = run(10**6, 10**6)
+    dist_broadcast = run(0, 10**6)
+    dist_join = run(0, 0)
+    # {a,b,c,d} -> a; {x,y} -> x; q untouched
+    assert local == sorted(
+        [("a", "cites", "a"), ("q", "cites", "x"),
+         ("x", "cites", "q"), ("a", "cites", "z")]
+    )
+    assert dist_broadcast == local
+    assert dist_join == local
+
+
+def test_distributed_cc_raises_when_not_converged():
+    import pytest
+
+    nodes = [f"n{i:02d}" for i in range(12)]
+    t = pa.table({"a": pa.array(nodes[1:]), "b": pa.array(nodes[:-1])})
+    with pytest.raises(RuntimeError, match="not stable"):
+        connected_components_distributed(rd.from_arrow(t), max_iters=2)

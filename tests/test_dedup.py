@@ -98,7 +98,10 @@ def test_simhash_finds_near_identical():
 
 def test_ngram_jaccard_exact_verify():
     t = _docs()
-    edges = ngram_jaccard_edges(rd.from_arrow(t), threshold=0.6)
+    # ngram_jaccard_edges is distributed end-to-end: returns a Dataset
+    edges = pa.Table.from_pandas(
+        ngram_jaccard_edges(rd.from_arrow(t), threshold=0.6).to_pandas()
+    )
     pairs = set(zip(edges["a"].to_pylist(), edges["b"].to_pylist()))
     assert ("d000", "x000") in pairs or ("x000", "d000") in pairs
     js = edges["jaccard"].to_pylist()
@@ -135,3 +138,29 @@ def test_embedding_dup_edges():
         or canon.get(f"v{i:03d}") == f"w{i:03d}"
     )
     assert hit >= 4
+
+
+def test_dup_assignments_distributed_matches_local():
+    """Above-threshold routing (forced with threshold=0) produces the
+    exact same assignments as the driver union-find path."""
+    t = _docs()
+    edges = minhash_dup_edges(rd.from_arrow(t))
+    local = dup_assignments(edges, distributed_threshold=10**9)
+    dist = dup_assignments(edges, distributed_threshold=0)
+    assert dist == local
+
+
+def test_dedup_by_edges_matches_minhash_dedup():
+    from theoremkb_ray.stages.dedup import dedup_by_edges, minhash_dedup
+
+    t = _docs()
+    broadcast_ids = sorted(
+        minhash_dedup(rd.from_arrow(t)).to_pandas()["doc_id"]
+    )
+    joined_ids = sorted(
+        dedup_by_edges(
+            rd.from_arrow(t), minhash_dup_edges(rd.from_arrow(t))
+        ).to_pandas()["doc_id"]
+    )
+    assert joined_ids == broadcast_ids
+    assert len(joined_ids) < t.num_rows  # something was actually dropped

@@ -1,0 +1,55 @@
+"""Join strategy equivalence: broadcast vs distributed shuffle paths."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def _sorted_df(ds) -> pd.DataFrame:
+    df = ds.to_pandas()
+    return (
+        df.sort_values(list(df.columns))
+        .reset_index(drop=True)
+        .astype(str)
+    )
+
+
+def test_semi_join_shuffle_matches_broadcast():
+    from theoremkb_ray.pipelines.relational import q_semi_join
+
+    b = _sorted_df(q_semi_join(SF_DIR, shuffle=False))
+    s = _sorted_df(q_semi_join(SF_DIR, shuffle=True))
+    pd.testing.assert_frame_equal(b, s)
+
+
+def test_anti_join_shuffle_matches_broadcast():
+    from theoremkb_ray.pipelines.relational import q_anti_join
+
+    b = _sorted_df(q_anti_join(SF_DIR, shuffle=False))
+    s = _sorted_df(q_anti_join(SF_DIR, shuffle=True))
+    pd.testing.assert_frame_equal(b, s)
+
+
+def test_hash_join_semi_anti_small():
+    """semi + anti partition the left side exactly."""
+    from theoremkb_ray.stages.joins import hash_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4, 5]), "v": pa.array(list("abcde"))})
+    )
+    right = rd.from_arrow(pa.table({"k": pa.array([2, 4, 9])}))
+    semi = hash_join(left, right, on=["k"], how="semi").to_pandas()
+    anti = hash_join(left, right, on=["k"], how="anti").to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    assert sorted(anti["k"]) == [1, 3, 5]
+    assert len(semi) + len(anti) == 5

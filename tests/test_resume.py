@@ -89,3 +89,38 @@ def test_partial_results_checkpoint_fills_pending(corpus_dir, tmp_path):
     )
     assert checkpoint_complete(ckpt, 32)
     assert read_checkpoint(ckpt).count() == total
+
+
+def test_resume_rejects_lineage_mismatch(corpus_dir, tmp_path):
+    """A checkpoint dir written from one corpus/segmenter must not be
+    silently reused by a run with different inputs (ADVICE r1)."""
+    out = str(tmp_path / "store")
+    ckpt = str(tmp_path / "results_ckpt")
+    run_kg(
+        f"{corpus_dir}/corpus.parquet",
+        out,
+        segmenter="naive",
+        canonicalize=False,
+        num_partitions=4,
+        results_checkpoint=ckpt,
+    )
+    # same checkpoint dir, different segmenter -> refuse
+    with pytest.raises(ValueError, match="lineage mismatch"):
+        run_kg(
+            f"{corpus_dir}/corpus.parquet",
+            str(tmp_path / "store2"),
+            segmenter="crf",
+            canonicalize=False,
+            num_partitions=4,
+            results_checkpoint=ckpt,
+        )
+    # same checkpoint dir, different corpus path -> refuse
+    with pytest.raises(ValueError, match="lineage mismatch"):
+        run_kg(
+            f"{corpus_dir}/does_not_exist.parquet",
+            str(tmp_path / "store3"),
+            segmenter="naive",
+            canonicalize=False,
+            num_partitions=4,
+            results_checkpoint=ckpt,
+        )

@@ -229,3 +229,27 @@ def test_balance_window_training_payload(gold100):
     ).to_pandas()
     assert sampled["n_lines"].sum() <= full["n_lines"].sum()
     assert sampled["n_lines"].sum() > 0
+
+
+def test_viterbi_batch_composition_independent():
+    """A doc's decoded tags must not depend on which docs share its
+    batch (padding past a doc's real length must not leak T[s, O] into
+    the choice of its final state)."""
+    import numpy as np
+
+    from theoremkb_ray.schema import N_TAGS
+    from theoremkb_ray.stages.crf import N_FEATS, LinearChainTagger
+
+    rng = np.random.RandomState(3)
+    m = LinearChainTagger(
+        rng.randn(N_TAGS, N_FEATS), rng.randn(N_TAGS, N_TAGS)
+    )
+    lens = [1, 23, 7, 2, 40]
+    off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    X = rng.rand(off[-1], N_FEATS) > 0.5
+    joint = m.decode_batch(X, off)
+    for i, L in enumerate(lens):
+        solo = m.decode_batch(
+            X[off[i] : off[i + 1]], np.array([0, L], dtype=np.int64)
+        )
+        assert np.array_equal(solo, joint[off[i] : off[i + 1]])

@@ -123,30 +123,47 @@ def test_export_graph_csv(tmp_path):
     extra = pa.table(
         {
             "subject": pa.array(
-                ["org/r1/f.tex@abc#theorem 1.1", "org/r2/f.tex@abc#theorem 2.1"]
+                [
+                    "org/r1/f.tex@abc#theorem 1.1",
+                    "org/r3/f.tex@abc#lemma 2.2",
+                    "org/r2/f.tex@abc#theorem 2.1",
+                ]
             ),
-            "predicate": pa.array(["cites", "proved_by"]),
+            "predicate": pa.array(["cites", "cites", "proved_by"]),
             "object": pa.array(
-                ["org/r9/g.tex@def#lemma 3.1", "org/r2/f.tex@abc#proof 4"]
+                [
+                    "org/r9/g.tex@def#lemma 3.1",
+                    "org/r3/f.tex@abc#theorem 1.1",
+                    "org/r2/f.tex@abc#proof 4",
+                ]
             ),
-            "confidence": pa.array([1.0, 1.0]),
-            "provenance": pa.array(["t", "t"]),
+            "confidence": pa.array([1.0, 1.0, 1.0]),
+            "provenance": pa.array(
+                [
+                    "mention.extra|n=2|tag=[12]",
+                    "mention.intra|n=5",
+                    "stitch",
+                ]
+            ),
         }
     )
     ds = rd.from_arrow(pa.concat_tables([t, extra]))
     materialize_triples(ds, out, num_partitions=4, resume=False)
     counts = export_graph_csv(out, str(tmp_path / "csv"))
     assert counts["nodes"] == 60 and counts["edges"] == 2
+    assert counts["proved_by"] == 1
     import pandas as pd
 
     edge_files = glob.glob(str(tmp_path / "csv" / "graph_intra_extra" / "*"))
     edges = pd.concat([pd.read_csv(f) for f in edge_files])
-    assert set(edges.columns) == {
-        "pdf_from", "theorem_in", "theorem_ref", "intra", "ref_tag",
-    }
-    by_tag = edges.set_index("ref_tag")
-    assert bool(by_tag.loc["cites", "intra"]) is False
-    assert bool(by_tag.loc["proved_by", "intra"]) is True
+    # exact reference header shape (extract_graph.py:305-307)
+    assert list(edges.columns) == [
+        "pdf_from", "nres_in", "theorem_in", "theorem_ref", "intra", "ref_tag",
+    ]
+    ex = edges[~edges["intra"]].iloc[0]
+    assert ex["nres_in"] == 2 and ex["ref_tag"] == "[12]"
+    intra_row = edges[edges["intra"]].iloc[0]
+    assert intra_row["nres_in"] == 5 and pd.isna(intra_row["ref_tag"])
 
 
 def test_detect_skewed_repos():

@@ -90,16 +90,14 @@ def triples_from_materialized_results(
         from ..stages.canonicalize import (
             BandEmitter,
             candidate_pairs,
-            canonical_map,
-            rewrite_triples,
+            canonicalize_triples,
         )
 
         bands = results.map_batches(
             BandEmitter(), batch_format="pyarrow", batch_size=1024
         )
         edges = candidate_pairs(bands)
-        canon = canonical_map(edges)
-        triples = rewrite_triples(triples, canon)
+        triples = canonicalize_triples(triples, edges)
     return triples
 
 
@@ -129,9 +127,16 @@ def run_kg(
         checkpoint_complete,
         checkpoint_dataset,
         read_checkpoint,
+        validate_checkpoint_lineage,
     )
 
     ckpt_parts = 32
+    # the lineage id covers everything that determines the checkpoint's
+    # content: resuming the same dir with a different corpus or
+    # segmenter raises instead of silently serving stale results
+    lineage_id = f"{corpus_path}|segmenter={segmenter}"
+    if results_checkpoint:
+        validate_checkpoint_lineage(results_checkpoint, "results", lineage_id)
     if (
         results_checkpoint
         and resume
@@ -149,7 +154,7 @@ def run_kg(
                 num_partitions=ckpt_parts,
                 resume=resume,
                 stage="results",
-                lineage=corpus_path,
+                lineage=lineage_id,
             )
     triples = triples_from_materialized_results(
         results, links_tbl=links_tbl, canonicalize=canonicalize

@@ -162,19 +162,29 @@ GROUP BY o_orderstatus
 """
 
 
-def q_semi_join(sf_dir: str):
-    """J2/J3 semi-join: customers having orders, per nation."""
+def q_semi_join(sf_dir: str, shuffle: bool = False):
+    """J2/J3 semi-join: customers having orders, per nation.
+
+    ``shuffle=True`` takes the DISTRIBUTED path (hash-partitioned
+    ``Dataset.join`` with join_type=left_semi) — the fallback for a key
+    side too large to collect + broadcast; the default broadcast path
+    is the right plan while the distinct key side is small."""
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     keys = (
         _pq(sf_dir, "orders", ["o_custkey"])
         .groupby("o_custkey")
         .count()
         .select_columns(["o_custkey"])
-        .to_pandas()
     )
-    out = broadcast_join(
-        cust, keys, on=["c_custkey"], right_on=["o_custkey"], how="semi"
-    )
+    if shuffle:
+        out = hash_join(
+            cust, keys, on=["c_custkey"], right_on=["o_custkey"], how="semi"
+        )
+    else:
+        out = broadcast_join(
+            cust, keys.to_pandas(), on=["c_custkey"], right_on=["o_custkey"],
+            how="semi",
+        )
     return out.groupby("c_nationkey").aggregate(Count(alias_name="n"))
 
 
@@ -185,8 +195,11 @@ GROUP BY c_nationkey
 """
 
 
-def q_anti_join(sf_dir: str):
-    """M24 anti-join: customers with NO high-value order, per segment."""
+def q_anti_join(sf_dir: str, shuffle: bool = False):
+    """M24 anti-join: customers with NO high-value order, per segment.
+
+    ``shuffle=True``: distributed left_anti ``Dataset.join`` (see
+    :func:`q_semi_join`)."""
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     keys = (
         _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -197,11 +210,16 @@ def q_anti_join(sf_dir: str):
         .groupby("o_custkey")
         .count()
         .select_columns(["o_custkey"])
-        .to_pandas()
     )
-    out = broadcast_join(
-        cust, keys, on=["c_custkey"], right_on=["o_custkey"], how="anti"
-    )
+    if shuffle:
+        out = hash_join(
+            cust, keys, on=["c_custkey"], right_on=["o_custkey"], how="anti"
+        )
+    else:
+        out = broadcast_join(
+            cust, keys.to_pandas(), on=["c_custkey"], right_on=["o_custkey"],
+            how="anti",
+        )
     return out.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
 
 

@@ -171,21 +171,31 @@ def materialize_triples(
     return out.materialize()
 
 
+_RE_PROV_N = re.compile(r"\|n=(\d+)")
+_RE_PROV_TAG = re.compile(r"\|tag=(.*)$")
+
+
 def export_graph_csv(store_dir: str, out_dir: str) -> dict[str, int]:
     """Export the triple store in the REFERENCE'S output shape
-    (reference: Styling/tools/theoremdb/extract_graph.py:298-307):
+    (reference: Styling/tools/theoremdb/extract_graph.py:274-307
+    ``extract_links`` rows + ``save_graph`` headers):
 
     - ``graph_results.csv``  — node table ``(pdf_from, result)``
       from the ``states`` triples;
-    - ``graph_intra_extra.csv`` — edge table ``(pdf_from, theorem_in,
-      theorem_ref, intra, ref_tag)`` from ``cites``/``proved_by``
-      triples (intra = same-document reference).
+    - ``graph_intra_extra.csv`` — edge table ``(pdf_from, nres_in,
+      theorem_in, theorem_ref, intra, ref_tag)`` from the ``cites``
+      triples: ``nres_in`` = the source result's per-document ordinal
+      and ``ref_tag`` = the citation tag (empty for intra rows) — both
+      carried in the triples' provenance (``|n=..|tag=..``), matching
+      the reference's ``(pdfname, n, n2res[n], thm, intra, ref)`` rows;
+    - ``graph_proved_by.csv`` — engine extension ``(pdf_from, theorem,
+      proof)`` (the reference folds proofs into their theorem rather
+      than emitting them as edges).
 
-    A user of the reference can consume these files unchanged. Each
-    output is a directory of CSV shards (``Dataset.write_csv``);
-    returns row counts."""
+    A consumer of the reference's files can read the first two
+    unchanged. Each output is a directory of CSV shards
+    (``Dataset.write_csv``); returns row counts."""
     import pyarrow.compute as pc2
-    import ray.data as rd
 
     ds = read_triples(store_dir)
 
@@ -196,32 +206,53 @@ def export_graph_csv(store_dir: str, out_dir: str) -> dict[str, int]:
         )
 
     def to_edges(b: pa.Table) -> pa.Table:
-        b = b.filter(pc2.not_equal(b["predicate"], "states"))
+        b = b.filter(pc2.equal(b["predicate"], "cites"))
         subs = b["subject"].to_numpy(zero_copy_only=False)
         objs = b["object"].to_numpy(zero_copy_only=False)
-        preds = b["predicate"].to_numpy(zero_copy_only=False)
+        provs = b["provenance"].to_numpy(zero_copy_only=False)
         doc_of = lambda e: e.split("#", 1)[0]  # noqa: E731
         pdf_from = np.array([doc_of(s) for s in subs], dtype=object)
         intra = np.array(
             [doc_of(s) == doc_of(o) for s, o in zip(subs, objs)]
         )
+        nres, tags = [], []
+        for p in provs:
+            mn = _RE_PROV_N.search(p)
+            nres.append(int(mn.group(1)) if mn else 0)
+            mt = _RE_PROV_TAG.search(p)
+            tags.append(mt.group(1) if mt else "")
         return pa.table(
             {
                 "pdf_from": pa.array(pdf_from, pa.string()),
+                "nres_in": pa.array(nres, pa.int64()),
                 "theorem_in": b["subject"],
                 "theorem_ref": b["object"],
                 "intra": pa.array(intra),
-                "ref_tag": pa.array(list(preds), pa.string()),
+                "ref_tag": pa.array(tags, pa.string()),
+            }
+        )
+
+    def to_proofs(b: pa.Table) -> pa.Table:
+        b = b.filter(pc2.equal(b["predicate"], "proved_by"))
+        subs = b["subject"].to_numpy(zero_copy_only=False)
+        pdf_from = np.array([s.split("#", 1)[0] for s in subs], dtype=object)
+        return pa.table(
+            {
+                "pdf_from": pa.array(pdf_from, pa.string()),
+                "theorem": b["subject"],
+                "proof": b["object"],
             }
         )
 
     os.makedirs(out_dir, exist_ok=True)
     nodes = ds.map_batches(to_nodes, batch_format="pyarrow")
     edges = ds.map_batches(to_edges, batch_format="pyarrow")
-    n_nodes, n_edges = nodes.count(), edges.count()
+    proofs = ds.map_batches(to_proofs, batch_format="pyarrow")
+    n_nodes, n_edges, n_proofs = nodes.count(), edges.count(), proofs.count()
     nodes.write_csv(os.path.join(out_dir, "graph_results"))
     edges.write_csv(os.path.join(out_dir, "graph_intra_extra"))
-    return {"nodes": n_nodes, "edges": n_edges}
+    proofs.write_csv(os.path.join(out_dir, "graph_proved_by"))
+    return {"nodes": n_nodes, "edges": n_edges, "proved_by": n_proofs}
 
 
 def read_triples(out_dir: str):

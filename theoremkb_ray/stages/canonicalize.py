@@ -187,14 +187,39 @@ def connected_components_local(edges: pa.Table) -> dict[str, str]:
     return {x: find(x) for x in set(a) | set(b)}
 
 
-def connected_components_distributed(edges_ds, max_iters: int = 8):
+def _label_checksum(lds) -> int:
+    """EXACT label-multiset checksum: per-batch wrap-around uint64 sum
+    of label hashes, combined exactly on the driver with Python ints.
+    (A float64 sum would discard the low ~11 bits of each 64-bit hash,
+    leaving a false-convergence window.)"""
+
+    def h(b: pa.Table) -> pa.Table:
+        s = hash_strings(b["label"].to_numpy(zero_copy_only=False))
+        part = int(s.sum(dtype=np.uint64))  # exact mod 2^64
+        return pa.table({"h": pa.array([str(part)], pa.string())})
+
+    total = 0
+    for b in lds.map_batches(h, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for v in b["h"].to_pylist():
+            total = (total + int(v)) & 0xFFFFFFFFFFFFFFFF
+    return total
+
+
+def connected_components_distributed(
+    edges_ds, max_iters: int = 64
+):
     """Min-label propagation with hash-partitioned joins.
 
     labels(v) <- min(labels(v), min over neighbors u of labels(u)),
     iterated until the label-multiset checksum is stable. Per round:
     one Dataset.join (edges |x| labels on node) + one groupby-Min —
     two keyed exchanges over edge-sized data, NO per-node task
-    granularity. Components of diameter d converge in <= d rounds.
+    granularity. Components of diameter d converge in <= d rounds;
+    the loop runs UNTIL the exact checksum is stable and raises if
+    ``max_iters`` rounds pass without convergence (a silent exit would
+    return split components = wrong canonical ids).
     Returns a Dataset (node, label)."""
     from ray.data.aggregate import Min
 
@@ -223,16 +248,6 @@ def connected_components_distributed(edges_ds, max_iters: int = 8):
         .materialize()
     )
 
-    def checksum(lds) -> int:
-        def h(b: pa.Table) -> pa.Table:
-            s = hash_strings(
-                b["label"].to_numpy(zero_copy_only=False)
-            ).astype(np.float64)
-            return pa.table({"h": pa.array([float(s.sum())])})
-
-        agg = lds.map_batches(h, batch_format="pyarrow").sum("h")
-        return int(agg) if agg is not None else 0
-
     # join partition count bounded by cluster CPUs: Dataset.join spawns
     # one aggregator actor per partition, and a partition count above
     # the CPU count deadlocks a small cluster (aggregators reserve the
@@ -240,7 +255,8 @@ def connected_components_distributed(edges_ds, max_iters: int = 8):
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     n_parts = max(2, min(16, ncpu // 2))
 
-    prev = checksum(labels)
+    prev = _label_checksum(labels)
+    converged = False
     for _ in range(max_iters):
         # label of each edge's node, delivered to its neighbor
         joined = E.join(
@@ -260,10 +276,17 @@ def connected_components_distributed(edges_ds, max_iters: int = 8):
             .aggregate(Min("cand", alias_name="label"))
             .materialize()
         )
-        cur = checksum(labels)
+        cur = _label_checksum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_distributed: labels not stable after "
+            f"{max_iters} rounds (component diameter > {max_iters}?); "
+            "refusing to return possibly-split components"
+        )
     return labels
 
 
@@ -339,3 +362,93 @@ def rewrite_triples(triples_ds, canon: dict[str, str], concurrency=None):
         batch_format="pyarrow",
         batch_size=8192,
     )
+
+
+def canonical_map_ds(edges_ds):
+    """edges Dataset -> mapping Dataset (node, label), non-identity rows
+    only — the fully distributed form of :func:`canonical_map` (nothing
+    funnels through the driver)."""
+    labels = connected_components_distributed(edges_ds)
+    return labels.map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b["node"], b["label"]))),
+        batch_format="pyarrow",
+    )
+
+
+def rewrite_triples_join(triples_ds, mapping_ds, num_partitions: int | None = None):
+    """Rewrite subject/object via PARTITIONED HASH JOINS — the fallback
+    for a canonical map too large to broadcast (at 100x corpus scale
+    the map itself can exceed driver/worker memory; a broadcast dict
+    would OOM every worker). Two left-outer ``Dataset.join``s (subject,
+    then object) + a coalesce; partition count bounded by cluster CPUs
+    (the documented aggregator-actor deadlock guard)."""
+    if num_partitions is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(2, min(16, ncpu // 2))
+
+    mapping = mapping_ds.materialize()
+
+    def coalesce(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            new = pc.coalesce(b["label"], b[col])
+            b = b.set_column(b.column_names.index(col), col, new)
+            # Ray's join may or may not retain the right key column
+            return b.drop_columns(
+                [c for c in ("node", "label") if c in b.column_names]
+            )
+
+        return fn
+
+    subj_keyed = triples_ds.join(
+        mapping,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("subject",),
+        right_on=("node",),
+    ).map_batches(coalesce("subject"), batch_format="pyarrow")
+    return subj_keyed.join(
+        mapping,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("object",),
+        right_on=("node",),
+    ).map_batches(coalesce("object"), batch_format="pyarrow")
+
+
+def canonicalize_triples(
+    triples_ds,
+    edges_ds,
+    edge_threshold: int = 5_000_000,
+    map_broadcast_max: int = 2_000_000,
+):
+    """End-to-end canonicalization with scale-adaptive physical plans:
+
+    - edges <= ``edge_threshold``: driver union-find (exact, cheap) +
+      broadcast rewrite;
+    - edges above, mapping <= ``map_broadcast_max``: distributed
+      min-label propagation, mapping collected + broadcast rewrite;
+    - both large: distributed CC + partitioned hash-join rewrite —
+      NOTHING corpus-sized ever reaches the driver.
+    """
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return triples_ds
+    if n_edges <= edge_threshold:
+        tbl = _collect(edges_ds)
+        canon = {
+            k: v
+            for k, v in connected_components_local(tbl).items()
+            if k != v
+        }
+        return rewrite_triples(triples_ds, canon)
+    mapping = canonical_map_ds(edges_ds).materialize()
+    if mapping.count() <= map_broadcast_max:
+        canon = {}
+        for b in mapping.iter_batches(batch_format="pyarrow"):
+            for n_, l_ in zip(
+                b["node"].to_pylist(), b["label"].to_pylist()
+            ):
+                canon[n_] = l_
+        return rewrite_triples(triples_ds, canon)
+    return rewrite_triples_join(triples_ds, mapping)

@@ -114,6 +114,14 @@ class LinearChainTagger:
         dp = emit[:, 0].copy()  # (docs, S)
         bp = np.zeros((n_docs, Tmax, S), dtype=np.int8)
         Tt = self.T  # (S_prev, S_next)
+        # dp at each doc's LAST REAL timestep — backtracking must start
+        # from argmax of this, never from the O-padded tail, so that a
+        # doc's tags are identical regardless of batch composition
+        # (padding would otherwise add T[s, O] into the choice of the
+        # final real state for docs shorter than the batch Tmax).
+        final_dp = np.empty_like(dp)
+        done0 = lengths == 1
+        final_dp[done0] = dp[done0]
         for t in range(1, Tmax):
             # scores (docs, S_prev, S_next)
             sc = dp[:, :, None] + Tt[None, :, :]
@@ -122,18 +130,21 @@ class LinearChainTagger:
                 :, 0, :
             ] + emit[:, t]
             bp[:, t] = best_prev
-        # backtrack
+            at_end = lengths == t + 1
+            if at_end.any():
+                final_dp[at_end] = dp[at_end]
+        # backtrack, vectorized over docs: each doc enters the trace at
+        # its own final real timestep with its own argmax state
         tags = np.zeros((n_docs, Tmax), dtype=np.int32)
-        last = dp.argmax(axis=1)
-        for d in range(n_docs):
-            L = lengths[d]
-            # best state at the LAST REAL position: padded tail is all O
-            # with zero transitions, so argmax at Tmax is valid to trace
-            cur = last[d]
-            for t in range(Tmax - 1, -1, -1):
-                if t < L:
-                    tags[d, t] = cur
-                cur = bp[d, t, cur]
+        last = final_dp.argmax(axis=1).astype(np.int32)
+        cur = np.zeros(n_docs, dtype=np.int32)
+        rows = np.arange(n_docs)
+        for t in range(Tmax - 1, -1, -1):
+            starting = lengths == t + 1
+            cur = np.where(starting, last, cur)
+            active = lengths > t
+            tags[active, t] = cur[active]
+            cur = np.where(active, bp[rows, t, cur], cur)
         return tags[idx_doc, idx_t].astype(np.int32)
 
     # ------------------------------------------------------------- train

@@ -248,34 +248,94 @@ def minhash_dup_edges(
     )
 
 
-def dup_assignments(edges_ds) -> dict[str, str]:
-    """Edge Dataset -> {id: canonical_id} (identity entries omitted)."""
-    tbl = _collect(edges_ds)
-    if tbl.num_rows == 0:
+def dup_assignments(
+    edges_ds, distributed_threshold: int = 5_000_000
+) -> dict[str, str]:
+    """Edge Dataset -> {id: canonical_id} (identity entries omitted).
+
+    Same scale gate as ``canonicalize.canonical_map``: a small edge set
+    is union-found on the driver; above the threshold the components
+    come from distributed min-label propagation and only the (far
+    smaller) non-identity mapping is collected. For a mapping too big
+    even for that, use :func:`dup_assignments_ds` + a distributed
+    anti-join (:func:`dedup_by_edges`)."""
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
         return {}
-    return {
-        k: v
-        for k, v in connected_components_local(tbl).items()
-        if k != v
-    }
+    if n_edges <= distributed_threshold:
+        tbl = _collect(edges_ds)
+        return {
+            k: v
+            for k, v in connected_components_local(tbl).items()
+            if k != v
+        }
+    out: dict[str, str] = {}
+    for b in dup_assignments_ds(edges_ds).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for n_, l_ in zip(b["node"].to_pylist(), b["label"].to_pylist()):
+            out[n_] = l_
+    return out
 
 
-def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id", **kw):
+def dup_assignments_ds(edges_ds):
+    """Edge Dataset -> mapping Dataset (node, label), non-identity rows
+    only; fully distributed (nothing edge- or corpus-sized reaches the
+    driver)."""
+    from .canonicalize import canonical_map_ds
+
+    return canonical_map_ds(edges_ds)
+
+
+def minhash_dedup(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    distributed_threshold: int = 5_000_000,
+    **kw,
+):
     """Keep one representative (min id) per near-duplicate component."""
     import ray
 
     from ..state.broadcast import get_broadcast
 
-    canon = dup_assignments(minhash_dup_edges(ds, col, id_col, **kw))
-    dup_ref = ray.put(set(canon.keys()))
+    canon = dup_assignments(
+        minhash_dup_edges(ds, col, id_col, **kw),
+        distributed_threshold=distributed_threshold,
+    )
+    dup_ref = ray.put(pa.array(sorted(canon.keys()), pa.string()))
 
     def drop(b: pa.Table) -> pa.Table:
         dups = get_broadcast(dup_ref)
-        ids = pc.cast(b[id_col], pa.string()).to_numpy(zero_copy_only=False)
-        keep = pa.array([i not in dups for i in ids])
+        ids = pc.cast(b[id_col], pa.string())
+        keep = pc.invert(pc.is_in(ids, value_set=dups))
         return b.filter(keep)
 
     return ds.map_batches(drop, batch_format="pyarrow")
+
+
+def dedup_by_edges(ds, edges_ds, id_col: str = "doc_id"):
+    """Distributed end-to-end dedup: drop every non-canonical id via a
+    partitioned ANTI-join against the mapping Dataset — the path for a
+    duplicate set too large to broadcast (nothing reaches the driver)."""
+    import ray
+
+    mapping = dup_assignments_ds(edges_ds).materialize()
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    n_parts = max(2, min(16, ncpu // 2))
+
+    def cast_id(b: pa.Table) -> pa.Table:
+        idx = b.column_names.index(id_col)
+        return b.set_column(idx, id_col, pc.cast(b[id_col], pa.string()))
+
+    return ds.map_batches(cast_id, batch_format="pyarrow").join(
+        mapping.select_columns(["node"]),
+        join_type="left_anti",
+        num_partitions=n_parts,
+        on=(id_col,),
+        right_on=("node",),
+    )
 
 
 # --------------------------------------------------------------- simhash
@@ -351,6 +411,43 @@ class NgramSetStore:
         return np.unique(hash_strings(grams))
 
 
+class JaccardVerifier:
+    """Actor-pool callable: candidate pair rows -> verified edges.
+
+    The id -> n-gram-set map (bounded: only ids that appear in some
+    candidate pair) is fetched from the object store ONCE per actor;
+    per pair the intersection is a C-level ``np.intersect1d``."""
+
+    def __init__(self, gmap_ref, threshold: float) -> None:
+        import ray
+
+        self.gmap: dict[str, np.ndarray] = ray.get(gmap_ref)
+        self.threshold = threshold
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        a_in = b["a"].to_numpy(zero_copy_only=False)
+        b_in = b["b"].to_numpy(zero_copy_only=False)
+        a_out, b_out, j_out = [], [], []
+        for a, b_ in zip(a_in, b_in):
+            ga, gb = self.gmap.get(a), self.gmap.get(b_)
+            if ga is None or gb is None or len(ga) == 0 or len(gb) == 0:
+                continue
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            union = len(ga) + len(gb) - inter
+            j = inter / union if union else 0.0
+            if j >= self.threshold:
+                a_out.append(a)
+                b_out.append(b_)
+                j_out.append(j)
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.string()),
+                "b": pa.array(b_out, pa.string()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+
 def ngram_jaccard_edges(
     ds,
     col: str = "text",
@@ -361,15 +458,32 @@ def ngram_jaccard_edges(
     """Candidates from MinHash-LSH; verification = EXACT char-n-gram
     Jaccard (the precise-but-costlier cousin of the hamming verify).
 
-    The text needed for exact verification is re-joined onto the pair
-    via a broadcast id->ngram-set map built from a projection of the
-    input (small side: only ids that appear in candidate pairs).
+    DISTRIBUTED end-to-end: the pair stream stays a Dataset (deduped
+    across bands by one coarse-keyed shuffle, verified in
+    ``map_batches``); the only driver-sized objects are the DISTINCT
+    candidate-id set and the id -> n-gram-set map built from it — both
+    bounded by the number of near-duplicate docs, not by the corpus or
+    the pair count. Returns a Dataset (a, b, jaccard).
     """
     import ray
 
-    cand = minhash_dup_edges(ds, col, id_col, max_hamming=64)  # no pre-filter
-    cand_tbl = _collect(cand)
-    need = set(cand_tbl["a"].to_pylist()) | set(cand_tbl["b"].to_pylist())
+    from .canonicalize import dedup_pairs
+
+    cand = dedup_pairs(
+        minhash_dup_edges(ds, col, id_col, max_hamming=64)  # no pre-filter
+    ).materialize()
+    need = set(cand.unique("a")) | set(cand.unique("b"))
+    if not need:
+        return cand.map_batches(
+            lambda b: pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     need_ref = ray.put(need)
 
     class GramEmitter:
@@ -395,6 +509,7 @@ def ngram_jaccard_edges(
                 }
             )
 
+    # gram map: computed distributed, collected bounded (|need| rows)
     grams_tbl = _collect(
         ds.map_batches(
             GramEmitter,
@@ -409,28 +524,13 @@ def ngram_jaccard_edges(
             grams_tbl["id"].to_pylist(), grams_tbl["grams"].to_pylist()
         )
     }
-    a_out, b_out, j_out = [], [], []
-    seen = set()
-    for a, b_ in zip(cand_tbl["a"].to_pylist(), cand_tbl["b"].to_pylist()):
-        if (a, b_) in seen:
-            continue
-        seen.add((a, b_))
-        ga, gb = gmap.get(a), gmap.get(b_)
-        if ga is None or gb is None or len(ga) == 0 or len(gb) == 0:
-            continue
-        inter = len(np.intersect1d(ga, gb, assume_unique=True))
-        union = len(ga) + len(gb) - inter
-        j = inter / union if union else 0.0
-        if j >= threshold:
-            a_out.append(a)
-            b_out.append(b_)
-            j_out.append(j)
-    return pa.table(
-        {
-            "a": pa.array(a_out, pa.string()),
-            "b": pa.array(b_out, pa.string()),
-            "jaccard": pa.array(j_out, pa.float64()),
-        }
+    gmap_ref = ray.put(gmap)
+    return cand.map_batches(
+        JaccardVerifier,
+        fn_constructor_args=(gmap_ref, threshold),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 4),
     )
 
 

@@ -36,7 +36,14 @@ def _extractor() -> MentionExtractor:
 def emit_triples_batch(
     batch: pa.Table, links_ref=None
 ) -> pa.Table:
-    """results batch -> triples batch (states, proved_by, cites)."""
+    """results batch -> triples batch (states, proved_by, cites).
+
+    states/proved_by emission is pure numpy string concatenation; only
+    the mention sweep (regex-bound by nature) and the per-mention link
+    lookup touch Python objects. Cites provenance carries
+    ``|n=<nres_in>`` and ``|tag=<cite_tag>`` so the graph-CSV export
+    can reproduce the reference's edge-table columns
+    (extract_graph.py:274-307)."""
     links: dict = get_broadcast(links_ref) if links_ref is not None else {}
 
     kind = batch["kind"].to_numpy(zero_copy_only=False)
@@ -44,56 +51,61 @@ def emit_triples_batch(
     eid = batch["entity_id"].to_numpy(zero_copy_only=False)
     target = batch["proof_target_name"].to_numpy(zero_copy_only=False)
 
-    subs: list[str] = []
-    preds: list[str] = []
-    objs: list[str] = []
-    provs: list[str] = []
+    def family(subs, pred: str, objs, provs) -> pa.Table:
+        n = len(subs)
+        prov_arr = (
+            pa.array([provs] * n, pa.string())
+            if isinstance(provs, str)
+            else pa.array(provs, pa.string())
+        )
+        return pa.table(
+            {
+                "subject": pa.array(subs, pa.string()),
+                "predicate": pa.array([pred] * n, pa.string()),
+                "object": pa.array(objs, pa.string()),
+                "confidence": pa.array(np.ones(n), pa.float64()),
+                "provenance": prov_arr,
+            }
+        )
 
     is_proof = kind == "proof"
-    for d, e in zip(doc[~is_proof], eid[~is_proof]):
-        subs.append(d)
-        preds.append(PRED_STATES)
-        objs.append(e)
-        provs.append("stitch")
+    # (doc, states, entity) — zero-loop column reuse
+    t_states = family(doc[~is_proof], PRED_STATES, eid[~is_proof], "stitch")
+    # (theorem, proved_by, proof) — vectorized entity-id concat
     has_t = is_proof & (target != "")
-    for d, e, t in zip(doc[has_t], eid[has_t], target[has_t]):
-        subs.append(entity_id(d, t))
-        preds.append(PRED_PROVED_BY)
-        objs.append(e)
-        provs.append("stitch")
+    p_subs = np.char.add(
+        np.char.add(doc[has_t].astype(str), "#"), target[has_t].astype(str)
+    )
+    t_proved = family(p_subs, PRED_PROVED_BY, eid[has_t], "stitch")
 
-    # mentions (intra + extra) via the shared extractor
+    # mentions (intra + extra) via the shared extractor (regex-bound);
+    # the per-mention link lookup stays a dict probe — mentions are
+    # ~100x fewer than lines, and the dict is broadcast once per worker
     m = _extractor()(batch)
     m_doc = m["doc_id"].to_numpy(zero_copy_only=False)
     m_src = m["src_entity"].to_numpy(zero_copy_only=False)
+    m_grp = m["src_group"].to_numpy(zero_copy_only=False)
     m_kind = m["kind"].to_numpy(zero_copy_only=False)
     m_num = m["num"].to_numpy(zero_copy_only=False)
     m_tag = m["cite_tag"].to_numpy(zero_copy_only=False)
+    c_subs: list[str] = []
+    c_objs: list[str] = []
+    c_provs: list[str] = []
     for i in range(len(m_doc)):
         if m_tag[i] == "":
-            subs.append(m_src[i])
-            preds.append(PRED_CITES)
-            objs.append(entity_id(m_doc[i], f"{m_kind[i]} {m_num[i]}"))
-            provs.append("mention.intra")
+            c_subs.append(m_src[i])
+            c_objs.append(entity_id(m_doc[i], f"{m_kind[i]} {m_num[i]}"))
+            c_provs.append(f"mention.intra|n={m_grp[i]}")
         else:
             to = links.get((m_doc[i], m_tag[i]))
             if to is None:
                 continue  # unresolvable citation tag -> dropped
-            subs.append(m_src[i])
-            preds.append(PRED_CITES)
-            objs.append(entity_id(to, f"{m_kind[i]} {m_num[i]}"))
-            provs.append("mention.extra")
+            c_subs.append(m_src[i])
+            c_objs.append(entity_id(to, f"{m_kind[i]} {m_num[i]}"))
+            c_provs.append(f"mention.extra|n={m_grp[i]}|tag={m_tag[i]}")
+    t_cites = family(c_subs, PRED_CITES, c_objs, c_provs)
 
-    n = len(subs)
-    return pa.table(
-        {
-            "subject": pa.array(subs, pa.string()),
-            "predicate": pa.array(preds, pa.string()),
-            "object": pa.array(objs, pa.string()),
-            "confidence": pa.array(np.ones(n), pa.float64()),
-            "provenance": pa.array(provs, pa.string()),
-        }
-    )
+    return pa.concat_tables([t_states, t_proved, t_cites])
 
 
 def emit_triples(results_ds, links_tbl: pa.Table | None = None, batch_size: int = 2048):

@@ -66,19 +66,46 @@ def broadcast_join(
     )
 
 
+#: logical -> Ray Dataset.join join_type
+_JOIN_TYPES = {
+    "inner": "inner",
+    "left": "left_outer",
+    "left_outer": "left_outer",
+    "right_outer": "right_outer",
+    "full_outer": "full_outer",
+    "semi": "left_semi",
+    "anti": "left_anti",
+}
+
+
+def _bounded_partitions(requested: int | None = None) -> int:
+    """Dataset.join spawns one aggregator ACTOR per partition; a count
+    at or above the cluster CPU count deadlocks a small cluster (the
+    aggregators reserve the slots the map tasks need). Cap by CPUs."""
+    ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    cap = max(2, min(16, ncpu // 2))
+    return min(requested, cap) if requested else cap
+
+
 def hash_join(
     left_ds,
     right_ds,
     on: list[str],
     right_on: list[str] | None = None,
     how: str = "inner",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ):
-    """Both-sides-large equi-join via Ray's hash-partitioned join."""
+    """Both-sides-large equi-join via Ray's hash-partitioned join.
+
+    ``how`` accepts inner/left/right_outer/full_outer plus semi/anti —
+    the DISTRIBUTED fallback for :func:`broadcast_join`'s semi/anti
+    when the key side is too large to collect and broadcast (the
+    existence filter runs inside Ray's hash-partitioned join, nothing
+    reaches the driver)."""
     return left_ds.join(
         right_ds,
-        join_type=how,
-        num_partitions=num_partitions,
+        join_type=_JOIN_TYPES[how],
+        num_partitions=_bounded_partitions(num_partitions),
         on=tuple(on),
         right_on=tuple(right_on) if right_on else None,
     )

@@ -44,13 +44,19 @@ class CitationResolver:
         kind = batch["kind"].to_numpy(zero_copy_only=False)
         num = batch["num"].to_numpy(zero_copy_only=False)
         tag = batch["cite_tag"].to_numpy(zero_copy_only=False)
-        subs, objs = [], []
+        grp = (
+            batch["src_group"].to_numpy(zero_copy_only=False)
+            if "src_group" in batch.column_names
+            else np.zeros(batch.num_rows, dtype=np.int64)
+        )
+        subs, objs, provs = [], [], []
         for i in range(len(doc)):
             to = self.links.get((doc[i], tag[i]))
             if to is None:
                 continue  # unresolvable tag -> dropped (dead-letter later)
             subs.append(src[i])
             objs.append(entity_id(to, f"{kind[i]} {num[i]}"))
+            provs.append(f"mention.extra|n={grp[i]}|tag={tag[i]}")
         n = len(subs)
         return pa.table(
             {
@@ -58,7 +64,7 @@ class CitationResolver:
                 "predicate": pa.array([PRED_CITES] * n, pa.string()),
                 "object": pa.array(objs, pa.string()),
                 "confidence": pa.array([1.0] * n, pa.float64()),
-                "provenance": pa.array(["mention.extra"] * n, pa.string()),
+                "provenance": pa.array(provs, pa.string()),
             }
         )
 
@@ -116,6 +122,7 @@ def resolve_citations_shuffle(mentions_ds, links_ds, num_buckets: int = 64):
     COLS = [
         ("doc_id", pa.string()),
         ("src_entity", pa.string()),
+        ("src_group", pa.int64()),
         ("kind", pa.string()),
         ("num", pa.string()),
         ("cite_tag", pa.string()),
@@ -165,13 +172,15 @@ def resolve_citations_shuffle(mentions_ds, links_ds, num_buckets: int = 64):
             how="inner",
         )
         obj = j["doc_to"] + "#" + j["kind"] + " " + j["num"]
+        grp = j["src_group"].fillna(0).astype(np.int64).astype(str)
+        prov = "mention.extra|n=" + grp + "|tag=" + j["cite_tag"]
         return pd.DataFrame(
             {
                 "subject": j["src_entity"],
                 "predicate": PRED_CITES,
                 "object": obj,
                 "confidence": 1.0,
-                "provenance": "mention.extra",
+                "provenance": prov,
             }
         )
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import re
 
-
+import numpy as np
 import pyarrow as pa
 
 from ..schema import ABBREVIATIONS, NUMBERED_KINDS, PRED_CITES, entity_id
@@ -47,8 +47,11 @@ def _kind_regex() -> str:
 class MentionExtractor:
     """map_batches callable: result rows -> mention rows.
 
-    Output columns: doc_id, src_entity, kind, num, cite_tag ("" if
-    intra-document). One row per (mention kind, number).
+    Output columns: doc_id, src_entity, src_group, kind, num, cite_tag
+    ("" if intra-document). One row per (mention kind, number).
+    ``src_group`` is the source result's per-document ordinal — the
+    reference's ``nres_in`` edge-table column
+    (extract_graph.py:274-307).
     """
 
     def __init__(self) -> None:
@@ -72,7 +75,9 @@ class MentionExtractor:
         return w
 
     #: word-distance window for associating a \cite with a mention
-    CITE_WINDOW = 3
+    #: (the reference's ±5-token <LINK:..> proximity rule,
+    #: extract_graph.py:84-93)
+    CITE_WINDOW = 5
 
     def _nearby_cite(self, text: str, start: int, end: int) -> str:
         """Nearest \\cite{tag} within ±CITE_WINDOW words of the mention,
@@ -101,9 +106,15 @@ class MentionExtractor:
         eids = batch["entity_id"].to_numpy(zero_copy_only=False)
         names = batch["name"].to_numpy(zero_copy_only=False)
         targets = batch["proof_target_name"].to_numpy(zero_copy_only=False)
+        groups = (
+            batch["group"].to_numpy(zero_copy_only=False)
+            if "group" in batch.column_names
+            else np.zeros(batch.num_rows, dtype=np.int64)
+        )
 
         o_doc: list[str] = []
         o_src: list[str] = []
+        o_grp: list[int] = []
         o_kind: list[str] = []
         o_num: list[str] = []
         o_tag: list[str] = []
@@ -131,6 +142,7 @@ class MentionExtractor:
                     seen.add((name, tag))
                     o_doc.append(docs[i])
                     o_src.append(eids[i])
+                    o_grp.append(int(groups[i]))
                     o_kind.append(kind)
                     o_num.append(num)
                     o_tag.append(tag)
@@ -138,6 +150,7 @@ class MentionExtractor:
             {
                 "doc_id": pa.array(o_doc, pa.string()),
                 "src_entity": pa.array(o_src, pa.string()),
+                "src_group": pa.array(o_grp, pa.int64()),
                 "kind": pa.array(o_kind, pa.string()),
                 "num": pa.array(o_num, pa.string()),
                 "cite_tag": pa.array(o_tag, pa.string()),
@@ -156,14 +169,24 @@ def extract_mentions(results_ds, batch_size: int = 2048, concurrency=(1, 4)):
 
 
 def intra_cites_batch(batch: pa.Table) -> pa.Table:
-    """Intra-document mentions -> cites triples (no join needed)."""
+    """Intra-document mentions -> cites triples (no join needed).
+
+    Provenance carries the source result ordinal (``|n=<nres_in>``) so
+    the graph-CSV export can reproduce the reference's edge-table shape
+    without re-reading the results table."""
     tag = batch["cite_tag"].to_numpy(zero_copy_only=False)
     intra = batch.filter(pa.array(tag == ""))
     doc = intra["doc_id"].to_numpy(zero_copy_only=False)
     kind = intra["kind"].to_numpy(zero_copy_only=False)
     num = intra["num"].to_numpy(zero_copy_only=False)
     src = intra["src_entity"].to_numpy(zero_copy_only=False)
+    grp = (
+        intra["src_group"].to_numpy(zero_copy_only=False)
+        if "src_group" in intra.column_names
+        else np.zeros(intra.num_rows, dtype=np.int64)
+    )
     objs = [entity_id(d, f"{k} {n}") for d, k, n in zip(doc, kind, num)]
+    provs = [f"mention.intra|n={g}" for g in grp]
     n_rows = len(objs)
     return pa.table(
         {
@@ -171,6 +194,6 @@ def intra_cites_batch(batch: pa.Table) -> pa.Table:
             "predicate": pa.array([PRED_CITES] * n_rows, pa.string()),
             "object": pa.array(objs, pa.string()),
             "confidence": pa.array([1.0] * n_rows, pa.float64()),
-            "provenance": pa.array(["mention.intra"] * n_rows, pa.string()),
+            "provenance": pa.array(provs, pa.string()),
         }
     )

@@ -109,6 +109,32 @@ def checkpoint_complete(out_dir: str, num_partitions: int = 32) -> bool:
     return completed_partitions(out_dir) >= set(range(num_partitions))
 
 
+def validate_checkpoint_lineage(
+    out_dir: str, stage: str, lineage: str
+) -> bool:
+    """Check every existing manifest was produced by (stage, lineage).
+
+    The manifests record the producing stage + upstream lineage id for
+    exactly this purpose: a resume against a checkpoint dir written
+    from a DIFFERENT corpus/segmenter must not silently reuse stale
+    partitions. Returns True when the dir is empty/new; raises
+    ``ValueError`` on a mismatch (continuing would either serve stale
+    results or interleave partitions of two different runs)."""
+    from .manifest import read_manifests
+
+    for m in read_manifests(out_dir):
+        got = (m.get("stage"), m.get("lineage"))
+        if got != (stage, lineage):
+            raise ValueError(
+                f"checkpoint lineage mismatch in {out_dir}: manifest "
+                f"part={m.get('part')} was written by stage={got[0]!r} "
+                f"lineage={got[1]!r}, current run is stage={stage!r} "
+                f"lineage={lineage!r}; refusing to resume — use a fresh "
+                "checkpoint dir or delete the stale one"
+            )
+    return True
+
+
 def read_checkpoint(out_dir: str):
     import glob
 
