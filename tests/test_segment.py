@@ -253,3 +253,67 @@ def test_viterbi_batch_composition_independent():
             X[off[i] : off[i + 1]], np.array([0, L], dtype=np.int64)
         )
         assert np.array_equal(solo, joint[off[i] : off[i + 1]])
+
+
+def test_repetitive_header_footer_detection():
+    """A9/M6: lines sharing a digit-masked pattern >=2x per doc are
+    flagged; the naive segmenter never starts a span on one."""
+    import numpy as np
+    import pyarrow as pa
+
+    from theoremkb_ray.stages.features import repetitive_flags
+    from theoremkb_ray.stages.segment import naive_spans_flat
+
+    doc1 = [
+        "draft org/mega1 src/s.tex page 1",
+        "some filler words here",
+        "\\textbf{Theorem 1.1.} real result",
+        "body of the theorem",
+        "",
+        "draft org/mega1 src/s.tex page 2",
+        "\\textbf{Remark.} running footer",
+        "",
+        "\\textbf{Remark.} running footer",
+        "",
+    ]
+    doc2 = ["unrelated single doc", "draft org/mega1 src/s.tex page 1"]
+    flat = pa.array(doc1 + doc2, pa.string())
+    off = np.array([0, len(doc1), len(doc1) + len(doc2)], dtype=np.int64)
+    rep = repetitive_flags(flat, off)
+    assert rep[0] and rep[5]          # page header repeats (digits masked)
+    assert rep[6] and rep[8]          # styled footer repeats
+    assert not rep[2]                 # the real theorem head is unique
+    assert not rep[11]                # same pattern in ANOTHER doc: 1x only
+    spans = naive_spans_flat(flat, off)
+    labels = spans["label_id"]
+    # only the real theorem survives; the repeated styled footer is not
+    # a span start
+    assert len(labels) == 1
+    assert spans["start_line"][0] == 2
+
+
+def test_synth_plants_repetitive_headers():
+    import numpy as np
+    import pyarrow as pa
+
+    from theoremkb_ray.stages.features import repetitive_flags
+    from theoremkb_ray.synth import generate_corpus
+
+    t = generate_corpus(40, seed=11, dup_fraction=0.0)["corpus"]
+    lines_list = [c.split("\n") for c in t["content"].to_pylist()]
+    off = np.zeros(len(lines_list) + 1, dtype=np.int64)
+    np.cumsum([len(l) for l in lines_list], out=off[1:])
+    flat = pa.array([ln for d in lines_list for ln in d], pa.string())
+    rep = repetitive_flags(flat, off)
+    # a meaningful share of docs carry detected repetitive headers
+    per_doc = [rep[off[i]:off[i+1]].any() for i in range(len(lines_list))]
+    assert sum(per_doc) >= 8
+    # flagged lines are planted headers or genuinely-repetitive proof
+    # heads ("Proof of Kind N." shares a digit-masked pattern) — never
+    # body/filler text or numbered result heads
+    flat_np = flat.to_numpy(zero_copy_only=False)
+    assert all(
+        s.startswith("draft ") or s.startswith("\\textbf{Proof")
+        for s in flat_np[rep]
+    )
+    assert any(s.startswith("draft ") for s in flat_np[rep])

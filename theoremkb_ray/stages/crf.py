@@ -79,6 +79,10 @@ def feature_matrix(flat_lines: pa.Array, offsets: np.ndarray) -> np.ndarray:
     X[:, 20] = np.where(doc_first, True, prev_blank)  # doc start ~ blank
     X[:, 21] = np.where(doc_last, True, next_blank)
     X[:, 22] = np.where(doc_first, False, prev_styled)
+    # repetitive header/footer (A9/M6, reference TextLine.py:86-99)
+    from .features import repetitive_flags
+
+    X[:, 23] = repetitive_flags(flat_lines, offsets)
     return X
 
 

@@ -44,6 +44,45 @@ def sniff_docclass(contents: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.if_else(pc.is_valid(m), pc.struct_field(m, "c"), None)
 
 
+def line_patterns(flat_lines: pa.Array) -> pa.Array:
+    """``get_pattern`` analog (reference:
+    Styling/src/lib/misc/__init__.py:32-43): mask digit runs with '@',
+    strip remaining non-letters, lowercase — "Page 10/52" and
+    "Page 11/52" collapse to the same pattern."""
+    p = pc.replace_substring_regex(flat_lines, r"[0-9]+", "@")
+    p = pc.replace_substring_regex(p, r"[^A-Za-z@]", "")
+    return pc.utf8_lower(p)
+
+
+def repetitive_flags(
+    flat_lines: pa.Array, offsets: np.ndarray, min_len: int = 8
+) -> np.ndarray:
+    """A9/M6 repetitive header/footer detection (reference:
+    Styling/src/lib/features/TextLine.py:14-34,86-99 ``repetitive`` +
+    extract_graph.py pattern counts): a line whose digit-masked PATTERN
+    occurs >= 2 times within the SAME document (page headers/footers
+    differ only in the page number) and is longer than ``min_len``.
+
+    Vectorized: one regex pass for patterns, one hash, one np.unique
+    over (doc, pattern-hash) keys — no per-document Python."""
+    from ..functions.hashing import hash_strings, splitmix64
+
+    pats = line_patterns(flat_lines)
+    pat_np = pats.to_numpy(zero_copy_only=False)
+    plen = pc.utf8_length(pats).to_numpy(zero_copy_only=False)
+    n = len(pat_np)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    h = hash_strings(pat_np)
+    lengths = np.diff(offsets)
+    doc_idx = np.repeat(
+        np.arange(len(lengths), dtype=np.uint64), lengths
+    )
+    key = h ^ splitmix64(doc_idx + np.uint64(0x9E3779B9))
+    _, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+    return (counts[inv] >= 2) & (plen > min_len)
+
+
 def line_features(flat_lines: pa.Array) -> dict[str, np.ndarray | pa.Array]:
     """Vectorized per-line features over a flat line array.
 

@@ -65,7 +65,18 @@ def naive_spans_flat(
     doc_start = offsets[:-1][doc_idx_per_line]
     doc_end = offsets[1:][doc_idx_per_line] - 1
 
-    is_start = (f["bold"] | f["italic"]) & (f["kind_id"] >= 0)
+    # repetitive page furniture (same digit-masked pattern >= 2x in the
+    # doc, reference TextLine.py:86-99) never STARTS a result. Numbered
+    # heads ("Theorem 2.1.") and proof heads ("Proof." / "Proof of
+    # Theorem N.") legitimately share patterns within a doc, so only
+    # UNNUMBERED non-proof repeats are suppressed — a styled running
+    # footer, not a result environment.
+    from ..schema import RESULT_KINDS as _RK
+    from .features import repetitive_flags
+
+    rep = repetitive_flags(flat_lines, offsets)
+    furniture = rep & ~f["has_head_num"] & (f["kind_id"] != _RK.index("proof"))
+    is_start = (f["bold"] | f["italic"]) & (f["kind_id"] >= 0) & ~furniture
     blank = f["blank"]
 
     # span start lines (global indices)

@@ -147,7 +147,18 @@ def generate_doc(
     cite_seen: set[tuple[str, str]] = set()
     group = 0
 
+    # repetitive page header (the arXiv running-head analog): ~half the
+    # docs carry a header line repeated at "page breaks" with only the
+    # page number varying — the signal the A9/M6 `repetitive` feature
+    # must learn to ignore. NOTE: drawn AFTER the entity plan so
+    # _doc_plan's rng-prefix re-derivation stays aligned.
+    use_header = rng.rand() < 0.5
+    page_counter = [0]
+
     def filler_para() -> None:
+        if use_header:
+            page_counter[0] += 1
+            lines.append(f"draft {repo} {path} page {page_counter[0]}")
         for _ in range(int(rng.randint(0, 4))):
             lines.append(" ".join(_words(rng)))
         lines.append("")
