@@ -308,6 +308,22 @@ def _seg_report(sf_dir: str):
     return classification_report(ds, gold)
 
 
+def _seg_report_words(sf_dir: str):
+    """Training_word_based.ipynb analog: WORD-level P/R/F1 of the
+    word-granularity CRF vs line gold projected onto words."""
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.sources.corpus import read_corpus
+    from theoremkb_ray.stages.ingest import ingest
+    from theoremkb_ray.stages.tokenize import tokenize
+    from theoremkb_ray.stages.words import word_classification_report
+
+    sdir = _synth_dir(200)
+    ds = tokenize(ingest(read_corpus(f"{sdir}/corpus.parquet")))
+    gold = pq.read_table(f"{sdir}/gold_spans.parquet")
+    return word_classification_report(ds, gold)
+
+
 def _split_stratified(sf_dir: str):
     """O5/O6: deterministic hash split + stratified sample summary."""
     import pandas as pd
@@ -358,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "media_decode": _media_decode,
             "agreement_diff": _agreement_diff,
             "seg_report": _seg_report,
+            "seg_report_words": _seg_report_words,
             "split_stratified": _split_stratified,
             "tfidf_match": _tfidf_match,
         }

@@ -1,0 +1,128 @@
+"""Word-granularity tagger (reference word-based CRF analog)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from theoremkb_ray.stages.words import (
+    N_WORD_FEATS,
+    WORD_MODEL_PATH,
+    explode_words,
+    featurize_words,
+    gold_word_tags,
+    train_word_crf,
+)
+from theoremkb_ray.synth import generate_corpus
+
+
+def test_explode_words_structure():
+    lines = pa.array(
+        [["a b", "", "c"], ["x y z"]], pa.list_(pa.string())
+    )
+    flat, w_off, line_idx, wil = explode_words(lines)
+    words = flat.to_pylist()
+    assert words == ["a", "b", "", "c", "x", "y", "z"]
+    assert w_off.tolist() == [0, 4, 7]
+    assert line_idx.tolist() == [0, 0, 1, 2, 0, 0, 0]
+    assert wil.tolist() == [0, 1, 0, 0, 0, 1, 2]
+
+
+def test_gold_word_projection():
+    lines = pa.array(
+        [["\\textbf{Theorem 1.1.} head", "body words here", "", "tail"]],
+        pa.list_(pa.string()),
+    )
+    flat, w_off, line_idx, _ = explode_words(lines)
+    y = gold_word_tags(
+        w_off, line_idx, np.array(["d0"], dtype=object),
+        {"d0": [("theorem", 0, 1)]},
+    )
+    from theoremkb_ray.schema import TAGS
+
+    labels = [TAGS[t] for t in y]
+    assert labels[0] == "B-theorem"
+    # rest of lines 0-1 are I-theorem; blank + tail are O
+    assert labels[1:6] == ["I-theorem"] * 5
+    assert labels[6:] == ["O", "O"]
+
+
+def test_word_tagger_heldout_accuracy():
+    """Word-level accuracy >= 0.99 on a disjoint-seed corpus using the
+    shipped artifact."""
+    from theoremkb_ray.stages.crf import LinearChainTagger
+
+    model = LinearChainTagger.load(WORD_MODEL_PATH)
+    tables = generate_corpus(40, seed=123, dup_fraction=0.0)
+    corpus = tables["corpus"].to_pandas()
+    lines_col = pa.array(
+        [c.split("\n") for c in corpus["content"]], pa.list_(pa.string())
+    )
+    X, w_off, line_idx = featurize_words(lines_col)
+    assert X.shape[1] == N_WORD_FEATS
+    doc_ids = (
+        corpus["repo"] + "/" + corpus["path"] + "@" + corpus["commit"]
+    ).to_numpy()
+    g = tables["gold_spans"].to_pandas()
+    gold_by_doc = {}
+    for d, l, s0, s1 in zip(
+        g["doc_id"], g["label"], g["start_line"], g["end_line"]
+    ):
+        gold_by_doc.setdefault(d, []).append((l, s0, s1))
+    y = gold_word_tags(w_off, line_idx, doc_ids, gold_by_doc)
+    acc = float((model.decode_batch(X, w_off) == y).mean())
+    assert acc >= 0.99
+
+
+def test_word_segmenter_spans_match_gold_lines():
+    """WordCRFSegmenter emits spans whose line ranges match the gold
+    line spans (word tags -> line ranges round trip)."""
+    from theoremkb_ray.sources.corpus import read_corpus  # noqa: F401
+    from theoremkb_ray.stages.words import segment_words
+
+    tables = generate_corpus(30, seed=321, dup_fraction=0.0)
+    corpus = tables["corpus"].to_pandas()
+    corpus["doc_id"] = corpus["repo"] + "/" + corpus["path"] + "@" + corpus["commit"]
+    lines = [c.split("\n") for c in corpus["content"]]
+    t = pa.table(
+        {
+            "doc_id": pa.array(corpus["doc_id"], pa.string()),
+            "lines": pa.array(lines, pa.list_(pa.string())),
+        }
+    )
+    out = segment_words(rd.from_arrow(t), concurrency=2).to_pandas()
+    got = set()
+    for _, row in out.iterrows():
+        for s in row["spans"]:
+            got.add(
+                (row["doc_id"], s["label"], s["start_line"], s["end_line"])
+            )
+    g = tables["gold_spans"].to_pandas()
+    gold = set(
+        zip(g["doc_id"], g["label"], g["start_line"], g["end_line"])
+    )
+    inter = len(got & gold)
+    p = inter / len(got)
+    r = inter / len(gold)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_word_report_meets_bar():
+    """seg_report_words: per-label word P/R >= 0.95 (the north-rule
+    quality gate at word granularity)."""
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.sources.corpus import read_corpus
+    from theoremkb_ray.stages.ingest import ingest
+    from theoremkb_ray.stages.tokenize import tokenize
+    from theoremkb_ray.stages.words import word_classification_report
+    from theoremkb_ray.synth import materialize_corpus
+
+    sdir = materialize_corpus("/tmp/tkb_words_corpus", num_docs=80, seed=55)
+    ds = tokenize(ingest(read_corpus(f"{sdir}/corpus.parquet")))
+    gold = pq.read_table(f"{sdir}/gold_spans.parquet")
+    rep = word_classification_report(ds, gold)
+    assert len(rep) >= 10
+    weighted = (rep["precision"] * rep["support"]).sum() / rep["support"].sum()
+    assert weighted >= 0.95
+    assert (rep["recall"] * rep["support"]).sum() / rep["support"].sum() >= 0.95
