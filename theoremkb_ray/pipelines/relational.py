@@ -715,6 +715,63 @@ GROUP BY doc_id
 
 
 #: name -> (ray_fn, sql or None)
+def q_bib_resolve(sf_dir: str, shuffle: bool = False):
+    """J7 bibliography resolution (reference get_links.py:57-162):
+    bib-entry raw titles (surface-cased) resolved to target docs by
+    normalized-title equi-join. The bib side is derived
+    deterministically from the documents table: even docs' 64-char
+    text prefix, UPPERCASED, attributed to the next doc — a different
+    surface form that only the normalization can match."""
+    from ..stages.bibliography import resolve_bibliography
+
+    def to_bib(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0))
+        return pa.table(
+            {
+                "doc_from": pc.add(b["doc_id"], 1),
+                "tag": pc.binary_join_element_wise(
+                    "b", pc.cast(b["doc_id"], pa.string()), ""
+                ),
+                "raw_title": pc.utf8_upper(
+                    pc.utf8_slice_codeunits(b["text"], 0, 64)
+                ),
+            }
+        )
+
+    def to_papers(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "title": pc.utf8_slice_codeunits(b["text"], 0, 64),
+            }
+        )
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    bib = docs.map_batches(to_bib, batch_format="pyarrow")
+    papers = docs.map_batches(to_papers, batch_format="pyarrow")
+    return resolve_bibliography(
+        bib, papers if shuffle else papers.to_pandas(), broadcast=not shuffle
+    )
+
+
+SQL_BIB_RESOLVE = """
+WITH papers AS (
+  SELECT doc_id, substr(text, 1, 64) AS title
+  FROM documents WHERE doc_id % 2 = 0
+), bib AS (
+  SELECT doc_id + 1 AS doc_from,
+         'b' || CAST(doc_id AS VARCHAR) AS tag,
+         upper(substr(text, 1, 64)) AS raw_title
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT b.doc_from, b.tag, p.doc_id AS doc_to
+FROM bib b JOIN papers p
+  ON regexp_replace(lower(b.raw_title), '[^a-z]', '', 'g')
+   = regexp_replace(lower(p.title), '[^a-z]', '', 'g')
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -740,4 +797,5 @@ REGISTRY: dict[str, tuple] = {
     "session_window": (q_session_window, SQL_SESSION_WINDOW),
     "running_sum": (q_running_sum, SQL_RUNNING_SUM),
     "rollup_words": (q_rollup_words, SQL_ROLLUP_WORDS),
+    "bib_resolve": (q_bib_resolve, SQL_BIB_RESOLVE),
 }
