@@ -551,6 +551,27 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+#: coarse shuffle width for per-user event queries: grouping by the
+#: raw user_id would create one Ray group PER USER (~0.5 ms each —
+#: millions of groups at high cardinality); instead shuffle on
+#: hash(user_id) %% K and do the per-user work vectorized inside the
+#: coarse group. Correctness: a user's rows always share a bucket.
+COARSE_USER_BUCKETS = 64
+
+
+def _by_user_bucket(ds, col: str = "user_id"):
+    from ..functions.hashing import splitmix64
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = b[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (
+            splitmix64(u) % np.uint64(COARSE_USER_BUCKETS)
+        ).astype(np.int64)
+        return b.append_column("bucket", pa.array(bucket))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow").groupby("bucket")
+
+
 def q_asof_join(sf_dir: str):
     """As-of join (SURVEY.md custom-operator case): each 'click' event
     matched to the latest prior 'view' event of the same user.
@@ -558,7 +579,7 @@ def q_asof_join(sf_dir: str):
     group; the documented bucketed as-of pattern)."""
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         clicks = g[g["event_type"] == "click"].sort_values(
             ["ts", "event_id"], kind="mergesort"
         )
@@ -573,18 +594,21 @@ def q_asof_join(sf_dir: str):
                     "view_event_id": pd.Series(dtype="float64"),
                 }
             )
+        # ONE vectorized merge_asof for the whole bucket (by=user):
+        # no per-user pandas groups
         j = pd.merge_asof(
             clicks,
-            views[["ts", "event_id"]].rename(
+            views[["user_id", "ts", "event_id"]].rename(
                 columns={"event_id": "view_event_id"}
             ),
             on="ts",
+            by="user_id",
             direction="backward",
             allow_exact_matches=False,
         )
         return j[["event_id", "user_id", "view_event_id"]]
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
 
     def fix_types(b: pa.Table) -> pa.Table:
         col = pc.cast(b["view_event_id"], pa.float64())
@@ -609,22 +633,29 @@ def q_session_window(sf_dir: str):
     starts a new session; emit session counts per user."""
     ds = _pq(sf_dir, "events", ["user_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values(kind="mergesort").to_numpy()
-        if len(ts) == 0:
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        n = len(u)
+        if n == 0:
             return pd.DataFrame(
                 {"user_id": pd.Series(dtype="int64"),
                  "n_sessions": pd.Series(dtype="int64")}
             )
+        ts = g["ts"].to_numpy()
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
         # compare in microseconds — truncating to whole seconds would
         # disagree with SQL epoch() on gaps within 1s of the threshold
-        gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-        n = 1 + int((gaps_us > 1800 * 1_000_000).sum())
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]}
-        )
+        gaps_us = np.zeros(n, dtype=np.int64)
+        gaps_us[1:] = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        new_session = new_user | (gaps_us > 1800 * 1_000_000)
+        starts = np.flatnonzero(new_user)
+        n_sessions = np.add.reduceat(new_session.astype(np.int64), starts)
+        return pd.DataFrame({"user_id": u[starts], "n_sessions": n_sessions})
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
 
 
 SQL_SESSION_WINDOW = """
@@ -645,9 +676,12 @@ def q_running_sum(sf_dir: str):
     (ts, event_id) — ordered-fold semantics inside map_groups."""
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        run = g["value"].cumsum().round(4)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        # pandas groupby-cumsum is a single C kernel over the sorted
+        # frame (NOT per-user Python groups), and float addition order
+        # per user is identical to the per-user form
+        run = g.groupby("user_id", sort=False)["value"].cumsum().round(4)
         return pd.DataFrame(
             {
                 "event_id": g["event_id"],
@@ -656,7 +690,7 @@ def q_running_sum(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
 
 
 SQL_RUNNING_SUM = """
