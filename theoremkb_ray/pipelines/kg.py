@@ -42,6 +42,10 @@ def results_dataset(
         from ..stages.crf import segment_crf
 
         ds = segment_crf(ds, concurrency=concurrency)
+    elif segmenter == "word":
+        from ..stages.words import segment_words
+
+        ds = segment_words(ds, concurrency=concurrency)
     else:
         # user-extension surface: registered segmenters (registry.py)
         from ..registry import get_segmenter
