@@ -121,11 +121,18 @@ def _docs_segment(sf_dir: str):
 
         n_lines = pc.list_value_length(b["lines"])
         n_spans = pc.list_value_length(b["spans"])
+        # numeric doc_id recovered from the adapter path ("doc_<n>.txt")
+        # so the DuckDB oracle can join on the raw documents table
+        m = pc.extract_regex(b["path"], r"doc_(?P<n>\d+)\.txt")
+        doc_num = pc.cast(pc.struct_field(m, "n"), pa.int64())
+        n_words = pc.list_value_length(pc.split_pattern(b["content"], " "))
         return pa.table(
             {
-                "doc_id": b["doc_id"],
+                "doc_id": doc_num,
                 "n_lines": pc.cast(n_lines, pa.int64()),
                 "n_spans": pc.cast(n_spans, pa.int64()),
+                "n_words": pc.cast(n_words, pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(b["content"]), pa.int64()),
             }
         )
 
@@ -382,9 +389,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return out
 
 
+#: oracle for the adapter-path segmentation stats: line/word/char
+#: counts are plain SQL; n_spans = 0 asserts the naive segmenter emits
+#: ZERO false-positive spans on markup-free text (the documents table
+#: has no styled result heads by construction).
+SQL_DOCS_SEGMENT = """
+SELECT doc_id,
+       CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(0 AS BIGINT)                                AS n_spans,
+       CAST(len(string_split(text, ' ')) AS BIGINT)     AS n_words,
+       CAST(length(text) AS BIGINT)                     AS n_chars
+FROM documents
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from theoremkb_ray.pipelines.relational import REGISTRY
 
-    return {
+    out = {
         name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None
     }
+    out["docs_segment"] = SQL_DOCS_SEGMENT
+    return out

@@ -806,6 +806,88 @@ FROM bib b JOIN papers p
 """
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """Exact char-5-gram Jaccard over a DETERMINISTIC pair set
+    (doc d, doc d+1 for d % 50 == 0) — the oracle-checkable form of
+    the n-gram-Jaccard verify kernel (stages/dedup.py NgramSetStore /
+    JaccardVerifier): same gram construction, same set arithmetic,
+    checked value-for-value against DuckDB's string-set version. The
+    right side is a bounded 2% projection of documents (broadcast)."""
+    import ray
+
+    from ..stages.dedup import NgramSetStore
+    from ..state.broadcast import get_broadcast
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    right = docs.map_batches(
+        lambda b: b.filter(pc.equal(_mod50(b["doc_id"]), 1)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    rmap = dict(zip(right["doc_id"], right["text"]))
+    ref = ray.put(rmap)
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        m = get_broadcast(ref)
+        b = b.filter(pc.equal(_mod50(b["doc_id"]), 0))
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_numpy(zero_copy_only=False)
+        id_a, id_b, jac = [], [], []
+        for i, t in zip(ids, texts):
+            tb = m.get(i + 1)
+            if tb is None:
+                continue
+            ga = NgramSetStore.ngrams(t, 5)
+            gb = NgramSetStore.ngrams(tb, 5)
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            union = len(ga) + len(gb) - inter
+            id_a.append(int(i))
+            id_b.append(int(i + 1))
+            jac.append(round(inter / union, 6) if union else 0.0)
+        return pa.table(
+            {
+                "id_a": pa.array(id_a, pa.int64()),
+                "id_b": pa.array(id_b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(per_batch, batch_format="pyarrow")
+
+
+def _mod50(col):
+    return pc.subtract(
+        col, pc.multiply(pc.cast(pc.floor(pc.divide(
+            pc.cast(col, pa.float64()), 50.0)), pa.int64()), 50)
+    )
+
+
+SQL_JACCARD_PAIRS = """
+WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+     b AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 1),
+     pairs AS (
+       SELECT a.doc_id AS id, a.text AS ta, b.text AS tb
+       FROM a JOIN b ON b.doc_id = a.doc_id + 1),
+     ga AS (SELECT DISTINCT id, substr(ta, i, 5) AS g FROM (
+              SELECT p.id, p.ta,
+                     unnest(generate_series(1, greatest(length(p.ta) - 4, 1))) AS i
+              FROM pairs p)),
+     gb AS (SELECT DISTINCT id, substr(tb, i, 5) AS g FROM (
+              SELECT p.id, p.tb,
+                     unnest(generate_series(1, greatest(length(p.tb) - 4, 1))) AS i
+              FROM pairs p)),
+     inter AS (SELECT ga.id, count(*) AS ni
+               FROM ga JOIN gb ON ga.id = gb.id AND ga.g = gb.g
+               GROUP BY ga.id),
+     na AS (SELECT id, count(*) AS n FROM ga GROUP BY id),
+     nb AS (SELECT id, count(*) AS n FROM gb GROUP BY id)
+SELECT na.id AS id_a, na.id + 1 AS id_b,
+       round(CAST(coalesce(i.ni, 0) AS DOUBLE)
+             / (na.n + nb.n - coalesce(i.ni, 0)), 6) AS jaccard
+FROM na JOIN nb ON na.id = nb.id
+LEFT JOIN inter i ON i.id = na.id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -832,4 +914,5 @@ REGISTRY: dict[str, tuple] = {
     "running_sum": (q_running_sum, SQL_RUNNING_SUM),
     "rollup_words": (q_rollup_words, SQL_ROLLUP_WORDS),
     "bib_resolve": (q_bib_resolve, SQL_BIB_RESOLVE),
+    "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
 }
