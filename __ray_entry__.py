@@ -299,6 +299,33 @@ def _agreement_diff(sf_dir: str):
     return agreement(tokenize(ingest(read_corpus(f"{sdir}/corpus.parquet"))))
 
 
+def _agreement_spans(sf_dir: str):
+    """J8 at the reference's granularity: one row per line where the
+    naive and CRF segmenters disagree (label = 'a - b'), plus a
+    summary row so the result is non-empty when they fully agree."""
+    import pandas as pd
+
+    from theoremkb_ray.sources.corpus import read_corpus
+    from theoremkb_ray.stages.agreement import agreement_spans
+    from theoremkb_ray.stages.ingest import ingest
+    from theoremkb_ray.stages.tokenize import tokenize
+
+    sdir = _synth_dir(200)
+    rows = agreement_spans(
+        tokenize(ingest(read_corpus(f"{sdir}/corpus.parquet")))
+    ).to_pandas()
+    summary = pd.DataFrame(
+        {
+            "doc_id": ["_summary"],
+            "line": [-1],
+            "label_naive": [""],
+            "label_crf": [""],
+            "label": [f"n_disagreements={len(rows)}"],
+        }
+    )
+    return pd.concat([summary, rows], ignore_index=True)
+
+
 def _seg_report(sf_dir: str):
     """cli.py-test analog: line-level P/R/F1 of the CRF vs gold."""
     import pyarrow.parquet as pq
@@ -380,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_dups": _embedding_dups,
             "media_decode": _media_decode,
             "agreement_diff": _agreement_diff,
+            "agreement_spans": _agreement_spans,
             "seg_report": _seg_report,
             "seg_report_words": _seg_report_words,
             "split_stratified": _split_stratified,

@@ -68,6 +68,62 @@ def test_agreement_naive_vs_crf(gold100):
     assert (out["n_common"] <= np.minimum(out["n_naive"], out["n_crf"])).all()
 
 
+def test_agreement_spans_granularity(gold100):
+    """Per-disagreement rows (reference AgreementExtractor granularity):
+    one row per line where the segmenters differ, label = 'a - b'."""
+    from theoremkb_ray.stages.agreement import agreement_spans
+    from theoremkb_ray.stages.ingest import ingest
+
+    tok = tokenize(ingest(rd.from_arrow(gold100["corpus"])))
+    summary = agreement(tok).to_pandas()
+    rows = agreement_spans(tok).to_pandas()
+    # every disagreement row comes from a doc the summary marks unequal
+    # ... and docs whose span sets are line-identical emit no rows
+    uneq = set(summary[~summary["equal"]]["doc_id"])
+    if len(rows):
+        assert set(rows["doc_id"]) <= uneq
+        assert (rows["label_naive"] != rows["label_crf"]).all()
+        assert (
+            rows["label"]
+            == rows["label_naive"] + " - " + rows["label_crf"]
+        ).all()
+
+
+def test_agreement_spans_planted_disagreement():
+    """Synthetic doc where naive finds a theorem head but the line gold
+    differs — projectable disagreement rows come out exactly where the
+    flat labels differ."""
+    from theoremkb_ray.stages.agreement import (
+        spans_to_line_labels,
+    )
+    from theoremkb_ray.stages.tokenize import explode_lines
+
+    lines = pa.array(
+        [["a", "b", "c", "d"], ["x", "y"]], pa.list_(pa.string())
+    )
+    spans = pa.array(
+        [
+            [
+                {"label": "theorem", "group": 1, "start_line": 1, "end_line": 2}
+            ],
+            [],
+        ],
+        pa.list_(
+            pa.struct(
+                [
+                    ("label", pa.string()),
+                    ("group", pa.int64()),
+                    ("start_line", pa.int64()),
+                    ("end_line", pa.int64()),
+                ]
+            )
+        ),
+    )
+    _, offsets = explode_lines(lines)
+    lab = spans_to_line_labels(spans, offsets)
+    assert list(lab) == ["O", "theorem", "theorem", "O", "O", "O"]
+
+
 def test_classification_report_perfect_on_naive(gold100):
     from theoremkb_ray.stages.ingest import ingest
 

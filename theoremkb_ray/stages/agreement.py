@@ -22,39 +22,106 @@ from .segment import NaiveSegmenter
 from .tokenize import explode_lines
 
 
-def _span_set(spans_cell) -> set[tuple]:
-    return {
-        (s["label"], s["start_line"], s["end_line"]) for s in spans_cell
-    }
+def spans_to_line_labels(
+    spans_col: pa.Array | pa.ChunkedArray,
+    offsets: np.ndarray,
+    fill: str = "O",
+) -> np.ndarray:
+    """Project a list<SPAN_STRUCT> column onto the flat line array:
+    one label per line, ``fill`` outside any span. Fully vectorized —
+    spans flatten to (doc_idx, label, start, end) arrays and the fill
+    is a single scatter (np.repeat + grouped arange), no per-doc loop.
+    Later spans win on overlap (BIO coalescing emits disjoint spans, so
+    this only matters for adversarial input)."""
+    if isinstance(spans_col, pa.ChunkedArray):
+        spans_col = spans_col.combine_chunks()
+    n_total = int(offsets[-1])
+    out = np.full(n_total, fill, dtype=object)
+    list_off = spans_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = spans_col.values
+    if list_off[0] != 0:
+        vals = vals.slice(list_off[0], list_off[-1] - list_off[0])
+        list_off = list_off - list_off[0]
+    n_spans = len(vals)
+    if n_spans == 0:
+        return out
+    span_doc = np.repeat(
+        np.arange(len(list_off) - 1, dtype=np.int64), np.diff(list_off)
+    )
+    labels = vals.field("label").to_numpy(zero_copy_only=False)
+    s0 = vals.field("start_line").to_numpy(zero_copy_only=False)
+    s1 = vals.field("end_line").to_numpy(zero_copy_only=False)
+    starts = offsets[span_doc] + s0
+    lens = (s1 - s0 + 1).astype(np.int64)
+    base = np.repeat(starts, lens)
+    grouped_arange = np.arange(lens.sum()) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    out[base + grouped_arange] = np.repeat(labels, lens)
+    return out
+
+
+def _span_keys(
+    spans_col: pa.Array | pa.ChunkedArray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a span list column to (doc_idx, uint64 span-key) where
+    the key hashes (label, start, end) — set ops become np.intersect1d."""
+    from ..functions.hashing import hash_strings, splitmix64
+
+    if isinstance(spans_col, pa.ChunkedArray):
+        spans_col = spans_col.combine_chunks()
+    list_off = spans_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = spans_col.values
+    if list_off[0] != 0:
+        vals = vals.slice(list_off[0], list_off[-1] - list_off[0])
+        list_off = list_off - list_off[0]
+    span_doc = np.repeat(
+        np.arange(len(list_off) - 1, dtype=np.int64), np.diff(list_off)
+    )
+    if len(vals) == 0:
+        return span_doc, np.zeros(0, dtype=np.uint64)
+    lab = hash_strings(vals.field("label").to_numpy(zero_copy_only=False))
+    s0 = vals.field("start_line").to_numpy(zero_copy_only=False).astype(np.uint64)
+    s1 = vals.field("end_line").to_numpy(zero_copy_only=False).astype(np.uint64)
+    key = splitmix64(
+        lab ^ splitmix64(s0 ^ splitmix64(s1 ^ span_doc.astype(np.uint64)))
+    )
+    return span_doc, key
 
 
 class AgreementDiff:
     """map_batches callable over tokenized docs: run BOTH segmenters,
-    emit one row per doc with span counts + agreement stats."""
+    emit one row per doc with span counts + agreement stats. Zero
+    shuffle (both segmenters see the same document row); span-set
+    intersection via hashed keys + np.intersect1d, no per-doc Python."""
 
     def __init__(self) -> None:
         self.a = NaiveSegmenter()
         self.b = CRFSegmenter()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_a = self.a(batch)["spans"].combine_chunks()
-        out_b = self.b(batch)["spans"].combine_chunks()
-        docs = batch["doc_id"].to_pylist()
-        n_a, n_b, n_common, equal = [], [], [], []
-        for i in range(batch.num_rows):
-            sa = _span_set(out_a[i].as_py())
-            sb = _span_set(out_b[i].as_py())
-            n_a.append(len(sa))
-            n_b.append(len(sb))
-            n_common.append(len(sa & sb))
-            equal.append(sa == sb)
+        out_a = self.a(batch)["spans"]
+        out_b = self.b(batch)["spans"]
+        n_docs = batch.num_rows
+        import pyarrow.compute as pc
+
+        n_a = pc.list_value_length(out_a).to_numpy(zero_copy_only=False)
+        n_b = pc.list_value_length(out_b).to_numpy(zero_copy_only=False)
+        doc_a, keys_a = _span_keys(out_a)
+        doc_b, keys_b = _span_keys(out_b)
+        common_keys = np.intersect1d(keys_a, keys_b)  # doc idx is in key
+        in_common = np.isin(keys_a, common_keys)
+        n_common = np.bincount(
+            doc_a[in_common], minlength=n_docs
+        ).astype(np.int64)
+        equal = (n_a == n_b) & (n_common == n_a)
         return pa.table(
             {
-                "doc_id": pa.array(docs, pa.string()),
-                "n_naive": pa.array(n_a, pa.int64()),
-                "n_crf": pa.array(n_b, pa.int64()),
-                "n_common": pa.array(n_common, pa.int64()),
-                "equal": pa.array(equal, pa.bool_()),
+                "doc_id": batch["doc_id"],
+                "n_naive": pa.array(n_a.astype(np.int64)),
+                "n_crf": pa.array(n_b.astype(np.int64)),
+                "n_common": pa.array(n_common),
+                "equal": pa.array(equal),
             }
         )
 
@@ -62,6 +129,56 @@ class AgreementDiff:
 def agreement(ds, batch_size: int = 256, concurrency=(1, 4)):
     return ds.map_batches(
         AgreementDiff,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class AgreementSpans:
+    """Per-DISAGREEMENT rows — the reference's granularity: its
+    AgreementExtractor emits one labelled box per token where two
+    layers disagree, labelled "lbl1 - lbl2" (reference:
+    Styling/src/lib/extractors/misc/aggreement.py:25-45). Here: one
+    row per line where the two segmenters assign different labels,
+    carrying both labels plus the combined reference-style tag.
+    Vectorized: both span lists project onto the flat line array
+    (single scatter each) and one numpy comparison finds the rows."""
+
+    def __init__(self) -> None:
+        self.a = NaiveSegmenter()
+        self.b = CRFSegmenter()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spans_a = self.a(batch)["spans"]
+        spans_b = self.b(batch)["spans"]
+        flat, offsets = explode_lines(batch["lines"])
+        lab_a = spans_to_line_labels(spans_a, offsets)
+        lab_b = spans_to_line_labels(spans_b, offsets)
+        diff = lab_a != lab_b
+        lengths = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(batch.num_rows), lengths)[diff]
+        line_idx = (np.arange(int(offsets[-1])) - np.repeat(offsets[:-1], lengths))[diff]
+        docs = batch["doc_id"].to_numpy(zero_copy_only=False)[doc_idx]
+        la = lab_a[diff].astype(str)
+        lb = lab_b[diff].astype(str)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.string()),
+                "line": pa.array(line_idx, pa.int64()),
+                "label_naive": pa.array(la, pa.string()),
+                "label_crf": pa.array(lb, pa.string()),
+                "label": pa.array(
+                    np.char.add(np.char.add(la, " - "), lb), pa.string()
+                ),
+            }
+        )
+
+
+def agreement_spans(ds, batch_size: int = 256, concurrency=(1, 4)):
+    """Disagreement rows between the naive and CRF segmenters."""
+    return ds.map_batches(
+        AgreementSpans,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -80,16 +197,13 @@ def line_confusion_batch(
     from ..state.broadcast import get_broadcast
 
     gold_by_doc: dict[str, list] = get_broadcast(gold_ref)
-    spans_col = batch["spans"].combine_chunks()
     docs = batch["doc_id"].to_pylist()
     flat, offsets = explode_lines(batch["lines"])
     n_total = int(offsets[-1])
-    pred = np.full(n_total, "O", dtype=object)
+    pred = spans_to_line_labels(batch["spans"], offsets)
     gold = np.full(n_total, "O", dtype=object)
     for i in range(batch.num_rows):
         base = offsets[i]
-        for s in spans_col[i].as_py():  # few spans per doc
-            pred[base + s["start_line"] : base + s["end_line"] + 1] = s["label"]
         for label, s0, s1 in gold_by_doc.get(docs[i], []):
             gold[base + s0 : base + s1 + 1] = label
     counts = (
