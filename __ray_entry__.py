@@ -358,6 +358,40 @@ def _seg_report_words(sf_dir: str):
     return word_classification_report(ds, gold)
 
 
+def _seg_report_cnn1d(sf_dir: str):
+    """T3 analog: line-level P/R/F1 of the context-window MLP tagger
+    (numpy CNN1D family) vs gold."""
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.sources.corpus import read_corpus
+    from theoremkb_ray.stages.agreement import classification_report
+    from theoremkb_ray.stages.ingest import ingest
+    from theoremkb_ray.stages.nn import segment_cnn1d
+    from theoremkb_ray.stages.tokenize import tokenize
+
+    sdir = _synth_dir(200)
+    ds = segment_cnn1d(tokenize(ingest(read_corpus(f"{sdir}/corpus.parquet"))))
+    gold = pq.read_table(f"{sdir}/gold_spans.parquet")
+    return classification_report(ds, gold)
+
+
+def _nlp_classify(sf_dir: str):
+    """T8/T9 analog: 3-class paragraph classification (hashed-BoW
+    logistic) over the synth corpus; per-class paragraph counts."""
+    from ray.data.aggregate import Count
+
+    from theoremkb_ray.sources.corpus import read_corpus
+    from theoremkb_ray.stages.ingest import ingest
+    from theoremkb_ray.stages.nn import classify_paragraphs
+    from theoremkb_ray.stages.tokenize import tokenize
+
+    sdir = _synth_dir(200)
+    out = classify_paragraphs(
+        tokenize(ingest(read_corpus(f"{sdir}/corpus.parquet")))
+    )
+    return out.groupby("cls3").aggregate(Count(alias_name="n")).sort("cls3")
+
+
 def _split_stratified(sf_dir: str):
     """O5/O6: deterministic hash split + stratified sample summary."""
     import pandas as pd
@@ -410,6 +444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "agreement_spans": _agreement_spans,
             "seg_report": _seg_report,
             "seg_report_words": _seg_report_words,
+            "seg_report_cnn1d": _seg_report_cnn1d,
+            "nlp_classify": _nlp_classify,
             "split_stratified": _split_stratified,
             "tfidf_match": _tfidf_match,
         }

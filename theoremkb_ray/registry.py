@@ -37,8 +37,11 @@ def _register_builtins() -> None:
     from .stages.crf import segment_crf
     from .stages.segment import segment_naive
 
+    from .stages.nn import segment_cnn1d
+
     register_segmenter("results.naive", segment_naive)
     register_segmenter("results.crf", segment_crf)
+    register_segmenter("results.cnn1d", segment_cnn1d)
 
 
 _register_builtins()
