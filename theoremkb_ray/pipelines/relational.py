@@ -748,6 +748,121 @@ GROUP BY doc_id
 """
 
 
+def q_rollup_hier(sf_dir: str):
+    """A1 FULL hierarchical rollup (reference get_features,
+    paper/features.py:96-180): word-child stats per (doc, line) —
+    min/max/avg/std(pop) word length, first/second/last word — the
+    min/max/std/mean + groupby.nth(0/1/-1) machinery, vectorized via
+    the segment kernels in stages/rollup.py. Zero shuffle: each
+    document's lines stay inside its batch task."""
+    from ..stages.rollup import (
+        segment_mean_std,
+        segment_min_max,
+        segment_nth,
+    )
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(b["text"], "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        doc_off = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = lines.values
+        if doc_off[0] != 0:
+            flat = flat.slice(doc_off[0], doc_off[-1] - doc_off[0])
+            doc_off = doc_off - doc_off[0]
+        words = pc.split_pattern(flat, " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = words.values
+        if offs[0] != 0:
+            vals = vals.slice(offs[0], offs[-1] - offs[0])
+            offs = offs - offs[0]
+        lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+        mins, maxs = segment_min_max(lens, offs)
+        # exact-integer mean/std so the oracle's identical expression
+        # produces bit-identical doubles (no float-summation-order
+        # divergence): var = (n*s2 - s1^2) / n^2 over int64 sums
+        lens_i = lens.astype(np.int64)
+        counts_w = np.diff(offs)
+        s1 = np.add.reduceat(lens_i, offs[:-1].clip(max=max(len(lens_i) - 1, 0)))
+        s2 = np.add.reduceat(lens_i * lens_i, offs[:-1].clip(max=max(len(lens_i) - 1, 0)))
+        if len(lens_i) == 0:
+            s1 = np.zeros(len(counts_w), dtype=np.int64)
+            s2 = np.zeros(len(counts_w), dtype=np.int64)
+        s1[counts_w == 0] = 0
+        s2[counts_w == 0] = 0
+        nn = np.maximum(counts_w, 1).astype(np.float64)
+        mean = s1.astype(np.float64) / nn
+        std = np.sqrt(
+            (nn * s2.astype(np.float64) - s1.astype(np.float64) ** 2)
+            / (nn * nn)
+        )
+        n_lines = np.diff(doc_off)
+        doc_ids = np.repeat(
+            b["doc_id"].to_numpy(zero_copy_only=False), n_lines
+        )
+        line_idx = np.arange(int(doc_off[-1])) - np.repeat(
+            doc_off[:-1], n_lines
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "line": pa.array(line_idx, pa.int64()),
+                "n_words": pa.array(np.diff(offs), pa.int64()),
+                "min_word_len": pa.array(mins.astype(np.int64)),
+                "max_word_len": pa.array(maxs.astype(np.int64)),
+                "avg_word_len": pa.array(np.floor(mean * 1e6) / 1e6),
+                "std_word_len": pa.array(np.floor(std * 1e6) / 1e6),
+                "first_word": segment_nth(vals, offs, 0),
+                "second_word": segment_nth(vals, offs, 1),
+                "last_word": segment_nth(vals, offs, -1),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_ROLLUP_HIER = """
+WITH lines AS (
+  SELECT doc_id, u.l AS line_txt, CAST(u.i - 1 AS BIGINT) AS line
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, chr(10)),
+                                 (x, i) -> {'l': x, 'i': i})) AS u
+    FROM documents
+  )
+),
+words AS (
+  SELECT doc_id, line, w.w AS word, w.j AS j
+  FROM (
+    SELECT doc_id, line,
+           unnest(list_transform(string_split(line_txt, ' '),
+                                 (x, j) -> {'w': x, 'j': j})) AS w
+    FROM lines
+  )
+)
+SELECT doc_id, line,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(min(length(word)) AS BIGINT) AS min_word_len,
+       CAST(max(length(word)) AS BIGINT) AS max_word_len,
+       floor((CAST(sum(length(word)) AS DOUBLE) / count(*)) * 1000000)
+         / 1000000 AS avg_word_len,
+       floor(sqrt((count(*) * CAST(sum(length(word)*length(word)) AS DOUBLE)
+                   - CAST(sum(length(word)) AS DOUBLE) * sum(length(word)))
+                  / (CAST(count(*) AS DOUBLE) * count(*))) * 1000000)
+         / 1000000 AS std_word_len,
+       first(word ORDER BY j) AS first_word,
+       CASE WHEN count(*) >= 2 THEN (list(word ORDER BY j))[2]
+            ELSE NULL END AS second_word,
+       last(word ORDER BY j) AS last_word
+FROM words
+GROUP BY doc_id, line
+"""
+
+
 #: name -> (ray_fn, sql or None)
 def q_bib_resolve(sf_dir: str, shuffle: bool = False):
     """J7 bibliography resolution (reference get_links.py:57-162):
@@ -913,6 +1028,7 @@ REGISTRY: dict[str, tuple] = {
     "session_window": (q_session_window, SQL_SESSION_WINDOW),
     "running_sum": (q_running_sum, SQL_RUNNING_SUM),
     "rollup_words": (q_rollup_words, SQL_ROLLUP_WORDS),
+    "rollup_hier": (q_rollup_hier, SQL_ROLLUP_HIER),
     "bib_resolve": (q_bib_resolve, SQL_BIB_RESOLVE),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
 }
