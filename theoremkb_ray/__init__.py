@@ -22,3 +22,21 @@ IMPORTANT: nothing in this package calls ``ray.init()`` — the driver,
 """
 
 __version__ = "0.1.0"
+
+import logging as _logging
+
+
+class _SchemaHashNoise(_logging.Filter):
+    """Drop Ray Data's harmless 'Failed to hash the schemas (for
+    deduplication)' warning: our span/feature struct columns carry
+    nested metadata Ray's schema-dedup cache can't hash; the warning
+    is advisory (the dedup cache is an optimization) and fires once
+    per unioned block otherwise."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).addFilter(_SchemaHashNoise())

@@ -33,6 +33,32 @@ def list_segmenters() -> list[str]:
     return sorted(_SEGMENTERS)
 
 
+#: FeatureExtractor registry — the analog of the reference's
+#: per-node-kind FeatureExtractor plugins (reference:
+#: Styling/src/lib/features/__init__.py:15-39): a feature extractor is
+#: any callable ``(flat_lines: pa.Array, doc_offsets: np.ndarray) ->
+#: dict[str, np.ndarray | pa.Array]``; registered extractors are
+#: picked up by stages.rollup.hierarchical_features as extra columns.
+_FEATURE_EXTRACTORS: dict[str, Callable] = {}
+
+
+def register_feature_extractor(name: str, fn: Callable) -> None:
+    _FEATURE_EXTRACTORS[name] = fn
+
+
+def get_feature_extractor(name: str) -> Callable:
+    if name not in _FEATURE_EXTRACTORS:
+        raise KeyError(
+            f"unknown feature extractor {name!r}; "
+            f"known: {sorted(_FEATURE_EXTRACTORS)}"
+        )
+    return _FEATURE_EXTRACTORS[name]
+
+
+def list_feature_extractors() -> list[str]:
+    return sorted(_FEATURE_EXTRACTORS)
+
+
 def _register_builtins() -> None:
     from .stages.crf import segment_crf
     from .stages.segment import segment_naive

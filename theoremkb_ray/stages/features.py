@@ -44,6 +44,31 @@ def sniff_docclass(contents: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.if_else(pc.is_valid(m), pc.struct_field(m, "c"), None)
 
 
+#: M1 font-family classification (reference:
+#: Styling/src/lib/features/String.py:25-45 ``_extract_fonts``): the
+#: same family-name regexes, applied vectorized to a font-family
+#: column (e.g. from a PDF TextStyle table or a style sidecar).
+_ITALIC_FONT_RE = r"(?i)((TI)[0-9]+|Ital|rsfs|EUSM)"
+_BOLD_FONT_RE = r"(?i)(CMBX|Bold|NimbusRomNo9L-Medi)"
+_MATH_FONT_RE = r"(?i)((CM)(SY|MI|EX)|math|Math|MSAM|MSBM|LASY|cmex|StandardSymL)"
+
+
+def classify_font_families(
+    families: pa.Array | pa.ChunkedArray,
+) -> pa.Table:
+    """Font-family strings -> (is_italic, is_math, is_bold) flags.
+    One regex kernel per class over the whole column — the reference
+    builds the same three flags per TextStyle declaration and joins
+    them onto every word; here the flags table joins by font id."""
+    return pa.table(
+        {
+            "is_italic": pc.match_substring_regex(families, _ITALIC_FONT_RE),
+            "is_math": pc.match_substring_regex(families, _MATH_FONT_RE),
+            "is_bold": pc.match_substring_regex(families, _BOLD_FONT_RE),
+        }
+    )
+
+
 def line_patterns(flat_lines: pa.Array) -> pa.Array:
     """``get_pattern`` analog (reference:
     Styling/src/lib/misc/__init__.py:32-43): mask digit runs with '@',
@@ -114,6 +139,9 @@ def line_features(flat_lines: pa.Array) -> dict[str, np.ndarray | pa.Array]:
         has_head_num, pc.struct_field(hn, "num"), pa.scalar("", pa.string())
     )
     n_words = pc.count_substring(flat_lines, " ")
+    # math marker (M1 is_math analog for the text corpus: inline $..$
+    # or a \math* command)
+    math = pc.match_substring_regex(flat_lines, r"\$[^$]+\$|\\math")
 
     def np_(a, dtype):
         return a.to_numpy(zero_copy_only=False).astype(dtype)
@@ -121,6 +149,7 @@ def line_features(flat_lines: pa.Array) -> dict[str, np.ndarray | pa.Array]:
     return {
         "bold": np_(bold, bool),
         "italic": np_(italic, bool),
+        "math": np_(math, bool),
         "blank": np_(blank, bool),
         "qed": np_(qed, bool),
         "n_words": np_(n_words, np.int32) + 1,

@@ -217,10 +217,17 @@ class HierarchicalFeatures:
     standardization — the full get_features pipeline, per batch."""
 
     def __init__(
-        self, deltas: bool = True, standardize: bool = False
+        self,
+        deltas: bool = True,
+        standardize: bool = False,
+        extractors: dict | None = None,
     ) -> None:
         self.deltas = deltas
         self.standardize = standardize
+        # registered extractors are SNAPSHOTTED at pipeline-build time
+        # and shipped in the constructor args (cloudpickle) — driver
+        # registrations reach every worker process
+        self.extractors = extractors or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .features import line_features
@@ -258,6 +265,12 @@ class HierarchicalFeatures:
                 cols[f"{k}_z"] = pa.array(
                     standardize_per_doc(v, doc_off)
                 )
+        # user-registered feature extractors (registry.py §2.10)
+        for name, fn in self.extractors.items():
+            for k, v in fn(flat, doc_off).items():
+                cols[f"{name}_{k}"] = (
+                    v if isinstance(v, (pa.Array, pa.ChunkedArray)) else pa.array(v)
+                )
         return pa.table(cols)
 
 
@@ -268,9 +281,11 @@ def hierarchical_features(
     batch_size: int = 256,
     concurrency=(1, 8),
 ):
+    from ..registry import _FEATURE_EXTRACTORS
+
     return ds.map_batches(
         HierarchicalFeatures,
-        fn_constructor_args=(deltas, standardize),
+        fn_constructor_args=(deltas, standardize, dict(_FEATURE_EXTRACTORS)),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
