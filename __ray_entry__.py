@@ -392,6 +392,19 @@ def _nlp_classify(sf_dir: str):
     return out.groupby("cls3").aggregate(Count(alias_name="n")).sort("cls3")
 
 
+def _page_segment(sf_dir: str):
+    """T2 analog: numpy conv page-band segmenter over synthetic page
+    bitmaps (binary payload plumbing); one row per detected band."""
+    import ray.data as rd
+
+    from theoremkb_ray.stages.vision import segment_pages, synth_page_table
+
+    pages, _gold = synth_page_table(128, seed=11)
+    return segment_pages(rd.from_arrow(pages)).sort(
+        ["media_id", "start_row"]
+    )
+
+
 def _split_stratified(sf_dir: str):
     """O5/O6: deterministic hash split + stratified sample summary."""
     import pandas as pd
@@ -440,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ivf_topk": _ivf_topk,
             "embedding_dups": _embedding_dups,
             "media_decode": _media_decode,
+            "page_segment": _page_segment,
             "agreement_diff": _agreement_diff,
             "agreement_spans": _agreement_spans,
             "seg_report": _seg_report,

@@ -197,9 +197,120 @@ def _pairs_from_coarse(g: pd.DataFrame, cap: int = 50) -> pd.DataFrame:
 COARSE_BUCKETS = 64
 
 
-def pairs_from_bands(band_ds, cap: int = 50, coarse: int = COARSE_BUCKETS):
+def hot_band_hashes(
+    band_ds,
+    driver_rows_max: int = 400_000_000,
+    hot_collect_max: int = 20_000_000,
+):
+    """Band hashes occurring >= 2 times, as a broadcastable Arrow
+    array — or None when the hot set is too large to broadcast.
+
+    The wide pair shuffle moves (id, simhash, ...) x NUM_BANDS rows,
+    but almost every band bucket is a singleton that produces no pair.
+    Finding the non-singleton hashes first means the wide shuffle only
+    carries rows that can actually pair — at low duplicate density
+    that's orders of magnitude less data.
+
+    Physical plan: the 8-byte hash column streams to the driver (NO
+    shuffle — Ray's sort cost is per-row, so a skinny groupby-count
+    of the same rows costs as much as the wide shuffle it's meant to
+    save) and one np.unique finds the hot set. Gated at
+    ``driver_rows_max`` rows (~3.2 GB); above that, a distributed
+    partial-count groupby computes the same thing, and above
+    ``hot_collect_max`` hot hashes the prefilter is skipped entirely
+    (returns None — the caller falls through to the unfiltered
+    shuffle)."""
+    n_rows = band_ds.count()
+    if n_rows <= driver_rows_max:
+        chunks = []
+        for b in band_ds.select_columns(["band_hash"]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20
+        ):
+            chunks.append(
+                b["band_hash"].to_numpy(zero_copy_only=False)
+            )
+        if not chunks:
+            return pa.array([], pa.uint64())
+        h = np.concatenate(chunks).astype(np.uint64)
+        h.sort(kind="stable")
+        dup = np.zeros(len(h), dtype=bool)
+        if len(h) > 1:
+            eq = h[1:] == h[:-1]
+            dup[1:] = eq
+            dup[:-1] |= eq
+        hot = np.unique(h[dup])
+        if len(hot) > hot_collect_max:
+            return None
+        return pa.array(hot, pa.uint64())
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = b["band_hash"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(h, return_counts=True)
+        # int64 bit-view through the shuffle: Ray's sort/groupby path
+        # round-trips keys through pandas, which mangles uint64
+        return pa.table(
+            {
+                "band_hash": pa.array(uniq.view(np.int64), pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        band_ds.select_columns(["band_hash"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("band_hash")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def only_hot(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n"], 2)).select(["band_hash"])
+
+    hot = counts.map_batches(only_hot, batch_format="pyarrow").materialize()
+    if hot.count() > hot_collect_max:
+        return None
+    chunks = []
+    for b in hot.iter_batches(batch_format="pyarrow"):
+        v = b["band_hash"].to_numpy(zero_copy_only=False)
+        chunks.append(np.asarray(v, dtype=np.int64).view(np.uint64))
+    if not chunks:
+        return pa.array([], pa.uint64())
+    return pa.array(np.concatenate(chunks), pa.uint64())
+
+
+def pairs_from_bands(
+    band_ds,
+    cap: int = 50,
+    coarse: int = COARSE_BUCKETS,
+    prefilter: bool = True,
+):
     """LSH band rows -> candidate pair rows via ONE coarse-keyed
-    shuffle (see :func:`_pairs_from_coarse`)."""
+    shuffle (see :func:`_pairs_from_coarse`), preceded (by default) by
+    the :func:`hot_band_hashes` singleton-bucket prefilter so the wide
+    shuffle only moves rows that can actually pair."""
+    import ray
+    import ray.data as rd
+
+    if prefilter:
+        # bands are consumed twice (count pass + pair pass): pin them.
+        # At ~1.5x the (already ~100x-reduced) results table they fit
+        # the cluster object store; Ray spills to disk past that, which
+        # still beats recomputing the minhash signatures twice.
+        band_ds = band_ds.materialize()
+        hot = hot_band_hashes(band_ds)
+        if hot is not None and len(hot) == 0:
+            return rd.from_pandas(pd.DataFrame(_EMPTY_PAIRS))
+        if hot is not None:
+            hot_ref = ray.put(hot)
+
+            def keep_hot(b: pa.Table) -> pa.Table:
+                from ..state.broadcast import get_broadcast
+
+                hs = get_broadcast(hot_ref)
+                return b.filter(pc.is_in(b["band_hash"], value_set=hs))
+
+            band_ds = band_ds.map_batches(keep_hot, batch_format="pyarrow")
 
     def add_coarse(b: pa.Table) -> pa.Table:
         h = b["band_hash"].to_numpy(zero_copy_only=False)
