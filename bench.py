@@ -100,12 +100,21 @@ def run_bench() -> dict:
     corpus = rd.read_parquet(f"{cdir}/corpus")
     n_docs = corpus.count()
     mark(f"corpus counted: {n_docs}")
-    triples = triples_dataset(
-        corpus, links_tbl=links, segmenter="crf", canonicalize=True
+    from theoremkb_ray.pipelines.kg import (
+        results_dataset,
+        triples_from_materialized_results,
     )
+    from theoremkb_ray.sources.sinks import detect_skewed_repos_from_results
+
+    results = results_dataset(corpus, segmenter="crf").materialize()
+    mark("results materialized")
+    triples = triples_from_materialized_results(
+        results, links_tbl=links, canonicalize=True
+    )
+    salt = detect_skewed_repos_from_results(results, 64)
     mark("triples dataset built (results+canon done)")
     summary = materialize_triples(
-        triples, out_dir, num_partitions=64, resume=False, auto_salt=True
+        triples, out_dir, num_partitions=64, resume=False, salt_repos=salt
     )
     n_triples = sum(r["rows"] for r in summary.take_all())
     mark(f"sink done: {n_triples} triples")

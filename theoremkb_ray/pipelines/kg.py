@@ -126,7 +126,10 @@ def run_kg(
     front half but only writes pending partitions.
 
     Returns the (part, rows) summary Dataset from the sink."""
-    from ..sources.sinks import materialize_triples
+    from ..sources.sinks import (
+        detect_skewed_repos_from_results,
+        materialize_triples,
+    )
     from ..state.checkpoint import (
         checkpoint_complete,
         checkpoint_dataset,
@@ -163,11 +166,18 @@ def run_kg(
     triples = triples_from_materialized_results(
         results, links_tbl=links_tbl, canonicalize=canonicalize
     )
+    # skew pre-pass on the pinned results (one tiny groupby) — sampling
+    # the lazy triples would re-execute emit+rewrite end-to-end
+    salt = (
+        detect_skewed_repos_from_results(results, num_partitions)
+        if auto_salt
+        else None
+    )
     return materialize_triples(
         triples,
         out_dir,
         num_partitions=num_partitions,
         resume=resume,
-        auto_salt=auto_salt,
+        salt_repos=salt,
         lineage=results_checkpoint or corpus_path,
     )

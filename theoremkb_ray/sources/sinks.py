@@ -90,19 +90,56 @@ def detect_skewed_repos(
         .count()
         .to_pandas()
     )
+    return _salt_factors(counts, "count()", num_partitions, factor_cap)
+
+
+def _salt_factors(
+    counts: pd.DataFrame, n_col: str, num_partitions: int, factor_cap: int
+) -> dict[str, int]:
     if len(counts) == 0:
         return {}
-    total = counts["count()"].sum()
+    total = counts[n_col].sum()
     thresh = max(2.0 * total / num_partitions, 10)
-    hot = counts[counts["count()"] > thresh]
+    hot = counts[counts[n_col] > thresh]
     out = {}
     for _, row in hot.iterrows():
-        factor = int(
-            min(factor_cap, np.ceil(row["count()"] / max(thresh, 1)))
-        )
+        factor = int(min(factor_cap, np.ceil(row[n_col] / max(thresh, 1))))
         if factor > 1:
             out[row["repo"]] = factor
     return out
+
+
+def detect_skewed_repos_from_results(
+    results_ds, num_partitions: int, factor_cap: int = 8
+) -> dict[str, int]:
+    """Skew pre-pass on the (already materialized, ~100x-reduced)
+    RESULTS table instead of the lazy triples pipeline — sampling the
+    triples re-executes emit+rewrite end-to-end just to count repos
+    (measured as a full extra pipeline pass in the flagship). Triples
+    per repo are proportional to results per repo (2-3 per result),
+    which is all the salt factor estimate needs. Per-batch partial
+    counts -> one tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        docs = b["doc_id"].to_numpy(zero_copy_only=False)
+        repos = subject_repo(docs)
+        uniq, cnt = np.unique(repos.astype(str), return_counts=True)
+        return pa.table(
+            {
+                "repo": pa.array(uniq, pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        results_ds.select_columns(["doc_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("repo")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return _salt_factors(counts, "n", num_partitions, factor_cap)
 
 
 def _write_partition(
