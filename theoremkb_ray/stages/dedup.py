@@ -199,7 +199,7 @@ COARSE_BUCKETS = 64
 
 def hot_band_hashes(
     band_ds,
-    driver_rows_max: int = 400_000_000,
+    driver_rows_max: int = 4_000_000,
     hot_collect_max: int = 20_000_000,
 ):
     """Band hashes occurring >= 2 times, as a broadcastable Arrow
@@ -211,72 +211,98 @@ def hot_band_hashes(
     carries rows that can actually pair — at low duplicate density
     that's orders of magnitude less data.
 
-    Physical plan: the 8-byte hash column streams to the driver (NO
-    shuffle — Ray's sort cost is per-row, so a skinny groupby-count
-    of the same rows costs as much as the wide shuffle it's meant to
-    save) and one np.unique finds the hot set. Gated at
-    ``driver_rows_max`` rows (~3.2 GB); above that, a distributed
-    partial-count groupby computes the same thing, and above
-    ``hot_collect_max`` hot hashes the prefilter is skipped entirely
-    (returns None — the caller falls through to the unfiltered
-    shuffle)."""
+    Physical plan (distributed, no per-row shuffle): each block packs
+    its hashes into per-hash-range binary BLOBS (range = top bits of
+    the hash), so the co-locating groupby sorts only
+    O(blocks x ranges) fat rows — Ray's shuffle cost is per-ROW, and
+    this turns 22M skinny rows into ~10k blob rows carrying the same
+    bytes. Each range group then sorts its ~n/ranges hashes and finds
+    duplicates in parallel; only the (small) hot set reaches the
+    driver. A single-pass driver sort handles inputs under
+    ``driver_rows_max``; above ``hot_collect_max`` hot hashes the
+    prefilter is skipped entirely (returns None — the caller falls
+    through to the unfiltered shuffle)."""
     n_rows = band_ds.count()
     if n_rows <= driver_rows_max:
         chunks = []
         for b in band_ds.select_columns(["band_hash"]).iter_batches(
-            batch_format="pyarrow", batch_size=1 << 20
+            batch_format="pyarrow", batch_size=None
         ):
             chunks.append(
                 b["band_hash"].to_numpy(zero_copy_only=False)
             )
         if not chunks:
             return pa.array([], pa.uint64())
-        h = np.concatenate(chunks).astype(np.uint64)
-        h.sort(kind="stable")
-        dup = np.zeros(len(h), dtype=bool)
-        if len(h) > 1:
-            eq = h[1:] == h[:-1]
-            dup[1:] = eq
-            dup[:-1] |= eq
-        hot = np.unique(h[dup])
+        h = np.concatenate(chunks).astype(np.uint64, copy=False)
+        h.sort()  # quicksort: stability is meaningless for raw values
+        hot = (
+            np.unique(h[1:][h[1:] == h[:-1]])
+            if len(h) > 1
+            else np.empty(0, np.uint64)
+        )
         if len(hot) > hot_collect_max:
             return None
         return pa.array(hot, pa.uint64())
 
-    from ray.data.aggregate import Sum
+    # ranges sized so each group sorts a few million hashes; power of
+    # two so the range id is a bit shift
+    ranges = 64
+    while ranges < 4096 and n_rows // ranges > 4_000_000:
+        ranges *= 2
+    shift = np.uint64(64 - int(np.log2(ranges)))
 
-    def partial(b: pa.Table) -> pa.Table:
-        h = b["band_hash"].to_numpy(zero_copy_only=False)
-        uniq, cnt = np.unique(h, return_counts=True)
-        # int64 bit-view through the shuffle: Ray's sort/groupby path
-        # round-trips keys through pandas, which mangles uint64
+    def pack(b: pa.Table) -> pa.Table:
+        h = b["band_hash"].to_numpy(zero_copy_only=False).astype(
+            np.uint64, copy=False
+        )
+        h = np.sort(h)  # range ids are h's top bits: sorted h groups them
+        r = (h >> shift).astype(np.int64)
+        bounds = np.flatnonzero(np.diff(r)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(r)]])
         return pa.table(
             {
-                "band_hash": pa.array(uniq.view(np.int64), pa.int64()),
-                "n": pa.array(cnt.astype(np.int64)),
+                "range_id": pa.array(r[starts], pa.int64()),
+                "blob": pa.array(
+                    [h[s:e].tobytes() for s, e in zip(starts, ends)],
+                    pa.binary(),
+                ),
             }
         )
 
-    counts = (
+    def find_hot(g: pa.Table) -> pa.Table:
+        h = np.concatenate(
+            [
+                np.frombuffer(m, dtype=np.uint64)
+                for m in g["blob"].to_pylist()
+            ]
+        )
+        h.sort()
+        hot = (
+            np.unique(h[1:][h[1:] == h[:-1]])
+            if len(h) > 1
+            else np.empty(0, np.uint64)
+        )
+        return pa.table({"blob": pa.array([hot.tobytes()], pa.binary())})
+
+    hot_parts = (
         band_ds.select_columns(["band_hash"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("band_hash")
-        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(pack, batch_format="pyarrow", batch_size=None)
+        .groupby("range_id")
+        .map_groups(find_hot, batch_format="pyarrow")
     )
-
-    def only_hot(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater_equal(b["n"], 2)).select(["band_hash"])
-
-    hot = counts.map_batches(only_hot, batch_format="pyarrow").materialize()
-    if hot.count() > hot_collect_max:
+    chunks = [
+        np.frombuffer(m, dtype=np.uint64)
+        for b in hot_parts.iter_batches(batch_format="pyarrow")
+        for m in b["blob"].to_pylist()
+    ]
+    if sum(len(c) for c in chunks) > hot_collect_max:
         return None
-    chunks = []
-    for b in hot.iter_batches(batch_format="pyarrow"):
-        v = b["band_hash"].to_numpy(zero_copy_only=False)
-        chunks.append(np.asarray(v, dtype=np.int64).view(np.uint64))
     if not chunks:
         return pa.array([], pa.uint64())
-    return pa.array(np.concatenate(chunks), pa.uint64())
+    hot = np.concatenate(chunks)
+    hot.sort()  # groups arrive unordered; keep deterministic output
+    return pa.array(hot, pa.uint64())
 
 
 def pairs_from_bands(
