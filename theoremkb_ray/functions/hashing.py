@@ -98,6 +98,125 @@ def minhash_signatures(
     return out
 
 
+def flat_token_hashes_arrow(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(flat token hashes, int64[N+1] doc offsets) for a pyarrow
+    string (chunked) array — the vectorized analog of per-doc
+    ``t.split()`` + :func:`hash_strings`: ONE Arrow whitespace split +
+    ONE siphash call for the whole batch. Arrow's
+    ``utf8_split_whitespace`` emits empty tokens at string edges;
+    those are dropped so tokenization matches Python ``str.split``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    lst = pc.utf8_split_whitespace(texts)
+    counts = lst.value_lengths().to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    flat = lst.flatten()
+    n = len(counts)
+    if len(flat) == 0:
+        return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
+    keep = pc.greater(pc.binary_length(flat), 0)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    d = np.repeat(np.arange(n, dtype=np.int64), counts)[keep_np]
+    flat = flat.filter(keep)
+    h = hash_strings(flat.to_numpy(zero_copy_only=False))
+    starts = np.zeros(n + 1, np.int64)
+    starts[1:] = np.cumsum(np.bincount(d, minlength=n))
+    return h, starts
+
+
+def shingle_hashes_flat(
+    flat_tokens: np.ndarray, starts: np.ndarray, k: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch variant of :func:`shingle_hashes` over ONE flat token-hash
+    array for N docs (``starts``: int64[N+1] doc offsets).
+
+    Returns (flat_shingles, shingle_doc) — identical values to calling
+    ``shingle_hashes`` per doc (docs shorter than k get one shingle of
+    all their tokens; empty docs get none). One numpy pass for the
+    common case; only the rare short docs (<k tokens) loop.
+    """
+    n_docs = len(starts) - 1
+    lengths = np.diff(starts)
+    F = len(flat_tokens)
+    th = flat_tokens.astype(np.uint64, copy=False)
+    if F == 0 or n_docs == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    d = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+    out_s: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    if F >= k:
+        # positions whose k-gram stays inside one doc
+        pos = np.flatnonzero(d[: F - k + 1] == d[k - 1 :])
+        if len(pos):
+            with np.errstate(over="ignore"):
+                acc = np.zeros(len(pos), dtype=np.uint64)
+                for j in range(k):
+                    acc = (acc * _U64(0x100000001B3) + th[pos + j]) & _MASK64
+            out_s.append(splitmix64(acc))
+            out_d.append(d[pos])
+    short = np.flatnonzero((lengths > 0) & (lengths < k))
+    for i in short:  # rare: docs with fewer than k tokens
+        out_s.append(shingle_hashes(th[starts[i] : starts[i + 1]], k=k))
+        out_d.append(np.full(1, i, np.int64))
+    if not out_s:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    s = np.concatenate(out_s)
+    sd = np.concatenate(out_d)
+    order = np.argsort(sd, kind="stable")  # short-doc fixups in doc order
+    return s[order], sd[order]
+
+
+def minhash_signatures_flat(
+    flat_shingles: np.ndarray,
+    shingle_doc: np.ndarray,
+    n_docs: int,
+    num_perm: int = 128,
+) -> np.ndarray:
+    """(N, num_perm) MinHash signatures from a flat shingle array with
+    per-shingle doc ids (sorted by doc). Identical output to
+    :func:`minhash_signatures`; one (F, P) matrix + one
+    ``minimum.reduceat`` instead of a per-doc Python loop."""
+    out = np.full((n_docs, num_perm), _MASK64, dtype=np.uint64)
+    if len(flat_shingles) == 0:
+        return out
+    a, b = _minhash_params(num_perm)
+    with np.errstate(over="ignore"):
+        m = (flat_shingles[:, None] * a[None, :] + b[None, :]) & _MASK64
+    present, seg_starts = np.unique(shingle_doc, return_index=True)
+    out[present] = np.minimum.reduceat(m, seg_starts, axis=0)
+    return out
+
+
+def simhash64_flat(
+    flat_tokens: np.ndarray, starts: np.ndarray
+) -> np.ndarray:
+    """Batch variant of :func:`simhash64` over one flat token-hash
+    array (``starts``: int64[N+1] doc offsets). Empty docs -> 0."""
+    n_docs = len(starts) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(flat_tokens) == 0 or n_docs == 0:
+        return out
+    th = flat_tokens.astype(np.uint64, copy=False)
+    lengths = np.diff(starts)
+    nonempty = np.flatnonzero(lengths > 0)
+    if len(nonempty) == 0:
+        return out
+    bits = np.unpackbits(th.view(np.uint8).reshape(len(th), 8), axis=1)
+    sums = np.add.reduceat(
+        bits.astype(np.int64), starts[nonempty], axis=0
+    )
+    votes = sums * 2 - lengths[nonempty][:, None]
+    packed = np.packbits((votes > 0).astype(np.uint8), axis=1)
+    out[nonempty] = packed.view(np.uint64)[:, 0]
+    return out
+
+
 def band_hashes(
     signatures: np.ndarray, num_bands: int
 ) -> np.ndarray:

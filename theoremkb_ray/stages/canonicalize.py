@@ -36,11 +36,12 @@ import ray
 
 from ..functions.hashing import (
     band_hashes,
+    flat_token_hashes_arrow,
     hamming64,
     hash_strings,
-    minhash_signatures,
-    shingle_hashes,
-    simhash64,
+    minhash_signatures_flat,
+    shingle_hashes_flat,
+    simhash64_flat,
 )
 
 NUM_PERM = 64
@@ -67,19 +68,17 @@ class BandEmitter:
                     "simhash": pa.array([], pa.uint64()),
                 }
             )
-        texts = batch["text"].to_numpy(zero_copy_only=False)
         eids = batch["entity_id"].to_numpy(zero_copy_only=False)
-        n = len(texts)
-        tok_hashes = []
-        for t in texts:
-            toks = t.split()
-            tok_hashes.append(
-                hash_strings(toks) if toks else np.empty(0, np.uint64)
-            )
-        shingles = [shingle_hashes(th, k=3) for th in tok_hashes]
-        sigs = minhash_signatures(shingles, NUM_PERM)
+        n = batch.num_rows
+        # one Arrow split + one siphash + reduceat sketches for the
+        # whole batch — no per-doc Python loop
+        flat, starts = flat_token_hashes_arrow(batch["text"])
+        fs, fd = shingle_hashes_flat(flat, starts, k=3)
+        sigs = minhash_signatures_flat(fs, fd, n, NUM_PERM)
         bands = band_hashes(sigs, NUM_BANDS)  # (n, NUM_BANDS)
-        sims = simhash64(shingles)
+        sstarts = np.zeros(n + 1, np.int64)
+        sstarts[1:] = np.cumsum(np.bincount(fd, minlength=n))
+        sims = simhash64_flat(fs, sstarts)
 
         rep = NUM_BANDS
         # NOTE: no extra payload beyond the 8-byte simhash — every

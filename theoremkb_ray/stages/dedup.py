@@ -25,11 +25,13 @@ import pyarrow.compute as pc
 
 from ..functions.hashing import (
     band_hashes,
+    flat_token_hashes_arrow,
     hamming64,
     hash_strings,
-    minhash_signatures,
+    minhash_signatures_flat,
     shingle_hashes,
-    simhash64,
+    shingle_hashes_flat,
+    simhash64_flat,
 )
 from .canonicalize import connected_components_local, _collect
 
@@ -93,24 +95,23 @@ class MinHashBandEmitter:
         self.shingle_k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.col].to_numpy(zero_copy_only=False)
         ids = pc.cast(batch[self.id_col], pa.string()).to_numpy(
             zero_copy_only=False
         )
-        tok_hashes = []
-        for t in texts:
-            toks = t.split()
-            tok_hashes.append(
-                hash_strings(toks) if toks else np.empty(0, np.uint64)
-            )
-        shingles = [shingle_hashes(th, self.shingle_k) for th in tok_hashes]
-        sigs = minhash_signatures(shingles, self.num_perm)
+        n = batch.num_rows
+        # one Arrow split + one siphash + reduceat sketches for the
+        # whole batch — no per-doc Python loop
+        flat, starts = flat_token_hashes_arrow(batch[self.col])
+        fs, fd = shingle_hashes_flat(flat, starts, k=self.shingle_k)
+        sigs = minhash_signatures_flat(fs, fd, n, self.num_perm)
         bands = band_hashes(sigs, self.num_bands)
         # simhash over SHINGLES, not unigrams: near-identical word
         # multisets (small vocabularies) stay separable
-        sims = simhash64(shingles)
-        n_tok = np.array([len(t) for t in tok_hashes], dtype=np.int32)
-        n, rep = len(texts), self.num_bands
+        sstarts = np.zeros(n + 1, np.int64)
+        sstarts[1:] = np.cumsum(np.bincount(fd, minlength=n))
+        sims = simhash64_flat(fs, sstarts)
+        n_tok = np.diff(starts).astype(np.int32)
+        rep = self.num_bands
         return pa.table(
             {
                 "id": pa.array(np.repeat(ids, rep), pa.string()),
@@ -493,16 +494,15 @@ class SimHashEmitter:
         self.col, self.id_col = col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.col].to_numpy(zero_copy_only=False)
         ids = pc.cast(batch[self.id_col], pa.string()).to_numpy(
             zero_copy_only=False
         )
-        th = [
-            hash_strings(t.split()) if t else np.empty(0, np.uint64)
-            for t in texts
-        ]
-        sims = simhash64([shingle_hashes(x, 3) for x in th])
-        n = len(ids)
+        n = batch.num_rows
+        flat, starts = flat_token_hashes_arrow(batch[self.col])
+        fs, fd = shingle_hashes_flat(flat, starts, k=3)
+        sstarts = np.zeros(n + 1, np.int64)
+        sstarts[1:] = np.cumsum(np.bincount(fd, minlength=n))
+        sims = simhash64_flat(fs, sstarts)
         bands = np.stack(
             [(sims >> np.uint64(8 * i)) & np.uint64(0xFF) for i in range(8)],
             axis=1,
@@ -514,9 +514,7 @@ class SimHashEmitter:
                 "band_hash": pa.array(bands.reshape(-1)),
                 "simhash": pa.array(np.repeat(sims, 8)),
                 "n_tokens": pa.array(
-                    np.repeat(
-                        np.array([len(x) for x in th], dtype=np.int32), 8
-                    )
+                    np.repeat(np.diff(starts).astype(np.int32), 8)
                 ),
             }
         )
