@@ -248,6 +248,37 @@ def _embedding_dups(sf_dir: str):
     )
 
 
+def _autoencoder_dups(sf_dir: str):
+    """T7 analog: learned-embedding near-dup detection — train the
+    numpy autoencoder on a bounded sample of the documents table,
+    embed with the actor pool, SRP-LSH dedup in latent space."""
+    import pandas as pd
+    import ray.data as rd
+
+    from theoremkb_ray.stages.autoencoder import (
+        autoencoder_dup_edges,
+        fit_autoencoder_distributed,
+    )
+    from theoremkb_ray.stages.dedup import dup_assignments
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = ds.count()
+    model = fit_autoencoder_distributed(ds, sample_max=10_000, epochs=10)
+    canon = dup_assignments(
+        autoencoder_dup_edges(ds, model, max_hamming=4)
+    )
+    items = sorted(canon.items())
+    return pd.DataFrame(
+        {
+            "doc_id": ["_summary"] + [k for k, _ in items],
+            "canonical": [f"n_docs={n_docs};n_dups={len(items)}"]
+            + [v for _, v in items],
+        }
+    )
+
+
 def _media_decode(sf_dir: str):
     import ray.data as rd
 
@@ -452,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "fingerprint_docs": _fingerprint_docs,
             "ivf_topk": _ivf_topk,
             "embedding_dups": _embedding_dups,
+            "autoencoder_dups": _autoencoder_dups,
             "media_decode": _media_decode,
             "page_segment": _page_segment,
             "agreement_diff": _agreement_diff,
