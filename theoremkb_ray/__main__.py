@@ -150,6 +150,22 @@ def cmd_export_csv(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Read-only REST serving over a triple store (server.py analog);
+    blocks until interrupted."""
+    from .serve import TripleStoreServer
+
+    srv = TripleStoreServer(args.store, host=args.host, port=args.port)
+    srv.start()
+    print(json.dumps({"serving": srv.url, "store": args.store}), flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
+    return 0
+
+
 def cmd_bench(args) -> int:
     """cli.py ``bench`` (Styling/src/cli.py:272-284) — but measuring
     the full pipeline, not one extractor on one paper."""
@@ -207,6 +223,12 @@ def main(argv: list[str] | None = None) -> int:
     ep.add_argument("--store", required=True)
     ep.add_argument("--out", required=True)
     ep.set_defaults(fn=cmd_export_csv)
+
+    vp = sub.add_parser("serve", help="REST serving over a triple store")
+    vp.add_argument("--store", required=True)
+    vp.add_argument("--host", default="127.0.0.1")
+    vp.add_argument("--port", type=int, default=8000)
+    vp.set_defaults(fn=cmd_serve)
 
     bp = sub.add_parser("bench", help="time the triple pipeline")
     bp.add_argument("--corpus", required=True)

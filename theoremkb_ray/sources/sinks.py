@@ -185,6 +185,36 @@ def materialize_triples(
     os.makedirs(out_dir, exist_ok=True)
     if auto_salt and salt_repos is None:
         salt_repos = detect_skewed_repos(triples_ds, num_partitions)
+    # record the partitioning config: point-lookup consumers (serve.py)
+    # need it to map subject -> partition, and a resumed run with a
+    # DIFFERENT config would silently misplace rows — fail instead
+    meta_path = os.path.join(out_dir, "_store_meta.json")
+    meta = {
+        "num_partitions": num_partitions,
+        "salt_repos": salt_repos or {},
+        "lineage": lineage,
+    }
+    if resume and os.path.exists(meta_path):
+        import json as _json
+
+        with open(meta_path) as f:
+            prev = _json.load(f)
+        if (prev.get("num_partitions"), prev.get("salt_repos") or {}) != (
+            num_partitions,
+            salt_repos or {},
+        ):
+            raise ValueError(
+                f"resume with different partitioning config in {out_dir}: "
+                f"recorded {prev}, requested {meta} — rows would land in "
+                "the wrong partitions; use resume=False or match the config"
+            )
+    else:
+        import json as _json
+
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(meta, f)
+        os.replace(tmp, meta_path)
     ds = triples_ds.map_batches(
         lambda b: add_partition_column(b, num_partitions, salt_repos),
         batch_format="pyarrow",
