@@ -11,9 +11,17 @@ Ray is initialised by the driver BEFORE this module is imported: no
 
 from __future__ import annotations
 
+import logging
 import os
 from collections.abc import Callable
 from typing import Any
+
+# Ray's schema-dedup fast path logs a harmless "Failed to hash the
+# schemas" warning whenever a mixed pandas/arrow schema set isn't
+# hashable; it retries the slow path and succeeds. Pure noise here.
+logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).setLevel(logging.ERROR)
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in __import__("sys").path:
@@ -279,6 +287,43 @@ def _autoencoder_dups(sf_dir: str):
     )
 
 
+def _decontaminate_docs(sf_dir: str):
+    """Training-data decontamination: benchmark = the 20 lexicographic-
+    min doc texts; flag every doc sharing a 13-token gram with them
+    (the benchmark docs themselves + their duplicates)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from theoremkb_ray.stages.decontaminate import flag_contaminated
+
+    bench_tbl = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .sort_by("doc_id")
+        .slice(0, 20)
+    )
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    flagged = flag_contaminated(ds, bench_tbl["text"])
+    out = (
+        flagged.map_batches(
+            lambda b: b.select(["doc_id", "contaminated", "overlap_grams"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    n_cont = int(out["contaminated"].sum())
+    rows = out[out["contaminated"]]
+    return pd.DataFrame(
+        {
+            "doc_id": ["_summary"] + rows["doc_id"].astype(str).tolist(),
+            "overlap_grams": [n_cont] + rows["overlap_grams"].tolist(),
+        }
+    )
+
+
 def _media_decode(sf_dir: str):
     import ray.data as rd
 
@@ -484,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ivf_topk": _ivf_topk,
             "embedding_dups": _embedding_dups,
             "autoencoder_dups": _autoencoder_dups,
+            "decontaminate_docs": _decontaminate_docs,
             "media_decode": _media_decode,
             "page_segment": _page_segment,
             "agreement_diff": _agreement_diff,

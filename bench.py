@@ -41,12 +41,14 @@ def _kg_corpus_dir(sf: float) -> str:
     parallel once and cached — generation is excluded from timing."""
     from theoremkb_ray.synth import materialize_corpus_parallel
 
-    # 2.5M docs/sf so the parallel fraction dominates fixed scheduler
+    # 5M docs/sf so the parallel fraction dominates fixed scheduler
     # latency (at ~8k docs the whole pipeline runs in ~10s and the
     # scaling measurement reads Ray's constant overheads, not the
-    # engine; measured fixed cost is ~12s per run).
+    # engine; raised from 2.5M after round-2 vectorization halved the
+    # compute and the fixed ~10s overhead started dragging measured
+    # efficiency toward the noise floor).
     # chunk=500 -> hundreds of parquet shards keep every CPU busy.
-    num_docs = max(200, int(2_500_000 * sf))
+    num_docs = max(200, int(5_000_000 * sf))
     return materialize_corpus_parallel(
         f"/tmp/tkb_bench_corpus_{num_docs}",
         num_docs=num_docs,
@@ -69,6 +71,12 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    import logging
+
+    # harmless Ray schema-hash fallback warning — pure log noise
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
     # NOTE: shuffle_strategy="hash_shuffle" was ~25% faster on the sink
     # groupby at 32 CPUs but DEADLOCKS at low CPU counts (its
     # aggregator actors reserve the CPU slots the map tasks need) —

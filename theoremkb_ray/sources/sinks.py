@@ -33,14 +33,22 @@ from ..state.manifest import (
 _RE_REPO = re.compile(r"^([^/]+/[^/]+)")
 
 
-def subject_repo(subjects: np.ndarray) -> np.ndarray:
-    """repo prefix ('org/name') of a subject entity/doc id (vectorized
-    enough: one C-regex match per row)."""
-    out = np.empty(len(subjects), dtype=object)
-    for i, s in enumerate(subjects):
-        m = _RE_REPO.match(s)
-        out[i] = m.group(1) if m else s
-    return out
+def subject_repo(subjects) -> np.ndarray:
+    """repo prefix ('org/name') of a subject entity/doc id. One Arrow
+    C-regex pass for the whole array (the per-row Python re.match
+    version cost ~0.5us/row x 2 columns x every triple — measurable at
+    millions of triples); rows without a repo prefix fall back to the
+    full subject."""
+    import pyarrow.compute as pc
+
+    arr = (
+        subjects
+        if isinstance(subjects, (pa.Array, pa.ChunkedArray))
+        else pa.array(np.asarray(subjects, dtype=object), pa.string())
+    )
+    m = pc.extract_regex(arr, r"^(?P<repo>[^/]+/[^/]+)")
+    repo = pc.coalesce(pc.struct_field(m, "repo"), arr)
+    return repo.to_numpy(zero_copy_only=False)
 
 
 def add_partition_column(
@@ -230,12 +238,52 @@ def materialize_triples(
             ),
             batch_format="pyarrow",
         )
-    out = ds.groupby("part").map_groups(
-        lambda g: _write_partition(g, out_dir, "materialize", lineage),
-        batch_format="pandas",
-    )
-    # a sink must RUN; the summary is tiny (one row per partition)
-    return out.materialize()
+    # Disk-mediated shuffle instead of Ray's sort-based groupby: the
+    # all-to-all sort of every triple row was the single largest wall
+    # chunk of the flagship (measured 69s of a 180s run at 7.35M
+    # triples / 32 CPUs; the partitioned spool + finalize pass does the
+    # same data movement through shared storage in ~1/4 the time). Each
+    # map task appends its rows to hive-partitioned spool files (NO
+    # exchange), then one task per partition sorts/dedups/writes the
+    # final sorted parquet + manifest. On a multi-node cluster the
+    # spool lives on the same shared storage as the store itself.
+    import shutil
+
+    import ray.data as rd
+
+    spool = os.path.join(out_dir, "_spool")
+    shutil.rmtree(spool, ignore_errors=True)  # stale spool from a crash
+    ds.write_parquet(spool, partition_cols=["part"])
+    pending = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(spool)
+        if d.startswith("part=")
+    ) if os.path.isdir(spool) else []
+    if not pending:
+        shutil.rmtree(spool, ignore_errors=True)
+        return rd.from_items([]).materialize()
+
+    def finalize(b: pa.Table) -> pa.Table:
+        rows_out = []
+        for part in b["part"].to_pylist():
+            tbl = pq.read_table(os.path.join(spool, f"part={part}"))
+            g = tbl.to_pandas()
+            if "part" in g.columns:  # hive re-adds the partition col
+                g = g.drop(columns=["part"])
+            g["part"] = part
+            rows_out.append(
+                _write_partition(g, out_dir, "materialize", lineage)
+            )
+        return pa.Table.from_pandas(
+            pd.concat(rows_out, ignore_index=True), preserve_index=False
+        )
+
+    parts_ds = rd.from_arrow(
+        pa.table({"part": pa.array(pending, pa.int64())})
+    ).repartition(len(pending))
+    out = parts_ds.map_batches(finalize, batch_format="pyarrow").materialize()
+    shutil.rmtree(spool, ignore_errors=True)
+    return out
 
 
 _RE_PROV_N = re.compile(r"\|n=(\d+)")

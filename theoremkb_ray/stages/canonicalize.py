@@ -359,10 +359,14 @@ def rewrite_triples(triples_ds, canon: dict[str, str], concurrency=None):
     keys = pa.array(list(canon.keys()), pa.string())
     vals = pa.array(list(canon.values()), pa.string())
     ref = ray.put((keys, vals))
+    # batch_size=None: whole blocks. index_in re-hashes the value_set
+    # on every call, so per-call overhead scales with map size x batch
+    # COUNT — a 243k-entry map at 8192-row batches measurably dragged
+    # the emit+rewrite stage
     return triples_ds.map_batches(
         lambda b: _rewrite_batch(b, ref),
         batch_format="pyarrow",
-        batch_size=8192,
+        batch_size=None,
     )
 
 
@@ -388,6 +392,11 @@ def rewrite_triples_join(triples_ds, mapping_ds, num_partitions: int | None = No
         ncpu = int(ray.cluster_resources().get("CPU", 4))
         num_partitions = max(2, min(16, ncpu // 2))
 
+    from .joins import strip_schema_metadata
+
+    # read-back parquet triples carry pandas schema metadata, which is
+    # unhashable and knocks the join aggregators off their fast path
+    triples_ds = strip_schema_metadata(triples_ds)
     mapping = mapping_ds.materialize()
 
     def coalesce(col: str):

@@ -87,6 +87,19 @@ def _bounded_partitions(requested: int | None = None) -> int:
     return min(requested, cap) if requested else cap
 
 
+def strip_schema_metadata(ds):
+    """Drop Arrow schema metadata before a ``Dataset.join``.
+
+    Parquet written by pandas carries a ``b'pandas'`` schema-metadata
+    dict; a pa.Schema with metadata is UNHASHABLE, so every
+    HashShuffleAggregator actor falls off Ray's schema-dedup fast path
+    and logs a 'Failed to hash the schemas' warning per block pair.
+    Stripping costs a zero-copy schema replacement per batch."""
+    return ds.map_batches(
+        lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+
+
 def hash_join(
     left_ds,
     right_ds,
@@ -102,6 +115,8 @@ def hash_join(
     when the key side is too large to collect and broadcast (the
     existence filter runs inside Ray's hash-partitioned join, nothing
     reaches the driver)."""
+    left_ds = strip_schema_metadata(left_ds)
+    right_ds = strip_schema_metadata(right_ds)
     return left_ds.join(
         right_ds,
         join_type=_JOIN_TYPES[how],
