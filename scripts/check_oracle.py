@@ -60,7 +60,10 @@ def main(sf_dir: str) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from theoremkb_ray.pipelines.relational import REGISTRY
+    import __ray_entry__ as entrymod
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
 
     con = duckdb.connect()
     for t in (
@@ -73,7 +76,8 @@ def main(sf_dir: str) -> int:
         )
 
     failures = 0
-    for name, (fn, sql) in REGISTRY.items():
+    for name, fn in queries.items():
+        sql = oracles.get(name)
         try:
             got = normalize(to_pandas(fn(sf_dir)))
             if sql is None:
