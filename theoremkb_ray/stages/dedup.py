@@ -200,7 +200,7 @@ COARSE_BUCKETS = 64
 
 def hot_band_hashes(
     band_ds,
-    driver_rows_max: int = 4_000_000,
+    driver_rows_max: int = 200_000_000,
     hot_collect_max: int = 20_000_000,
 ):
     """Band hashes occurring >= 2 times, as a broadcastable Arrow
@@ -212,17 +212,19 @@ def hot_band_hashes(
     carries rows that can actually pair — at low duplicate density
     that's orders of magnitude less data.
 
-    Physical plan (distributed, no per-row shuffle): each block packs
-    its hashes into per-hash-range binary BLOBS (range = top bits of
-    the hash), so the co-locating groupby sorts only
-    O(blocks x ranges) fat rows — Ray's shuffle cost is per-ROW, and
-    this turns 22M skinny rows into ~10k blob rows carrying the same
-    bytes. Each range group then sorts its ~n/ranges hashes and finds
-    duplicates in parallel; only the (small) hot set reaches the
-    driver. A single-pass driver sort handles inputs under
-    ``driver_rows_max``; above ``hot_collect_max`` hot hashes the
-    prefilter is skipped entirely (returns None — the caller falls
-    through to the unfiltered shuffle)."""
+    Physical plan: under ``driver_rows_max`` rows, ONE driver-side
+    collect + numpy sort — 8 bytes/row, so the default gate is 1.6 GB
+    of driver RAM and ~20 s of sort; measured 17 s at 44M rows vs
+    94 s for the distributed alternative, because any Ray all-to-all
+    costs more than shipping the single skinny column. Above the gate
+    (cluster scale), a SPOOLED range exchange
+    (`state/spool.py:spooled_group_map`): each block appends its
+    hashes to per-range parquet spool partitions (range = top bits of
+    the hash — no network exchange), then one task per range sorts
+    its ~n/ranges hashes and emits only its duplicated values. Only
+    the (small) hot set reaches the driver. Above ``hot_collect_max``
+    hot hashes the prefilter is skipped entirely (returns None — the
+    caller falls through to the unfiltered shuffle)."""
     n_rows = band_ds.count()
     if n_rows <= driver_rows_max:
         chunks = []
@@ -245,40 +247,31 @@ def hot_band_hashes(
             return None
         return pa.array(hot, pa.uint64())
 
-    # ranges sized so each group sorts a few million hashes; power of
+    # ranges sized so each task sorts a few million hashes; power of
     # two so the range id is a bit shift
+    from ..state.spool import spooled_group_map
+
     ranges = 64
     while ranges < 4096 and n_rows // ranges > 4_000_000:
         ranges *= 2
     shift = np.uint64(64 - int(np.log2(ranges)))
 
-    def pack(b: pa.Table) -> pa.Table:
+    def add_range(b: pa.Table) -> pa.Table:
         h = b["band_hash"].to_numpy(zero_copy_only=False).astype(
             np.uint64, copy=False
         )
-        h = np.sort(h)  # range ids are h's top bits: sorted h groups them
-        r = (h >> shift).astype(np.int64)
-        bounds = np.flatnonzero(np.diff(r)) + 1
-        starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [len(r)]])
         return pa.table(
             {
-                "range_id": pa.array(r[starts], pa.int64()),
-                "blob": pa.array(
-                    [h[s:e].tobytes() for s, e in zip(starts, ends)],
-                    pa.binary(),
-                ),
+                "band_hash": pa.array(h),
+                "range_id": pa.array((h >> shift).astype(np.int64)),
             }
         )
 
     def find_hot(g: pa.Table) -> pa.Table:
-        h = np.concatenate(
-            [
-                np.frombuffer(m, dtype=np.uint64)
-                for m in g["blob"].to_pylist()
-            ]
+        h = g["band_hash"].to_numpy(zero_copy_only=False).astype(
+            np.uint64, copy=False
         )
-        h.sort()
+        h = np.sort(h)
         hot = (
             np.unique(h[1:][h[1:] == h[:-1]])
             if len(h) > 1
@@ -286,11 +279,12 @@ def hot_band_hashes(
         )
         return pa.table({"blob": pa.array([hot.tobytes()], pa.binary())})
 
-    hot_parts = (
-        band_ds.select_columns(["band_hash"])
-        .map_batches(pack, batch_format="pyarrow", batch_size=None)
-        .groupby("range_id")
-        .map_groups(find_hot, batch_format="pyarrow")
+    hot_parts = spooled_group_map(
+        band_ds.select_columns(["band_hash"]).map_batches(
+            add_range, batch_format="pyarrow", batch_size=None
+        ),
+        "range_id",
+        find_hot,
     )
     chunks = [
         np.frombuffer(m, dtype=np.uint64)
@@ -313,11 +307,15 @@ def pairs_from_bands(
     prefilter: bool = True,
 ):
     """LSH band rows -> candidate pair rows via ONE coarse-keyed
-    shuffle (see :func:`_pairs_from_coarse`), preceded (by default) by
-    the :func:`hot_band_hashes` singleton-bucket prefilter so the wide
-    shuffle only moves rows that can actually pair."""
+    exchange (see :func:`_pairs_from_coarse`), preceded (by default) by
+    the :func:`hot_band_hashes` singleton-bucket prefilter so the
+    exchange only moves rows that can actually pair. The exchange is
+    the disk spool (`state/spool.py`) — measured 29 s vs 143 s for
+    Ray's sort-based groupby on a 6M-row survivor set."""
     import ray
     import ray.data as rd
+
+    from ..state.spool import spooled_group_map
 
     if prefilter:
         # bands are consumed twice (count pass + pair pass): pin them.
@@ -329,15 +327,31 @@ def pairs_from_bands(
         if hot is not None and len(hot) == 0:
             return rd.from_pandas(pd.DataFrame(_EMPTY_PAIRS))
         if hot is not None:
-            hot_ref = ray.put(hot)
+            # sorted-uint64 membership via searchsorted: pc.is_in
+            # rebuilds its hash set from the (multi-million-entry)
+            # value_set on EVERY call — measured 64 s vs 4 s over 44M
+            # band rows
+            hot_np = hot.to_numpy(zero_copy_only=False).astype(
+                np.uint64, copy=False
+            )
+            hot_ref = ray.put(hot_np)
 
             def keep_hot(b: pa.Table) -> pa.Table:
                 from ..state.broadcast import get_broadcast
 
                 hs = get_broadcast(hot_ref)
-                return b.filter(pc.is_in(b["band_hash"], value_set=hs))
+                h = b["band_hash"].to_numpy(
+                    zero_copy_only=False
+                ).astype(np.uint64, copy=False)
+                if len(hs) == 0 or len(h) == 0:
+                    return b.slice(0, 0)
+                idx = np.searchsorted(hs, h)
+                idx[idx >= len(hs)] = len(hs) - 1
+                return b.filter(pa.array(hs[idx] == h))
 
-            band_ds = band_ds.map_batches(keep_hot, batch_format="pyarrow")
+            band_ds = band_ds.map_batches(
+                keep_hot, batch_format="pyarrow", batch_size=None
+            )
 
     def add_coarse(b: pa.Table) -> pa.Table:
         h = b["band_hash"].to_numpy(zero_copy_only=False)
@@ -345,12 +359,13 @@ def pairs_from_bands(
             "coarse", pa.array((h % np.uint64(coarse)).astype(np.int64))
         )
 
-    return (
-        band_ds.map_batches(add_coarse, batch_format="pyarrow")
-        .groupby("coarse")
-        .map_groups(
-            lambda g: _pairs_from_coarse(g, cap), batch_format="pandas"
-        )
+    return spooled_group_map(
+        band_ds.map_batches(
+            add_coarse, batch_format="pyarrow", batch_size=None
+        ),
+        "coarse",
+        lambda g: _pairs_from_coarse(g, cap),
+        batch_format="pandas",
     )
 
 
