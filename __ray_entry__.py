@@ -559,6 +559,43 @@ FROM documents
 """
 
 
+#: oracle for 13-gram decontamination: the engine matches HASHES of
+#: whitespace-token 13-grams; the oracle matches the gram STRINGS
+#: (tokens re-joined by ' ' — faithful, since tokens cannot contain
+#: whitespace and 64-bit hash collisions are negligible). Docs shorter
+#: than 13 tokens contribute one gram of all their tokens, matching
+#: ``shingle_hashes_flat``'s short-doc rule.
+SQL_DECONTAMINATE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+bench AS (SELECT toks FROM tok ORDER BY doc_id LIMIT 20),
+bgrams AS (
+  SELECT DISTINCT array_to_string(
+      CASE WHEN len(toks) >= 13 THEN toks[i:i+12] ELSE toks END, ' ') AS g
+  FROM bench, unnest(generate_series(1, greatest(len(toks) - 12, 1))) AS t(i)
+  WHERE len(toks) > 0
+),
+dgrams AS (
+  SELECT doc_id,
+         array_to_string(
+      CASE WHEN len(toks) >= 13 THEN toks[i:i+12] ELSE toks END, ' ') AS g
+  FROM tok, unnest(generate_series(1, greatest(len(toks) - 12, 1))) AS t(i)
+  WHERE len(toks) > 0
+),
+counts AS (
+  SELECT doc_id, count(*) AS overlap_grams
+  FROM dgrams WHERE g IN (SELECT g FROM bgrams)
+  GROUP BY doc_id
+)
+SELECT '_summary' AS doc_id, (SELECT count(*) FROM counts) AS overlap_grams
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, overlap_grams FROM counts
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from theoremkb_ray.pipelines.relational import REGISTRY
 
@@ -566,4 +603,5 @@ def oracle_sql() -> dict[str, str]:
         name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None
     }
     out["docs_segment"] = SQL_DOCS_SEGMENT
+    out["decontaminate_docs"] = SQL_DECONTAMINATE
     return out
