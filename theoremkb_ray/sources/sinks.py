@@ -151,28 +151,58 @@ def detect_skewed_repos_from_results(
 
 
 def _write_partition(
-    g: pd.DataFrame, out_dir: str, stage: str, lineage: str
-) -> pd.DataFrame:
-    part = int(g["part"].iloc[0])
-    g = (
-        g.drop(columns=["part"])
-        .drop_duplicates(["subject", "predicate", "object"])
-        .sort_values(["subject", "predicate", "object"], kind="mergesort")
-        .reset_index(drop=True)
+    tbl: pa.Table, part: int, out_dir: str, stage: str, lineage: str
+) -> pa.Table:
+    """Sort + dedup + write + manifest ONE partition, all Arrow.
+
+    (The pandas predecessor — to_pandas / drop_duplicates / mergesort /
+    elementwise string concat — roughly doubled finalize wall time at
+    7M triples.) Sorting on EVERY column (not just s/p/o) makes the
+    surviving row of a duplicate key deterministic under any block
+    order; pandas drop_duplicates kept whichever arrived first."""
+    import pyarrow.compute as pc
+
+    if "part" in tbl.column_names:
+        tbl = tbl.drop_columns(["part"])
+    tbl = tbl.combine_chunks()
+    order = pc.sort_indices(
+        tbl, sort_keys=[(c, "ascending") for c in tbl.column_names]
     )
+    tbl = tbl.take(order)
+    if tbl.num_rows > 1:
+        dup = np.ones(tbl.num_rows, dtype=bool)
+        for c in ("subject", "predicate", "object"):
+            col = tbl[c].combine_chunks()
+            dup[1:] &= pc.equal(col.slice(1), col.slice(0, len(col) - 1))\
+                .to_numpy(zero_copy_only=False)
+        dup[0] = False
+        if dup.any():
+            tbl = tbl.filter(pa.array(~dup))
     pdir = os.path.join(out_dir, f"part={part:05d}")
     os.makedirs(pdir, exist_ok=True)
     tmp = os.path.join(pdir, "data.parquet.tmp")
     final = os.path.join(pdir, "data.parquet")
-    tbl = pa.Table.from_pandas(g, preserve_index=False)
     pq.write_table(tbl, tmp)
     os.replace(tmp, final)
-    roll = rollup_hash(
-        ("\n".join(g["subject"] + "\t" + g["predicate"] + "\t" + g["object"]))
-        .encode()
+    # manifest hash formula unchanged (sub\tpred\tobj joined by \n);
+    # binary_join over one list scalar builds the bytes in Arrow C++
+    joined = pc.binary_join_element_wise(
+        tbl["subject"], tbl["predicate"], tbl["object"], "\t"
     )
-    write_partition_manifest(out_dir, part, len(g), roll, stage, lineage)
-    return pd.DataFrame({"part": [part], "rows": [len(g)]})
+    body = pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array([0, len(joined)], pa.int32()), joined.combine_chunks()
+        ),
+        "\n",
+    )[0].as_py()
+    roll = rollup_hash(body.encode())
+    write_partition_manifest(out_dir, part, tbl.num_rows, roll, stage, lineage)
+    return pa.table(
+        {
+            "part": pa.array([part], pa.int64()),
+            "rows": pa.array([tbl.num_rows], pa.int64()),
+        }
+    )
 
 
 def materialize_triples(
@@ -267,16 +297,10 @@ def materialize_triples(
         rows_out = []
         for part in b["part"].to_pylist():
             tbl = pq.read_table(os.path.join(spool, f"part={part}"))
-            g = tbl.to_pandas()
-            if "part" in g.columns:  # hive re-adds the partition col
-                g = g.drop(columns=["part"])
-            g["part"] = part
             rows_out.append(
-                _write_partition(g, out_dir, "materialize", lineage)
+                _write_partition(tbl, part, out_dir, "materialize", lineage)
             )
-        return pa.Table.from_pandas(
-            pd.concat(rows_out, ignore_index=True), preserve_index=False
-        )
+        return pa.concat_tables(rows_out)
 
     parts_ds = rd.from_arrow(
         pa.table({"part": pa.array(pending, pa.int64())})

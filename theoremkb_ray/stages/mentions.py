@@ -63,16 +63,26 @@ class MentionExtractor:
         )
         self.re_num = re.compile(r"\d+(?:\.\d+)*")
         self.re_cite = re.compile(r"\\cite\{([^}]*)\}")
+        # the kind vocabulary is ~dozens of surface forms; memoizing
+        # kills the per-mention lower()/endswith chain (measured ~0.5s
+        # per 245k mentions)
+        self._kind_memo: dict[str, str] = {}
 
     def _norm_kind(self, word: str) -> str:
+        k = self._kind_memo.get(word)
+        if k is not None:
+            return k
         w = word.lower()
         if w in ABBREVIATIONS:
-            return ABBREVIATIONS[w]
-        if w.endswith("ies"):
-            return "corollary"
-        if w.endswith("s") and w[:-1] in NUMBERED_KINDS:
-            return w[:-1]
-        return w
+            k = ABBREVIATIONS[w]
+        elif w.endswith("ies"):
+            k = "corollary"
+        elif w.endswith("s") and w[:-1] in NUMBERED_KINDS:
+            k = w[:-1]
+        else:
+            k = w
+        self._kind_memo[word] = k
+        return k
 
     #: word-distance window for associating a \cite with a mention
     #: (the reference's ±5-token <LINK:..> proximity rule,
@@ -101,6 +111,32 @@ class MentionExtractor:
         return ""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # Arrow C++ prefilters replace two per-row/per-mention Python
+        # costs: rows with no possible mention never reach finditer,
+        # and rows with no \cite marker skip _nearby_cite entirely
+        # (the common case — the window search splits the mention's
+        # line into words on every call)
+        has_mention = pc.match_substring_regex(
+            batch["text"],
+            r"(?i)\b(" + _kind_regex() + r")[ ]+\d",
+        )
+        batch = batch.filter(has_mention)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "src_entity": pa.array([], pa.string()),
+                    "src_group": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.string()),
+                    "num": pa.array([], pa.string()),
+                    "cite_tag": pa.array([], pa.string()),
+                }
+            )
+        has_cite = pc.match_substring(batch["text"], "\\cite{").to_numpy(
+            zero_copy_only=False
+        )
         texts = batch["text"].to_numpy(zero_copy_only=False)
         docs = batch["doc_id"].to_numpy(zero_copy_only=False)
         eids = batch["entity_id"].to_numpy(zero_copy_only=False)
@@ -121,6 +157,7 @@ class MentionExtractor:
         for i in range(len(texts)):
             text = texts[i]
             own = names[i].lower()
+            row_has_cite = has_cite[i]
             # a proof's explicit target is excluded only when mentioned in
             # the HEAD line ("Proof of Theorem 1.3."); body mentions of the
             # same theorem are genuine references
@@ -131,7 +168,11 @@ class MentionExtractor:
             seen: set[tuple[str, str]] = set()
             for m in self.re_mention.finditer(text):
                 kind = self._norm_kind(m.group(1))
-                tag = self._nearby_cite(text, m.start(), m.end())
+                tag = (
+                    self._nearby_cite(text, m.start(), m.end())
+                    if row_has_cite
+                    else ""
+                )
                 in_head = m.start() < head_end
                 for num in self.re_num.findall(m.group(2)):
                     name = f"{kind} {num}"
