@@ -281,14 +281,27 @@ def materialize_triples(
 
     import ray.data as rd
 
+    import time as _time
+
+    _prof = os.environ.get("TKB_PROF")
+
+    def _mark(msg: str) -> None:
+        if _prof:
+            import sys as _sys
+
+            print(
+                f"[sink +{_time.perf_counter() - _t0:.1f}s] {msg}",
+                file=_sys.stderr,
+                flush=True,
+            )
+
+    from ..state.spool import read_spool_partition, spool_write_partitioned
+
+    _t0 = _time.perf_counter()
     spool = os.path.join(out_dir, "_spool")
     shutil.rmtree(spool, ignore_errors=True)  # stale spool from a crash
-    ds.write_parquet(spool, partition_cols=["part"])
-    pending = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(spool)
-        if d.startswith("part=")
-    ) if os.path.isdir(spool) else []
+    pending = spool_write_partitioned(ds, spool, "part")
+    _mark("spool written (upstream emit/rewrite executed)")
     if not pending:
         shutil.rmtree(spool, ignore_errors=True)
         return rd.from_items([]).materialize()
@@ -296,7 +309,9 @@ def materialize_triples(
     def finalize(b: pa.Table) -> pa.Table:
         rows_out = []
         for part in b["part"].to_pylist():
-            tbl = pq.read_table(os.path.join(spool, f"part={part}"))
+            tbl = read_spool_partition(spool, "part", part).drop_columns(
+                ["part"]
+            )
             rows_out.append(
                 _write_partition(tbl, part, out_dir, "materialize", lineage)
             )
@@ -305,7 +320,13 @@ def materialize_triples(
     parts_ds = rd.from_arrow(
         pa.table({"part": pa.array(pending, pa.int64())})
     ).repartition(len(pending))
-    out = parts_ds.map_batches(finalize, batch_format="pyarrow").materialize()
+    # batch_size=1: one task per partition — the default bundles the
+    # single-row part blocks into a handful of tasks and serializes
+    # the whole finalize pass (measured 28s -> ~5s at 64 parts)
+    out = parts_ds.map_batches(
+        finalize, batch_format="pyarrow", batch_size=1
+    ).materialize()
+    _mark("finalize done")
     shutil.rmtree(spool, ignore_errors=True)
     return out
 

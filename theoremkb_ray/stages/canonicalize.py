@@ -441,7 +441,10 @@ def canonicalize_triples(
     - both large: distributed CC + partitioned hash-join rewrite —
       NOTHING corpus-sized ever reaches the driver.
     """
+    from ..state.prof import mark
+
     edges_ds = edges_ds.materialize()
+    mark("canonicalize: edges materialized")
     n_edges = edges_ds.count()
     if n_edges == 0:
         return triples_ds
@@ -452,6 +455,7 @@ def canonicalize_triples(
             for k, v in connected_components_local(tbl).items()
             if k != v
         }
+        mark("canonicalize: driver CC done")
         return rewrite_triples(triples_ds, canon)
     mapping = canonical_map_ds(edges_ds).materialize()
     if mapping.count() <= map_broadcast_max:

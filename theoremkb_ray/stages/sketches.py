@@ -1,0 +1,239 @@
+"""Mergeable sketches — approximate aggregates for 100-TB cardinality.
+
+The reference has no approximate aggregates (SURVEY.md §2.5: its
+corpora fit in one process); at web scale exact `distinct` and exact
+top-k become all-to-all shuffles over every unique value. These
+operators bound the data movement to O(blocks x sketch_size)
+regardless of cardinality:
+
+- :func:`approx_distinct` — HyperLogLog (p=14 -> 16 KiB per partial,
+  ~0.8% relative error). One numpy pass per batch, per-block partial
+  registers, element-wise-max merge of ``n_blocks`` tiny rows.
+- :func:`heavy_hitters` — Count-Min sketch (depth x width uint64,
+  summed across blocks) + per-block candidate top-k union; returns
+  candidates with their CM-estimated counts (an overestimate bounded
+  by eps*N whp), so the driver never sees more than
+  ``blocks x candidates_per_block`` rows even when the value space is
+  astronomical.
+- :func:`uniform_sample` — deterministic k-sample WITHOUT shuffling:
+  rank every row by ``splitmix64(hash(key) ^ seed)`` and keep the
+  global k smallest (per-batch partial top-k, tiny merge). Membership
+  depends only on (key, seed) — reproducible under any partitioning,
+  the same determinism contract as `stages/sampling.py`.
+
+All three follow the partial+final pattern: the per-batch kernel is
+pure numpy, each block contributes one bounded-size partial row, and
+the merge handles ``n_blocks`` rows — nothing corpus-sized ever moves
+or reaches the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash_strings, splitmix64
+
+# --------------------------------------------------------------- HLL
+
+HLL_P = 14  # 2^14 registers = 16 KiB, rel. err ~1.04/sqrt(2^14) = 0.8%
+
+
+def _col_hashes(batch: pa.Table, col: str, seed: int = 0) -> np.ndarray:
+    vals = pc.cast(batch[col], pa.string())
+    h = hash_strings(vals.to_numpy(zero_copy_only=False))
+    if seed:
+        h = splitmix64(h ^ np.uint64(seed))
+    return h
+
+
+def hll_partial(hashes: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """uint8[2^p] register array for one batch of 64-bit hashes."""
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    if len(hashes) == 0:
+        return regs
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes << np.uint64(p)  # low 64-p bits shifted to the top
+    # rho = leading zeros of `rest` within 64-p bits, + 1
+    rho = np.full(len(hashes), 64 - p + 1, dtype=np.uint8)
+    nz = rest != 0
+    if nz.any():
+        # position of highest set bit via float64 exponent trick is
+        # unsafe >2^53; use a 4-step binary probe on uint64 instead
+        v = rest[nz]
+        lz = np.zeros(v.shape, dtype=np.uint8)
+        for shift in (32, 16, 8, 4, 2, 1):
+            m = v < (np.uint64(1) << np.uint64(64 - shift))
+            lz[m] += np.uint8(shift)
+            v[m] <<= np.uint64(shift)
+        rho[nz] = lz + 1
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL estimate with linear-counting small range."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct(ds, col: str, p: int = HLL_P) -> float:
+    """Approximate COUNT(DISTINCT col) via per-block HLL partials.
+
+    Shuffle volume: one 2^p-byte row per block, merged on the driver
+    (n_blocks x 16 KiB — constant in the value cardinality; the exact
+    version is a full repartition of every distinct value)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        regs = hll_partial(_col_hashes(b, col), p)
+        return pa.table({"regs": pa.array([regs], pa.list_(pa.uint8()))})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for r in b["regs"].to_pylist():
+            np.maximum(merged, np.asarray(r, np.uint8), out=merged)
+    return hll_estimate(merged)
+
+
+# --------------------------------------------------------- Count-Min
+
+
+CM_DEPTH = 4
+CM_WIDTH = 1 << 14
+
+
+def cm_partial(
+    hashes: np.ndarray,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> np.ndarray:
+    """int64[depth, width] Count-Min partial for one batch (row d uses
+    an independent splitmix64 re-seed of the value hash)."""
+    sk = np.zeros((depth, width), dtype=np.int64)
+    for d in range(depth):
+        idx = (
+            splitmix64(hashes ^ np.uint64(0x9E3779B97F4A7C15 * (d + 1)))
+            % np.uint64(width)
+        ).astype(np.int64)
+        np.add.at(sk[d], idx, 1)
+    return sk
+
+
+def cm_query(
+    sk: np.ndarray, hashes: np.ndarray, width: int = CM_WIDTH
+) -> np.ndarray:
+    """Estimated counts (min over depth rows) for each query hash."""
+    depth = sk.shape[0]
+    ests = np.empty((depth, len(hashes)), dtype=np.int64)
+    for d in range(depth):
+        idx = (
+            splitmix64(hashes ^ np.uint64(0x9E3779B97F4A7C15 * (d + 1)))
+            % np.uint64(width)
+        ).astype(np.int64)
+        ests[d] = sk[d][idx]
+    return ests.min(axis=0)
+
+
+def heavy_hitters(
+    ds,
+    col: str,
+    k: int = 10,
+    candidates_per_block: int = 64,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+):
+    """Top-k frequent values with CM-estimated counts.
+
+    Per block: exact within-block counts (Arrow group-by) -> keep the
+    block's top ``candidates_per_block`` as candidates + fold ALL
+    values into a CM partial. Merge: sum the CM partials, union the
+    candidates, estimate each candidate's global count from the merged
+    sketch, return the k largest. A global heavy hitter is a heavy
+    hitter in some block, so the candidate union catches every value
+    with frequency >= 1/candidates_per_block of a block; counts are
+    CM overestimates (bounded by N*e/width whp). Driver traffic:
+    blocks x (sketch + candidate list) — independent of cardinality.
+
+    Returns a pandas DataFrame (value, est_count) sorted desc.
+    """
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = pc.cast(b[col], pa.string())
+        counts = pa.TableGroupBy(
+            pa.table({"v": vals}), "v"
+        ).aggregate([("v", "count")])
+        order = pc.sort_indices(
+            counts, sort_keys=[("v_count", "descending")]
+        )[:candidates_per_block]
+        cand = counts.take(order)["v"]
+        sk = cm_partial(hash_strings(vals.to_numpy(zero_copy_only=False)),
+                        depth, width)
+        return pa.table(
+            {
+                "sketch": pa.array([sk.reshape(-1)], pa.list_(pa.int64())),
+                "cands": pa.array(
+                    [cand.to_pylist()], pa.list_(pa.string())
+                ),
+            }
+        )
+
+    merged = np.zeros((depth, width), dtype=np.int64)
+    cands: set[str] = set()
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for row_sk, row_c in zip(
+            b["sketch"].to_pylist(), b["cands"].to_pylist()
+        ):
+            merged += np.asarray(row_sk, np.int64).reshape(depth, width)
+            cands.update(row_c)
+    if not cands:
+        return pd.DataFrame({"value": [], "est_count": []})
+    cl = sorted(cands)
+    ests = cm_query(merged, hash_strings(np.array(cl, dtype=object)), width)
+    out = (
+        pd.DataFrame({"value": cl, "est_count": ests})
+        .sort_values(["est_count", "value"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out
+
+
+# ---------------------------------------------------- uniform sample
+
+
+def uniform_sample(ds, key_col: str, k: int, seed: int = 0):
+    """Deterministic uniform k-sample without replacement, no shuffle.
+
+    Rank = splitmix64(hash(key) ^ seed); keep the k smallest ranks
+    globally (per-batch partial top-k -> merge of n_blocks x k rows).
+    Equivalent to sorting all rows by an i.i.d. uniform key and taking
+    the head — but only k rows per block ever move. Returns a Dataset
+    with the original columns."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = splitmix64(_col_hashes(b, key_col) ^ np.uint64(seed))
+        if len(h) > k:
+            keep = np.argpartition(h, k)[:k]
+            b = b.take(pa.array(np.sort(keep)))
+            h = h[keep]
+        return b.append_column("_rank", pa.array(h, pa.uint64()))
+
+    ranked = ds.map_batches(partial, batch_format="pyarrow")
+    return (
+        ranked.sort("_rank")
+        .limit(k)
+        .map_batches(
+            lambda b: b.drop_columns(["_rank"]), batch_format="pyarrow"
+        )
+    )

@@ -24,9 +24,11 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
+import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
+import pyarrow.feather as pf
 
 #: default scratch root; override per-call or via $TKB_SCRATCH
 SCRATCH_ENV = "TKB_SCRATCH"
@@ -34,6 +36,67 @@ SCRATCH_ENV = "TKB_SCRATCH"
 
 def scratch_dir() -> str:
     return os.environ.get(SCRATCH_ENV, "/tmp/tkb_scratch")
+
+
+def spool_write_partitioned(ds, base: str, key_col: str) -> list[int]:
+    """Write ``ds`` to ``base/<key_col>=K/*.feather``, one file per
+    (task, key). Returns the sorted key list found on disk.
+
+    Why not ``write_parquet(partition_cols=...)``: the spool is
+    transient and read back exactly once, so parquet's encode/decode
+    tax is pure overhead — Arrow IPC (feather, lz4) writes ~3x and
+    reads ~5x faster on these string-heavy blocks, which is the
+    difference between a finalize pass bound by useful work and one
+    bound by 12k small-file decodes. Executes the pipeline (this IS
+    the exchange's map side). Key values must be non-negative ints."""
+
+    def write_batch(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        part = b[key_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(part, kind="stable")
+        b = b.take(pa.array(order))
+        part = part[order]
+        bounds = np.flatnonzero(np.diff(part)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [n]])
+        tag = f"{os.getpid()}_{time.monotonic_ns()}"
+        for s, e in zip(starts, ends):
+            d = os.path.join(base, f"{key_col}={int(part[s])}")
+            os.makedirs(d, exist_ok=True)
+            pf.write_feather(
+                b.slice(s, e - s).drop_columns([key_col]),
+                os.path.join(d, f"{tag}_{s}.feather"),
+                compression="lz4",
+            )
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    ds.map_batches(
+        write_batch, batch_format="pyarrow", batch_size=None
+    ).sum("n")
+    if not os.path.isdir(base):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(base)
+        if d.startswith(f"{key_col}=")
+    )
+
+
+def read_spool_partition(base: str, key_col: str, k: int) -> pa.Table:
+    """Read one spool partition back as a single Arrow table (key
+    column re-attached)."""
+    d = os.path.join(base, f"{key_col}={k}")
+    tbls = [
+        pf.read_table(os.path.join(d, f))
+        for f in sorted(os.listdir(d))
+        if f.endswith(".feather")
+    ]
+    tbl = pa.concat_tables(tbls, promote_options="default")
+    return tbl.append_column(
+        key_col, pa.array(np.full(len(tbl), k, np.int64))
+    )
 
 
 def spooled_group_map(
@@ -59,12 +122,7 @@ def spooled_group_map(
     )
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
-    ds.write_parquet(base, partition_cols=[key_col])
-    keys = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(base)
-        if d.startswith(f"{key_col}=")
-    )
+    keys = spool_write_partitioned(ds, base, key_col)
     if not keys:
         shutil.rmtree(base, ignore_errors=True)
         return rd.from_items([]).materialize()
@@ -72,12 +130,7 @@ def spooled_group_map(
     def run_group(b: pa.Table) -> pa.Table:
         outs = []
         for k in b["__key"].to_pylist():
-            tbl = pq.read_table(os.path.join(base, f"{key_col}={k}"))
-            if key_col in tbl.column_names:  # hive re-adds as dict col
-                tbl = tbl.drop_columns([key_col])
-            tbl = tbl.append_column(
-                key_col, pa.array([k] * len(tbl), pa.int64())
-            )
+            tbl = read_spool_partition(base, key_col, k)
             if batch_format == "pandas":
                 res = fn(tbl.to_pandas())
                 outs.append(pa.Table.from_pandas(res, preserve_index=False))
