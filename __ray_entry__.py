@@ -510,6 +510,67 @@ def _split_stratified(sf_dir: str):
     )
 
 
+def _perplexity_docs(sf_dir: str):
+    """CCNet-style quality score: train an MLE unigram LM on the
+    documents corpus, score each doc's mean negative log-likelihood
+    against it. Fully SQL-expressible (counts + ln + avg), so
+    value-hash-oracled."""
+    import ray.data as rd
+
+    from theoremkb_ray.stages.lm import perplexity, unigram_lm
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    lm = unigram_lm(ds)
+    return perplexity(ds, lm)
+
+
+def _approx_distinct_users(sf_dir: str):
+    """HyperLogLog distinct user_id count over events (p=14, ~0.8%
+    relative error). Approximate by design — the accuracy bound is
+    asserted against the exact count in tests/test_sketches.py; a
+    value-hash oracle is impossible for an estimator."""
+    import pandas as pd
+    import ray.data as rd
+
+    from theoremkb_ray.stages.sketches import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pd.DataFrame({"column": ["user_id"], "approx_distinct": [est]})
+
+
+def _heavy_hitters_types(sf_dir: str):
+    """Count-Min heavy hitters over events.event_type. The type
+    vocabulary is tiny relative to the sketch width (collision
+    probability ~(n_types/16384)^4), so the CM estimate equals the
+    exact count and the query is DuckDB-oracle-checkable — the same
+    sketch stays approximate-but-bounded at web-scale cardinality."""
+    import ray.data as rd
+
+    from theoremkb_ray.stages.sketches import heavy_hitters
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return heavy_hitters(ds, "event_type", k=5)
+
+
+def _sample_docs(sf_dir: str):
+    """Deterministic uniform 50-sample of documents without a global
+    shuffle: rank = splitmix64(hash(doc_id) ^ seed), keep the 50
+    smallest. Membership is a pure function of (doc_id, seed) —
+    identical under any partitioning (asserted in tests); the custom
+    64-bit mix is not expressible in ANSI SQL, so no oracle."""
+    import ray.data as rd
+
+    from theoremkb_ray.stages.sketches import uniform_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return uniform_sample(ds, "doc_id", k=50, seed=7).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from theoremkb_ray.pipelines.relational import REGISTRY
 
@@ -540,6 +601,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "nlp_classify": _nlp_classify,
             "split_stratified": _split_stratified,
             "tfidf_match": _tfidf_match,
+            "approx_distinct_users": _approx_distinct_users,
+            "heavy_hitters_types": _heavy_hitters_types,
+            "sample_docs": _sample_docs,
+            "perplexity_docs": _perplexity_docs,
         }
     )
     return out
@@ -604,4 +669,32 @@ def oracle_sql() -> dict[str, str]:
     }
     out["docs_segment"] = SQL_DOCS_SEGMENT
     out["decontaminate_docs"] = SQL_DECONTAMINATE
+    # heavy_hitters_types: exact because the type vocabulary is far
+    # below the sketch width (see _heavy_hitters_types docstring)
+    out["heavy_hitters_types"] = """
+SELECT event_type AS value, count(*) AS est_count
+FROM events
+GROUP BY event_type
+ORDER BY est_count DESC, value ASC
+LIMIT 5
+"""
+    # perplexity_docs: re-derive the MLE unigram LM in SQL — same
+    # whitespace tokenization as flat_token_hashes_arrow, logp =
+    # ln(count/total), nll = -avg(logp). Docs with zero tokens emit no
+    # row on either side.
+    out["perplexity_docs"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+counts AS (SELECT tok, count(*)::DOUBLE AS c FROM tok GROUP BY tok),
+tot AS (SELECT sum(c) AS n FROM counts)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       -avg(ln(cn.c / tot.n)) AS nll
+FROM tok t JOIN counts cn ON t.tok = cn.tok CROSS JOIN tot
+GROUP BY t.doc_id
+"""
     return out

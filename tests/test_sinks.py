@@ -208,3 +208,31 @@ def test_clamp_content():
     assert len(clamped) <= 1000
     assert not clamped.endswith("\n")  # cut lands on a line boundary
     assert out["content"].iloc[0] == "small doc"
+
+
+def test_repartition_store(tmp_path):
+    from theoremkb_ray.sources.sinks import repartition_store
+
+    src = str(tmp_path / "store_p4")
+    dst = str(tmp_path / "store_p8")
+    ds = rd.from_arrow(_triples_tbl(200))
+    materialize_triples(ds, src, num_partitions=4, resume=False)
+
+    res = repartition_store(src, dst, num_partitions=8)
+    assert res["rows"] == 200
+    # new store: valid manifests at the new partition count, same rows
+    assert completed_partitions(dst) != set()
+    # content identical; `part` differs by design (membership is
+    # hash(repo) % P and P changed — that's what a repartition does)
+    a = read_triples(src).to_pandas().drop(columns=["part"])
+    b = read_triples(dst).to_pandas().drop(columns=["part"])
+    a = a.sort_values(["subject", "predicate", "object"]).reset_index(drop=True)
+    b = b.sort_values(["subject", "predicate", "object"]).reset_index(drop=True)
+    assert a.equals(b)
+    # partition meta reflects the new count; old store untouched
+    meta = json.load(open(os.path.join(dst, "_store_meta.json")))
+    assert meta["num_partitions"] == 8
+    assert meta["lineage"].startswith("compact:")
+    assert json.load(open(os.path.join(src, "_store_meta.json")))["num_partitions"] == 4
+    with pytest.raises(ValueError):
+        repartition_store(src, src, num_partitions=8)

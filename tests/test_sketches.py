@@ -1,0 +1,113 @@
+"""Mergeable-sketch operators: HLL distinct, Count-Min heavy hitters,
+deterministic uniform sampling (stages/sketches.py).
+
+The estimators can't be value-hash-oracled (they are approximate by
+design), so these tests pin the guarantees that matter at scale:
+error bounds vs exact answers, merge associativity across block
+splits, and partitioning-independence of the sample."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from theoremkb_ray.functions.hashing import hash_strings
+from theoremkb_ray.stages.sketches import (
+    approx_distinct,
+    cm_partial,
+    cm_query,
+    heavy_hitters,
+    hll_estimate,
+    hll_partial,
+    uniform_sample,
+)
+
+
+def _string_ds(values, blocks=8):
+    return rd.from_arrow(
+        pa.table({"v": pa.array(values, pa.string())})
+    ).repartition(blocks)
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(11)
+    vals = [f"user_{i}" for i in rng.integers(0, 50_000, size=200_000)]
+    exact = len(set(vals))
+    est = approx_distinct(_string_ds(vals), "v")
+    assert abs(est - exact) / exact < 0.02  # p=14 -> ~0.8% typical
+
+    # merge = element-wise max: splitting the stream must not change
+    # the registers (the property that makes the partial per-block)
+    h = hash_strings(np.array(vals, dtype=object))
+    whole = hll_partial(h)
+    merged = np.maximum(hll_partial(h[:67_331]), hll_partial(h[67_331:]))
+    assert np.array_equal(whole, merged)
+    assert hll_estimate(whole) == hll_estimate(merged)
+
+
+def test_hll_small_range_linear_counting():
+    vals = [f"k{i}" for i in range(300)]
+    est = approx_distinct(_string_ds(vals, blocks=3), "v")
+    assert abs(est - 300) / 300 < 0.05
+
+
+def test_cm_overestimates_never_under():
+    rng = np.random.default_rng(5)
+    vals = np.array(
+        [f"item_{i}" for i in rng.zipf(1.5, size=50_000) % 1000],
+        dtype=object,
+    )
+    sk = cm_partial(hash_strings(vals))
+    uniq, true_counts = np.unique(vals.astype(str), return_counts=True)
+    ests = cm_query(sk, hash_strings(uniq.astype(object)))
+    assert (ests >= true_counts).all()  # CM never underestimates
+    # width 16k >> 1k distinct: estimates are near-exact here
+    assert (ests - true_counts).max() <= 2
+
+
+def test_heavy_hitters_recovers_planted_skew():
+    rng = np.random.default_rng(3)
+    tail = [f"cold_{i}" for i in rng.integers(0, 5_000, size=30_000)]
+    hot = [f"hot_{i % 10}" for i in range(40_000)]  # 4k each vs ~6 tail
+    vals = tail + hot
+    rng.shuffle(vals)
+    out = heavy_hitters(_string_ds(vals), "v", k=10)
+    assert sorted(out["value"]) == [f"hot_{i}" for i in range(10)]
+    true = pd.Series(vals).value_counts()
+    for _, row in out.iterrows():
+        assert row["est_count"] >= true[row["value"]]  # overestimate only
+
+
+def test_uniform_sample_deterministic_across_partitionings():
+    vals = [f"doc_{i}" for i in range(20_000)]
+    a = uniform_sample(_string_ds(vals, blocks=4), "v", k=100, seed=9)
+    b = uniform_sample(_string_ds(vals, blocks=32), "v", k=100, seed=9)
+    sa = sorted(a.to_pandas()["v"])
+    sb = sorted(b.to_pandas()["v"])
+    assert sa == sb and len(sa) == 100
+    assert set(sa) <= set(vals)
+    # a different seed picks a (near-)disjoint sample
+    c = uniform_sample(_string_ds(vals, blocks=4), "v", k=100, seed=10)
+    assert len(set(sorted(c.to_pandas()["v"])) & set(sa)) < 10
+
+
+def test_uniform_sample_is_unbiased_across_range():
+    # ranks are a hash: the 500-sample of 0..49999 should span the key
+    # space instead of clustering (a smoke test against accidental
+    # correlation between key order and rank)
+    vals = [f"{i:06d}" for i in range(50_000)]
+    s = uniform_sample(_string_ds(vals), "v", k=500, seed=1).to_pandas()
+    picked = np.sort(s["v"].astype(int).to_numpy())
+    assert picked[0] < 2_000 and picked[-1] > 48_000
+    gaps = np.diff(picked)
+    assert gaps.max() < 1_500  # mean gap 100; a huge hole = clustering
+
+
+@pytest.mark.parametrize("k", [1, 7])
+def test_uniform_sample_small_k(k):
+    vals = [f"x{i}" for i in range(50)]
+    out = uniform_sample(_string_ds(vals, blocks=2), "v", k=k).to_pandas()
+    assert len(out) == k

@@ -422,3 +422,46 @@ def read_triples(out_dir: str):
 
     parts = sorted(glob.glob(os.path.join(out_dir, "part=*", "*.parquet")))
     return rd.read_parquet(parts)
+
+
+def repartition_store(
+    store_dir: str,
+    out_dir: str,
+    num_partitions: int,
+    auto_salt: bool = True,
+) -> dict:
+    """Rebuild a triple store at a different partition count — the
+    compaction/regrow operation a long-lived store needs when the
+    corpus outgrows (or shrank far below) its partition sizing.
+
+    A partition's membership is ``hash(repo(subject)) % P``, so
+    changing P moves rows between partitions — this is a full
+    rewrite, expressed as read -> materialize_triples into a NEW
+    directory (never in place: the old store stays valid until the
+    new one's manifests are complete, and a crash mid-compaction
+    loses nothing). Salting is re-detected against the current data
+    rather than copied — skew may have changed since the store was
+    written. Returns {"partitions": ..., "rows": ...} of the new
+    store."""
+    if os.path.abspath(store_dir) == os.path.abspath(out_dir):
+        raise ValueError(
+            "repartition_store writes a NEW store; out_dir must differ "
+            "from store_dir (the old store stays readable during the "
+            "rewrite)"
+        )
+    triples = read_triples(store_dir)
+    salt = (
+        detect_skewed_repos(triples, num_partitions, sample_frac=0.1)
+        if auto_salt
+        else None
+    )
+    summary = materialize_triples(
+        triples,
+        out_dir,
+        num_partitions=num_partitions,
+        resume=False,
+        salt_repos=salt,
+        lineage=f"compact:{store_dir}",
+    )
+    rows = [r["rows"] for r in summary.take_all()]
+    return {"partitions": len(rows), "rows": int(sum(rows))}

@@ -53,9 +53,11 @@ def unigram_lm(ds, text_col: str = "text", vocab_max: int = 5_000_000):
     def partial(b: pa.Table) -> pa.Table:
         flat, _ = flat_token_hashes_arrow(b[text_col])
         u, c = np.unique(flat, return_counts=True)
+        # int64 VIEW of the uint64 hash: Ray's groupby sort round-trips
+        # keys through Python ints and overflows on values >= 2^63
         return pa.table(
             {
-                "h": pa.array(u, pa.uint64()),
+                "h": pa.array(u.view(np.int64)),
                 "n": pa.array(c.astype(np.int64)),
             }
         )
@@ -67,6 +69,10 @@ def unigram_lm(ds, text_col: str = "text", vocab_max: int = 5_000_000):
         .materialize()
     )
     n_vocab = counts.count()
+    # full-corpus token count BEFORE any vocab cap: the MLE denominator
+    # (and the OOV floor) must reflect the whole corpus, or capped and
+    # uncapped models disagree on the tokens they share
+    total = float(counts.sum("n") or 0.0)
     if n_vocab > vocab_max:
         import logging
 
@@ -83,12 +89,11 @@ def unigram_lm(ds, text_col: str = "text", vocab_max: int = 5_000_000):
     for b in counts.iter_batches(batch_format="pyarrow"):
         hs.append(b["h"].to_numpy(zero_copy_only=False))
         ns.append(b["n"].to_numpy(zero_copy_only=False))
-    h = np.concatenate(hs).astype(np.uint64, copy=False)
+    h = np.concatenate(hs).astype(np.int64, copy=False).view(np.uint64)
     n = np.concatenate(ns).astype(np.float64, copy=False)
     order = np.argsort(h)
     h, n = h[order], n[order]
-    total = float(n.sum())
-    logp = np.log(n / total)
+    logp = np.log(n / total) if total else n
     oov = float(np.log(1.0 / max(total, 1.0)))
     return h, logp, oov, total
 

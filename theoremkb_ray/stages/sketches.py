@@ -119,12 +119,15 @@ def cm_partial(
     an independent splitmix64 re-seed of the value hash)."""
     sk = np.zeros((depth, width), dtype=np.int64)
     for d in range(depth):
-        idx = (
-            splitmix64(hashes ^ np.uint64(0x9E3779B97F4A7C15 * (d + 1)))
-            % np.uint64(width)
-        ).astype(np.int64)
-        np.add.at(sk[d], idx, 1)
+        np.add.at(sk[d], _cm_idx(hashes, d, width), 1)
     return sk
+
+
+def _cm_idx(hashes: np.ndarray, d: int, width: int) -> np.ndarray:
+    # mask the row seed into 64 bits BEFORE np.uint64 conversion —
+    # 0x9E..15 * (d+1) exceeds 2^64 for d >= 1 and raises OverflowError
+    seed = np.uint64((0x9E3779B97F4A7C15 * (d + 1)) & 0xFFFFFFFFFFFFFFFF)
+    return (splitmix64(hashes ^ seed) % np.uint64(width)).astype(np.int64)
 
 
 def cm_query(
@@ -134,11 +137,7 @@ def cm_query(
     depth = sk.shape[0]
     ests = np.empty((depth, len(hashes)), dtype=np.int64)
     for d in range(depth):
-        idx = (
-            splitmix64(hashes ^ np.uint64(0x9E3779B97F4A7C15 * (d + 1)))
-            % np.uint64(width)
-        ).astype(np.int64)
-        ests[d] = sk[d][idx]
+        ests[d] = sk[d][_cm_idx(hashes, d, width)]
     return ests.min(axis=0)
 
 
@@ -224,10 +223,15 @@ def uniform_sample(ds, key_col: str, k: int, seed: int = 0):
     def partial(b: pa.Table) -> pa.Table:
         h = splitmix64(_col_hashes(b, key_col) ^ np.uint64(seed))
         if len(h) > k:
-            keep = np.argpartition(h, k)[:k]
-            b = b.take(pa.array(np.sort(keep)))
+            # sort keep FIRST so ranks stay aligned with the taken rows
+            keep = np.sort(np.argpartition(h, k)[:k])
+            b = b.take(pa.array(keep))
             h = h[keep]
-        return b.append_column("_rank", pa.array(h, pa.uint64()))
+        # sign-bit flip maps uint64 order onto int64 order — Ray's sort
+        # round-trips boundary keys through Python ints and overflows
+        # on raw uint64 values >= 2^63
+        rank = (h ^ np.uint64(1 << 63)).view(np.int64)
+        return b.append_column("_rank", pa.array(rank, pa.int64()))
 
     ranked = ds.map_batches(partial, batch_format="pyarrow")
     return (
