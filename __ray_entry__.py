@@ -571,6 +571,43 @@ def _sample_docs(sf_dir: str):
     return uniform_sample(ds, "doc_id", k=50, seed=7).sort("doc_id")
 
 
+#: quotas for the mixture_sample query — rebalance languages to a
+#: target mix (en-heavy corpus downsampled, the rest kept broader)
+MIXTURE_QUOTAS = {"en": 40, "de": 20, "fr": 20, "es": 20, "zh": 20}
+
+
+def _mixture_docs(sf_dir: str):
+    """Language-mixture resampling: fixed per-language quotas, ranked
+    by a Knuth multiplicative hash of doc_id — deterministic under any
+    partitioning and SQL-expressible (row_number over
+    (doc_id*2654435761) % 2^32), so value-hash-oracled."""
+    import ray.data as rd
+
+    from theoremkb_ray.stages.sampling import mixture_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return mixture_sample(ds, "lang", "doc_id", MIXTURE_QUOTAS)
+
+
+def _redact_docs(sf_dir: str):
+    """PII scrub (emails / IPv4 / phones) with per-class counts. The
+    synthetic corpus contains no PII, so counts are 0 and redacted ==
+    text — the oracle still verifies the full regex pipeline
+    byte-for-byte (both engines are RE2); planted-PII behavior is
+    covered in tests/test_redact.py."""
+    import ray.data as rd
+
+    from theoremkb_ray.stages.redact import redact
+
+    return redact(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from theoremkb_ray.pipelines.relational import REGISTRY
 
@@ -605,6 +642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "heavy_hitters_types": _heavy_hitters_types,
             "sample_docs": _sample_docs,
             "perplexity_docs": _perplexity_docs,
+            "mixture_docs": _mixture_docs,
+            "redact_docs": _redact_docs,
         }
     )
     return out
@@ -696,5 +735,38 @@ SELECT t.doc_id,
        -avg(ln(cn.c / tot.n)) AS nll
 FROM tok t JOIN counts cn ON t.tok = cn.tok CROSS JOIN tot
 GROUP BY t.doc_id
+"""
+    # mixture_docs: same Knuth rank + per-language quota as
+    # stages/sampling.py:mixture_sample (keep CASE in sync with
+    # MIXTURE_QUOTAS)
+    out["mixture_docs"] = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS rnk
+  FROM documents
+), numbered AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY rnk, doc_id) AS rn
+  FROM ranked
+)
+SELECT doc_id, lang FROM numbered
+WHERE rn <= CASE lang WHEN 'en' THEN 40 ELSE 20 END
+"""
+    # redact_docs: nested regexp_replace in the SAME order as
+    # stages/redact.py:PII_PATTERNS; counts on the original text.
+    # Both engines are RE2, so output matches byte-for-byte.
+    _email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    _phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    out["redact_docs"] = f"""
+SELECT doc_id, lang,
+       len(regexp_extract_all(text, '{_email}')) AS n_email,
+       len(regexp_extract_all(text, '{_ipv4}')) AS n_ipv4,
+       len(regexp_extract_all(text, '{_phone}')) AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(
+           text, '{_email}', '<EMAIL>', 'g'),
+           '{_ipv4}', '<IP>', 'g'),
+           '{_phone}', '<PHONE>', 'g') AS redacted
+FROM documents
 """
     return out

@@ -180,16 +180,28 @@ def minhash_signatures_flat(
 ) -> np.ndarray:
     """(N, num_perm) MinHash signatures from a flat shingle array with
     per-shingle doc ids (sorted by doc). Identical output to
-    :func:`minhash_signatures`; one (F, P) matrix + one
-    ``minimum.reduceat`` instead of a per-doc Python loop."""
+    :func:`minhash_signatures` without a per-doc Python loop.
+
+    Streams one PERMUTATION at a time through a reused F-sized buffer
+    instead of materializing the full (F, P) matrix: peak extra memory
+    is 8F bytes, not 8FP — the matrix version allocates ~P x the
+    shingle array fresh on every batch (hundreds of MB at real batch
+    sizes), which both caps batch size and stalls on first-touch page
+    faults; the streamed loop is P slim vectorized passes over warm
+    memory. uint64 arithmetic wraps mod 2^64 — identical to the old
+    explicit ``& MASK`` (measured byte-identical in test_dedup)."""
     out = np.full((n_docs, num_perm), _MASK64, dtype=np.uint64)
     if len(flat_shingles) == 0:
         return out
     a, b = _minhash_params(num_perm)
-    with np.errstate(over="ignore"):
-        m = (flat_shingles[:, None] * a[None, :] + b[None, :]) & _MASK64
+    fs = flat_shingles.astype(np.uint64, copy=False)
     present, seg_starts = np.unique(shingle_doc, return_index=True)
-    out[present] = np.minimum.reduceat(m, seg_starts, axis=0)
+    tmp = np.empty(len(fs), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            np.multiply(fs, a[p], out=tmp)
+            np.add(tmp, b[p], out=tmp)
+            out[present, p] = np.minimum.reduceat(tmp, seg_starts)
     return out
 
 
@@ -207,13 +219,23 @@ def simhash64_flat(
     nonempty = np.flatnonzero(lengths > 0)
     if len(nonempty) == 0:
         return out
-    bits = np.unpackbits(th.view(np.uint8).reshape(len(th), 8), axis=1)
-    sums = np.add.reduceat(
-        bits.astype(np.int64), starts[nonempty], axis=0
-    )
-    votes = sums * 2 - lengths[nonempty][:, None]
-    packed = np.packbits((votes > 0).astype(np.uint8), axis=1)
-    out[nonempty] = packed.view(np.uint64)[:, 0]
+    # one bit PLANE at a time through a reused F-sized buffer: the
+    # unpackbits route materializes an (F, 64) matrix (+ an 8x-wider
+    # int64 copy for the reduceat) fresh per batch — O(64F) peak and
+    # first-touch page-fault stalls at real batch sizes. Bit index m of
+    # the result equals majority(bit m of tokens) either way
+    # (unpack->pack is an identity on bit positions); verified
+    # byte-identical to :func:`simhash64` in tests.
+    seg = starts[nonempty]
+    half = lengths[nonempty].astype(np.uint64)
+    acc = np.zeros(len(nonempty), dtype=np.uint64)
+    tmp = np.empty(len(th), dtype=np.uint64)
+    for m in range(64):
+        np.right_shift(th, np.uint64(m), out=tmp)
+        np.bitwise_and(tmp, np.uint64(1), out=tmp)
+        ones = np.add.reduceat(tmp, seg)
+        acc |= (2 * ones > half).astype(np.uint64) << np.uint64(m)
+    out[nonempty] = acc
     return out
 
 

@@ -65,6 +65,68 @@ def stratified_sample(
     return ds.groupby(group_col).map_groups(take, batch_format="pandas")
 
 
+#: Knuth multiplicative hash — chosen over splitmix64 for
+#: :func:`mixture_sample` ONLY because it is expressible in ANSI SQL
+#: ((key * 2654435761) % 2^32), so the query is DuckDB-oracle-checkable.
+#: uint64 wrap-around is safe: 2^32 divides 2^64, so
+#: (a*b mod 2^64) mod 2^32 == a*b mod 2^32.
+_KNUTH = np.uint64(2654435761)
+_MOD32 = np.uint64(1 << 32)
+
+
+def mixture_sample(ds, group_col: str, key_col: str, quotas: dict):
+    """Domain/language mixture resampling: keep a fixed quota of rows
+    per group, deterministically (the "data mixing" step of a training
+    corpus — e.g. rebalance languages to target proportions).
+
+    Rank = (key * Knuth) mod 2^32; each group keeps its quota smallest
+    ranks (ties broken by key). Membership is a pure function of
+    (key, quotas) — identical under any partitioning.
+
+    Scale shape: the per-batch partial prunes every group to its quota
+    BEFORE the shuffle, so at most ``blocks x groups x quota`` rows
+    move; the final exchange groups on ``group_col``, which is
+    LOW-CARDINALITY BY DESIGN (languages, domains, sources — this
+    operator's partitioning assumption). For high-cardinality groups
+    use :func:`stratified_sample` with a coarse key instead."""
+    import pyarrow.compute as pc
+
+    def rank_of(keys: np.ndarray) -> np.ndarray:
+        return (keys.astype(np.uint64) * _KNUTH) % _MOD32
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        rank = rank_of(keys)
+        grp = b[group_col].to_numpy(zero_copy_only=False)
+        codes, inv = np.unique(grp, return_inverse=True)
+        order = np.lexsort((keys, rank, inv))
+        # position within the group under (rank, key) order
+        pos = np.empty(len(order), np.int64)
+        sorted_inv = inv[order]
+        starts = np.flatnonzero(
+            np.r_[True, sorted_inv[1:] != sorted_inv[:-1]]
+        )
+        pos[order] = np.arange(len(order)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(order)])
+        )
+        q = np.array([quotas.get(c, 0) for c in codes], np.int64)
+        keep = pos < q[inv]
+        return b.filter(pa.array(keep))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g[key_col].to_numpy()
+        rank = rank_of(keys)
+        order = np.lexsort((keys, rank))
+        q = int(quotas.get(g[group_col].iloc[0], 0))
+        return g.iloc[order[:q]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def balance_context_window(
     tags: np.ndarray, offsets: np.ndarray, window: int = 10
 ) -> np.ndarray:
