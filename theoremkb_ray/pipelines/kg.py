@@ -72,12 +72,15 @@ def triples_dataset(
     cites with the broadcast links dict) — see stages/emit.py for why.
     Canonicalization adds one more execution over the same results.
     """
+    from ..state.prof import mark
+
     results = results_dataset(
         corpus_ds,
         segmenter=segmenter,
         verify_sha=verify_sha,
         concurrency=concurrency,
     ).materialize()
+    mark("kg: results materialized (read/ingest/tokenize/segment/stitch)")
     return triples_from_materialized_results(
         results, links_tbl=links_tbl, canonicalize=canonicalize
     )
@@ -144,6 +147,8 @@ def run_kg(
     lineage_id = f"{corpus_path}|segmenter={segmenter}"
     if results_checkpoint:
         validate_checkpoint_lineage(results_checkpoint, "results", lineage_id)
+    from ..state.prof import mark
+
     if (
         results_checkpoint
         and resume
@@ -153,6 +158,7 @@ def run_kg(
     else:
         corpus = read_corpus(corpus_path)
         results = results_dataset(corpus, segmenter=segmenter).materialize()
+        mark("kg: results materialized")
         if results_checkpoint:
             checkpoint_dataset(
                 results,

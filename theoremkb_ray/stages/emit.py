@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..schema import PRED_CITES, PRED_PROVED_BY, PRED_STATES, entity_id
+from ..schema import PRED_CITES, PRED_PROVED_BY, PRED_STATES
 from ..state.broadcast import get_broadcast
 from .mentions import MentionExtractor
 
@@ -38,13 +38,20 @@ def emit_triples_batch(
 ) -> pa.Table:
     """results batch -> triples batch (states, proved_by, cites).
 
-    states/proved_by emission is pure numpy string concatenation; only
-    the mention sweep (regex-bound by nature) and the per-mention link
-    lookup touch Python objects. Cites provenance carries
-    ``|n=<nres_in>`` and ``|tag=<cite_tag>`` so the graph-CSV export
-    can reproduce the reference's edge-table columns
+    Fully vectorized: states/proved_by are numpy string concatenation,
+    mention emission is masked numpy, and the citation lookup is a
+    ``searchsorted`` probe into the broadcast (sorted uint64 key hash,
+    doc_to Arrow array) pair — see :func:`emit_triples` for why the
+    broadcast is NOT a Python dict. Only the mention regex sweep
+    (regex-bound by nature) touches Python objects. Cites provenance
+    carries ``|n=<nres_in>`` and ``|tag=<cite_tag>`` so the graph-CSV
+    export can reproduce the reference's edge-table columns
     (extract_graph.py:274-307)."""
-    links: dict = get_broadcast(links_ref) if links_ref is not None else {}
+    link_keys, link_to = (
+        get_broadcast(links_ref)
+        if links_ref is not None
+        else (np.empty(0, np.uint64), None)
+    )
 
     kind = batch["kind"].to_numpy(zero_copy_only=False)
     doc = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -78,50 +85,96 @@ def emit_triples_batch(
     )
     t_proved = family(p_subs, PRED_PROVED_BY, eid[has_t], "stitch")
 
-    # mentions (intra + extra) via the shared extractor (regex-bound);
-    # the per-mention link lookup stays a dict probe — mentions are
-    # ~100x fewer than lines, and the dict is broadcast once per worker
+    # mentions (intra + extra) via the shared extractor (regex-bound)
     m = _extractor()(batch)
-    m_doc = m["doc_id"].to_numpy(zero_copy_only=False)
     m_src = m["src_entity"].to_numpy(zero_copy_only=False)
-    m_grp = m["src_group"].to_numpy(zero_copy_only=False)
-    m_kind = m["kind"].to_numpy(zero_copy_only=False)
-    m_num = m["num"].to_numpy(zero_copy_only=False)
-    m_tag = m["cite_tag"].to_numpy(zero_copy_only=False)
-    c_subs: list[str] = []
-    c_objs: list[str] = []
-    c_provs: list[str] = []
-    for i in range(len(m_doc)):
-        if m_tag[i] == "":
-            c_subs.append(m_src[i])
-            c_objs.append(entity_id(m_doc[i], f"{m_kind[i]} {m_num[i]}"))
-            c_provs.append(f"mention.intra|n={m_grp[i]}")
-        else:
-            to = links.get((m_doc[i], m_tag[i]))
-            if to is None:
-                continue  # unresolvable citation tag -> dropped
-            c_subs.append(m_src[i])
-            c_objs.append(entity_id(to, f"{m_kind[i]} {m_num[i]}"))
-            c_provs.append(f"mention.extra|n={m_grp[i]}|tag={m_tag[i]}")
-    t_cites = family(c_subs, PRED_CITES, c_objs, c_provs)
+    m_tag = m["cite_tag"].to_numpy(zero_copy_only=False).astype(str)
+    m_doc_s = m["doc_id"].to_numpy(zero_copy_only=False).astype(str)
+    m_grp_s = m["src_group"].to_numpy(zero_copy_only=False).astype(str)
+    # "kind num" — the entity name both intra and extra objects use
+    name = np.char.add(
+        np.char.add(
+            m["kind"].to_numpy(zero_copy_only=False).astype(str), " "
+        ),
+        m["num"].to_numpy(zero_copy_only=False).astype(str),
+    )
 
-    return pa.concat_tables([t_states, t_proved, t_cites])
+    intra = m_tag == ""
+    i_subs = m_src[intra]
+    # entity_id(doc, name) = "{doc}#{name}" (schema.py:135), vectorized
+    i_objs = np.char.add(np.char.add(m_doc_s[intra], "#"), name[intra])
+    i_provs = np.char.add("mention.intra|n=", m_grp_s[intra])
+    t_intra = family(i_subs, PRED_CITES, i_objs, i_provs)
+
+    ext = np.flatnonzero(~intra)
+    if len(ext) and len(link_keys):
+        qk = _link_key_hashes(m_doc_s[ext], m_tag[ext])
+        idx = np.searchsorted(link_keys, qk)
+        idx[idx >= len(link_keys)] = max(len(link_keys) - 1, 0)
+        found = link_keys[idx] == qk  # unresolvable tags -> dropped
+        ext = ext[found]
+        to = (
+            link_to.take(pa.array(idx[found], pa.int64()))
+            .to_numpy(zero_copy_only=False)
+            .astype(str)
+        )
+        e_objs = np.char.add(np.char.add(to, "#"), name[ext])
+        e_provs = np.char.add(
+            np.char.add(
+                np.char.add("mention.extra|n=", m_grp_s[ext]), "|tag="
+            ),
+            m_tag[ext],
+        )
+        t_extra = family(m_src[ext], PRED_CITES, e_objs, e_provs)
+    else:
+        t_extra = family([], PRED_CITES, [], [])
+
+    return pa.concat_tables([t_states, t_proved, t_intra, t_extra])
+
+
+def _link_key_hashes(doc_from, tag) -> np.ndarray:
+    """uint64 key hash of (doc_from, tag) — NUL-joined then siphashed
+    (NUL can appear in neither column, so the join is collision-free at
+    the string level; 64-bit hash collisions across ~10M keys are
+    ~1e-5 probability)."""
+    from ..functions.hashing import hash_strings
+
+    return hash_strings(np.char.add(np.char.add(doc_from, "\x00"), tag))
 
 
 def emit_triples(results_ds, links_tbl: pa.Table | None = None, batch_size: int = 2048):
+    """Fused results -> triples pass.
+
+    The links side table is broadcast as a (sorted uint64 key-hash
+    numpy array, doc_to Arrow StringArray) PAIR, not a Python dict:
+    a dict of millions of (doc, tag) tuples must be re-pickled into
+    every worker process (O(|links|) CPU + heap PER WORKER — measured
+    as the whole flagship's scale cliff at 2.3M links: the emit stage
+    went 10s -> 130s because each worker spent its first batch
+    deserializing a ~500MB dict). The numpy half is a zero-copy plasma
+    read and the Arrow half ships as out-of-band buffers; the per-batch
+    probe is one searchsorted. Duplicate (doc_from, tag) rows keep the
+    LAST occurrence (dict-insertion semantics, bit-compatible with the
+    old implementation)."""
+    import pyarrow.compute as pc
     import ray
 
     links_ref = None
     if links_tbl is not None and links_tbl.num_rows > 0:
-        d = {
-            (f, t): to
-            for f, t, to in zip(
-                links_tbl["doc_from"].to_pylist(),
-                links_tbl["tag"].to_pylist(),
-                links_tbl["doc_to"].to_pylist(),
-            )
-        }
-        links_ref = ray.put(d)
+        keys = _link_key_hashes(
+            links_tbl["doc_from"].to_numpy(zero_copy_only=False).astype(str),
+            links_tbl["tag"].to_numpy(zero_copy_only=False).astype(str),
+        )
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        # last-wins on duplicate keys: keep the final element of each
+        # equal-key run
+        last = np.r_[keys[1:] != keys[:-1], True]
+        to_sorted = pc.take(
+            pc.cast(links_tbl["doc_to"], pa.string()),
+            pa.array(order[last], pa.int64()),
+        ).combine_chunks()
+        links_ref = ray.put((keys[last], to_sorted))
     return results_ds.map_batches(
         lambda b: emit_triples_batch(b, links_ref),
         batch_format="pyarrow",
