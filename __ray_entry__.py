@@ -28,6 +28,20 @@ if _REPO not in __import__("sys").path:
     __import__("sys").path.insert(0, _REPO)
 
 
+def _rp(path: str, columns: list[str] | None = None):
+    """read_parquet + schema-metadata strip (fuses with the read).
+
+    pandas-written parquet carries a b'pandas' schema-metadata dict
+    that makes pa.Schema unhashable, knocking every downstream
+    sort/groupby reduce off Ray's schema-dedup fast path (one
+    worker-side warning per block pair)."""
+    import ray.data as rd
+
+    return rd.read_parquet(path, columns=columns).map_batches(
+        lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+
+
 def _synth_dir(num_docs: int = 200, seed: int = 42) -> str:
     from theoremkb_ray.synth import materialize_corpus
 
@@ -153,7 +167,7 @@ def _minhash_dedup_docs(sf_dir: str):
 
     from theoremkb_ray.stages.dedup import minhash_dedup
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     return minhash_dedup(ds).groupby("lang").aggregate(Count(alias_name="n"))
@@ -164,7 +178,7 @@ def _simhash_dedup_docs(sf_dir: str):
 
     from theoremkb_ray.stages.dedup import dup_assignments, simhash_dup_edges
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     canon = dup_assignments(simhash_dup_edges(ds))
@@ -184,7 +198,7 @@ def _langid_docs(sf_dir: str):
 
     from theoremkb_ray.stages.textstats import langid
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return langid(ds).select_columns(["doc_id", "lang_pred"])
@@ -195,7 +209,7 @@ def _fingerprint_docs(sf_dir: str):
 
     from theoremkb_ray.stages.textstats import fingerprints
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return fingerprints(ds).select_columns(["doc_id", "fingerprint64"])
@@ -207,7 +221,7 @@ def _ivf_topk(sf_dir: str):
 
     from theoremkb_ray.stages.similarity import ivf_topk
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     import pyarrow.parquet as pq
@@ -232,13 +246,13 @@ def _embedding_dups(sf_dir: str):
         .slice(0, 1)["embedding"]
         .to_pylist()[0]
     )
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     n_vecs = ds.count()
     canon = dup_assignments(
         embedding_dup_edges(
-            rd.read_parquet(
+            _rp(
                 f"{sf_dir}/embeddings.parquet",
                 columns=["vec_id", "embedding"],
             ),
@@ -269,7 +283,7 @@ def _autoencoder_dups(sf_dir: str):
     )
     from theoremkb_ray.stages.dedup import dup_assignments
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     n_docs = ds.count()
@@ -302,7 +316,7 @@ def _decontaminate_docs(sf_dir: str):
         .sort_by("doc_id")
         .slice(0, 20)
     )
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     flagged = flag_contaminated(ds, bench_tbl["text"])
@@ -488,12 +502,12 @@ def _split_stratified(sf_dir: str):
 
     from theoremkb_ray.stages.sampling import stratified_sample, train_test_split
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
     train, test = train_test_split(ds, "doc_id", 0.2, seed=11)
     strat = stratified_sample(
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
         ),
         "lang",
@@ -519,7 +533,7 @@ def _perplexity_docs(sf_dir: str):
 
     from theoremkb_ray.stages.lm import perplexity, unigram_lm
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     lm = unigram_lm(ds)
@@ -536,7 +550,7 @@ def _approx_distinct_users(sf_dir: str):
 
     from theoremkb_ray.stages.sketches import approx_distinct
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = _rp(f"{sf_dir}/events.parquet", columns=["user_id"])
     est = approx_distinct(ds, "user_id")
     return pd.DataFrame({"column": ["user_id"], "approx_distinct": [est]})
 
@@ -551,7 +565,7 @@ def _heavy_hitters_types(sf_dir: str):
 
     from theoremkb_ray.stages.sketches import heavy_hitters
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    ds = _rp(f"{sf_dir}/events.parquet", columns=["event_type"])
     return heavy_hitters(ds, "event_type", k=5)
 
 
@@ -565,7 +579,7 @@ def _sample_docs(sf_dir: str):
 
     from theoremkb_ray.stages.sketches import uniform_sample
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
     return uniform_sample(ds, "doc_id", k=50, seed=7).sort("doc_id")
@@ -585,7 +599,7 @@ def _mixture_docs(sf_dir: str):
 
     from theoremkb_ray.stages.sampling import mixture_sample
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
     return mixture_sample(ds, "lang", "doc_id", MIXTURE_QUOTAS)
@@ -602,7 +616,7 @@ def _redact_docs(sf_dir: str):
     from theoremkb_ray.stages.redact import redact
 
     return redact(
-        rd.read_parquet(
+        _rp(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
         )
     )

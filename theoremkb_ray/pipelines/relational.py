@@ -28,7 +28,15 @@ from ..stages.joins import broadcast_join, hash_join
 
 
 def _pq(sf_dir: str, table: str, columns: list[str] | None = None):
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # metadata strip fuses with the read task; pandas-written parquet
+    # carries a b'pandas' schema-metadata dict that makes pa.Schema
+    # UNHASHABLE, knocking every downstream sort/groupby/join reduce
+    # off Ray's schema-dedup fast path (one warning per block pair)
+    return rd.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns
+    ).map_batches(
+        lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+    )
 
 
 def _round_cols(decimals: dict[str, int]):

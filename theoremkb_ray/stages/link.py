@@ -18,49 +18,85 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from ..schema import PRED_CITES, entity_id
+from ..schema import PRED_CITES
 
 
-def _links_dict(links_tbl: pa.Table) -> dict[tuple[str, str], str]:
-    df = links_tbl.to_pandas()
-    return {
-        (f, t): to
-        for f, t, to in zip(df["doc_from"], df["tag"], df["doc_to"])
-    }
+def _links_index(links_tbl: pa.Table):
+    """(sorted uint64 key-hash array, doc_to Arrow array) — the
+    broadcastable form of the links table. A Python dict here is the
+    scale cliff emit_triples documents (O(|links|) deserialization per
+    worker); the numpy half is a zero-copy plasma read. Duplicate
+    (doc_from, tag) keys keep the LAST row (dict semantics)."""
+    import pyarrow.compute as pc
+
+    from .emit import _link_key_hashes
+
+    keys = _link_key_hashes(
+        links_tbl["doc_from"].to_numpy(zero_copy_only=False).astype(str),
+        links_tbl["tag"].to_numpy(zero_copy_only=False).astype(str),
+    )
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    last = np.r_[keys[1:] != keys[:-1], True]
+    to_sorted = pc.take(
+        pc.cast(links_tbl["doc_to"], pa.string()),
+        pa.array(order[last], pa.int64()),
+    ).combine_chunks()
+    return keys[last], to_sorted
 
 
 class CitationResolver:
     """Actor-pool callable: extra-doc mention rows -> cites triples.
 
-    The broadcast links dict is fetched from the object store once per
-    actor in ``__init__`` (NOT re-shipped per batch)."""
+    The broadcast links index is fetched from the object store once
+    per actor in ``__init__`` (NOT re-shipped per batch); the lookup
+    is one searchsorted probe per batch."""
 
     def __init__(self, links_ref: "ray.ObjectRef") -> None:
-        self.links = ray.get(links_ref)
+        self.keys, self.to = ray.get(links_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        from .emit import _link_key_hashes
+
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(str)
         src = batch["src_entity"].to_numpy(zero_copy_only=False)
-        kind = batch["kind"].to_numpy(zero_copy_only=False)
-        num = batch["num"].to_numpy(zero_copy_only=False)
-        tag = batch["cite_tag"].to_numpy(zero_copy_only=False)
+        tag = batch["cite_tag"].to_numpy(zero_copy_only=False).astype(str)
         grp = (
             batch["src_group"].to_numpy(zero_copy_only=False)
             if "src_group" in batch.column_names
             else np.zeros(batch.num_rows, dtype=np.int64)
+        ).astype(str)
+        name = np.char.add(
+            np.char.add(
+                batch["kind"].to_numpy(zero_copy_only=False).astype(str),
+                " ",
+            ),
+            batch["num"].to_numpy(zero_copy_only=False).astype(str),
         )
-        subs, objs, provs = [], [], []
-        for i in range(len(doc)):
-            to = self.links.get((doc[i], tag[i]))
-            if to is None:
-                continue  # unresolvable tag -> dropped (dead-letter later)
-            subs.append(src[i])
-            objs.append(entity_id(to, f"{kind[i]} {num[i]}"))
-            provs.append(f"mention.extra|n={grp[i]}|tag={tag[i]}")
-        n = len(subs)
+        if len(doc) and len(self.keys):
+            qk = _link_key_hashes(doc, tag)
+            idx = np.searchsorted(self.keys, qk)
+            idx[idx >= len(self.keys)] = max(len(self.keys) - 1, 0)
+            found = self.keys[idx] == qk  # unresolvable tag -> dropped
+        else:
+            found = np.zeros(len(doc), dtype=bool)
+        to = (
+            self.to.take(pa.array(idx[found], pa.int64()))
+            .to_numpy(zero_copy_only=False)
+            .astype(str)
+            if found.any()
+            else np.empty(0, dtype="U1")
+        )
+        # entity_id(to, name) = "{to}#{name}" (schema.py:135)
+        objs = np.char.add(np.char.add(to, "#"), name[found])
+        provs = np.char.add(
+            np.char.add(np.char.add("mention.extra|n=", grp[found]), "|tag="),
+            tag[found],
+        )
+        n = int(found.sum())
         return pa.table(
             {
-                "subject": pa.array(subs, pa.string()),
+                "subject": pa.array(src[found], pa.string()),
                 "predicate": pa.array([PRED_CITES] * n, pa.string()),
                 "object": pa.array(objs, pa.string()),
                 "confidence": pa.array([1.0] * n, pa.float64()),
@@ -80,7 +116,7 @@ def resolve_citations(
         lambda b: b.filter(pa.compute.not_equal(b["cite_tag"], "")),
         batch_format="pyarrow",
     )
-    links_ref = ray.put(_links_dict(links_tbl))
+    links_ref = ray.put(_links_index(links_tbl))
     return extra.map_batches(
         CitationResolver,
         fn_constructor_args=(links_ref,),
