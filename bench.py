@@ -62,12 +62,22 @@ def _kg_corpus_dir(sf: float) -> str:
 def run_bench() -> dict:
     import ray
 
+    # object store sized to ~55% of RAM: Ray's local default (~43%)
+    # spills at the 2.2M-doc stress point (results pin + bands + emit
+    # output together top 40GB; 237 spill RPCs cost 314s of pure IO in
+    # the 946s run that found this). On a real cluster aggregate
+    # plasma scales with node count — sizing it to the machine is the
+    # single-node stand-in for that.
+    store = int(
+        os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") * 0.55
+    )
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        object_store_memory=store,
     )
     from ray.data import DataContext
 

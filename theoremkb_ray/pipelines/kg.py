@@ -103,7 +103,11 @@ def triples_from_materialized_results(
         bands = results.map_batches(
             BandEmitter(), batch_format="pyarrow", batch_size=1024
         )
-        edges = candidate_pairs(bands)
+        # pin_bands=False: bands derive from the PINNED results table —
+        # re-running the vectorized emitter per pass costs seconds,
+        # materializing ~11 band rows/result cost a 10.7GB plasma pin
+        # at the 2.2M-doc stress point
+        edges = candidate_pairs(bands, pin_bands=False)
         triples = canonicalize_triples(triples, edges)
     return triples
 

@@ -118,7 +118,9 @@ def dedup_pairs(pairs_ds, coarse: int = 64):
     )
 
 
-def candidate_pairs(band_ds, cap: int = 50, dedup: bool = True):
+def candidate_pairs(
+    band_ds, cap: int = 50, dedup: bool = True, pin_bands: bool = True
+):
     """Coarse-keyed bucket groupby -> verified near-dup edges
     (a, b, confidence), deduplicated across bands by default.
 
@@ -131,7 +133,7 @@ def candidate_pairs(band_ds, cap: int = 50, dedup: bool = True):
     distributed end-to-end."""
     from .dedup import pairs_from_bands
 
-    pairs = pairs_from_bands(band_ds, cap=cap)
+    pairs = pairs_from_bands(band_ds, cap=cap, pin_bands=pin_bands)
     if dedup:
         pairs = dedup_pairs(pairs)
 
@@ -325,21 +327,54 @@ def _collect(ds) -> pa.Table:
 
 def _rewrite_batch(batch: pa.Table, map_ref) -> pa.Table:
     """Rewrite subject/object to canonical ids. The canonical map is
-    broadcast ONCE as a (keys, values) Arrow pair (ray.put) and fetched
-    once per worker process via the broadcast cache; the per-batch work
-    is pure Arrow C++ (index_in -> take -> coalesce). (An earlier
-    version passed the raw dict and pandas ``Series.map(dict)``
-    rebuilt a 100k-entry hash Series on EVERY batch — measured at
-    ~10ms/batch of pure rebuild overhead across a 3.6M-triple store.)"""
+    broadcast ONCE as a (sorted uint64 key-hash numpy array, key
+    strings, canonical values) triple and fetched once per worker via
+    the broadcast cache; the per-batch probe is searchsorted + an
+    exact string-equality verify on the hits.
+
+    History of this hot spot: pandas ``Series.map(dict)`` rebuilt the
+    hash Series per batch (~10ms each); Arrow ``index_in`` fixed that
+    but re-hashes its value_set on EVERY call — O(|map|) per BLOCK,
+    which at 1.07M map entries x 2 columns x hundreds of blocks made
+    the rewrite the flagship's superlinear term (total work =
+    blocks x map instead of rows log map). searchsorted against the
+    broadcast-once sorted hash array is O(rows log map) per block with
+    zero per-block setup; the verify step removes 64-bit hash
+    collisions exactly."""
+    import numpy as np
+
+    from ..functions.hashing import hash_strings
     from ..state.broadcast import get_broadcast
 
-    keys, vals = get_broadcast(map_ref)
-    if len(keys) == 0:
+    kh, keys, vals = get_broadcast(map_ref)
+    if len(kh) == 0:
         return batch
 
-    def remap(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-        idx = pc.index_in(col, value_set=keys)
-        return pc.coalesce(pc.take(vals, idx), col)
+    def remap(col) -> pa.Array:
+        arr = (
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        )
+        s = arr.to_numpy(zero_copy_only=False)
+        h = hash_strings(s)
+        idx = np.searchsorted(kh, h)
+        idx[idx >= len(kh)] = max(len(kh) - 1, 0)
+        hit = kh[idx] == h
+        if not hit.any():
+            return arr
+        take_idx = pa.array(idx[hit], pa.int64())
+        # exact verify: a 64-bit collision must not rewrite a stranger
+        exact = pc.equal(
+            pc.take(keys, take_idx), arr.filter(pa.array(hit))
+        ).to_numpy(zero_copy_only=False)
+        hit_pos = np.flatnonzero(hit)[exact]
+        if len(hit_pos) == 0:
+            return arr
+        out = s.copy()
+        out[hit_pos] = (
+            pc.take(vals, pa.array(idx[hit_pos], pa.int64()))
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.array(out, pa.string())
 
     batch = batch.set_column(
         batch.column_names.index("subject"),
@@ -356,13 +391,18 @@ def _rewrite_batch(batch: pa.Table, map_ref) -> pa.Table:
 def rewrite_triples(triples_ds, canon: dict[str, str], concurrency=None):
     if not canon:
         return triples_ds
-    keys = pa.array(list(canon.keys()), pa.string())
-    vals = pa.array(list(canon.values()), pa.string())
-    ref = ray.put((keys, vals))
-    # batch_size=None: whole blocks. index_in re-hashes the value_set
-    # on every call, so per-call overhead scales with map size x batch
-    # COUNT — a 243k-entry map at 8192-row batches measurably dragged
-    # the emit+rewrite stage
+    import numpy as np
+
+    from ..functions.hashing import hash_strings
+
+    key_list = np.array(list(canon.keys()), dtype=object)
+    kh = hash_strings(key_list)
+    order = np.argsort(kh, kind="stable")
+    keys = pa.array(key_list[order], pa.string())
+    vals = pa.array(
+        np.array(list(canon.values()), dtype=object)[order], pa.string()
+    )
+    ref = ray.put((kh[order], keys, vals))
     return triples_ds.map_batches(
         lambda b: _rewrite_batch(b, ref),
         batch_format="pyarrow",

@@ -305,6 +305,7 @@ def pairs_from_bands(
     cap: int = 50,
     coarse: int = COARSE_BUCKETS,
     prefilter: bool = True,
+    pin_bands: bool = True,
 ):
     """LSH band rows -> candidate pair rows via ONE coarse-keyed
     exchange (see :func:`_pairs_from_coarse`), preceded (by default) by
@@ -320,12 +321,17 @@ def pairs_from_bands(
     from ..state.prof import mark
 
     if prefilter:
-        # bands are consumed twice (count pass + pair pass): pin them.
-        # At ~1.5x the (already ~100x-reduced) results table they fit
-        # the cluster object store; Ray spills to disk past that, which
-        # still beats recomputing the minhash signatures twice.
-        band_ds = band_ds.materialize()
-        mark("pairs_from_bands: bands materialized")
+        # Bands are consumed twice (hot pass + pair pass). pin_bands
+        # trades plasma for recompute: True pins them (right when the
+        # emitter is expensive, e.g. minhash over full document text);
+        # False re-executes the band emitter per pass (right when bands
+        # derive from an ALREADY-PINNED upstream — the flagship's
+        # entity-name bands are ~11 rows/result and materializing them
+        # was a 10.7GB plasma pin at 2.2M docs, while re-running the
+        # vectorized emitter costs seconds).
+        if pin_bands:
+            band_ds = band_ds.materialize()
+            mark("pairs_from_bands: bands materialized")
         hot = hot_band_hashes(band_ds)
         mark("pairs_from_bands: hot prefilter built")
         if hot is not None and len(hot) == 0:
