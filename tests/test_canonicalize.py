@@ -104,3 +104,35 @@ def test_distributed_cc_raises_when_not_converged():
     t = pa.table({"a": pa.array(nodes[1:]), "b": pa.array(nodes[:-1])})
     with pytest.raises(RuntimeError, match="not stable"):
         connected_components_distributed(rd.from_arrow(t), max_iters=2)
+
+
+def test_rewrite_triples_searchsorted_matches_dict_semantics():
+    # direct unit test of the broadcast-hash rewrite: mapped ids
+    # rewritten in both columns, unmapped ids untouched, and ids that
+    # merely SHARE A PREFIX with a mapped id stay untouched (the exact
+    # string verify after the hash probe)
+    from theoremkb_ray.stages.canonicalize import rewrite_triples
+
+    canon = {f"e{i}": "root" for i in range(500)}
+    subs = [f"e{i}" for i in range(500)] + ["e5000", "unrelated", "e1x"]
+    objs = ["e499"] * 503
+    t = pa.table(
+        {
+            "subject": pa.array(subs),
+            "predicate": pa.array(["cites"] * len(subs)),
+            "object": pa.array(objs),
+            "confidence": pa.array([1.0] * len(subs)),
+            "provenance": pa.array(["t"] * len(subs)),
+        }
+    )
+    out = (
+        rewrite_triples(rd.from_arrow(t).repartition(4), canon)
+        .to_pandas()
+        .sort_index()
+    )
+    want_subs = ["root"] * 500 + ["e5000", "unrelated", "e1x"]
+    assert sorted(out["subject"]) == sorted(want_subs)
+    assert set(out["object"]) == {"root"}
+    # empty map is the identity
+    same = rewrite_triples(rd.from_arrow(t), {}).to_pandas()
+    assert sorted(same["subject"]) == sorted(subs)
