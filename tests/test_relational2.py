@@ -1,0 +1,183 @@
+"""Unit tests for the round-2 relational additions (window frame,
+rank, rollup grouping sets, unnest-ordinality, repetition quality,
+grouped quantiles, grouped correlation) on planted edge-case data.
+The sf0.01 DuckDB oracle covers the happy path; these cover the edges
+the driver tables can't reach (multi-line docs, balance ties, user
+boundaries at bucket edges)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _df(obj) -> pd.DataFrame:
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj.to_pandas()
+
+
+def test_moving_avg_matches_pandas_rolling():
+    from theoremkb_ray.pipelines.relational import q_window_moving_avg
+
+    got = (
+        _df(q_window_moving_avg(SF_DIR))
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    ).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    want = (
+        ev.assign(
+            moving_avg=ev.groupby("user_id", sort=False)["value"]
+            .rolling(3, min_periods=1)
+            .mean()
+            .round(4)
+            .reset_index(level=0, drop=True)
+        )[["event_id", "user_id", "moving_avg"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got["moving_avg"], want["moving_avg"], check_exact=False, atol=1e-9
+    )
+
+
+def test_rank_per_group_tie_semantics():
+    """RANK() with gaps: ties share a rank; rank>10 rows are dropped
+    even when ties push the row count past 10."""
+    from theoremkb_ray.pipelines.relational import q_rank_per_group
+
+    got = _df(q_rank_per_group(SF_DIR))
+    cust = pd.read_parquet(
+        f"{SF_DIR}/customer.parquet",
+        columns=["c_mktsegment", "c_custkey", "c_acctbal"],
+    )
+    want = cust.assign(
+        acct_rank=cust.groupby("c_mktsegment")["c_acctbal"]
+        .rank(method="min", ascending=False)
+        .astype("int64")
+    )
+    want = want[want["acct_rank"] <= 10][
+        ["c_mktsegment", "c_custkey", "acct_rank"]
+    ]
+    key = ["c_mktsegment", "c_custkey"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[key + ["acct_rank"]], want[key + ["acct_rank"]]
+    )
+
+
+def test_rollup_grouping_levels():
+    from theoremkb_ray.pipelines.relational import q_rollup_grouping
+
+    out = _df(q_rollup_grouping(SF_DIR))
+    orders = pd.read_parquet(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    # grand total row
+    top = out[out["o_orderstatus"].isna()]
+    assert len(top) == 1
+    assert int(top["n"].iloc[0]) == len(orders)
+    assert top["revenue"].iloc[0] == pytest.approx(
+        orders["o_totalprice"].sum(), rel=1e-9
+    )
+    # mid level: one row per status, n sums to total
+    mid = out[out["o_orderstatus"].notna() & out["o_orderpriority"].isna()]
+    assert set(mid["o_orderstatus"]) == set(orders["o_orderstatus"])
+    assert mid["n"].sum() == len(orders)
+    # fine level row count = distinct (status, priority) pairs
+    fine = out[out["o_orderpriority"].notna()]
+    assert len(fine) == len(
+        orders[["o_orderstatus", "o_orderpriority"]].drop_duplicates()
+    )
+
+
+def test_explode_and_repetition_on_planted_docs():
+    """Multi-line planted docs: exact ordinals, lengths, and Gopher
+    duplicate-line/word fractions."""
+    import ray.data as rd
+
+    from theoremkb_ray.pipelines.relational import (
+        q_explode_lines,
+        q_repetition_docs,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "aa bb\naa bb\ncc",  # dup line 1/3; words: aa,bb x2, cc
+                    "x y z",  # one line, all distinct
+                ]
+            ),
+        }
+    )
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+        ex = _df(q_explode_lines(d)).sort_values(
+            ["doc_id", "line_no"]
+        ).reset_index(drop=True)
+        assert ex["doc_id"].tolist() == [1, 1, 1, 2]
+        assert ex["line_no"].tolist() == [1, 2, 3, 1]
+        assert ex["line_len"].tolist() == [5, 5, 2, 5]
+
+        rep = _df(q_repetition_docs(d)).sort_values("doc_id")
+        # doc 1: 3 lines, 2 distinct -> 1/3; 5 words (aa bb aa bb cc),
+        # 3 distinct -> 2/5
+        assert rep["dup_line_frac"].tolist() == pytest.approx(
+            [round(1 - 2 / 3, 6), 0.0]
+        )
+        assert rep["dup_word_frac"].tolist() == pytest.approx(
+            [round(1 - 3 / 5, 6), 0.0]
+        )
+
+
+def test_quantiles_group_exact():
+    from theoremkb_ray.pipelines.relational import q_quantiles_group
+
+    got = _df(q_quantiles_group(SF_DIR)).set_index("o_orderpriority")
+    orders = pd.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    for prio, g in orders.groupby("o_orderpriority"):
+        v = g["o_totalprice"].to_numpy()
+        assert got.loc[prio, "median_price"] == pytest.approx(
+            np.quantile(v, 0.5), abs=1e-4
+        )
+        assert got.loc[prio, "p90_price"] == pytest.approx(
+            np.quantile(v, 0.9), abs=1e-4
+        )
+
+
+def test_corr_agg_matches_numpy():
+    from theoremkb_ray.pipelines.relational import q_corr_agg
+
+    got = _df(q_corr_agg(SF_DIR)).set_index("l_returnflag")
+    li = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    for flag, g in li.groupby("l_returnflag"):
+        want = np.corrcoef(g["l_quantity"], g["l_extendedprice"])[0, 1]
+        assert got.loc[flag, "corr_qty_price"] == pytest.approx(
+            want, abs=1e-6
+        )

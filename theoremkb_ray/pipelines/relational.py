@@ -1023,6 +1023,359 @@ LEFT JOIN inter i ON i.id = na.id
 """
 
 
+def q_window_moving_avg(sf_dir: str):
+    """Sliding window frame (§2.9): per-user moving average of
+    ``value`` over the last 3 events ordered by (ts, event_id).
+    Coarse-bucket shuffle + ONE vectorized shifted-add pass per bucket
+    — the in-frame summation order (v[i-2] + v[i-1] + v[i]) matches
+    SQL's left-to-right frame order, so the rounded doubles hash-match
+    the oracle."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        v = g["value"].to_numpy()
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "moving_avg": pd.Series(dtype="float64"),
+                }
+            )
+        same1 = np.zeros(n, dtype=bool)
+        same1[1:] = u[1:] == u[:-1]  # row i-1 belongs to the same user
+        same2 = np.zeros(n, dtype=bool)
+        same2[2:] = u[2:] == u[:-2]  # row i-2 belongs to the same user
+        v1 = np.zeros(n)
+        v1[1:] = v[:-1]
+        v2 = np.zeros(n)
+        v2[2:] = v[:-2]
+        s = np.where(same2, v2, 0.0) + np.where(same1, v1, 0.0) + v
+        cnt = 1 + same1.astype(np.int64) + same2.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": u,
+                "moving_avg": np.round(s / cnt, 4),
+            }
+        )
+
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_WINDOW_MOVING_AVG = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             4) AS moving_avg
+FROM events
+"""
+
+
+def q_rank_per_group(sf_dir: str):
+    """Window rank with gaps (RANK()): top-10 customers per market
+    segment by account balance; ties share a rank and the next rank
+    skips. 5 segments -> 5 groups; within-group rank is one sorted
+    numpy pass (no per-row Python)."""
+    ds = _pq(sf_dir, "customer", ["c_mktsegment", "c_custkey", "c_acctbal"])
+
+    def per_seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True], kind="mergesort"
+        )
+        bal = g["c_acctbal"].to_numpy()
+        n = len(bal)
+        pos = np.arange(1, n + 1, dtype=np.int64)
+        new = np.ones(n, dtype=bool)
+        new[1:] = bal[1:] != bal[:-1]
+        rank = pos[new][np.cumsum(new) - 1]  # RANK(): first pos of the tie run
+        keep = rank <= 10
+        return pd.DataFrame(
+            {
+                "c_mktsegment": g["c_mktsegment"].to_numpy()[keep],
+                "c_custkey": g["c_custkey"].to_numpy()[keep],
+                "acct_rank": rank[keep],
+            }
+        )
+
+    return ds.groupby("c_mktsegment").map_groups(per_seg, batch_format="pandas")
+
+
+SQL_RANK_PER_GROUP = """
+SELECT c_mktsegment, c_custkey, acct_rank FROM (
+  SELECT c_mktsegment, c_custkey,
+         rank() OVER (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal DESC) AS acct_rank
+  FROM customer) WHERE acct_rank <= 10
+"""
+
+
+def q_rollup_grouping(sf_dir: str):
+    """GROUP BY ROLLUP (grouping sets): revenue + order counts at
+    (status, priority), (status) and grand-total levels. ONE
+    distributed partial+final groupby at the finest level; the coarser
+    levels re-aggregate that TINY result driver-side — never a second
+    corpus pass (15 fine rows stand in for 15k orders; at 100 TB the
+    fine level is |status| x |priority| rows, still driver-safe)."""
+    ds = _pq(
+        sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+    fine = (
+        ds.groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(
+            Sum("o_totalprice", alias_name="revenue"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()
+    )
+    mid = fine.groupby("o_orderstatus", as_index=False).agg(
+        revenue=("revenue", "sum"), n=("n", "sum")
+    )
+    mid["o_orderpriority"] = None
+    top = pd.DataFrame(
+        {
+            "o_orderstatus": [None],
+            "o_orderpriority": [None],
+            "revenue": [fine["revenue"].sum()],
+            "n": [fine["n"].sum()],
+        }
+    )
+    out = pd.concat([fine, mid, top], ignore_index=True)
+    out["revenue"] = out["revenue"].round(2)
+    out["n"] = out["n"].astype("int64")
+    return out[["o_orderstatus", "o_orderpriority", "revenue", "n"]]
+
+
+SQL_ROLLUP_GROUPING = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*)                    AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_explode_lines(sf_dir: str):
+    """flat_map / UNNEST WITH ORDINALITY: one output row per document
+    line with its 1-based ordinal and length — pure offsets arithmetic
+    on the Arrow list array (np.repeat / arange), never a row loop."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(b["text"], "\n")
+        flat = (
+            lines.combine_chunks()
+            if isinstance(lines, pa.ChunkedArray)
+            else lines
+        )
+        offs = flat.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = flat.values
+        if offs[0] != 0:
+            vals = vals.slice(offs[0])
+            offs = offs - offs[0]
+        counts = np.diff(offs)
+        doc = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), counts)
+        line_no = (
+            np.arange(offs[-1], dtype=np.int64)
+            - np.repeat(offs[:-1], counts)
+            + 1
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "line_no": pa.array(line_no),
+                "line_len": pc.cast(pc.utf8_length(vals), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_EXPLODE_LINES = """
+SELECT doc_id, i AS line_no, length(lines[i]) AS line_len
+FROM (SELECT doc_id, string_split(text, chr(10)) AS lines,
+             unnest(generate_series(1, len(string_split(text, chr(10)))))
+               AS i
+      FROM documents)
+"""
+
+
+def q_repetition_docs(sf_dir: str):
+    """Gopher-style repetition quality filter: per-document
+    duplicate-line and duplicate-word fractions (Rae et al. 2021 §A1.1
+    repetition rules). Distinct counting is pd.factorize (exact C
+    kernel) + np.unique over packed (doc, code) keys — no per-document
+    Python loop, no shuffle (document = row)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def frac_dup(b: pa.Table, pat: str, regex: bool = False) -> np.ndarray:
+        split = pc.split_pattern_regex if regex else pc.split_pattern
+        lst = split(b["text"], pat)
+        flat = (
+            lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        )
+        offs = flat.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = flat.values
+        if offs[0] != 0:
+            vals = vals.slice(offs[0])
+            offs = offs - offs[0]
+        counts = np.diff(offs)
+        codes, uniques = pd.factorize(vals.to_numpy(zero_copy_only=False))
+        ncodes = np.int64(max(len(uniques), 1))
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        uniq_pair = np.unique(doc_idx * ncodes + codes)
+        n_distinct = np.bincount(
+            uniq_pair // ncodes, minlength=len(counts)
+        )
+        # 1 - d/c in this exact double order (matches the SQL text)
+        return np.round(
+            np.where(
+                counts > 0, 1.0 - n_distinct / np.maximum(counts, 1), 0.0
+            ),
+            6,
+        )
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "dup_line_frac": pa.array(frac_dup(b, "\n"), pa.float64()),
+                # words split on runs of whitespace (Gopher's word
+                # tokenization; both engines are RE2 so \s+ agrees)
+                "dup_word_frac": pa.array(
+                    frac_dup(b, r"\s+", regex=True), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_REPETITION_DOCS = """
+SELECT doc_id,
+       round(1 - CAST(len(list_distinct(string_split(text, chr(10))))
+                      AS DOUBLE)
+               / len(string_split(text, chr(10))), 6) AS dup_line_frac,
+       round(1 - CAST(len(list_distinct(regexp_split_to_array(text, '\\s+')))
+                      AS DOUBLE)
+               / len(regexp_split_to_array(text, '\\s+')), 6)
+         AS dup_word_frac
+FROM documents
+"""
+
+
+def q_quantiles_group(sf_dir: str):
+    """Exact grouped order statistics (median / p90, linear
+    interpolation) — the reference's min/max/std rollup family
+    (paper/features.py:109-150) extended to quantiles. 5 priority
+    groups; the per-group sort is one numpy C kernel. (An exact global
+    quantile at 100 TB would use the partitioned two-pass
+    select-then-scan form; per-group here each group fits a task.)"""
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def per_grp(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["o_totalprice"].to_numpy())
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+                "median_price": [
+                    np.round(np.quantile(v, 0.5, method="linear"), 4)
+                ],
+                "p90_price": [
+                    np.round(np.quantile(v, 0.9, method="linear"), 4)
+                ],
+            }
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(
+        per_grp, batch_format="pandas"
+    )
+
+
+SQL_QUANTILES_GROUP = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_corr_agg(sf_dir: str):
+    """Grouped Pearson correlation corr(l_quantity, l_extendedprice)
+    per returnflag, via numerically-stable TWO-PASS sums: pass 1 =
+    grouped means (partial+final groupby, tiny result broadcast);
+    pass 2 = per-block centered-product partials merged by a tiny
+    final groupby. corr = sxy / sqrt(sxx * syy) — the (n-1) factors
+    cancel, so it equals SQL's covar_samp/(stddev*stddev) to well
+    below the rounding margin."""
+    cols = ["l_returnflag", "l_quantity", "l_extendedprice"]
+    ds = _pq(sf_dir, "lineitem", cols)
+    means = (
+        ds.groupby("l_returnflag")
+        .aggregate(
+            Mean("l_quantity", alias_name="mq"),
+            Mean("l_extendedprice", alias_name="mp"),
+        )
+        .to_pandas()
+    )  # |returnflag| rows — broadcast-safe at any scale
+    mq = dict(zip(means["l_returnflag"], means["mq"]))
+    mp = dict(zip(means["l_returnflag"], means["mp"]))
+
+    def partials(b: pa.Table) -> pa.Table:
+        flags = b["l_returnflag"].to_numpy(zero_copy_only=False)
+        q = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = (
+            b["l_extendedprice"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        codes, uniq = pd.factorize(flags)
+        dq = q - np.array([mq[f] for f in uniq])[codes]
+        dp = p - np.array([mp[f] for f in uniq])[codes]
+        return pa.table(
+            {
+                "l_returnflag": pa.array(uniq),
+                "sxy": pa.array(np.bincount(codes, dq * dp)),
+                "sxx": pa.array(np.bincount(codes, dq * dq)),
+                "syy": pa.array(np.bincount(codes, dp * dp)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        sxy = b["sxy"].to_numpy(zero_copy_only=False)
+        sxx = b["sxx"].to_numpy(zero_copy_only=False)
+        syy = b["syy"].to_numpy(zero_copy_only=False)
+        corr = np.round(sxy / np.sqrt(sxx * syy), 6)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "corr_qty_price": pa.array(corr, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CORR_AGG = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -1051,4 +1404,11 @@ REGISTRY: dict[str, tuple] = {
     "rollup_hier": (q_rollup_hier, SQL_ROLLUP_HIER),
     "bib_resolve": (q_bib_resolve, SQL_BIB_RESOLVE),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "window_moving_avg": (q_window_moving_avg, SQL_WINDOW_MOVING_AVG),
+    "rank_per_group": (q_rank_per_group, SQL_RANK_PER_GROUP),
+    "rollup_grouping": (q_rollup_grouping, SQL_ROLLUP_GROUPING),
+    "explode_lines": (q_explode_lines, SQL_EXPLODE_LINES),
+    "repetition_docs": (q_repetition_docs, SQL_REPETITION_DOCS),
+    "quantiles_group": (q_quantiles_group, SQL_QUANTILES_GROUP),
+    "corr_agg": (q_corr_agg, SQL_CORR_AGG),
 }
