@@ -301,6 +301,17 @@ def _autoencoder_dups(sf_dir: str):
     )
 
 
+def _substring_dups(sf_dir: str):
+    """Corpus-wide exact substring duplication (Lee et al. 2022
+    signal): per doc, how many of its distinct 8-token gram windows
+    occur in >= 2 documents. Self-join via coarse gram-hash exchange
+    (stages/dedup.py:substring_dup_counts)."""
+    from theoremkb_ray.stages.dedup import substring_dup_counts
+
+    ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return substring_dup_counts(ds, k=8)
+
+
 def _decontaminate_docs(sf_dir: str):
     """Training-data decontamination: benchmark = the 20 lexicographic-
     min doc texts; flag every doc sharing a 13-token gram with them
@@ -642,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_dups": _embedding_dups,
             "autoencoder_dups": _autoencoder_dups,
             "decontaminate_docs": _decontaminate_docs,
+            "substring_dups": _substring_dups,
             "media_decode": _media_decode,
             "page_segment": _page_segment,
             "agreement_diff": _agreement_diff,
@@ -714,6 +726,30 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id, overlap_grams FROM counts
 """
 
 
+#: oracle for corpus self-join substring duplication: gram STRINGS in
+#: SQL vs 64-bit gram hashes in the engine (equivalent modulo
+#: negligible collisions — the decontaminate argument); short-doc /
+#: empty-doc rules mirror shingle_hashes_flat.
+SQL_SUBSTRING_DUPS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+dgrams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(
+           CASE WHEN len(toks) >= 8 THEN toks[i:i+7] ELSE toks END, ' ') AS g
+  FROM tok, unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS t(i)
+  WHERE len(toks) > 0
+),
+shared AS (SELECT g FROM dgrams GROUP BY g HAVING count(*) >= 2)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, count(*) AS shared_grams
+FROM dgrams WHERE g IN (SELECT g FROM shared)
+GROUP BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from theoremkb_ray.pipelines.relational import REGISTRY
 
@@ -722,6 +758,7 @@ def oracle_sql() -> dict[str, str]:
     }
     out["docs_segment"] = SQL_DOCS_SEGMENT
     out["decontaminate_docs"] = SQL_DECONTAMINATE
+    out["substring_dups"] = SQL_SUBSTRING_DUPS
     # heavy_hitters_types: exact because the type vocabulary is far
     # below the sketch width (see _heavy_hitters_types docstring)
     out["heavy_hitters_types"] = """

@@ -1,0 +1,270 @@
+"""Property-based tests (hypothesis) for the pure numpy kernels.
+
+The reference has no randomized testing (SURVEY.md §5); these pin the
+vectorized kernels against brute-force per-segment / per-element
+Python oracles on adversarial random inputs — empty segments, ties,
+doc boundaries, single-element docs."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# ------------------------------------------------------------ strategies
+
+
+@st.composite
+def segmented_values(draw, max_segs=8, max_len=6):
+    """Random (values, offsets) with empty segments allowed."""
+    counts = draw(
+        st.lists(
+            st.integers(0, max_len), min_size=1, max_size=max_segs
+        )
+    )
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    vals = draw(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=int(offsets[-1]),
+            max_size=int(offsets[-1]),
+        )
+    )
+    return np.asarray(vals, dtype=np.float64), offsets
+
+
+# ------------------------------------------------------ segment kernels
+
+
+@settings(max_examples=60, deadline=None)
+@given(segmented_values())
+def test_segment_sums_min_max_match_loop(sv):
+    from theoremkb_ray.stages.rollup import segment_min_max, segment_sums
+
+    vals, offs = sv
+    sums = segment_sums(vals, offs)
+    mins, maxs = segment_min_max(vals, offs)
+    for i in range(len(offs) - 1):
+        seg = vals[offs[i] : offs[i + 1]]
+        if len(seg) == 0:
+            assert sums[i] == 0.0 and mins[i] == 0.0 and maxs[i] == 0.0
+        else:
+            np.testing.assert_allclose(sums[i], seg.sum(), rtol=1e-9)
+            assert mins[i] == seg.min()
+            assert maxs[i] == seg.max()
+
+
+@settings(max_examples=60, deadline=None)
+@given(segmented_values())
+def test_segment_mean_std_match_loop(sv):
+    from theoremkb_ray.stages.rollup import segment_mean_std
+
+    vals, offs = sv
+    means, stds = segment_mean_std(vals, offs)
+    for i in range(len(offs) - 1):
+        seg = vals[offs[i] : offs[i + 1]]
+        if len(seg) == 0:
+            assert means[i] == 0.0 and stds[i] == 0.0
+        else:
+            np.testing.assert_allclose(means[i], seg.mean(), atol=1e-6)
+            np.testing.assert_allclose(
+                stds[i], seg.std(), atol=1e-5
+            )  # population std
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(0, 3), min_size=0, max_size=30),
+    st.lists(st.integers(0, 6), min_size=1, max_size=6),
+)
+def test_segment_mode_matches_counter(codes, counts):
+    from theoremkb_ray.stages.rollup import segment_mode
+
+    total = sum(counts)
+    codes = (codes * (total // max(len(codes), 1) + 1))[:total]
+    codes = np.asarray(codes, dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    mode, best, n_distinct = segment_mode(codes, offs)
+    for i in range(len(counts)):
+        seg = codes[offs[i] : offs[i + 1]]
+        if len(seg) == 0:
+            assert mode[i] == -1 and best[i] == 0 and n_distinct[i] == 0
+            continue
+        c = Counter(seg.tolist())
+        top = max(c.values())
+        # tie rule: smallest code among the most frequent
+        want_mode = min(k for k, v in c.items() if v == top)
+        assert mode[i] == want_mode
+        assert best[i] == top
+        assert n_distinct[i] == len(c)
+
+
+@settings(max_examples=40, deadline=None)
+@given(segmented_values(max_segs=5, max_len=5), st.integers(-3, 3))
+def test_segment_nth_matches_indexing(sv, n):
+    from theoremkb_ray.stages.rollup import segment_nth
+
+    vals, offs = sv
+    out = segment_nth(vals, offs, n)
+    for i in range(len(offs) - 1):
+        seg = vals[offs[i] : offs[i + 1]]
+        ok = (n >= 0 and len(seg) > n) or (n < 0 and len(seg) >= -n)
+        assert out[i] == (seg[n] if ok else 0)
+
+
+# ----------------------------------------------------------- BIO decode
+
+
+def _bio_decode_reference(tag_ids, offsets):
+    """Per-doc per-line Python BIO decoder (the reference's group
+    counter semantics, extractors/crf.py:107-131)."""
+    spans = []
+    for d in range(len(offsets) - 1):
+        seq = tag_ids[offsets[d] : offsets[d + 1]]
+        group = 0
+        cur = None  # (kind, start)
+        for j, t in enumerate(seq):
+            kind = (t - 1) // 2 if t > 0 else -1
+            is_b = t > 0 and (t - 1) % 2 == 0
+            if cur is not None and (t == 0 or is_b or kind != cur[0]):
+                spans.append((d, cur[0], cur[2], cur[1], j - 1))
+                cur = None
+            if t > 0 and cur is None:
+                group += 1
+                cur = (kind, j, group)
+        if cur is not None:
+            spans.append((d, cur[0], cur[2], cur[1], len(seq) - 1))
+    return spans
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.integers(0, 6), min_size=0, max_size=40),
+    st.lists(st.integers(0, 10), min_size=1, max_size=5),
+)
+def test_tags_to_spans_matches_reference_decoder(tags, counts):
+    from theoremkb_ray.stages.crf import tags_to_spans_flat
+
+    total = sum(counts)
+    tags = (tags * (total // max(len(tags), 1) + 1))[:total]
+    tag_ids = np.asarray(tags, dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    got = tags_to_spans_flat(tag_ids, offs)
+    got_spans = sorted(
+        zip(
+            got["doc_idx"].tolist(),
+            got["label_id"].tolist(),
+            got["group"].tolist(),
+            got["start_line"].tolist(),
+            got["end_line"].tolist(),
+        )
+    )
+    want = sorted(_bio_decode_reference(tag_ids, offs))
+    assert got_spans == want
+
+
+# -------------------------------------------------------------- minhash
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(0, 2**63 - 1), min_size=0, max_size=30),
+    st.lists(st.integers(0, 2**63 - 1), min_size=0, max_size=30),
+)
+def test_minhash_union_is_elementwise_min(a, b):
+    """Exact MinHash identity: sig(A ∪ B) == min(sig(A), sig(B)) —
+    the property that makes signatures mergeable sketches."""
+    from theoremkb_ray.functions.hashing import minhash_signature
+
+    A = np.asarray(a, dtype=np.uint64)
+    B = np.asarray(b, dtype=np.uint64)
+    U = np.union1d(A, B) if len(A) or len(B) else np.empty(0, np.uint64)
+    su = minhash_signature(U.astype(np.uint64), num_perm=16)
+    sm = np.minimum(
+        minhash_signature(A, num_perm=16), minhash_signature(B, num_perm=16)
+    )
+    assert (su == sm).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 2**63 - 1), min_size=1, max_size=30))
+def test_minhash_order_invariant(a):
+    from theoremkb_ray.functions.hashing import minhash_signature
+
+    A = np.asarray(a, dtype=np.uint64)
+    rng = np.random.RandomState(7)
+    P = A[rng.permutation(len(A))]
+    assert (
+        minhash_signature(A, num_perm=16)
+        == minhash_signature(P, num_perm=16)
+    ).all()
+
+
+# --------------------------------------------------------- hamming / cc
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=20),
+    st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=20),
+)
+def test_hamming64_matches_popcount(xs, ys):
+    from theoremkb_ray.functions.hashing import hamming64
+
+    n = min(len(xs), len(ys))
+    a = np.asarray(xs[:n], dtype=np.uint64)
+    b = np.asarray(ys[:n], dtype=np.uint64)
+    got = hamming64(a, b)
+    want = [bin(int(x) ^ int(y)).count("1") for x, y in zip(a, b)]
+    assert got.tolist() == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_connected_components_local_min_label(edges):
+    """Every node's label is the lexicographic MIN of its component
+    (BFS oracle)."""
+    from theoremkb_ray.stages.canonicalize import connected_components_local
+
+    names = [f"n{i:02d}" for i in range(13)]
+    tbl = pa.table(
+        {
+            "a": pa.array([names[x] for x, _ in edges]),
+            "b": pa.array([names[y] for _, y in edges]),
+        }
+    )
+    got = connected_components_local(tbl)
+    # BFS oracle
+    adj: dict[str, set] = {}
+    for x, y in edges:
+        adj.setdefault(names[x], set()).add(names[y])
+        adj.setdefault(names[y], set()).add(names[x])
+    seen = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            v = stack.pop()
+            if v in comp:
+                continue
+            comp.add(v)
+            stack.extend(adj[v] - comp)
+        seen |= comp
+        lo = min(comp)
+        for v in comp:
+            assert got[v] == lo

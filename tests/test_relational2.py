@@ -181,3 +181,59 @@ def test_corr_agg_matches_numpy():
         assert got.loc[flag, "corr_qty_price"] == pytest.approx(
             want, abs=1e-6
         )
+
+
+def test_global_quantiles_exact():
+    from theoremkb_ray.pipelines.relational import q_global_quantiles
+
+    got = _df(q_global_quantiles(SF_DIR)).set_index("q")
+    v = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_extendedprice"]
+    )["l_extendedprice"].to_numpy()
+    for q in (0.5, 0.99):
+        assert got.loc[q, "price"] == pytest.approx(
+            np.quantile(v, q, method="linear"), abs=1e-4
+        )
+
+
+def test_substring_dups_planted():
+    """Two docs sharing one 8-token window, one unique doc, one short
+    dup pair (< 8 tokens -> whole-doc gram)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.stages.dedup import substring_dup_counts
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    f"alpha beta {shared} gamma",
+                    f"delta {shared} epsilon zeta",
+                    "nothing in common here at all honestly none",
+                    "tiny dup",
+                    "tiny dup",
+                ]
+            ),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+        import ray.data as rd
+
+        ds = rd.read_parquet(os.path.join(d, "documents.parquet"))
+        out = (
+            substring_dup_counts(ds, k=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    # doc1/doc2: windows sliding over the 11-token texts share the
+    # exact [w1..w8] window (1 shared gram each); doc3 absent;
+    # docs 4/5: whole-doc gram shared (1 each)
+    assert out["doc_id"].tolist() == ["1", "2", "4", "5"]
+    assert out["shared_grams"].tolist() == [1, 1, 1, 1]

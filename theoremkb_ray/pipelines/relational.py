@@ -1303,6 +1303,98 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_global_quantiles(sf_dir: str):
+    """EXACT global quantiles (median / p99) without a global sort:
+    the classic two-pass histogram selection. Pass 1 = min/max/count
+    (partial+final aggregate); pass 2 = per-batch 4096-bucket partial
+    histograms merged in a tiny groupby; then ONLY the buckets holding
+    the target ranks are collected (a ~1/4096 slice of the data) and
+    the order statistic is interpolated exactly. At 100 TB a global
+    ``sort`` is the single most expensive exchange there is — this
+    touches each row twice with map-only passes plus one tiny
+    collect."""
+    from ray.data.aggregate import Count, Max, Min
+
+    B = 4096
+    col = "l_extendedprice"
+    ds = _pq(sf_dir, "lineitem", [col])
+    stats = ds.aggregate(
+        Min(col, alias_name="lo"),
+        Max(col, alias_name="hi"),
+        Count(alias_name="n"),
+    )
+    lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
+    span = max(hi - lo, 1e-300)
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / span * B).astype(np.int64), 0, B - 1)
+
+    def hist(b: pa.Table) -> pa.Table:
+        c = np.bincount(
+            bucket_of(b[col].to_numpy(zero_copy_only=False)), minlength=B
+        )
+        nzi = np.flatnonzero(c)
+        return pa.table(
+            {"bucket": pa.array(nzi), "n": pa.array(c[nzi].astype(np.int64))}
+        )
+
+    htbl = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+    )  # <= B rows regardless of data size
+    counts = np.zeros(B, dtype=np.int64)
+    counts[htbl["bucket"].to_numpy()] = htbl["n"].to_numpy()
+    cum = np.cumsum(counts)  # cum[b] = #values in buckets <= b
+    ranks: list[int] = []
+    for q in (0.5, 0.99):
+        pos = q * (n - 1)
+        ranks += [int(np.floor(pos)), int(np.ceil(pos))]
+    need_buckets = {int(np.searchsorted(cum, r + 1)) for r in ranks}
+
+    def pick(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False)
+        keep = np.isin(bucket_of(v), list(need_buckets))
+        return pa.table({col: pa.array(v[keep], pa.float64())})
+
+    cand = np.sort(
+        ds.map_batches(pick, batch_format="pyarrow")
+        .to_pandas()[col]
+        .to_numpy()
+    )
+    cand_bucket = bucket_of(cand)
+
+    def value_at(rank: int) -> float:
+        b = int(np.searchsorted(cum, rank + 1))
+        before = int(cum[b - 1]) if b > 0 else 0
+        within = rank - before  # rank among this bucket's values
+        offset = int(np.searchsorted(cand_bucket, b))
+        return float(cand[offset + within])
+
+    rows = []
+    for q in (0.5, 0.99):
+        pos = q * (n - 1)
+        lo_r, hi_r = int(np.floor(pos)), int(np.ceil(pos))
+        vlo, vhi = value_at(lo_r), value_at(hi_r)
+        rows.append((q, round(vlo + (pos - lo_r) * (vhi - vlo), 4)))
+    return pd.DataFrame(
+        {"q": [r[0] for r in rows], "price": [r[1] for r in rows]}
+    )
+
+
+SQL_GLOBAL_QUANTILES = """
+SELECT CAST(0.5 AS DOUBLE) AS q,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS price
+FROM lineitem
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE) AS q,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS price
+FROM lineitem
+"""
+
+
 def q_corr_agg(sf_dir: str):
     """Grouped Pearson correlation corr(l_quantity, l_extendedprice)
     per returnflag, via numerically-stable TWO-PASS sums: pass 1 =
@@ -1410,5 +1502,6 @@ REGISTRY: dict[str, tuple] = {
     "explode_lines": (q_explode_lines, SQL_EXPLODE_LINES),
     "repetition_docs": (q_repetition_docs, SQL_REPETITION_DOCS),
     "quantiles_group": (q_quantiles_group, SQL_QUANTILES_GROUP),
+    "global_quantiles": (q_global_quantiles, SQL_GLOBAL_QUANTILES),
     "corr_agg": (q_corr_agg, SQL_CORR_AGG),
 }

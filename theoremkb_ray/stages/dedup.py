@@ -751,3 +751,108 @@ def embedding_dup_edges(
     return pairs.map_batches(
         lambda b: _verify_hamming(b, max_hamming), batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------ exact substring dedup
+
+
+def substring_dup_counts(
+    ds,
+    k: int = 8,
+    id_col: str = "doc_id",
+    col: str = "text",
+    coarse: int = 64,
+):
+    """Corpus-wide EXACT substring duplication (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" signal,
+    re-expressed shuffle-friendly): for every document, count its
+    distinct whitespace-token k-gram windows that also occur in at
+    least one OTHER document.
+
+    Unlike :mod:`decontaminate` (broadcast membership against a small
+    benchmark set) this is a corpus SELF-join, so it must shuffle:
+
+    1. per batch: one Arrow split + siphash + rolling k-gram hash for
+       the whole batch (``shingle_hashes_flat``), then per-doc
+       distinct via ONE lexsort run-dedup — (gram, doc_id) pair rows;
+    2. exchange on ``gram %% coarse`` (a gram's rows always co-locate,
+       so per-gram distinct-doc counts are exact within a group; 64
+       coarse keys, never per-gram Ray groups);
+    3. inside each coarse group: lexsort by gram, run-length = its
+       distinct-doc count (pairs are globally distinct since a doc is
+       one row), keep grams in >= 2 docs, emit per-doc partial counts;
+    4. tiny final ``groupby(doc_id).sum``.
+
+    Docs shorter than k tokens contribute one gram of all their
+    tokens; empty docs none (``shingle_hashes_flat`` rules, mirrored
+    by the SQL oracle). Gram identity is the 64-bit rolling hash —
+    collisions are negligible at corpus scale (same argument as
+    decontaminate.py). At 100 TB step 2 is the one all-to-all; it
+    rides the same coarse-key pattern as the LSH pair generation
+    (state/spool.py is the drop-in if Ray's sort-shuffle becomes the
+    bottleneck)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def emit_pairs(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b[id_col], pa.string()).to_numpy(zero_copy_only=False)
+        flat, starts = flat_token_hashes_arrow(b[col])
+        grams, gdoc = shingle_hashes_flat(flat, starts, k=k)
+        if len(grams) == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.string()),
+                    "coarse": pa.array([], pa.int64()),
+                }
+            )
+        # per-doc distinct grams: one lexsort + run dedup
+        order = np.lexsort((grams, gdoc))
+        g, d = grams[order], gdoc[order]
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = (g[1:] != g[:-1]) | (d[1:] != d[:-1])
+        g, d = g[first], d[first]
+        return pa.table(
+            {
+                "gram": pa.array(g, pa.uint64()),
+                "doc_id": pa.array(ids[d], pa.string()),
+                "coarse": pa.array(
+                    (g % np.uint64(coarse)).astype(np.int64)
+                ),
+            }
+        )
+
+    pairs = ds.map_batches(emit_pairs, batch_format="pyarrow")
+
+    def per_group(b: pa.Table) -> pa.Table:
+        g = b["gram"].to_numpy(zero_copy_only=False)
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g, d = g[order], d[order]
+        runs = np.ones(len(g), dtype=bool)
+        runs[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(runs)
+        lens = np.diff(np.append(starts, len(g)))
+        shared = lens >= 2  # gram occurs in >= 2 distinct docs
+        keep = np.repeat(shared, lens)
+        if not keep.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        docs, counts = np.unique(d[keep], return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.string()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    partial = pairs.groupby("coarse").map_groups(
+        per_group, batch_format="pyarrow"
+    )
+    return partial.groupby("doc_id").aggregate(
+        Sum("n", alias_name="shared_grams")
+    )

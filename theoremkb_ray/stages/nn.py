@@ -302,13 +302,15 @@ def _line_logits(
     if len(buckets) == 0 or n == 0:
         return out
     gathered = W[:, buckets]  # (K, total_words)
-    starts = offsets[:-1]
-    nonempty = np.diff(offsets) > 0
-    # reduceat misbehaves on empty segments; compute on all starts and
-    # zero out empties (reduceat returns the element AT the start
-    # index for an empty segment)
-    summed = np.add.reduceat(gathered, starts.clip(max=max(len(buckets) - 1, 0)), axis=1).T
-    out += np.where(nonempty[:, None], summed, 0.0)
+    # reduceat over NON-EMPTY line starts only: a clipped start for a
+    # TRAILING empty line would land inside the last non-empty line
+    # and split its reduction (the same hypothesis-found bug as
+    # rollup.segment_sums); between non-empty starts there are no
+    # values, so each reduction covers exactly one line.
+    nz = np.flatnonzero(np.diff(offsets) > 0)
+    if len(nz) == 0:
+        return out
+    out[nz] += np.add.reduceat(gathered, offsets[:-1][nz], axis=1).T
     return out
 
 

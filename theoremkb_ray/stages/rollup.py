@@ -28,13 +28,18 @@ from .tokenize import explode_lines
 
 
 def segment_sums(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    # reduceat over the starts of NON-EMPTY segments only: a clipped
+    # start for a trailing empty segment would split the preceding
+    # segment's reduction (found by hypothesis — values [0,1], offsets
+    # [0,2,2] returned sum 0 for the first segment). Gaps between
+    # consecutive non-empty starts contain no values, so each
+    # reduction still covers exactly one segment.
     counts = np.diff(offsets)
-    if len(values) == 0:
-        return np.zeros(len(counts), dtype=np.float64)
-    out = np.add.reduceat(
-        values.astype(np.float64), offsets[:-1].clip(max=len(values) - 1)
-    )
-    out[counts == 0] = 0.0
+    out = np.zeros(len(counts), dtype=np.float64)
+    nz = np.flatnonzero(counts)
+    if len(nz) == 0 or len(values) == 0:
+        return out
+    out[nz] = np.add.reduceat(values.astype(np.float64), offsets[:-1][nz])
     return out
 
 
@@ -43,14 +48,15 @@ def segment_min_max(
 ) -> tuple[np.ndarray, np.ndarray]:
     counts = np.diff(offsets)
     n = len(counts)
-    if len(values) == 0:
-        z = np.zeros(n, dtype=np.float64)
-        return z, z
-    starts = offsets[:-1].clip(max=len(values) - 1)
-    mins = np.minimum.reduceat(values.astype(np.float64), starts)
-    maxs = np.maximum.reduceat(values.astype(np.float64), starts)
-    mins[counts == 0] = 0.0
-    maxs[counts == 0] = 0.0
+    mins = np.zeros(n, dtype=np.float64)
+    maxs = np.zeros(n, dtype=np.float64)
+    nz = np.flatnonzero(counts)
+    if len(nz) == 0 or len(values) == 0:
+        return mins, maxs
+    starts = offsets[:-1][nz]  # see segment_sums: non-empty starts only
+    v = values.astype(np.float64)
+    mins[nz] = np.minimum.reduceat(v, starts)
+    maxs[nz] = np.maximum.reduceat(v, starts)
     return mins, maxs
 
 
