@@ -234,6 +234,35 @@ def _ivf_topk(sf_dir: str):
     return out[["query_id", "vec_id", "rank"]]
 
 
+def _ivf_exact_topk(sf_dir: str):
+    """IVF with nprobe == num_centroids scans every list — exact, so
+    the brute-force DuckDB oracle applies; the PRUNED path (`ivf_topk`)
+    keeps its recall-vs-brute pytest. Exercises the full IVF machinery
+    (k-means train, assignment, probe routing) under an oracle."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.stages.similarity import ivf_topk
+
+    ds = _rp(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = (
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .sort_by("vec_id")
+        .slice(0, 3)
+    )
+    Q = np.stack(
+        [np.asarray(v, np.float64) for v in q["embedding"].to_pylist()]
+    )
+    out = ivf_topk(ds, Q, k=5, num_centroids=8, nprobe=8).to_pandas()
+    qids = q["vec_id"].to_numpy()
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    return out[["query_id", "vec_id", "rank"]].astype(
+        {"query_id": "int64", "vec_id": "int64", "rank": "int64"}
+    )
+
+
 def _embedding_dups(sf_dir: str):
     import pandas as pd
     import pyarrow.parquet as pq
@@ -650,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "langid_docs": _langid_docs,
             "fingerprint_docs": _fingerprint_docs,
             "ivf_topk": _ivf_topk,
+            "ivf_exact_topk": _ivf_exact_topk,
             "embedding_dups": _embedding_dups,
             "autoencoder_dups": _autoencoder_dups,
             "decontaminate_docs": _decontaminate_docs,
@@ -759,6 +789,11 @@ def oracle_sql() -> dict[str, str]:
     out["docs_segment"] = SQL_DOCS_SEGMENT
     out["decontaminate_docs"] = SQL_DECONTAMINATE
     out["substring_dups"] = SQL_SUBSTRING_DUPS
+    # exact-mode IVF (nprobe == num_centroids) reduces to brute-force
+    # cosine top-k — identical ranking contract to ann_topk
+    from theoremkb_ray.pipelines.relational import SQL_ANN_TOPK
+
+    out["ivf_exact_topk"] = SQL_ANN_TOPK
     # heavy_hitters_types: exact because the type vocabulary is far
     # below the sketch width (see _heavy_hitters_types docstring)
     out["heavy_hitters_types"] = """

@@ -41,16 +41,17 @@ def _kg_corpus_dir(sf: float) -> str:
     parallel once and cached — generation is excluded from timing."""
     from theoremkb_ray.synth import materialize_corpus_parallel
 
-    # 10M docs/sf so the parallel fraction dominates fixed scheduler
+    # 20M docs/sf so the parallel fraction dominates fixed scheduler
     # latency (at ~8k docs the whole pipeline runs in ~10s and the
     # scaling measurement reads Ray's constant overheads, not the
-    # engine; raised from 2.5M -> 5M -> 10M as successive rounds of
-    # kernel vectorization kept shrinking the parallel compute while
-    # the fixed ~15s of driver-side work — corpus count, hot-set
-    # collect, union-find, actor-pool spin-up — stayed constant and
-    # dragged measured efficiency toward the noise floor).
+    # engine; raised from 2.5M -> 5M -> 10M -> 20M as successive
+    # rounds of kernel vectorization kept shrinking the parallel
+    # compute — at 10M docs/sf the 32-CPU leg is now ~85s, of which
+    # ~12s is irreducibly serial driver work (links broadcast build,
+    # driver CC, skew fold, corpus count) plus actor-pool ramp, which
+    # caps measurable efficiency well below the engine's real scaling).
     # chunk=500 -> hundreds of parquet shards keep every CPU busy.
-    num_docs = max(200, int(10_000_000 * sf))
+    num_docs = max(200, int(20_000_000 * sf))
     return materialize_corpus_parallel(
         f"/tmp/tkb_bench_corpus_{num_docs}",
         num_docs=num_docs,
@@ -113,7 +114,8 @@ def run_bench() -> dict:
     _ = rd.read_parquet(f"{cdir}/corpus").count()
 
     def mark(msg: str) -> None:
-        print(f"[bench {NUM_CPUS}cpu +{time.perf_counter()-t0:.0f}s] {msg}",
+        print(f"[bench {NUM_CPUS}cpu +{time.perf_counter()-t0:.0f}s "
+              f"@{time.time() % 100000:.1f}] {msg}",
               file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
@@ -131,8 +133,9 @@ def run_bench() -> dict:
     triples = triples_from_materialized_results(
         results, links_tbl=links, canonicalize=True
     )
+    mark("triples dataset built (canon done)")
     salt = detect_skewed_repos_from_results(results, 64)
-    mark("triples dataset built (results+canon done)")
+    mark("skew detected")
     summary = materialize_triples(
         triples, out_dir, num_partitions=64, resume=False, salt_repos=salt
     )

@@ -91,8 +91,10 @@ def triples_from_materialized_results(
 ):
     """Second half of the flagship: (pinned) results -> triples."""
     from ..stages.emit import emit_triples
+    from ..state.prof import mark
 
     triples = emit_triples(results, links_tbl)
+    mark("kg: emit dataset built (links broadcast ready)")
     if canonicalize:
         from ..stages.canonicalize import (
             BandEmitter,
@@ -109,6 +111,7 @@ def triples_from_materialized_results(
         # at the 2.2M-doc stress point
         edges = candidate_pairs(bands, pin_bands=False)
         triples = canonicalize_triples(triples, edges)
+        mark("kg: canonicalize_triples returned")
     return triples
 
 

@@ -126,8 +126,7 @@ def detect_skewed_repos_from_results(
     (measured as a full extra pipeline pass in the flagship). Triples
     per repo are proportional to results per repo (2-3 per result),
     which is all the salt factor estimate needs. Per-batch partial
-    counts -> one tiny groupby."""
-    from ray.data.aggregate import Sum
+    counts -> streaming driver fold."""
 
     def partial(b: pa.Table) -> pa.Table:
         docs = b["doc_id"].to_numpy(zero_copy_only=False)
@@ -140,12 +139,29 @@ def detect_skewed_repos_from_results(
             }
         )
 
+    # combine the per-block partials with a STREAMING driver fold
+    # instead of a Ray groupby: the partials are tiny (distinct repos
+    # per block), but the materialized results table has thousands of
+    # blocks and the sort-groupby's per-block task overhead made this
+    # a ~20s scheduler-bound, non-scaling pass at 1.1M docs (profiled
+    # 19s @32cpu vs 26.5s @8cpu). iter_batches streams with
+    # backpressure; driver memory = total distinct repos.
+    parts = results_ds.select_columns(["doc_id"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    reps: list[np.ndarray] = []
+    ns: list[np.ndarray] = []
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        reps.append(b["repo"].to_numpy(zero_copy_only=False))
+        ns.append(b["n"].to_numpy(zero_copy_only=False))
+    if not reps:
+        return {}
     counts = (
-        results_ds.select_columns(["doc_id"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("repo")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+        pd.DataFrame(
+            {"repo": np.concatenate(reps), "n": np.concatenate(ns)}
+        )
+        .groupby("repo", as_index=False, sort=False)
+        .sum()
     )
     return _salt_factors(counts, "n", num_partitions, factor_cap)
 
@@ -322,9 +338,15 @@ def materialize_triples(
     ).repartition(len(pending))
     # batch_size=1: one task per partition — the default bundles the
     # single-row part blocks into a handful of tasks and serializes
-    # the whole finalize pass (measured 28s -> ~5s at 64 parts)
+    # the whole finalize pass (measured 28s -> ~5s at 64 parts).
+    # num_cpus=2 caps concurrent finalize tasks at ncpu/2: each task
+    # sorts + parquet-writes a whole partition (large fresh
+    # allocations + disk writes); at 32 fully-concurrent tasks this VM
+    # page-fault-stalls and finalize measured SLOWER than at 8 CPUs
+    # (24s vs 7.7s) — half-width keeps the disk/allocator happy at
+    # high CPU counts without starving low ones
     out = parts_ds.map_batches(
-        finalize, batch_format="pyarrow", batch_size=1
+        finalize, batch_format="pyarrow", batch_size=1, num_cpus=2
     ).materialize()
     _mark("finalize done")
     shutil.rmtree(spool, ignore_errors=True)

@@ -167,25 +167,57 @@ def candidate_pairs(
 
 
 def connected_components_local(edges: pa.Table) -> dict[str, str]:
-    """Driver-side union-find fast path (edge set known to be small)."""
-    parent: dict[str, str] = {}
+    """Driver-side CC fast path: each node labelled with the
+    lexicographic MIN string of its component.
 
-    def find(x: str) -> str:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
+    Vectorized min-label propagation over integer codes (pd.factorize
+    + np.minimum.at + pointer jumping) — the per-edge Python
+    union-find this replaces cost ~6s of serial driver time at 1M
+    edges per flagship run. Rounds needed: O(log n) thanks to the
+    label[label] pointer jumping between edge sweeps. The integer
+    labels pick SOME canonical root per component; the min STRING per
+    component is then one vectorized pandas groupby-min (ordinal
+    compare on the node strings, same semantics as the old string
+    union-find; property-tested against a BFS oracle in
+    tests/test_properties.py)."""
+    import pandas as pd
 
-    a = edges["a"].to_pylist()
-    b = edges["b"].to_pylist()
-    for x, y in zip(a, b):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            lo, hi = (rx, ry) if rx < ry else (ry, rx)
-            parent[hi] = lo
-    return {x: find(x) for x in set(a) | set(b)}
+    a = edges["a"].to_numpy(zero_copy_only=False)
+    b = edges["b"].to_numpy(zero_copy_only=False)
+    if len(a) == 0:
+        return {}
+    codes, uniq = pd.factorize(np.concatenate([a, b]))
+    n = len(uniq)
+    E = len(a)
+    ea, eb = codes[:E], codes[E:]
+    label = np.arange(n, dtype=np.int64)
+    while True:
+        m = np.minimum(label[ea], label[eb])
+        before = label.copy()
+        np.minimum.at(label, ea, m)
+        np.minimum.at(label, eb, m)
+        while True:  # pointer jumping until stable
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(label, before):
+            break
+    # min STRING per component: ONE Arrow C string sort + an integer
+    # groupby. (pandas .groupby(label).min() on the node strings
+    # measured 20s at 1M nodes — per-group PYTHON string compares;
+    # Arrow's UTF8 sort + int groupby does the same in ~1.2s.)
+    nodes = np.asarray(uniq, dtype=object)
+    arr = pa.array(nodes, pa.string())
+    o = pc.sort_indices(arr).to_numpy(zero_copy_only=False)
+    first_seen = (
+        pd.Series(np.arange(len(o))).groupby(label[o], sort=False).min()
+    )
+    pos = first_seen.reindex(label).to_numpy()
+    min_strings = arr.take(pa.array(o[pos], pa.int64())).to_numpy(
+        zero_copy_only=False
+    )
+    return dict(zip(nodes, min_strings))
 
 
 def _label_checksum(lds) -> int:

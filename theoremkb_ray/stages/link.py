@@ -32,8 +32,8 @@ def _links_index(links_tbl: pa.Table):
     from .emit import _link_key_hashes
 
     keys = _link_key_hashes(
-        links_tbl["doc_from"].to_numpy(zero_copy_only=False).astype(str),
-        links_tbl["tag"].to_numpy(zero_copy_only=False).astype(str),
+        links_tbl["doc_from"].to_numpy(zero_copy_only=False),
+        links_tbl["tag"].to_numpy(zero_copy_only=False),
     )
     order = np.argsort(keys, kind="stable")
     keys = keys[order]

@@ -16,7 +16,8 @@ _T0 = time.perf_counter()
 def mark(msg: str) -> None:
     if os.environ.get("TKB_PROF"):
         print(
-            f"[prof +{time.perf_counter() - _T0:.1f}s] {msg}",
+            f"[prof +{time.perf_counter() - _T0:.1f}s "
+            f"@{time.time() % 100000:.1f}] {msg}",
             file=sys.stderr,
             flush=True,
         )
