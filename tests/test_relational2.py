@@ -237,3 +237,38 @@ def test_substring_dups_planted():
     # docs 4/5: whole-doc gram shared (1 each)
     assert out["doc_id"].tolist() == ["1", "2", "4", "5"]
     assert out["shared_grams"].tolist() == [1, 1, 1, 1]
+
+
+def test_cosine_pairs_matches_brute_force():
+    """cosine_pairs == an exhaustive local float64 cosine self-join
+    (same values the DuckDB oracle computes), unordered pairs once."""
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.pipelines.relational import q_cosine_pairs
+
+    got = (
+        _df(q_cosine_pairs(SF_DIR))
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    M = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+    )
+    n = np.linalg.norm(M, axis=1)
+    S = (M @ M.T) / np.outer(n, n)
+    ai, bj = np.nonzero((S >= 0.4) & (ids[:, None] < ids[None, :]))
+    want = (
+        pd.DataFrame(
+            {
+                "id_a": ids[ai],
+                "id_b": ids[bj],
+                "cosine": np.round(S[ai, bj], 6),
+            }
+        )
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

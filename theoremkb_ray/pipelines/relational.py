@@ -1023,6 +1023,29 @@ LEFT JOIN inter i ON i.id = na.id
 """
 
 
+def q_cosine_pairs(sf_dir: str):
+    """Exhaustive exact cosine self-join over the embeddings table:
+    every unordered pair with cosine >= 0.4 (streamed left x broadcast
+    right, float64 matmul per batch — stages/similarity.cosine_pairs).
+    The oracle-checkable form of the embedding near-dup VERIFY kernel;
+    at corpus scale the right side is the bounded SRP-LSH candidate
+    set, not the full table."""
+    from ..stages.similarity import cosine_pairs
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_pairs(emb, threshold=0.4)
+
+
+SQL_COSINE_PAIRS = """
+SELECT id_a, id_b, round(c, 6) AS cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS c
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+WHERE c >= 0.4
+"""
+
+
 def q_window_moving_avg(sf_dir: str):
     """Sliding window frame (§2.9): per-user moving average of
     ``value`` over the last 3 events ordered by (ts, event_id).
@@ -1496,6 +1519,7 @@ REGISTRY: dict[str, tuple] = {
     "rollup_hier": (q_rollup_hier, SQL_ROLLUP_HIER),
     "bib_resolve": (q_bib_resolve, SQL_BIB_RESOLVE),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
     "window_moving_avg": (q_window_moving_avg, SQL_WINDOW_MOVING_AVG),
     "rank_per_group": (q_rank_per_group, SQL_RANK_PER_GROUP),
     "rollup_grouping": (q_rollup_grouping, SQL_ROLLUP_GROUPING),

@@ -234,3 +234,89 @@ def ivf_topk(
         return g
 
     return cands.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def _stack64(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix. float32 -> float64
+    widening is EXACT, so downstream float64 arithmetic operates on
+    identical values to a SQL engine that casts the same column to
+    DOUBLE[] — the property the cosine_pairs oracle relies on."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(arr), -1)
+
+
+class _CosinePairScorer:
+    """Actor-shaped batch fn: right side fetched once per worker."""
+
+    def __init__(self, right_ref, threshold, id_col, col, self_join):
+        rid, M = ray.get(right_ref)
+        self.rid = rid
+        self.M = M
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0] = np.inf  # zero vectors never pass the threshold
+        self.rnorm = nrm
+        self.threshold = threshold
+        self.id_col, self.col = id_col, col
+        self.self_join = self_join
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        B = _stack64(batch[self.col])
+        bn = np.linalg.norm(B, axis=1)
+        bn[bn == 0] = np.inf
+        sims = (B @ self.M.T) / (bn[:, None] * self.rnorm[None, :])
+        mask = sims >= self.threshold
+        if self.self_join:
+            # strict upper triangle by id: each unordered pair once
+            mask &= ids[:, None] < self.rid[None, :]
+        ai, bj = np.nonzero(mask)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ai], pa.int64()),
+                "id_b": pa.array(self.rid[bj], pa.int64()),
+                "cosine": pa.array(np.round(sims[ai, bj], 6), pa.float64()),
+            }
+        )
+
+
+def cosine_pairs(
+    ds,
+    threshold: float,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    right: "pa.Table | None" = None,
+    self_join: bool = True,
+):
+    """Exact cosine-similarity pair join: streamed left x broadcast
+    right side, ONE float64 matmul per batch, emits
+    ``(id_a, id_b, cosine)`` rows with ``cosine >= threshold``.
+
+    This is the exact VERIFY kernel of the embedding near-dup family
+    (reference analog: the theorem-similarity cosine matchers,
+    Styling/tools/thm_similarity/model_tfidf.py:22-65). At corpus
+    scale the right side must be a BOUNDED candidate set — e.g. the
+    SRP-LSH bucket candidates from ``embedding_dup_edges`` — put into
+    the object store ONCE (``ray.put``) and fetched once per worker,
+    never re-shipped per batch; the left side streams. The benchmark
+    query feeds the whole (small) embeddings table as its own right
+    side: the exhaustive, oracle-checkable form. All arithmetic is
+    float64 on exactly-widened float32 inputs, so engine and DuckDB
+    oracle differ only by summation-order ulps (~1e-15), far below
+    the shared 6-dp rounding."""
+    if right is None:
+        right = pa.concat_tables(
+            ds.select_columns([id_col, col]).iter_batches(
+                batch_format="pyarrow", batch_size=8192
+            )
+        )
+    rid = right[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    M = _stack64(right[col])
+    right_ref = ray.put((rid, M))
+    return ds.map_batches(
+        _CosinePairScorer,
+        fn_constructor_args=(right_ref, threshold, id_col, col, self_join),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
