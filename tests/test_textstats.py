@@ -154,3 +154,65 @@ def test_frame_sample_plan():
     expect = sum(max(1, d // 1000) for d in vids["duration_ms"])
     assert plan.num_rows == expect
     assert set(plan["media_id"].to_pylist()) == set(vids["media_id"])
+
+
+def test_langid_vectorized_matches_row_loop():
+    """The Arrow-kernel LangId must agree exactly with the per-row
+    CPython reference semantics (lower().split()[:200] + stopword
+    hits, first-max-wins in en/fr/es/de order, CJK shortcut over the
+    first 400 codepoints)."""
+    from theoremkb_ray.stages.textstats import _STOPWORDS, LangId
+
+    def reference(texts):
+        profiles = {l: frozenset(w) for l, w in _STOPWORDS.items()}
+        out, conf = [], []
+        for t in texts:
+            cjk = sum("一" <= c <= "鿿" for c in t[:400])
+            if cjk > 0.2 * min(len(t), 400):
+                out.append("zh")
+                conf.append(min(1.0, cjk / 50))
+                continue
+            words = t.lower().split()[:200]
+            if not words:
+                out.append("und")
+                conf.append(0.0)
+                continue
+            best, bh = "und", 0
+            for lang, prof in profiles.items():
+                if lang == "zh":
+                    continue
+                hits = sum(w in prof for w in words)
+                if hits > bh:
+                    best, bh = lang, hits
+            out.append(best)
+            conf.append(bh / len(words))
+        return out, conf
+
+    texts = [
+        "",
+        "   ",
+        "\tthe\nand\r\nof\fto\vin",  # \v: not RE2 \s — Unicode split
+        "　the　and　",  # ideographic space
+        "the " * 500,  # word cap
+        "一" * 500,
+        "mixed 一二三 the and of text far below the cjk cutoff",
+        "de de de et et la",  # fr/es tie material
+        "THE AND OF",
+    ]
+    rng = np.random.default_rng(7)
+    vocab = [w for ws in _STOPWORDS.values() for w in ws] + [
+        "foo", "bar", "一二", "qux",
+    ]
+    for _ in range(120):
+        k = int(rng.integers(0, 260))
+        texts.append(" ".join(rng.choice(vocab, size=k)))
+
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    chunked = pa.Table.from_batches(t.to_batches(max_chunksize=7))
+    want_lang, want_conf = reference(texts)
+    for table in (t, chunked):
+        got = LangId()(table)
+        assert got["lang_pred"].to_pylist() == want_lang
+        np.testing.assert_allclose(
+            got["lang_conf"].to_pylist(), want_conf, atol=1e-12
+        )

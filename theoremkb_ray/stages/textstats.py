@@ -29,36 +29,81 @@ _STOPWORDS: dict[str, tuple[str, ...]] = {
 
 class LangId:
     """Heuristic language-ID: stopword-hit scoring + CJK codepoint
-    ratio. Profiles built once per actor."""
+    ratio. Fully vectorized — CJK counting is one RE2 pass
+    (``count_substring_regex``), stopword membership is one Arrow
+    ``is_in`` per profile over the flattened word values, and per-doc
+    hit totals are ``np.bincount`` over the word→doc index (no
+    ``reduceat``: empty docs are naturally zero-filled). Word
+    semantics match CPython ``text.lower().split()[:200]``: split on
+    runs of whitespace, drop empties, cap at 200 words per doc.
+    Profiles built once per actor."""
+
+    _LANGS = ("en", "fr", "es", "de")  # priority order on hit ties
+    _CAP = 200
 
     def __init__(self) -> None:
-        self.profiles = {
-            lang: frozenset(ws) for lang, ws in _STOPWORDS.items()
-        }
+        self.profiles = [
+            pa.array(sorted(_STOPWORDS[lang]), pa.string())
+            for lang in self._LANGS
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_numpy(zero_copy_only=False)
-        out = np.empty(len(texts), dtype=object)
-        conf = np.zeros(len(texts))
-        for i, t in enumerate(texts):
-            # CJK shortcut: codepoint-range ratio
-            cjk = sum("一" <= c <= "鿿" for c in t[:400])
-            if cjk > 0.2 * min(len(t), 400):
-                out[i], conf[i] = "zh", min(1.0, cjk / 50)
-                continue
-            words = t.lower().split()[:200]
-            if not words:
-                out[i], conf[i] = "und", 0.0
-                continue
-            best, best_hits = "und", 0
-            for lang, prof in self.profiles.items():
-                if lang == "zh":
-                    continue
-                hits = sum(w in prof for w in words)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            out[i] = best
-            conf[i] = best_hits / len(words)
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+
+        # --- CJK shortcut: codepoint count in [U+4E00, U+9FFF] over
+        # the first 400 codepoints, vs 20% of min(len, 400)
+        head = pc.utf8_slice_codeunits(text, 0, 400)
+        cjk = pc.count_substring_regex(head, "[一-鿿]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        tlen = np.minimum(
+            pc.utf8_length(text).to_numpy(zero_copy_only=False), 400
+        )
+        is_zh = cjk > 0.2 * tlen
+
+        # --- stopword scoring over flattened words
+        # utf8_split_whitespace = Unicode whitespace, like CPython
+        # str.split() (an RE2 \s+ split misses \v and U+00A0 etc.)
+        words = pc.utf8_split_whitespace(pc.utf8_lower(text))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]  # slice-offset normalization
+        vals = words.values
+        nonempty = (
+            pc.utf8_length(vals).to_numpy(zero_copy_only=False) > 0
+        )
+        # Per-doc word cap WITHOUT a word->doc scatter: cm is the
+        # running nonempty-word count, so doc d's capped window is
+        # [offs[d], cut[d]) where cut is the first index past
+        # base[d]+CAP nonempty words (docs are contiguous in the flat
+        # layout). Hits then fall out of prefix-sum differences — no
+        # np.repeat / bincount over the word axis.
+        cm = np.cumsum(nonempty)
+        pad = np.r_[0, cm]
+        base = pad[offs[:-1]]  # nonempty words before each doc
+        cut = np.minimum(
+            np.searchsorted(cm, base + self._CAP, side="right"), offs[1:]
+        )
+        wcount = np.minimum(pad[offs[1:]] - base, self._CAP)
+
+        hits = np.zeros((len(self._LANGS), n), dtype=np.int64)
+        for li, prof in enumerate(self.profiles):
+            inprof = pc.is_in(vals, value_set=prof).to_numpy(
+                zero_copy_only=False
+            )
+            ps = np.r_[0, np.cumsum(nonempty & inprof)]
+            hits[li] = ps[cut] - ps[offs[:-1]]
+        best = hits.argmax(axis=0)  # first max wins = priority order
+        best_hits = hits[best, np.arange(n)]
+        out = np.array(self._LANGS, dtype=object)[best]
+        out[best_hits == 0] = "und"
+        conf = best_hits / np.maximum(wcount, 1)
+        out[is_zh] = "zh"
+        conf[is_zh] = np.minimum(1.0, cjk[is_zh] / 50.0)
         return batch.append_column(
             "lang_pred", pa.array(out, pa.string())
         ).append_column("lang_conf", pa.array(conf, pa.float64()))
