@@ -272,3 +272,35 @@ def test_cosine_pairs_matches_brute_force():
     )
     assert len(got) == len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pack_token_stream_prefix_sum():
+    """Distributed two-phase scan == a local ordered cumsum, under a
+    tiny bucket_size (many bucket boundaries) and any partitioning."""
+    import ray.data as rd
+
+    from theoremkb_ray.stages.pack import pack_token_stream
+
+    rng = np.random.default_rng(3)
+    n = 700
+    texts = [
+        " ".join(["w"] * int(rng.integers(1, 40))) for _ in range(n)
+    ]
+    ids = rng.permutation(n).astype(np.int64)  # unsorted input order
+    t = pa.table({"doc_id": ids, "text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(13)
+    got = (
+        pack_token_stream(ds, budget=64, bucket_size=37)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    tok = np.array([t.count(" ") + 1 for t in texts], np.int64)
+    order = np.argsort(ids, kind="stable")
+    tok_in_id_order = tok[order]
+    start = np.r_[0, np.cumsum(tok_in_id_order)[:-1]]
+    assert got["doc_id"].to_numpy().tolist() == np.sort(ids).tolist()
+    np.testing.assert_array_equal(got["n_tokens"], tok_in_id_order)
+    np.testing.assert_array_equal(got["start_offset"], start)
+    np.testing.assert_array_equal(got["seq_id"], start // 64)
+    np.testing.assert_array_equal(got["pos_in_seq"], start % 64)

@@ -1046,6 +1046,36 @@ WHERE c >= 0.4
 """
 
 
+def q_pack_sequences(sf_dir: str):
+    """LM-training sequence packing: distributed ordered prefix sum
+    over whitespace token counts (stages/pack.py two-phase scan) —
+    each doc's absolute start offset in the concatenated token
+    stream, and the 2048-token training sequence it starts in."""
+    from ..stages.pack import pack_token_stream
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return pack_token_stream(docs, budget=2048)
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS BIGINT)                                  AS start_offset,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) // 2048 AS BIGINT)                          AS seq_id,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) % 2048 AS BIGINT)                           AS pos_in_seq
+FROM t
+"""
+
+
 def q_window_moving_avg(sf_dir: str):
     """Sliding window frame (§2.9): per-user moving average of
     ``value`` over the last 3 events ordered by (ts, event_id).
@@ -1520,6 +1550,7 @@ REGISTRY: dict[str, tuple] = {
     "bib_resolve": (q_bib_resolve, SQL_BIB_RESOLVE),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "window_moving_avg": (q_window_moving_avg, SQL_WINDOW_MOVING_AVG),
     "rank_per_group": (q_rank_per_group, SQL_RANK_PER_GROUP),
     "rollup_grouping": (q_rollup_grouping, SQL_ROLLUP_GROUPING),
