@@ -304,3 +304,23 @@ def test_pack_token_stream_prefix_sum():
     np.testing.assert_array_equal(got["start_offset"], start)
     np.testing.assert_array_equal(got["seq_id"], start // 64)
     np.testing.assert_array_equal(got["pos_in_seq"], start % 64)
+
+
+def test_window_hopping_fanout_invariant():
+    """Every event lands in exactly two hopping windows: total n over
+    all (event_type, window) groups == 2x the event count, and each
+    tumbling hour h appears as window_start h and h-1."""
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.pipelines.relational import q_window_hopping
+
+    got = _df(q_window_hopping(SF_DIR))
+    n_events = pq.read_metadata(f"{SF_DIR}/events.parquet").num_rows
+    assert got["n"].sum() == 2 * n_events
+    hours = set(
+        pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts"])["ts"]
+        .cast(pa.int64())
+        .to_numpy()
+        // 3_600_000_000
+    )
+    assert set(got["window_start"]) == hours | {h - 1 for h in hours}

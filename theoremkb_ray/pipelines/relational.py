@@ -384,6 +384,55 @@ FROM events GROUP BY event_type, hour
 """
 
 
+def q_window_hopping(sf_dir: str):
+    """§2.9 stream-shaped: HOPPING window — 2h size, 1h hop, so every
+    event belongs to exactly two overlapping windows (window_start is
+    the hour index the window opens at). The 2x fan-out never reaches
+    the exchange: each batch duplicates rows in numpy, pre-aggregates
+    (event_type, window_start) partials with a pandas hash groupby,
+    and only the tiny partial table shuffles."""
+    ds = _pq(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = (
+            pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+            // 3_600_000_000
+        )
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "event_type": np.tile(et, 2),
+                "window_start": np.concatenate([h, h - 1]),
+                "n": 1,
+                "sum_value": np.tile(val, 2),
+            }
+        )
+        agg = df.groupby(
+            ["event_type", "window_start"], as_index=False, sort=False
+        ).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    )
+    return out.map_batches(
+        _round_cols({"sum_value": 4}), batch_format="pyarrow"
+    )
+
+
+SQL_WINDOW_HOPPING = """
+SELECT event_type, CAST(h - k AS BIGINT) AS window_start,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM (SELECT event_type, value,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h FROM events),
+     unnest([0, 1]) AS t(k)
+GROUP BY event_type, window_start
+"""
+
+
 def q_vocab_topk(sf_dir: str):
     """A7/T4: global token top-k (partial counts -> tiny groupby)."""
     from ..stages.textstats import vocabulary_topk
@@ -1551,6 +1600,7 @@ REGISTRY: dict[str, tuple] = {
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "window_hopping": (q_window_hopping, SQL_WINDOW_HOPPING),
     "window_moving_avg": (q_window_moving_avg, SQL_WINDOW_MOVING_AVG),
     "rank_per_group": (q_rank_per_group, SQL_RANK_PER_GROUP),
     "rollup_grouping": (q_rollup_grouping, SQL_ROLLUP_GROUPING),
