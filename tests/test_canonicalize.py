@@ -136,3 +136,20 @@ def test_rewrite_triples_searchsorted_matches_dict_semantics():
     # empty map is the identity
     same = rewrite_triples(rd.from_arrow(t), {}).to_pandas()
     assert sorted(same["subject"]) == sorted(subs)
+
+
+def test_connected_components_wrapper_paths_identical():
+    """The public CC operator returns identity rows too, and its
+    local-fastpath and distributed outputs are identical."""
+    from theoremkb_ray.stages.canonicalize import connected_components
+
+    edges = rd.from_arrow(_edges_tbl())
+    local = connected_components(edges).to_pandas()
+    dist = connected_components(
+        rd.from_arrow(_edges_tbl()), distributed_threshold=0
+    ).to_pandas()
+    as_map = lambda df: dict(zip(df["node"], df["label"]))  # noqa: E731
+    assert as_map(local) == as_map(dist)
+    # every node present, including component roots (identity rows)
+    assert set(local["node"]) == {"a", "b", "c", "d", "x", "y"}
+    assert as_map(local)["a"] == "a" and as_map(local)["x"] == "x"

@@ -1125,6 +1125,59 @@ FROM t
 """
 
 
+def q_connected_components(sf_dir: str):
+    """Connected components over a deterministic LONG-CHAIN graph:
+    edges c_custkey -> c_custkey+1 except where c_custkey % 101 == 0,
+    so components are 101-key intervals of diameter 100 — the regime
+    that punishes any CC implementation with a fixed low iteration
+    cap. Node ids travel as 12-digit zero-padded strings (the CC
+    kernel's lexicographic MIN == numeric MIN), cast back to int64 at
+    the edge. Oracle = DuckDB recursive-CTE transitive closure."""
+    from ..stages.canonicalize import connected_components
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = k[k % 101 != 0]
+
+        def pad(x: np.ndarray):
+            return pc.utf8_lpad(
+                pc.cast(pa.array(x, pa.int64()), pa.string()), 12, "0"
+            )
+
+        return pa.table({"a": pad(a), "b": pad(a + 1)})
+
+    labs = connected_components(
+        cust.map_batches(edges, batch_format="pyarrow")
+    )
+
+    def unpad(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(b["node"], pa.int64()),
+                "component": pc.cast(b["label"], pa.int64()),
+            }
+        )
+
+    return labs.map_batches(unpad, batch_format="pyarrow")
+
+
+SQL_CONNECTED_COMPONENTS = """
+WITH RECURSIVE e AS (
+  SELECT c_custkey AS a, c_custkey + 1 AS b
+  FROM customer WHERE c_custkey % 101 <> 0
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+reach(node, s) AS (
+  SELECT a, a FROM und GROUP BY a
+  UNION
+  SELECT und.b, reach.s FROM reach JOIN und ON und.a = reach.node
+)
+SELECT node, MIN(s) AS component FROM reach GROUP BY node
+"""
+
+
 def q_window_moving_avg(sf_dir: str):
     """Sliding window frame (§2.9): per-user moving average of
     ``value`` over the last 3 events ordered by (ts, event_id).
@@ -1601,6 +1654,7 @@ REGISTRY: dict[str, tuple] = {
     "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "window_hopping": (q_window_hopping, SQL_WINDOW_HOPPING),
+    "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
     "window_moving_avg": (q_window_moving_avg, SQL_WINDOW_MOVING_AVG),
     "rank_per_group": (q_rank_per_group, SQL_RANK_PER_GROUP),
     "rollup_grouping": (q_rollup_grouping, SQL_ROLLUP_GROUPING),

@@ -442,6 +442,38 @@ def rewrite_triples(triples_ds, canon: dict[str, str], concurrency=None):
     )
 
 
+def connected_components(edges_ds, distributed_threshold: int = 5_000_000):
+    """edges Dataset (a, b) -> Dataset (node, label) for EVERY node in
+    the edge set, identity rows included (label = lexicographic MIN of
+    the component). The general-purpose CC operator surface: small
+    edge sets take the vectorized driver fast path, large ones the
+    hash-partitioned min-label propagation — both property-tested
+    against the same BFS oracle."""
+    import ray.data as rd
+
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "label": pa.array([], pa.string()),
+                }
+            )
+        )
+    if edges_ds.count() <= distributed_threshold:
+        m = connected_components_local(_collect(edges_ds))
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(list(m.keys()), pa.string()),
+                    "label": pa.array(list(m.values()), pa.string()),
+                }
+            )
+        )
+    return connected_components_distributed(edges_ds)
+
+
 def canonical_map_ds(edges_ds):
     """edges Dataset -> mapping Dataset (node, label), non-identity rows
     only — the fully distributed form of :func:`canonical_map` (nothing
