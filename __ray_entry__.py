@@ -625,6 +625,66 @@ def _sample_docs(sf_dir: str):
     return uniform_sample(ds, "doc_id", k=50, seed=7).sort("doc_id")
 
 
+def _kmeans_docs(sf_dir: str):
+    """Full-corpus distributed Lloyd k-means over the embeddings table
+    (stages/cluster.py:kmeans_fit — per-iteration partial-sum fold,
+    NOT the bounded-sample IVF quantizer). Returns per-cluster sizes +
+    mean distance. Iterative model fitting isn't SQL-expressible; the
+    distributed fit is asserted to match a single-process numpy Lloyd
+    reference exactly in tests/test_cluster.py."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean
+
+    from theoremkb_ray.stages.cluster import kmeans_assign, kmeans_fit
+
+    emb = _rp(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    C, _inertia = kmeans_fit(emb, k=10, iters=5)
+    assigned = kmeans_assign(emb, C).drop_columns(["embedding"])
+    out = assigned.groupby("cluster").aggregate(
+        Count(alias_name="n"), Mean("dist", alias_name="mean_dist")
+    )
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("mean_dist"),
+            "mean_dist",
+            pc.round(b["mean_dist"], ndigits=6),
+        ),
+        batch_format="pyarrow",
+    ).sort("cluster")
+
+
+def _semdedup_docs(sf_dir: str):
+    """SemDedup (cluster-then-prune embedding near-dedup,
+    stages/cluster.py:semdedup). Threshold 0.45 yields a non-empty
+    drop set on the synthetic Gaussian-cluster embeddings (11 drops at
+    sf0.01 — the blobs are well-separated, so intra-cluster cosines
+    are moderate); planted-dup recall at a realistic 0.99 threshold is
+    asserted in tests/test_cluster.py. Returns a summary row plus one
+    row per dropped vector."""
+    import pandas as pd
+
+    from theoremkb_ray.stages.cluster import semdedup
+
+    emb = _rp(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    dropped = semdedup(emb, num_clusters=10, threshold=0.45).to_pandas()
+    summary = pd.DataFrame(
+        {
+            "vec_id": [-1],
+            "cluster": [-1],
+            "kept_id": [-1],
+            "cosine": [float(len(dropped))],
+        }
+    )
+    if len(dropped):
+        dropped = dropped.sort_values(["vec_id"]).reset_index(drop=True)
+        return pd.concat([summary, dropped], ignore_index=True)
+    return summary
+
+
 #: quotas for the mixture_sample query — rebalance languages to a
 #: target mix (en-heavy corpus downsampled, the rest kept broader)
 MIXTURE_QUOTAS = {"en": 40, "de": 20, "fr": 20, "es": 20, "zh": 20}
@@ -700,6 +760,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "perplexity_docs": _perplexity_docs,
             "mixture_docs": _mixture_docs,
             "redact_docs": _redact_docs,
+            "kmeans_docs": _kmeans_docs,
+            "semdedup_docs": _semdedup_docs,
         }
     )
     return out

@@ -203,6 +203,16 @@ def run_bench() -> dict:
         brute_topk(emb, Q, k=10).to_pandas()
         timings["ann_brute"] = round(time.perf_counter() - t0, 3)
 
+        # ---------------- SemDedup (cluster-then-prune) --------------
+        from theoremkb_ray.stages.cluster import semdedup
+
+        t0 = time.perf_counter()
+        emb = rd.read_parquet(
+            f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        semdedup(emb, num_clusters=10, threshold=0.45).to_pandas()
+        timings["semdedup"] = round(time.perf_counter() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "kg_e2e",

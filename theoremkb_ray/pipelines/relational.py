@@ -1623,6 +1623,132 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_pagerank(sf_dir: str):
+    """Power-iteration PageRank (stages/graph.py) over a deterministic
+    ring+chord digraph on the customer keys: every node has the ring
+    edge ``c -> (c+1) % N``; every third node adds the chord
+    ``c -> (7c+3) % N``. No dangling nodes, in-degree >= 1 everywhere,
+    diameter ~N/chords — an honest iterative-convergence workload.
+    Edge duplicates (chord == ring target) are masked per ROW, so no
+    global dedup exchange is needed. Oracle = DuckDB recursive CTE
+    with aggregate recursion (10 exact iterations)."""
+    from ..stages.graph import pagerank
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    n = cust.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ring_dst = (c + 1) % n
+        ch = c[c % 3 == 0]
+        ch_dst = (ch * 7 + 3) % n
+        keep = ch_dst != (ch + 1) % n  # drop chords equal to the ring edge
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([c, ch[keep]]), pa.int64()),
+                "dst": pa.array(
+                    np.concatenate([ring_dst, ch_dst[keep]]), pa.int64()
+                ),
+            }
+        )
+
+    return pagerank(
+        cust.map_batches(edges, batch_format="pyarrow"),
+        damping=0.85,
+        iters=10,
+    )
+
+
+SQL_PAGERANK = """
+WITH RECURSIVE
+cnt AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT c_custkey AS src,
+         (c_custkey + 1) % (SELECT n FROM cnt) AS dst
+  FROM customer
+  UNION
+  SELECT c_custkey AS src,
+         (c_custkey * 7 + 3) % (SELECT n FROM cnt) AS dst
+  FROM customer WHERE c_custkey % 3 = 0
+),
+dg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
+pr(it, node, r) AS (
+  SELECT 0, c_custkey, CAST(1.0 AS DOUBLE) / (SELECT n FROM cnt)
+  FROM customer
+  UNION ALL
+  SELECT p.it + 1, e.dst,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM cnt)
+           + CAST(0.85 AS DOUBLE) * SUM(p.r / dg.d)
+  FROM pr p JOIN dg ON dg.src = p.node JOIN e ON e.src = p.node
+  WHERE p.it < 10
+  GROUP BY p.it + 1, e.dst
+)
+SELECT node, round(r * (SELECT n FROM cnt), 6) AS rank
+FROM pr WHERE it = 10
+"""
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Nearest-centroid assignment (the per-row step of distributed
+    k-means, stages/cluster.py) with DETERMINISTIC centroids — the
+    embeddings of the 8 smallest vec_ids — so the whole step is
+    SQL-expressible and value-hash-checked (DuckDB list_distance).
+    Float64 on exactly-widened float32 input on both sides; ties break
+    to the smallest cluster id on both sides."""
+    from ..stages.cluster import deterministic_centroids, kmeans_assign
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C = deterministic_centroids(emb, 8)
+    return kmeans_assign(emb, C).drop_columns(["embedding"])
+
+
+SQL_KMEANS_ASSIGN = """
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+d AS (
+  SELECT e.vec_id, cent.cluster,
+         list_distance(CAST(e.embedding AS DOUBLE[]), cent.cvec) AS dist
+  FROM embeddings e CROSS JOIN cent
+),
+best AS (
+  SELECT vec_id, cluster, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+           AS rn
+  FROM d
+)
+SELECT vec_id, cluster, round(dist, 6) AS dist FROM best WHERE rn = 1
+"""
+
+
+def q_shuffle_export(sf_dir: str):
+    """Deterministic shuffle-shard assignment for training export
+    (stages/sampling.py:shuffle_shards): shard + within-shard position
+    under hash order, via the two-phase ordered scan — only
+    (key, hash) pairs move, never payloads."""
+    from ..stages.sampling import shuffle_shards
+
+    docs = _pq(sf_dir, "documents", ["doc_id"])
+    return shuffle_shards(docs, "doc_id", num_shards=16)
+
+
+SQL_SHUFFLE_EXPORT = """
+WITH h AS (
+  SELECT doc_id,
+         (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS rnk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(rnk % 16 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY rnk % 16
+                               ORDER BY rnk, doc_id) - 1 AS BIGINT)
+         AS pos
+FROM h
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -1663,4 +1789,7 @@ REGISTRY: dict[str, tuple] = {
     "quantiles_group": (q_quantiles_group, SQL_QUANTILES_GROUP),
     "global_quantiles": (q_global_quantiles, SQL_GLOBAL_QUANTILES),
     "corr_agg": (q_corr_agg, SQL_CORR_AGG),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
+    "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
+    "shuffle_export": (q_shuffle_export, SQL_SHUFFLE_EXPORT),
 }

@@ -159,3 +159,112 @@ def balance_context_window(
     dist_fwd = np.where(valid_fwd, nxt - gidx, 10 * window)
     keep = (dist_back <= window) | (dist_fwd <= window)
     return keep
+
+
+def shuffle_shards(
+    ds,
+    key_col: str = "doc_id",
+    num_shards: int = 16,
+    sub_bits: int = 8,
+):
+    """Deterministic shuffle-shard assignment for training export (O8+:
+    the step after :func:`mixture_sample` in a corpus build — shard the
+    kept docs into ``num_shards`` output files in pseudo-random order).
+
+    -> Dataset(key, shard, pos): ``shard = knuth(key) % num_shards``,
+    ``pos`` = the row's position within its shard under
+    ``(knuth(key), key)`` order. A global ``random_shuffle`` would move
+    every byte through an all-to-all exchange; here ONLY the
+    (key, hash) pairs participate, and writers later co-locate payloads
+    by (shard, pos) with a partitioned sink. Equivalent to DuckDB
+    ``row_number() OVER (PARTITION BY shard ORDER BY rnk, key)`` — the
+    ``shuffle_export`` query's value-hash oracle.
+
+    Mechanics = the two-phase ordered scan of stages/pack.py with a
+    hash-derived bucket: bucket = (shard, top ``sub_bits`` of rank), so
+    bucket order == within-shard rank order; per-bucket totals are
+    scanned on the driver (O(num_shards * 2^sub_bits) state) with the
+    running sum reset at shard boundaries, and a per-bucket group pass
+    emits final positions vectorized."""
+    import ray
+
+    from ..state.broadcast import get_broadcast
+
+    n_sub = 1 << sub_bits
+    shift = np.uint64(32 - sub_bits)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        keys = (
+            b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        rank = (keys.astype(np.uint64) * _KNUTH) % _MOD32
+        shard = (rank % np.uint64(num_shards)).astype(np.int64)
+        bucket = shard * n_sub + (rank >> shift).astype(np.int64)
+        return pa.table(
+            {
+                key_col: pa.array(keys, pa.int64()),
+                "rnk": pa.array(rank.astype(np.int64), pa.int64()),
+                "shard": pa.array(shard, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def counts(b: pa.Table) -> pa.Table:
+        bk = b["bucket"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(bk, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())}
+        )
+
+    bks, cnts = [], []
+    for b in keyed_ds.map_batches(
+        counts, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        bks.append(b["bucket"].to_numpy(zero_copy_only=False))
+        cnts.append(b["n"].to_numpy(zero_copy_only=False))
+    if not bks:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        )
+    df = (
+        pd.DataFrame(
+            {"bucket": np.concatenate(bks), "n": np.concatenate(cnts)}
+        )
+        .groupby("bucket", as_index=True, sort=True)["n"]
+        .sum()
+    )
+    buckets = df.index.to_numpy()
+    tot = df.to_numpy()
+    # exclusive scan, restarted at every shard boundary
+    csum = np.r_[0, np.cumsum(tot)[:-1]]
+    shard_of = buckets // n_sub
+    starts = np.flatnonzero(np.r_[True, shard_of[1:] != shard_of[:-1]])
+    base = csum - np.repeat(csum[starts], np.diff(np.r_[starts, len(csum)]))
+    base_ref = ray.put((buckets, base))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        bkts, bases = get_broadcast(base_ref)
+        order = np.lexsort((g[key_col].to_numpy(), g["rnk"].to_numpy()))
+        g = g.iloc[order]
+        b0 = bases[np.searchsorted(bkts, int(g["bucket"].iloc[0]))]
+        return pd.DataFrame(
+            {
+                key_col: g[key_col].to_numpy(),
+                "shard": g["shard"].to_numpy(),
+                "pos": b0 + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return keyed_ds.groupby("bucket").map_groups(
+        finish, batch_format="pandas"
+    )
