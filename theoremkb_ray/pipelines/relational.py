@@ -1749,6 +1749,61 @@ FROM h
 """
 
 
+#: BM25 query terms for the `bm25_topk` oracle query — all present in
+#: the synthetic document vocabulary with distinct selectivities.
+BM25_TERMS = ["spark", "window", "hash", "merge"]
+
+
+def q_bm25_topk(sf_dir: str):
+    """Global BM25 top-10 for a fixed keyword query
+    (stages/retrieval.py:bm25_topk — one corpus scan, per-batch
+    partial df/avgdl stats, zero payload shuffle). Both sides order by
+    the 6-dp-ROUNDED score then doc_id, so cutoff ties resolve
+    identically."""
+    from ..stages.retrieval import bm25_topk
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(docs, BM25_TERMS, k=10)
+
+
+SQL_BM25_TOPK = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+  WHERE term <> '' GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok
+  WHERE term <> '' GROUP BY doc_id
+),
+q(term) AS (VALUES ('spark'), ('window'), ('hash'), ('merge')),
+df AS (
+  SELECT tf.term, CAST(count(*) AS DOUBLE) AS df
+  FROM tf JOIN q ON q.term = tf.term GROUP BY tf.term
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+),
+scores AS (
+  SELECT tf.doc_id,
+         SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75
+                               + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 6) AS score FROM scores
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -1792,4 +1847,5 @@ REGISTRY: dict[str, tuple] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
     "shuffle_export": (q_shuffle_export, SQL_SHUFFLE_EXPORT),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
 }
