@@ -685,6 +685,33 @@ def _semdedup_docs(sf_dir: str):
     return summary
 
 
+def _pq_topk_docs(sf_dir: str):
+    """Product-quantization ANN (stages/pq.py): encode the embeddings
+    into an m=8/ks=16 code table with sample-trained codebooks, then
+    answer 3 deterministic queries (embeddings of vec_ids 0..2) via
+    ADC top-10. The encode step with deterministic codebooks is the
+    oracle-checked `pq_codes` query; ADC distance exactness and
+    cluster-level recall are asserted in tests/test_pq.py."""
+    import numpy as np
+
+    from theoremkb_ray.stages.pq import pq_encode, pq_topk, pq_train
+
+    emb = _rp(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    books = pq_train(emb, m=8, ks=16)
+    codes = pq_encode(emb, books).materialize()
+    q_rows = (
+        emb.sort("vec_id").limit(3).to_pandas()["embedding"].to_numpy()
+    )
+    Q = np.stack([np.asarray(v, np.float32) for v in q_rows])
+    out = pq_topk(codes, books, Q, k=10).to_pandas()
+    out["adist"] = out["adist"].round(6)
+    return out.sort_values(["query_id", "adist", "vec_id"]).reset_index(
+        drop=True
+    )
+
+
 #: quotas for the mixture_sample query — rebalance languages to a
 #: target mix (en-heavy corpus downsampled, the rest kept broader)
 MIXTURE_QUOTAS = {"en": 40, "de": 20, "fr": 20, "es": 20, "zh": 20}
@@ -762,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "redact_docs": _redact_docs,
             "kmeans_docs": _kmeans_docs,
             "semdedup_docs": _semdedup_docs,
+            "pq_topk_docs": _pq_topk_docs,
         }
     )
     return out

@@ -1804,6 +1804,72 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_pq_codes(sf_dir: str):
+    """Product-quantization encoding (stages/pq.py:pq_encode) with
+    DETERMINISTIC codebooks — subvectors of the 16 smallest vec_ids —
+    so the whole compressed store is SQL-expressible: for each of the
+    8 subspaces DuckDB slices the DOUBLE[] embedding and argmins
+    list_distance over the 16 codebook rows (ties to the smallest
+    code on both sides). Output long form (vec_id, subspace, code)."""
+    from ..stages.pq import deterministic_codebooks, pq_encode
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = deterministic_codebooks(emb, m=8, ks=16)
+    codes = pq_encode(emb, books)
+
+    def flatten(b: pa.Table) -> pa.Table:
+        arr = b["codes"].combine_chunks()
+        m = arr.type.list_size
+        n = len(arr)
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.repeat(
+                        b["vec_id"].to_numpy(zero_copy_only=False), m
+                    ),
+                    pa.int64(),
+                ),
+                "subspace": pa.array(
+                    np.tile(np.arange(m, dtype=np.int64), n), pa.int64()
+                ),
+                "code": arr.values,
+            }
+        )
+
+    return codes.map_batches(flatten, batch_format="pyarrow")
+
+
+SQL_PQ_CODES = """
+WITH base AS (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16),
+books AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM base
+),
+subs AS (SELECT range AS subspace FROM range(8)),
+cent AS (
+  SELECT subs.subspace, books.code,
+         (books.v)[subs.subspace * 8 + 1 : subs.subspace * 8 + 8] AS cvec
+  FROM subs CROSS JOIN books
+),
+d AS (
+  SELECT e.vec_id, cent.subspace, cent.code,
+         list_distance(
+           (CAST(e.embedding AS DOUBLE[]))
+             [cent.subspace * 8 + 1 : cent.subspace * 8 + 8],
+           cent.cvec) AS dist
+  FROM embeddings e CROSS JOIN cent
+),
+best AS (
+  SELECT vec_id, subspace, code,
+         row_number() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY dist, code) AS rn
+  FROM d
+)
+SELECT vec_id, subspace, code FROM best WHERE rn = 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -1848,4 +1914,5 @@ REGISTRY: dict[str, tuple] = {
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
     "shuffle_export": (q_shuffle_export, SQL_SHUFFLE_EXPORT),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "pq_codes": (q_pq_codes, SQL_PQ_CODES),
 }
