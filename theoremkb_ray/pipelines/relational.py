@@ -1870,6 +1870,58 @@ SELECT vec_id, subspace, code FROM best WHERE rn = 1
 """
 
 
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count (stages/graph.py:triangle_count —
+    degree-oriented wedge generation + coarse closure exchange) over a
+    deterministic undirected graph on the customer keys: ring edges
+    (i, i+1) and (i, i+2) — one triangle per node — plus chords
+    (i, 5i+1) for every 4th node for irregular degree. Normalization
+    (direction/self-loop/multi-edge) is exercised because the
+    generator emits raw directed rows and the chord can collide with
+    ring edges. Oracle = DuckDB 3-way self-join on the id-ordered
+    unique edge set."""
+    from ..stages.graph import triangle_count
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    n = cust.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = c[c % 4 == 0]
+        src = np.concatenate([c, c, ch])
+        dst = np.concatenate([(c + 1) % n, (c + 2) % n, (ch * 5 + 1) % n])
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    return triangle_count(cust.map_batches(edges, batch_format="pyarrow"))
+
+
+SQL_TRIANGLE_COUNT = """
+WITH cnt AS (SELECT count(*) AS n FROM customer),
+raw AS (
+  SELECT c_custkey AS a, (c_custkey + 1) % (SELECT n FROM cnt) AS b
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, (c_custkey + 2) % (SELECT n FROM cnt) FROM customer
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 5 + 1) % (SELECT n FROM cnt)
+  FROM customer WHERE c_custkey % 4 = 0
+),
+e AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a <> b
+)
+SELECT count(*) AS triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -1915,4 +1967,5 @@ REGISTRY: dict[str, tuple] = {
     "shuffle_export": (q_shuffle_export, SQL_SHUFFLE_EXPORT),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "pq_codes": (q_pq_codes, SQL_PQ_CODES),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
 }
