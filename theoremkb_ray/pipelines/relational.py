@@ -1922,6 +1922,55 @@ JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
 """
 
 
+def q_range_join(sf_dir: str):
+    """Point-in-interval join (stages/joins.py:interval_join — the
+    bucket-replication exchange, NOT a broadcast): events fall into
+    deterministic 5-hour maintenance windows anchored every 7 hours
+    per supplier key. Each event moves once; each interval replicates
+    to the <=2 six-hour buckets it overlaps; pairing is two
+    searchsorted calls per interval inside the coarse group."""
+    from ..stages.joins import interval_join
+
+    HOUR_US = 3600 * 1_000_000
+    base_us = 1_704_067_200_000_000  # epoch us of 2024-01-01 00:00:00
+
+    events = _pq(sf_dir, "events", ["event_id", "ts"])
+    supp = _pq(sf_dir, "supplier", ["s_suppkey"])
+
+    def windows(b: pa.Table) -> pa.Table:
+        k = b["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        start = base_us + k * 7 * HOUR_US
+        return pa.table(
+            {
+                "window_id": pa.array(k, pa.int64()),
+                "start_us": pa.array(start, pa.int64()),
+                "end_us": pa.array(start + 5 * HOUR_US, pa.int64()),
+            }
+        )
+
+    intervals = supp.map_batches(windows, batch_format="pyarrow")
+    return interval_join(
+        events,
+        intervals,
+        ts_col="ts",
+        point_cols=["event_id"],
+        interval_cols=["window_id"],
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH w AS (
+  SELECT s_suppkey AS window_id,
+         TIMESTAMP '2024-01-01' + s_suppkey * INTERVAL 7 HOUR AS ws,
+         TIMESTAMP '2024-01-01' + s_suppkey * INTERVAL 7 HOUR
+           + INTERVAL 5 HOUR AS we
+  FROM supplier
+)
+SELECT w.window_id, e.event_id
+FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -1968,4 +2017,5 @@ REGISTRY: dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "pq_codes": (q_pq_codes, SQL_PQ_CODES),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
 }

@@ -132,3 +132,173 @@ def hash_join(
         on=tuple(on),
         right_on=tuple(right_on) if right_on else None,
     )
+
+
+# --------------------------------------------------------------------
+# Interval (range) join
+# --------------------------------------------------------------------
+
+
+def interval_join(
+    points_ds,
+    intervals_ds,
+    ts_col: str = "ts",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    point_cols: list[str] | None = None,
+    interval_cols: list[str] | None = None,
+    bucket_us: int = 6 * 3600 * 1_000_000,
+    coarse: int = 64,
+):
+    """Distributed point-in-interval join: rows of ``points_ds`` whose
+    timestamp falls in ``[start, end)`` of a row of ``intervals_ds``.
+    Timestamps/bounds are int64 epoch microseconds (Arrow timestamp[us]
+    columns are viewed zero-copy as int64).
+
+    Neither inequality key fits a hash join, and a broadcast is only
+    possible while the interval side is small — this is the general
+    path (the interval analog of the `asof_join` family, SURVEY §2.9):
+
+    - time is cut into fixed ``bucket_us`` buckets; each POINT maps to
+      exactly one bucket, each INTERVAL replicates to the buckets it
+      overlaps (replication factor = span/bucket + 1 — intervals are
+      the small side by row count even when too large to broadcast);
+    - buckets are coarse-keyed (``bucket % coarse``) into the group
+      exchange, and the exact per-bucket pairing happens vectorized
+      inside the group: points sorted by ts, each interval finds its
+      matching point RANGE with two searchsorted calls — no n×m mask;
+    - a point matching an interval does so in its OWN bucket only, so
+      no dedup pass is needed.
+
+    Output columns: ``interval_cols + point_cols`` (default: all of
+    both minus the bookkeeping keys).
+    """
+    import numpy as np
+
+    def _us(col) -> "np.ndarray":
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_timestamp(arr.type):
+            arr = arr.cast(pa.int64())
+        return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    pschema = points_ds.schema()
+    ischema = intervals_ds.schema()
+    pcols = point_cols or [c for c in pschema.names if c != ts_col]
+    icols = interval_cols or [
+        c for c in ischema.names if c not in (start_col, end_col)
+    ]
+    ptypes = {c: pschema.base_schema.field(c).type for c in pcols}
+    itypes = {c: ischema.base_schema.field(c).type for c in icols}
+
+    def tag_points(b: pa.Table) -> pa.Table:
+        ts = _us(b[ts_col])
+        bucket = ts // bucket_us
+        cols = {
+            "bucket": pa.array(bucket, pa.int64()),
+            "ck": pa.array(bucket % coarse, pa.int64()),
+            "kind": pa.array(np.ones(len(ts), np.int8), pa.int8()),
+            "__ts": pa.array(ts, pa.int64()),
+            "__s": pa.array(np.zeros(len(ts), np.int64), pa.int64()),
+            "__e": pa.array(np.zeros(len(ts), np.int64), pa.int64()),
+        }
+        for c in pcols:
+            cols[f"p_{c}"] = b[c]
+        for c in icols:
+            cols[f"i_{c}"] = pa.nulls(len(ts), itypes[c])
+        return pa.table(cols)
+
+    def tag_intervals(b: pa.Table) -> pa.Table:
+        s = _us(b[start_col])
+        e = _us(b[end_col])
+        first = s // bucket_us
+        last = np.maximum(first, (e - 1) // bucket_us)
+        reps = (last - first + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s)), reps)
+        # bucket sequence: first[i] + offset within each repeat run
+        off = np.arange(len(idx)) - np.repeat(
+            np.cumsum(np.r_[0, reps[:-1]]), reps
+        )
+        bucket = first[idx] + off
+        cols = {
+            "bucket": pa.array(bucket, pa.int64()),
+            "ck": pa.array(bucket % coarse, pa.int64()),
+            "kind": pa.array(np.zeros(len(idx), np.int8), pa.int8()),
+            "__ts": pa.array(np.zeros(len(idx), np.int64), pa.int64()),
+            "__s": pa.array(s[idx], pa.int64()),
+            "__e": pa.array(e[idx], pa.int64()),
+        }
+        take = pa.array(idx, pa.int64())
+        for c in pcols:
+            cols[f"p_{c}"] = pa.nulls(len(idx), ptypes[c])
+        for c in icols:
+            cols[f"i_{c}"] = b[c].take(take)
+        return pa.table(cols)
+
+    tagged_p = points_ds.map_batches(tag_points, batch_format="pyarrow")
+    tagged_i = intervals_ds.map_batches(
+        tag_intervals, batch_format="pyarrow"
+    )
+
+    def pair_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = []
+        for bucket, gb in g.groupby("bucket", sort=False):
+            pts = gb[gb["kind"] == 1]
+            ivs = gb[gb["kind"] == 0]
+            if pts.empty or ivs.empty:
+                continue
+            pts = pts.sort_values("__ts", kind="mergesort")
+            ts = pts["__ts"].to_numpy()
+            lo = np.searchsorted(ts, ivs["__s"].to_numpy(), side="left")
+            hi = np.searchsorted(ts, ivs["__e"].to_numpy(), side="left")
+            cnt = hi - lo
+            keep = cnt > 0
+            if not keep.any():
+                continue
+            ivs = ivs[keep]
+            lo, cnt = lo[keep], cnt[keep]
+            p_take = np.concatenate(
+                [np.arange(a, a + c) for a, c in zip(lo, cnt)]
+            )
+            i_take = np.repeat(np.arange(len(ivs)), cnt)
+            left = (
+                ivs[[f"i_{c}" for c in icols]]
+                .iloc[i_take]
+                .reset_index(drop=True)
+            )
+            right = (
+                pts[[f"p_{c}" for c in pcols]]
+                .iloc[p_take]
+                .reset_index(drop=True)
+            )
+            out.append(pd.concat([left, right], axis=1))
+        if not out:
+            return pd.DataFrame(
+                {
+                    **{f"i_{c}": pd.Series(dtype="int64") for c in icols},
+                    **{f"p_{c}": pd.Series(dtype="int64") for c in pcols},
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    joined = (
+        tagged_p.union(tagged_i)
+        .groupby("ck")
+        .map_groups(pair_group, batch_format="pandas")
+    )
+    rename = {f"i_{c}": c for c in icols}
+    rename.update({f"p_{c}": c for c in pcols})
+    out_types = {**{c: itypes[c] for c in icols},
+                 **{c: ptypes[c] for c in pcols}}
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.rename_columns([rename[c] for c in b.column_names])
+        # the pandas group exchange upcasts nullable ints to float64 —
+        # restore the declared schema (values are lossless by now)
+        for i, c in enumerate(b.column_names):
+            if b.column(i).type != out_types[c]:
+                b = b.set_column(i, c, pc.cast(b.column(i), out_types[c]))
+        return b
+
+    return joined.map_batches(finish, batch_format="pyarrow")
