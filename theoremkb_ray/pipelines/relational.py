@@ -1971,6 +1971,84 @@ FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
 """
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement
+    (stages/sampling.py:weighted_sample — Efraimidis–Spirakis with
+    hash-derived uniforms): 25 docs drawn proportional to n_chars.
+    Per-batch prune to k, global sort+limit over blocks × k rows."""
+    from ..stages.sampling import weighted_sample
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(docs, "doc_id", "n_chars", k=25)
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         (CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+               AS DOUBLE) + 1.0) / 4294967297.0 AS u
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, n_chars,
+         -ln(u) / CAST(n_chars AS DOUBLE) AS e
+  FROM h
+)
+SELECT doc_id, n_chars, round(e, 6) AS es_key
+FROM keyed ORDER BY e, doc_id LIMIT 25
+"""
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Per-label mean embedding (stages/cluster.py:grouped_centroids —
+    per-block (count, sum-vector) partials folded in a group-bounded
+    exchange), flattened to (label, dim, centroid) long form."""
+    from ..stages.cluster import grouped_centroids
+
+    emb = _pq(sf_dir, "embeddings", ["label", "embedding"])
+    cents = grouped_centroids(emb, "label", "embedding")
+
+    def flatten(b: pa.Table) -> pa.Table:
+        arr = b["centroid"].combine_chunks()
+        d = (
+            arr.type.list_size
+            if pa.types.is_fixed_size_list(arr.type)
+            else len(arr[0])
+        )
+        vals = np.concatenate(
+            [np.asarray(v.as_py(), np.float64) for v in arr]
+        )
+        n = len(arr)
+        return pa.table(
+            {
+                "label": pa.array(
+                    np.repeat(
+                        b["label"].to_numpy(zero_copy_only=False), d
+                    ),
+                    pa.int64(),
+                ),
+                "dim": pa.array(
+                    np.tile(np.arange(d, dtype=np.int64), n), pa.int64()
+                ),
+                "centroid": pa.array(np.round(vals, 6), pa.float64()),
+            }
+        )
+
+    return cents.map_batches(flatten, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH x AS (
+  SELECT label,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+)
+SELECT label, pos - 1 AS dim, round(avg(v), 6) AS centroid
+FROM x GROUP BY label, pos
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -2018,4 +2096,6 @@ REGISTRY: dict[str, tuple] = {
     "pq_codes": (q_pq_codes, SQL_PQ_CODES),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
 }

@@ -260,3 +260,55 @@ def semdedup(
         return _prune_cluster(tbl, threshold, id_col, col)
 
     return spooled_group_map(assigned, "cluster", prune)
+
+
+def grouped_centroids(ds, group_col: str = "label", col: str = "embedding"):
+    """Per-group mean embedding (class centroids — the building block
+    of nearest-class-mean classification and the per-cluster prototype
+    SemDedup keeps).
+
+    -> Dataset(group, n, centroid fixed_size_list<double>). One
+    streamed pass emits per-block per-group (count, sum-vector)
+    partials; the partial rows (blocks × groups, never corpus-sized)
+    fold inside a ``groupby(group)`` — group cardinality bounds the
+    exchange, row count never does. The `embedding_centroids` query
+    flattens to (label, dim, centroid) and is value-hash-checked
+    against DuckDB unnest + generate_subscripts + avg.
+    """
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        X = _stack64(b[col])
+        g = b[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(g, return_inverse=True)
+        cnt = np.bincount(inv)
+        sums = np.zeros((len(u), X.shape[1]))
+        np.add.at(sums, inv, X)
+        return pa.table(
+            {
+                group_col: pa.array(u, pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+                "sums": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.ravel(), pa.float64()), X.shape[1]
+                ),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        S = np.stack([np.asarray(v, np.float64) for v in g["sums"]])
+        n = int(g["n"].sum())
+        c = S.sum(axis=0) / n
+        return pd.DataFrame(
+            {
+                group_col: [int(g[group_col].iloc[0])],
+                "n": [n],
+                "centroid": [c.tolist()],
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -268,3 +268,67 @@ def shuffle_shards(
     return keyed_ds.groupby("bucket").map_groups(
         finish, batch_format="pandas"
     )
+
+
+def weighted_sample(
+    ds,
+    key_col: str,
+    weight_col: str,
+    k: int = 25,
+):
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis A-Res scheme with hash-derived uniforms.
+
+    Each row gets ``u = (knuth(key) + 1) / (2^32 + 1)`` in (0, 1) and
+    exponential key ``e = -ln(u) / w``; the k SMALLEST e win —
+    equivalent to drawing k items sequentially with probability
+    proportional to the remaining weights. Because u is a pure hash,
+    the selection is partition-invariant AND SQL-expressible — the
+    `weighted_sample` oracle re-derives it with DuckDB ln() (double
+    precision on both sides; the only divergence window is a <1-ulp
+    ln difference landing exactly on the k-th boundary).
+
+    Distributed shape: per-batch argpartition prune to k rows, then a
+    global sort+limit over blocks × k survivors — identical to the
+    `deterministic_centroids` prune, nothing corpus-sized moves.
+    """
+
+    def prune(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        r = ((keys.astype(np.uint64) * _KNUTH) % _MOD32).astype(np.float64)
+        u = (r + 1.0) / float((1 << 32) + 1)
+        e = -np.log(u) / w
+        out = pa.table(
+            {
+                key_col: pa.array(keys, pa.int64()),
+                weight_col: b[weight_col],
+                "es_key": pa.array(e, pa.float64()),
+            }
+        )
+        if len(e) > k:
+            sel = np.sort(np.argpartition(e, k)[:k])
+            out = out.take(pa.array(sel, pa.int64()))
+        return out
+
+    picked = (
+        ds.select_columns([key_col, weight_col])
+        .map_batches(prune, batch_format="pyarrow")
+        .sort(["es_key", key_col])
+        .limit(k)
+    )
+    # round the reported key only AFTER selection (ordering used full
+    # precision); 6 dp matches the driver's float-hash contract
+    return picked.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("es_key"),
+            "es_key",
+            pa.array(
+                np.round(
+                    b["es_key"].to_numpy(zero_copy_only=False), 6
+                ),
+                pa.float64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
