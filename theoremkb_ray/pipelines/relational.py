@@ -2049,6 +2049,54 @@ FROM x GROUP BY label, pos
 """
 
 
+def _bloom_sides(sf_dir: str):
+    part = _pq(sf_dir, "part", ["p_partkey", "p_size"])
+    heavy = _pq(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["l_quantity"], 48)),
+        batch_format="pyarrow",
+    )
+    return part, heavy
+
+
+def q_bloom_semi(sf_dir: str):
+    """Bloom-prefiltered distributed semi join
+    (stages/joins.py:bloom_semi_join): parts with any heavy lineitem.
+    The 512 KiB bitmap prunes the probe side before the
+    hash-partitioned exact verify — output is bit-for-bit the exact
+    semi join (Bloom has no false negatives; false positives die in
+    the verify shuffle)."""
+    from ..stages.joins import bloom_semi_join
+
+    part, heavy = _bloom_sides(sf_dir)
+    return bloom_semi_join(
+        part, heavy, on="p_partkey", right_on="l_partkey", how="semi"
+    )
+
+
+SQL_BLOOM_SEMI = """
+SELECT p_partkey, p_size FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+"""
+
+
+def q_bloom_anti(sf_dir: str):
+    """Bloom-prefiltered anti join: definite non-members pass the
+    bitmap immediately; only the maybes pay the exact anti shuffle."""
+    from ..stages.joins import bloom_semi_join
+
+    part, heavy = _bloom_sides(sf_dir)
+    return bloom_semi_join(
+        part, heavy, on="p_partkey", right_on="l_partkey", how="anti"
+    )
+
+
+SQL_BLOOM_ANTI = """
+SELECT p_partkey, p_size FROM part
+WHERE p_partkey NOT IN
+  (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -2098,4 +2146,6 @@ REGISTRY: dict[str, tuple] = {
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+    "bloom_semi": (q_bloom_semi, SQL_BLOOM_SEMI),
+    "bloom_anti": (q_bloom_anti, SQL_BLOOM_ANTI),
 }
