@@ -712,6 +712,25 @@ def _pq_topk_docs(sf_dir: str):
     )
 
 
+def _seg_crossval(sf_dir: str):
+    """K-fold cross-validation of the CRF tagger
+    (stages/crossval.py:crossval_crf): hash-deterministic fold
+    assignment, one distributed featurize pass, k parallel Ray
+    training tasks over a single shared payload. Model training is
+    not SQL-expressible; fold disjointness/determinism and
+    metric-quality floors are asserted in tests/test_crossval.py."""
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.sources.corpus import read_corpus
+    from theoremkb_ray.stages.crossval import crossval_crf
+
+    sdir = _synth_dir(200)
+    gold = pq.read_table(f"{sdir}/gold_spans.parquet")
+    return crossval_crf(
+        read_corpus(f"{sdir}/corpus.parquet"), gold, k=5, epochs=6
+    )
+
+
 #: quotas for the mixture_sample query — rebalance languages to a
 #: target mix (en-heavy corpus downsampled, the rest kept broader)
 MIXTURE_QUOTAS = {"en": 40, "de": 20, "fr": 20, "es": 20, "zh": 20}
@@ -790,6 +809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kmeans_docs": _kmeans_docs,
             "semdedup_docs": _semdedup_docs,
             "pq_topk_docs": _pq_topk_docs,
+            "seg_crossval": _seg_crossval,
         }
     )
     return out
