@@ -183,6 +183,30 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_delta(args) -> int:
+    """Incremental ingest (pipelines/delta.py): append the corpus'
+    NEW documents to an existing store as a delta segment."""
+    import pyarrow.parquet as pq
+
+    from .pipelines.delta import record_processed, run_kg_delta
+    from .sources.corpus import read_corpus
+
+    if args.record_base:
+        run_dir = record_processed(read_corpus(args.corpus), args.store)
+        print(json.dumps({"recorded": run_dir}))
+        return 0
+    links = pq.read_table(args.links) if args.links else None
+    res = run_kg_delta(
+        args.corpus,
+        args.store,
+        links_tbl=links,
+        segmenter=args.segmenter,
+        canonicalize=not args.no_canonicalize,
+    )
+    print(json.dumps(res))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="theoremkb_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -229,6 +253,22 @@ def main(argv: list[str] | None = None) -> int:
     vp.add_argument("--host", default="127.0.0.1")
     vp.add_argument("--port", type=int, default=8000)
     vp.set_defaults(fn=cmd_serve)
+
+    dp = sub.add_parser(
+        "delta", help="append new docs to an existing store"
+    )
+    dp.add_argument("--corpus", required=True)
+    dp.add_argument("--store", required=True)
+    dp.add_argument("--links")
+    dp.add_argument("--segmenter", default="crf")
+    dp.add_argument("--no-canonicalize", action="store_true")
+    dp.add_argument(
+        "--record-base",
+        action="store_true",
+        help="only record this corpus as already-processed (seed the "
+        "sidecar for a store built by `apply`)",
+    )
+    dp.set_defaults(fn=cmd_delta)
 
     bp = sub.add_parser("bench", help="time the triple pipeline")
     bp.add_argument("--corpus", required=True)

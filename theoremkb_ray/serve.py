@@ -61,15 +61,29 @@ def subject_partition(subject: str, meta: dict) -> int:
     return int(hash_strings([repo])[0] % np.uint64(P))
 
 
+def partition_files(store_dir: str, part: int) -> list:
+    """A logical partition's files across the base segment and any
+    delta_NNN segments (pipelines/delta.py) — all segments share the
+    partition function, so a point lookup reads O(segments) files."""
+    import glob as _glob
+
+    rel = os.path.join(f"part={part:05d}", "data.parquet")
+    paths = [os.path.join(store_dir, rel)]
+    paths += sorted(
+        _glob.glob(os.path.join(store_dir, "delta_*", rel))
+    )
+    return [p for p in paths if os.path.exists(p)]
+
+
 def lookup_subject(store_dir: str, subject: str, meta: dict | None = None):
-    """Point lookup: one partition file, one parquet predicate."""
+    """Point lookup: one partition file per segment, one predicate."""
     meta = meta or load_store_meta(store_dir)
     part = subject_partition(subject, meta)
-    path = os.path.join(store_dir, f"part={part:05d}", "data.parquet")
-    if not os.path.exists(path):
-        return []
-    tbl = pq.read_table(path, filters=[("subject", "=", subject)])
-    return tbl.to_pylist()
+    out = []
+    for path in partition_files(store_dir, part):
+        tbl = pq.read_table(path, filters=[("subject", "=", subject)])
+        out.extend(tbl.to_pylist())
+    return out
 
 
 def lookup_document(store_dir: str, doc_id: str, meta: dict | None = None):
@@ -84,15 +98,13 @@ def lookup_document(store_dir: str, doc_id: str, meta: dict | None = None):
     parts = {(base + s) % P for s in range(factor)}
     out = []
     for part in sorted(parts):
-        path = os.path.join(store_dir, f"part={part:05d}", "data.parquet")
-        if not os.path.exists(path):
-            continue
-        tbl = pq.read_table(path)
-        keep = pc.or_(
-            pc.equal(tbl["subject"], doc_id),
-            pc.starts_with(tbl["subject"], doc_id + "#"),
-        )
-        out.extend(tbl.filter(keep).to_pylist())
+        for path in partition_files(store_dir, part):
+            tbl = pq.read_table(path)
+            keep = pc.or_(
+                pc.equal(tbl["subject"], doc_id),
+                pc.starts_with(tbl["subject"], doc_id + "#"),
+            )
+            out.extend(tbl.filter(keep).to_pylist())
     return out
 
 

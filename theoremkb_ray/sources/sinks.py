@@ -438,11 +438,18 @@ def export_graph_csv(store_dir: str, out_dir: str) -> dict[str, int]:
 
 
 def read_triples(out_dir: str):
+    """Union of the base segment and any ``delta_NNN`` segments
+    appended by pipelines/delta.py:run_kg_delta (LSM layout — all
+    segments share the store's partition function, so partition N of
+    the logical store = the part=N files of every segment)."""
     import glob
 
     import ray.data as rd
 
     parts = sorted(glob.glob(os.path.join(out_dir, "part=*", "*.parquet")))
+    parts += sorted(
+        glob.glob(os.path.join(out_dir, "delta_*", "part=*", "*.parquet"))
+    )
     return rd.read_parquet(parts)
 
 
