@@ -2097,6 +2097,42 @@ WHERE p_partkey NOT IN
 """
 
 
+def q_skew_join(sf_dir: str):
+    """Salted skew join (stages/joins.py:skew_join): lineitem ⋈
+    supplier on suppkey with the 10 busiest suppliers explicitly
+    salted 8 ways — their row sets split across 8 (key, salt)
+    partitions instead of landing on one aggregator. The salt never
+    changes membership, so the result equals the plain inner join;
+    verified through a per-nation revenue rollup."""
+    from ..stages.joins import skew_join
+
+    li = _pq(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+    supp = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    hot = [str(k) for k in range(10)]
+    joined = skew_join(
+        li, supp, on="l_suppkey", right_on="s_suppkey",
+        salt=8, hot_keys=hot,
+    )
+    agg = joined.groupby("s_nationkey").aggregate(
+        Sum("l_extendedprice", alias_name="revenue")
+    )
+    return agg.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("revenue"),
+            "revenue",
+            pc.round(b["revenue"], ndigits=2),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SKEW_JOIN = """
+SELECT s_nationkey, round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_nationkey
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -2148,4 +2184,5 @@ REGISTRY: dict[str, tuple] = {
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "bloom_semi": (q_bloom_semi, SQL_BLOOM_SEMI),
     "bloom_anti": (q_bloom_anti, SQL_BLOOM_ANTI),
+    "skew_join": (q_skew_join, SQL_SKEW_JOIN),
 }

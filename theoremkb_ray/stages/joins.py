@@ -418,3 +418,99 @@ def bloom_semi_join(
         )
         return definite.union(survivors)
     raise ValueError(f"how must be semi|anti, got {how!r}")
+
+
+# --------------------------------------------------------------------
+# Salted skew join
+# --------------------------------------------------------------------
+
+
+def skew_join(
+    left_ds,
+    right_ds,
+    on: str,
+    right_on: str | None = None,
+    salt: int = 8,
+    hot_keys: list | None = None,
+    hot_threshold: float = 0.01,
+    num_partitions: int | None = None,
+):
+    """Inner equi-join hardened against HOT KEYS — the case where a
+    plain hash join sends one key's entire row set to a single
+    aggregator and that partition becomes the pipeline's wall-clock
+    (the same pathology the triple sink's repo salting fixes,
+    sources/sinks.py:detect_skewed_repos).
+
+    - hot keys are detected with the Count-Min heavy-hitter sketch
+      (stages/sketches.py:heavy_hitters — driver traffic independent
+      of key cardinality) unless passed explicitly;
+    - LEFT hot rows get ``salt`` pseudo-random salts (splitmix64 of a
+      row-position mix — salt values only spread load, they never
+      decide membership, so determinism of the VALUE doesn't matter);
+      cold rows get salt 0;
+    - RIGHT hot rows REPLICATE ``salt`` times (salt 0..S-1); cold rows
+      once with salt 0 — replication cost = |hot right rows| × salt,
+      bounded because hot keys are few by definition;
+    - the join runs on (key, salt) and drops the salt: every left row
+      still meets every matching right row exactly once, so the output
+      is bit-for-bit the plain inner join (the `skew_join` oracle).
+
+    For hot keys on BOTH sides (a true many-to-many hot pair) the
+    right-side replication keeps correctness but the output itself is
+    |L_hot| × |R_hot| — no join strategy shrinks that.
+    """
+    import numpy as np
+
+    from ..functions.hashing import hash_strings, splitmix64
+
+    right_on = right_on or on
+
+    if hot_keys is None:
+        from .sketches import heavy_hitters
+
+        # a key is "hot" when it holds >= hot_threshold of ALL left
+        # rows — the regime where one hash partition degenerates into
+        # the straggler. Both passes touch only the key column.
+        keys_only = left_ds.select_columns([on]).materialize()
+        total = keys_only.count()
+        hh = heavy_hitters(keys_only, on, k=32)
+        cut = hot_threshold * total
+        hot_keys = [
+            v for v, c in zip(hh["value"], hh["est_count"]) if c >= cut
+        ]
+    hot_arr = pa.array([str(h) for h in hot_keys], pa.string())
+
+    def salt_left(b: pa.Table) -> pa.Table:
+        keys = pa.compute.cast(b[on], pa.string())
+        hot = pa.compute.is_in(keys, value_set=hot_arr).to_numpy(
+            zero_copy_only=False
+        )
+        h = hash_strings(keys.to_numpy(zero_copy_only=False))
+        mix = splitmix64(h ^ np.arange(len(h), dtype=np.uint64))
+        s = np.where(hot, (mix % np.uint64(salt)).astype(np.int64), 0)
+        return b.append_column("__salt", pa.array(s, pa.int64()))
+
+    def explode_right(b: pa.Table) -> pa.Table:
+        keys = pa.compute.cast(b[right_on], pa.string())
+        hot = pa.compute.is_in(keys, value_set=hot_arr).to_numpy(
+            zero_copy_only=False
+        )
+        reps = np.where(hot, salt, 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(reps)), reps)
+        off = np.arange(len(idx)) - np.repeat(
+            np.cumsum(np.r_[0, reps[:-1]]), reps
+        )
+        out = b.take(pa.array(idx, pa.int64()))
+        return out.append_column("__salt", pa.array(off, pa.int64()))
+
+    left_s = left_ds.map_batches(salt_left, batch_format="pyarrow")
+    right_s = right_ds.map_batches(explode_right, batch_format="pyarrow")
+    joined = hash_join(
+        left_s,
+        right_s,
+        on=[on, "__salt"],
+        right_on=[right_on, "__salt"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+    return joined.drop_columns(["__salt"])
