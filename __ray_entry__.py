@@ -731,6 +731,36 @@ def _seg_crossval(sf_dir: str):
     )
 
 
+def _ivfpq_topk_docs(sf_dir: str):
+    """IVFADC search (stages/pq.py:ivfpq_*): coarse quantizer +
+    residual product codebooks, nprobe-pruned code-table scan with
+    per-(query, list) residual LUTs. Deterministic queries = the
+    embeddings of vec_ids 0..2. ADC exactness vs reconstruction and
+    probed-list containment are asserted in tests/test_pq.py."""
+    import numpy as np
+
+    from theoremkb_ray.stages.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    emb = _rp(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    coarse, books = ivfpq_train(emb, num_centroids=16, m=8, ks=16)
+    codes = ivfpq_encode(emb, coarse, books).materialize()
+    q_rows = (
+        emb.sort("vec_id").limit(3).to_pandas()["embedding"].to_numpy()
+    )
+    Q = np.stack([np.asarray(v, np.float32) for v in q_rows])
+    out = ivfpq_topk(codes, coarse, books, Q, k=10, nprobe=4).to_pandas()
+    out["adist"] = out["adist"].round(6)
+    return out.sort_values(["query_id", "adist", "vec_id"]).reset_index(
+        drop=True
+    )
+
+
 #: quotas for the mixture_sample query — rebalance languages to a
 #: target mix (en-heavy corpus downsampled, the rest kept broader)
 MIXTURE_QUOTAS = {"en": 40, "de": 20, "fr": 20, "es": 20, "zh": 20}
@@ -810,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "semdedup_docs": _semdedup_docs,
             "pq_topk_docs": _pq_topk_docs,
             "seg_crossval": _seg_crossval,
+            "ivfpq_topk_docs": _ivfpq_topk_docs,
         }
     )
     return out

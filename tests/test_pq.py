@@ -121,3 +121,65 @@ def test_deterministic_codebooks_partition_invariant():
     b1 = deterministic_codebooks(_ds(ids, X, blocks=2), m=4, ks=8)
     b2 = deterministic_codebooks(_ds(ids, X, blocks=11), m=4, ks=8)
     assert np.array_equal(b1, b2)
+
+
+def test_ivfpq_recall_and_adc_exactness():
+    from theoremkb_ray.stages.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    ids, X = _blobs(n=800, d=32, k=8, seed=13)
+    ds = _ds(ids, X, blocks=5)
+    coarse, books = ivfpq_train(ds, num_centroids=8, m=8, ks=16)
+    codes_ds = ivfpq_encode(ds, coarse, books).materialize()
+    rng = np.random.RandomState(21)
+    qsel = rng.choice(len(X), 4, replace=False)
+    Q = X[qsel] + 0.01
+    got = ivfpq_topk(codes_ds, coarse, books, Q, k=10, nprobe=2).to_pandas()
+
+    codes_df = codes_ds.to_pandas().set_index("vec_id")
+    m = books.shape[0]
+    for qi in range(4):
+        rows = got[got["query_id"] == qi]
+        assert len(rows) == 10
+        # blob-level recall: nprobe=2 must cover the query's own blob
+        blob = qsel[qi] % 8
+        assert (rows["vec_id"] % 8 == blob).mean() >= 0.9
+        # ADC distance == |q - (coarse[c] + reconstructed residual)|²
+        q64 = Q[qi].astype(np.float64)
+        for _, r in rows.iterrows():
+            rec = codes_df.loc[r["vec_id"]]
+            c = int(rec["centroid"])
+            code = np.asarray(rec["codes"])
+            recon = coarse[c] + np.concatenate(
+                [books[j][code[j]] for j in range(m)]
+            )
+            want = ((q64 - recon) ** 2).sum()
+            assert abs(r["adist"] - want) < 1e-9
+
+
+def test_ivfpq_probed_lists_only():
+    from theoremkb_ray.stages.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    ids, X = _blobs(n=400, d=16, k=4, seed=17)
+    ds = _ds(ids, X, blocks=3)
+    coarse, books = ivfpq_train(ds, num_centroids=4, m=4, ks=8)
+    codes_ds = ivfpq_encode(ds, coarse, books).materialize()
+    Q = X[:2] + 0.01
+    out = ivfpq_topk(
+        codes_ds, coarse, books, Q, k=5, nprobe=1
+    ).to_pandas()
+    codes_df = codes_ds.to_pandas().set_index("vec_id")
+    # with nprobe=1 every returned vector sits in the query's single
+    # probed coarse list
+    for qi in range(2):
+        q64 = Q[qi].astype(np.float64)
+        probe = int(((q64[None, :] - coarse) ** 2).sum(1).argmin())
+        rows = out[out["query_id"] == qi]
+        assert (codes_df.loc[rows["vec_id"], "centroid"] == probe).all()
