@@ -2133,6 +2133,92 @@ GROUP BY s_nationkey
 """
 
 
+def q_outer_join(sf_dir: str):
+    """FULL OUTER equi-join through Ray's hash-partitioned join:
+    high-value orders x a customer subset; unmatched rows from BOTH
+    sides survive with nulls. Aggregated to match-status counts so
+    the null-typed tails hash stably."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: b.filter(pc.less(b["c_custkey"], 500)),
+        batch_format="pyarrow",
+    )
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: b.filter(pc.greater(b["o_totalprice"], 300000.0)),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        orders, cust, on=["o_custkey"], right_on=["c_custkey"],
+        how="full_outer",
+    )
+
+    def status(b: pa.Table) -> pa.Table:
+        has_order = pc.is_valid(b["o_totalprice"])
+        has_cust = pc.is_valid(b["c_nationkey"])
+        code = pc.add(
+            pc.cast(has_order, pa.int64()),
+            pc.multiply(pc.cast(has_cust, pa.int64()), 2),
+        )
+        return pa.table({"status": code})
+
+    return (
+        joined.map_batches(status, batch_format="pyarrow")
+        .groupby("status")
+        .aggregate(Count(alias_name="n"))
+        .sort("status")
+    )
+
+
+SQL_OUTER_JOIN = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey < 500
+),
+o AS (
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 300000
+)
+SELECT CAST((o.o_totalprice IS NOT NULL)::INT
+            + 2 * (c.c_nationkey IS NOT NULL)::INT AS BIGINT) AS status,
+       count(*) AS n
+FROM o FULL OUTER JOIN c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_ntile(sf_dir: str):
+    """NTILE(4) by total price within each order priority — exact SQL
+    bucket-size semantics (first n%4 buckets one row larger),
+    vectorized per group via searchsorted over bucket boundaries."""
+    orders = _pq(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def tile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], kind="mergesort"
+        ).reset_index(drop=True)
+        n, b = len(g), 4
+        size, extra = divmod(n, b)
+        bounds = np.cumsum(
+            [size + 1 if i < extra else size for i in range(b)]
+        )
+        g["tile"] = (
+            np.searchsorted(bounds, np.arange(n), side="right") + 1
+        ).astype(np.int64)
+        return g
+
+    return orders.groupby("o_orderpriority").map_groups(
+        tile, batch_format="pandas"
+    )
+
+
+SQL_NTILE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+         AS tile
+FROM orders
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -2185,4 +2271,6 @@ REGISTRY: dict[str, tuple] = {
     "bloom_semi": (q_bloom_semi, SQL_BLOOM_SEMI),
     "bloom_anti": (q_bloom_anti, SQL_BLOOM_ANTI),
     "skew_join": (q_skew_join, SQL_SKEW_JOIN),
+    "outer_join": (q_outer_join, SQL_OUTER_JOIN),
+    "ntile": (q_ntile, SQL_NTILE),
 }
