@@ -67,3 +67,40 @@ def test_matches_bruteforce_on_random_graph():
             A[a, b] = A[b, a] = 1
     want = int(np.trace(A @ A @ A) // 6)
     assert got == want
+
+
+def test_node_clustering_complete_graph():
+    from theoremkb_ray.stages.graph import node_clustering
+
+    # K5: every node in C(4,2)=6 triangles, coeff exactly 1.0
+    src, dst = zip(*[(i, j) for i in range(5) for j in range(5) if i != j])
+    out = node_clustering(_ds(src, dst)).to_pandas().sort_values("node")
+    assert (out["triangles"] == 6).all()
+    assert (out["coeff"] == 1.0).all()
+
+
+def test_node_clustering_matches_bruteforce():
+    from theoremkb_ray.stages.graph import node_clustering
+
+    rng = np.random.RandomState(11)
+    n = 40
+    src = rng.randint(0, n, 300)
+    dst = rng.randint(0, n, 300)
+    out = (
+        node_clustering(_ds(src, dst, blocks=5))
+        .to_pandas()
+        .set_index("node")
+        .sort_index()
+    )
+    A = np.zeros((n, n), np.int64)
+    for a, b in zip(src, dst):
+        if a != b:
+            A[a, b] = A[b, a] = 1
+    tri = np.diag(A @ A @ A) // 2
+    deg = A.sum(1)
+    present = np.flatnonzero(deg > 0)
+    assert list(out.index) == list(present)
+    assert (out["triangles"].to_numpy() == tri[present]).all()
+    denom = deg[present] * (deg[present] - 1)
+    coeff = np.where(denom > 0, 2.0 * tri[present] / np.maximum(denom, 1), 0)
+    assert np.allclose(out["coeff"].to_numpy(), np.round(coeff, 6))

@@ -2219,6 +2219,74 @@ FROM orders
 """
 
 
+def q_node_clustering(sf_dir: str):
+    """Per-node triangle counts + local clustering coefficient
+    (stages/graph.py:node_clustering) over the same deterministic
+    ring+chord graph as `triangle_count`; oracle unpivots the 3-way
+    self-join over the triangle corners and derives the coefficient
+    from the exact degrees."""
+    from ..stages.graph import node_clustering
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    n = cust.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = c[c % 4 == 0]
+        src = np.concatenate([c, c, ch])
+        dst = np.concatenate([(c + 1) % n, (c + 2) % n, (ch * 5 + 1) % n])
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    return node_clustering(cust.map_batches(edges, batch_format="pyarrow"))
+
+
+SQL_NODE_CLUSTERING = """
+WITH cnt AS (SELECT count(*) AS n FROM customer),
+raw AS (
+  SELECT c_custkey AS a, (c_custkey + 1) % (SELECT n FROM cnt) AS b
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, (c_custkey + 2) % (SELECT n FROM cnt) FROM customer
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 5 + 1) % (SELECT n FROM cnt)
+  FROM customer WHERE c_custkey % 4 = 0
+),
+e AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a <> b
+),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS node FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t
+),
+tri AS (SELECT node, count(*) AS triangles FROM corners GROUP BY node),
+ends AS (
+  SELECT u AS node FROM e UNION ALL SELECT v FROM e
+),
+deg AS (SELECT node, count(*) AS d FROM ends GROUP BY node)
+SELECT deg.node,
+       COALESCE(tri.triangles, 0) AS triangles,
+       round(
+         CASE WHEN deg.d >= 2
+              THEN 2.0 * COALESCE(tri.triangles, 0)
+                   / (deg.d * (deg.d - 1))
+              ELSE 0.0 END, 6) AS coeff
+FROM deg LEFT JOIN tri ON tri.node = deg.node
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -2273,4 +2341,5 @@ REGISTRY: dict[str, tuple] = {
     "skew_join": (q_skew_join, SQL_SKEW_JOIN),
     "outer_join": (q_outer_join, SQL_OUTER_JOIN),
     "ntile": (q_ntile, SQL_NTILE),
+    "node_clustering": (q_node_clustering, SQL_NODE_CLUSTERING),
 }

@@ -180,6 +180,34 @@ def triangle_count(
     dst_col: str = "dst",
     coarse: int = _TRI_COARSE,
 ):
+    """Global count wrapper over :func:`_triangle_core` (docs there)."""
+    return _triangle_core(edges_ds, src_col, dst_col, coarse, False)
+
+
+def node_clustering(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    coarse: int = _TRI_COARSE,
+):
+    """-> Dataset(node, triangles, coeff): per-node triangle counts
+    and local clustering coefficient ``2T / (d (d-1))`` (0 where
+    d < 2), 6-dp rounded. Same machinery as :func:`triangle_count`
+    with wedge rows carrying their center so a closed wedge credits
+    all three corners; per-group partial (node, count) rows fold
+    through a node-bounded exchange. Oracle `node_clustering`
+    (pipelines/relational.py) re-derives it with the DuckDB 3-way
+    self-join unpivoted over the triangle corners."""
+    return _triangle_core(edges_ds, src_col, dst_col, coarse, True)
+
+
+def _triangle_core(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    coarse: int = _TRI_COARSE,
+    per_node: bool = False,
+):
     """-> Dataset with one row ``{triangles: int64}`` — exact global
     triangle count of the UNDIRECTED simple graph underlying the edge
     list (direction, self-loops and multi-edges are normalized away).
@@ -213,11 +241,20 @@ def triangle_count(
 
     nodes = _collect_unique(edges_ds, [src_col, dst_col])
     n = len(nodes)
-    empty = rd.from_arrow(
-        pa.table({"triangles": pa.array([0], pa.int64())})
-    )
     if n < 3:
-        return empty
+        if per_node:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(nodes, pa.int64()),
+                        "triangles": pa.array([0] * n, pa.int64()),
+                        "coeff": pa.array([0.0] * n, pa.float64()),
+                    }
+                )
+            )
+        return rd.from_arrow(
+            pa.table({"triangles": pa.array([0], pa.int64())})
+        )
     nodes_ref = ray.put(nodes)
 
     # ---- 1. normalize to packed undirected (lo_idx, hi_idx) keys
@@ -311,19 +348,31 @@ def triangle_count(
         # wedge keys are packed canonically by ID (min*n+max) to match
         # the id-canonical `uniq` edge keys in the closure exchange —
         # the rank order above only bounds fan-out, it is not the key
-        out = []
+        out, out_c = [], []
         two = starts[lens == 2]
         if len(two):
             x, y = b[two], b[two + 1]
             out.append(np.minimum(x, y) * n + np.maximum(x, y))
+            out_c.append(a[two])
         for s0, ln in zip(starts[lens > 2], lens[lens > 2]):
             nb = b[s0 : s0 + ln]
             ii, jj = np.triu_indices(ln, k=1)
             x, y = nb[ii], nb[jj]
             out.append(np.minimum(x, y) * n + np.maximum(x, y))
+            out_c.append(np.full(len(x), a[s0], np.int64))
         if not out:
-            return pd.DataFrame({"packed": np.empty(0, np.int64)})
-        return pd.DataFrame({"packed": np.concatenate(out)})
+            return pd.DataFrame(
+                {
+                    "packed": np.empty(0, np.int64),
+                    "center": np.empty(0, np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "packed": np.concatenate(out),
+                "center": np.concatenate(out_c),
+            }
+        )
 
     wedge_ds = (
         oriented.groupby("ck")
@@ -343,14 +392,20 @@ def triangle_count(
         )
     )
 
+    # column order mirrors the wedge rows (packed, center, ek, kind) —
+    # union requires identical schemas
     edges_tagged = uniq.map_batches(
         lambda t: t.append_column(
+            "center", pa.array(np.full(len(t), -1, np.int64), pa.int64())
+        )
+        .append_column(
             "ek",
             pa.array(
                 t["packed"].to_numpy(zero_copy_only=False) % coarse,
                 pa.int64(),
             ),
-        ).append_column(
+        )
+        .append_column(
             "kind", pa.array(np.zeros(len(t), np.int64), pa.int64())
         ),
         batch_format="pyarrow",
@@ -361,24 +416,59 @@ def triangle_count(
         kind = g["kind"].to_numpy()
         p = g["packed"].to_numpy()
         eset = np.sort(p[kind == 0])
-        w = p[kind == 1]
+        wsel = kind == 1
+        w = p[wsel]
         if not len(w) or not len(eset):
-            hits = 0
+            matched = np.zeros(0, dtype=bool)
         else:
             pos = np.searchsorted(eset, w)
             pos[pos == len(eset)] = len(eset) - 1
-            hits = int((eset[pos] == w).sum())
-        return pd.DataFrame({"t": [hits]})
+            matched = eset[pos] == w
+        if not per_node:
+            return pd.DataFrame({"t": [int(matched.sum())]})
+        # credit all three corners of each closed wedge
+        if not matched.any():
+            return pd.DataFrame(
+                {
+                    "i": np.empty(0, np.int64),
+                    "t": np.empty(0, np.int64),
+                }
+            )
+        wp = w[matched]
+        centers = g["center"].to_numpy()[wsel][matched]
+        corners = np.concatenate([centers, wp // n, wp % n])
+        u, c = np.unique(corners, return_counts=True)
+        return pd.DataFrame({"i": u, "t": c})
 
     counted = (
         edges_tagged.union(wedge_ds)
         .groupby("ek")
         .map_groups(close_group, batch_format="pandas")
     )
-    total = sum(
-        b["t"].to_numpy(zero_copy_only=False).sum()
-        for b in counted.iter_batches(batch_format="pyarrow")
-    )
+    if not per_node:
+        total = sum(
+            b["t"].to_numpy(zero_copy_only=False).sum()
+            for b in counted.iter_batches(batch_format="pyarrow")
+        )
+        return rd.from_arrow(
+            pa.table({"triangles": pa.array([int(total)], pa.int64())})
+        )
+    # node-bounded driver fold (same O(N) contract as deg/rank)
+    tri = np.zeros(n, np.int64)
+    for b in counted.iter_batches(batch_format="pyarrow"):
+        np.add.at(
+            tri,
+            b["i"].to_numpy(zero_copy_only=False),
+            b["t"].to_numpy(zero_copy_only=False),
+        )
+    denom = deg.astype(np.float64) * (deg - 1)
+    coeff = np.where(denom > 0, 2.0 * tri / np.maximum(denom, 1), 0.0)
     return rd.from_arrow(
-        pa.table({"triangles": pa.array([int(total)], pa.int64())})
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "triangles": pa.array(tri, pa.int64()),
+                "coeff": pa.array(np.round(coeff, 6), pa.float64()),
+            }
+        )
     )
