@@ -2287,6 +2287,32 @@ FROM deg LEFT JOIN tri ON tri.node = deg.node
 """
 
 
+def q_chunk_docs(sf_dir: str):
+    """LM-training chunking (stages/chunk.py:chunk_documents): 64-token
+    windows every 48 tokens, byte-exact chunk text, shuffle-free."""
+    from ..stages.chunk import chunk_documents
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(docs, window=64, stride=48)
+
+
+SQL_CHUNK_DOCS = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+st AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, 48)) AS s
+  FROM tok
+)
+SELECT doc_id,
+       CAST(s / 48 AS BIGINT) AS chunk_id,
+       CAST(len(toks[s + 1 : s + 64]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[s + 1 : s + 64], ' ') AS chunk
+FROM st
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -2342,4 +2368,5 @@ REGISTRY: dict[str, tuple] = {
     "outer_join": (q_outer_join, SQL_OUTER_JOIN),
     "ntile": (q_ntile, SQL_NTILE),
     "node_clustering": (q_node_clustering, SQL_NODE_CLUSTERING),
+    "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
 }
