@@ -761,6 +761,36 @@ def _ivfpq_topk_docs(sf_dir: str):
     )
 
 
+def _tdigest_docs(sf_dir: str):
+    """Mergeable t-digest quantiles of document length
+    (stages/sketches.py:tdigest_quantiles — one pass, O(delta) driver
+    state per block, vs the exact two-pass `global_quantiles`
+    operator). Approximate by design, so no SQL oracle; the rank-error
+    envelope is asserted in tests/test_sketches.py. Returns (q, est,
+    exact_rank_frac) — the last column shows each estimate's realized
+    rank against the same data."""
+    import numpy as np
+    import pandas as pd
+
+    from theoremkb_ray.stages.sketches import tdigest_quantiles
+
+    ds = _rp(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = tdigest_quantiles(ds, "n_chars", qs, delta=200)
+    vals = ds.to_pandas()["n_chars"].to_numpy()
+    rows = [
+        {
+            "q": q,
+            "est": round(float(est[q]), 6),
+            "realized_rank": round(
+                float((vals <= est[q]).mean()), 6
+            ),
+        }
+        for q in qs
+    ]
+    return pd.DataFrame(rows)
+
+
 #: quotas for the mixture_sample query — rebalance languages to a
 #: target mix (en-heavy corpus downsampled, the rest kept broader)
 MIXTURE_QUOTAS = {"en": 40, "de": 20, "fr": 20, "es": 20, "zh": 20}
@@ -841,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pq_topk_docs": _pq_topk_docs,
             "seg_crossval": _seg_crossval,
             "ivfpq_topk_docs": _ivfpq_topk_docs,
+            "tdigest_docs": _tdigest_docs,
         }
     )
     return out

@@ -111,3 +111,49 @@ def test_uniform_sample_small_k(k):
     vals = [f"x{i}" for i in range(50)]
     out = uniform_sample(_string_ds(vals, blocks=2), "v", k=k).to_pandas()
     assert len(out) == k
+
+
+def test_tdigest_quantiles_accuracy():
+    import ray.data as rd
+
+    from theoremkb_ray.stages.sketches import tdigest_quantiles
+
+    rng = np.random.RandomState(6)
+    # skewed distribution: lognormal
+    x = rng.lognormal(0.0, 1.0, size=50_000)
+    ds = rd.from_arrow(
+        pa.table({"v": pa.array(x, pa.float64())})
+    ).repartition(13)
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = tdigest_quantiles(ds, "v", qs, delta=200)
+    for q in qs:
+        exact_rank = q * len(x)
+        # rank error bound ~ 4 * N * q(1-q) / delta, with slack
+        tol = max(4.0 * len(x) * q * (1 - q) / 200, 2.0) * 3
+        got_rank = float((x <= got[q]).sum())
+        assert abs(got_rank - exact_rank) <= tol, (q, got_rank, exact_rank)
+    # extremes clamp to the true min/max
+    ext = tdigest_quantiles(ds, "v", [0.0, 1.0], delta=200)
+    assert ext[0.0] == x.min() and ext[1.0] == x.max()
+
+
+def test_tdigest_partition_invariance_is_approximate_but_stable():
+    import ray.data as rd
+
+    from theoremkb_ray.stages.sketches import tdigest_quantiles
+
+    rng = np.random.RandomState(9)
+    x = rng.randn(20_000)
+    t1 = tdigest_quantiles(
+        rd.from_arrow(pa.table({"v": pa.array(x)})).repartition(3),
+        "v", [0.5], delta=200,
+    )
+    t2 = tdigest_quantiles(
+        rd.from_arrow(pa.table({"v": pa.array(x)})).repartition(17),
+        "v", [0.5], delta=200,
+    )
+    # different partitionings give different digests but both land
+    # within the rank-error envelope of the true median
+    for t in (t1, t2):
+        rank = float((x <= t[0.5]).sum())
+        assert abs(rank - 10_000) < 600

@@ -241,3 +241,125 @@ def uniform_sample(ds, key_col: str, k: int, seed: int = 0):
             lambda b: b.drop_columns(["_rank"]), batch_format="pyarrow"
         )
     )
+
+
+# ---------------------------------------------------- quantile digest
+
+
+def _tdigest_compress(
+    means: np.ndarray, weights: np.ndarray, delta: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge sorted (mean, weight) centroids down to the k-size bound
+    of the t-digest scale function k1 (Dunning & Ertl 2019): a
+    centroid may absorb its neighbor while the merged weight stays
+    under the local capacity q(1-q)·4N/δ, which keeps tail centroids
+    tiny (accurate extreme quantiles) and mid centroids coarse."""
+    if len(means) == 0:
+        return means, weights
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    out_m, out_w = [], []
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    acc = 0.0  # weight fully to the left of the current centroid
+    for m, w in zip(means[1:], weights[1:]):
+        q = (acc + cur_w / 2.0) / total
+        cap = 4.0 * total * q * (1.0 - q) / delta
+        if cur_w + w <= max(cap, 1.0):
+            cur_m += (m - cur_m) * (w / (cur_w + w))
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            acc += cur_w
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def tdigest_quantiles(
+    ds,
+    col: str,
+    quantiles: list[float],
+    delta: int = 200,
+):
+    """Approximate quantiles from a MERGEABLE t-digest: each block
+    emits a compressed (means, weights, min, max) partial — O(δ)
+    doubles regardless of rows — and the driver merges + re-compresses.
+    Unlike the exact two-pass `global_quantiles` operator this is
+    single-pass and its driver state is bounded by δ, not by the
+    value distribution; accuracy is tested against the exact path
+    (rank error ~q(1-q)/δ). Returns {q: value}."""
+
+    def _prebin(x: np.ndarray, k: int):
+        """Sorted equal-weight binning, fully vectorized — the raw
+        block never reaches the (Python-loop) compressor; only <= k
+        pre-binned centroids do. Starts are strictly increasing and
+        non-empty, sidestepping the reduceat trailing-empty-segment
+        trap (see BASELINE.md scale lessons)."""
+        x = np.sort(x)
+        k = min(k, len(x))
+        starts = (np.arange(k) * len(x)) // k
+        sums = np.add.reduceat(x, starts)
+        cnts = np.diff(np.r_[starts, len(x)])
+        return sums / cnts, cnts.astype(np.float64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        if len(x) == 0:
+            return pa.table(
+                {
+                    "m": pa.array([[]], pa.list_(pa.float64())),
+                    "w": pa.array([[]], pa.list_(pa.float64())),
+                    "lo": pa.array([np.inf], pa.float64()),
+                    "hi": pa.array([-np.inf], pa.float64()),
+                }
+            )
+        pm, pw = _prebin(x, 2 * delta)
+        m, w = _tdigest_compress(pm, pw, delta)
+        return pa.table(
+            {
+                "m": pa.array([m.tolist()], pa.list_(pa.float64())),
+                "w": pa.array([w.tolist()], pa.list_(pa.float64())),
+                "lo": pa.array([float(x.min())], pa.float64()),
+                "hi": pa.array([float(x.max())], pa.float64()),
+            }
+        )
+
+    ms, ws = [], []
+    lo, hi = np.inf, -np.inf
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for m_row, w_row in zip(b["m"].to_pylist(), b["w"].to_pylist()):
+            ms.append(np.asarray(m_row, np.float64))
+            ws.append(np.asarray(w_row, np.float64))
+        lo = min(lo, float(pc.min(b["lo"]).as_py()))
+        hi = max(hi, float(pc.max(b["hi"]).as_py()))
+    if not ms or not np.isfinite(lo):
+        return {q: float("nan") for q in quantiles}
+    means, weights = _tdigest_compress(
+        np.concatenate(ms), np.concatenate(ws), delta
+    )
+    total = weights.sum()
+    # centroid midpoints in cumulative-weight space, exact endpoints
+    cum = np.cumsum(weights) - weights / 2.0
+    out = {}
+    for q in quantiles:
+        target = q * total
+        if target <= cum[0]:
+            out[q] = lo if q <= 0 else float(
+                lo + (means[0] - lo) * (target / max(cum[0], 1e-12))
+            )
+        elif target >= cum[-1]:
+            span = total - cum[-1]
+            out[q] = hi if q >= 1 else float(
+                means[-1]
+                + (hi - means[-1])
+                * ((target - cum[-1]) / max(span, 1e-12))
+            )
+        else:
+            out[q] = float(np.interp(target, cum, means))
+    return out
