@@ -87,3 +87,36 @@ def test_skew_megarepos_present():
     c = generate_corpus(50, seed=42, skew=True)["corpus"].to_pandas()
     counts = c["repo"].value_counts()
     assert counts.iloc[0] >= 5  # mega repos own ~10% each
+
+
+def test_jsonl_corpus_roundtrip(tmp_path):
+    """JSONL source/sink: write the synthetic corpus as JSONL, read it
+    back, run ingest — identical doc_ids and shas as the parquet path."""
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.sources.corpus import (
+        read_corpus,
+        read_corpus_jsonl,
+        write_corpus_jsonl,
+    )
+    from theoremkb_ray.stages.ingest import ingest
+    from theoremkb_ray.synth import materialize_corpus
+
+    cdir = materialize_corpus(str(tmp_path / "c"), num_docs=30, seed=3)
+    pq_ds = read_corpus(f"{cdir}/corpus.parquet")
+    jdir = str(tmp_path / "jsonl")
+    write_corpus_jsonl(pq_ds, jdir)
+    j_ds = read_corpus_jsonl(jdir)
+    a = (
+        ingest(read_corpus(f"{cdir}/corpus.parquet"))
+        .to_pandas()[["doc_id", "content_sha256"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        ingest(j_ds)
+        .to_pandas()[["doc_id", "content_sha256"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)

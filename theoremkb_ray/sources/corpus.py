@@ -70,3 +70,29 @@ def corpus_from_documents(sf_dir: str):
         columns=["doc_id", "text", "lang", "source"],
     )
     return ds.map_batches(corpus_from_documents_batch, batch_format="pyarrow")
+
+
+def read_corpus_jsonl(path: str, with_sha: bool = True):
+    """Read a JSONL corpus (one document object per line — the
+    interchange format crawled corpora actually arrive in) into the
+    corpus shape. Ray's ``read_json`` splits files into parallel read
+    tasks, so a directory of .jsonl(.gz) shards streams exactly like
+    parquet; columns outside the corpus schema are pruned immediately
+    after parse (JSON can't project at the read the way parquet can —
+    prefer parquet once the data is under your control)."""
+    import ray.data as rd
+
+    cols = list(_CORPUS_COLS if with_sha else _CORPUS_COLS[:-1])
+
+    def prune(b: pa.Table) -> pa.Table:
+        have = [c for c in cols if c in b.column_names]
+        return b.select(have)
+
+    return rd.read_json(path).map_batches(prune, batch_format="pyarrow")
+
+
+def write_corpus_jsonl(ds, out_dir: str):
+    """Inverse of :func:`read_corpus_jsonl` (Dataset.write_json — one
+    shard per block, resumable at the directory level)."""
+    ds.write_json(out_dir)
+    return out_dir
