@@ -2313,6 +2313,142 @@ FROM st
 """
 
 
+#: event types pivoted into columns (fixed, so the schema is static)
+PIVOT_TYPES = ["click", "view", "purchase", "error"]
+
+
+def q_pivot_events(sf_dir: str):
+    """PIVOT: per-user event-type counts as COLUMNS. Partial pivot per
+    batch (one bincount over user×type), tiny final groupby over the
+    partials — the pivot happens before the exchange, so only
+    (users × 4) partial rows shuffle, never events."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+    type_arr = pa.array(PIVOT_TYPES, pa.string())
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pc.index_in(b["event_type"], value_set=type_arr).to_numpy(
+            zero_copy_only=False
+        )
+        keep = ~np.isnan(t)
+        u, t = u[keep], t[keep].astype(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        k = len(PIVOT_TYPES)
+        counts = np.bincount(inv * k + t, minlength=len(uu) * k).reshape(
+            len(uu), k
+        )
+        cols = {"user_id": pa.array(uu, pa.int64())}
+        for j, name in enumerate(PIVOT_TYPES):
+            cols[f"n_{name}"] = pa.array(counts[:, j], pa.int64())
+        return pa.table(cols)
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            *[
+                _Sum(f"n_{name}", alias_name=f"n_{name}")
+                for name in PIVOT_TYPES
+            ]
+        )
+    )
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def q_latest_record(sf_dir: str):
+    """Latest-record-wins dedup (the SCD/crawl pattern: keep each
+    key's newest row): per-batch prune to each user's latest event,
+    then one coarse-bucket exchange finishes the argmax — only
+    (users × blocks) pruned rows move."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prune(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) if isinstance(b["ts"], pa.ChunkedArray) else b["ts"].cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        # latest = max (ts, event_id) per user within the batch
+        order = np.lexsort((eid, ts, u))
+        last = np.flatnonzero(
+            np.r_[u[order][1:] != u[order][:-1], True]
+        )
+        return b.take(pa.array(order[last], pa.int64()))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        keep = g.groupby("user_id", sort=False).tail(1)
+        return keep.drop(columns=["bucket"])
+
+    return _by_user_bucket(pruned).map_groups(
+        finish, batch_format="pandas"
+    )
+
+
+SQL_LATEST_RECORD = """
+SELECT event_id, user_id, ts, value FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_percentile_rank(sf_dir: str):
+    """PERCENT_RANK of order value within priority: exact SQL
+    semantics (rank-1)/(n-1), vectorized per group."""
+    orders = _pq(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def pr(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], kind="mergesort"
+        ).reset_index(drop=True)
+        n = len(g)
+        # RANK() with gaps over o_totalprice alone
+        vals = g["o_totalprice"].to_numpy()
+        first = np.r_[True, vals[1:] != vals[:-1]]
+        rank = np.arange(1, n + 1)[first][np.cumsum(first) - 1]
+        g["prank"] = np.round(
+            (rank - 1) / (n - 1) if n > 1 else np.zeros(n), 6
+        )
+        return g
+
+    return orders.groupby("o_orderpriority").map_groups(
+        pr, batch_format="pandas"
+    )
+
+
+SQL_PERCENTILE_RANK = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice), 6) AS prank
+FROM orders
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -2369,4 +2505,7 @@ REGISTRY: dict[str, tuple] = {
     "ntile": (q_ntile, SQL_NTILE),
     "node_clustering": (q_node_clustering, SQL_NODE_CLUSTERING),
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
+    "pivot_events": (q_pivot_events, SQL_PIVOT_EVENTS),
+    "latest_record": (q_latest_record, SQL_LATEST_RECORD),
+    "percentile_rank": (q_percentile_rank, SQL_PERCENTILE_RANK),
 }
