@@ -791,6 +791,33 @@ def _tdigest_docs(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _corpus_build(sf_dir: str):
+    """The composed LLM corpus-build pipeline
+    (pipelines/corpus_build.py): quality -> language -> exact dedup ->
+    MinHash near-dedup -> decontaminate -> redact -> mixture -> chunk
+    -> shard. Returns the per-stage row report. Every stage is an
+    independently oracle-checked operator; the composition itself is
+    deterministic (asserted in tests/test_corpus_build.py)."""
+    import duckdb
+
+    from theoremkb_ray.pipelines.corpus_build import run_corpus_build
+
+    bench = (
+        duckdb.sql(
+            f"SELECT text FROM '{sf_dir}/documents.parquet' LIMIT 3"
+        )
+        .df()["text"]
+        .tolist()
+    )
+    return run_corpus_build(
+        f"{sf_dir}/documents.parquet",
+        out_dir=None,
+        langs=["en", "de", "fr", "es", "zh"],
+        quotas={"en": 100, "de": 40, "fr": 40, "es": 40, "zh": 40},
+        bench_texts=bench,
+    )
+
+
 #: quotas for the mixture_sample query — rebalance languages to a
 #: target mix (en-heavy corpus downsampled, the rest kept broader)
 MIXTURE_QUOTAS = {"en": 40, "de": 20, "fr": 20, "es": 20, "zh": 20}
@@ -872,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "seg_crossval": _seg_crossval,
             "ivfpq_topk_docs": _ivfpq_topk_docs,
             "tdigest_docs": _tdigest_docs,
+            "corpus_build": _corpus_build,
         }
     )
     return out

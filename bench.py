@@ -213,6 +213,17 @@ def run_bench() -> dict:
         semdedup(emb, num_clusters=10, threshold=0.45).to_pandas()
         timings["semdedup"] = round(time.perf_counter() - t0, 3)
 
+        # ---------------- composed corpus build (streaming) ----------
+        from theoremkb_ray.pipelines.corpus_build import run_corpus_build
+
+        t0 = time.perf_counter()
+        run_corpus_build(
+            f"{SF_DIR}/documents.parquet",
+            out_dir="/tmp/bench_corpus_build",
+            report=False,
+        )
+        timings["corpus_build"] = round(time.perf_counter() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "kg_e2e",

@@ -92,7 +92,9 @@ def test_shuffle_shards_matches_window_reference():
         1 << 32
     )
     df = pd.DataFrame({"doc_id": ids, "rnk": rnk.astype(np.int64)})
-    df["shard"] = df["rnk"] % 16
+    # XOR-fold before the modulo (a bare Knuth rank's low bits are the
+    # identity — see stages/sampling.py:shuffle_shards)
+    df["shard"] = ((rnk >> np.uint64(16)) ^ rnk).astype(np.int64) % 16
     df["pos"] = (
         df.sort_values(["rnk", "doc_id"])
         .groupby("shard")

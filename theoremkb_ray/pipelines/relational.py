@@ -1739,13 +1739,19 @@ WITH h AS (
   SELECT doc_id,
          (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS rnk
   FROM documents
+),
+s AS (
+  SELECT doc_id, rnk,
+         xor(CAST(rnk AS BIGINT) // 65536, CAST(rnk AS BIGINT)) % 16
+           AS shard
+  FROM h
 )
 SELECT doc_id,
-       CAST(rnk % 16 AS BIGINT) AS shard,
-       CAST(row_number() OVER (PARTITION BY rnk % 16
+       CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard
                                ORDER BY rnk, doc_id) - 1 AS BIGINT)
          AS pos
-FROM h
+FROM s
 """
 
 

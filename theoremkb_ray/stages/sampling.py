@@ -171,9 +171,13 @@ def shuffle_shards(
     the step after :func:`mixture_sample` in a corpus build — shard the
     kept docs into ``num_shards`` output files in pseudo-random order).
 
-    -> Dataset(key, shard, pos): ``shard = knuth(key) % num_shards``,
-    ``pos`` = the row's position within its shard under
-    ``(knuth(key), key)`` order. A global ``random_shuffle`` would move
+    -> Dataset(key, shard, pos): ``shard = fold(knuth(key)) %
+    num_shards`` where ``fold(r) = (r >> 16) XOR r`` — the XOR fold
+    matters: a multiplicative (Knuth) hash's LOW bits are nearly the
+    identity (the multiplier is odd, so ``r mod 16 == key mod 16``),
+    and ``r % S`` without the fold degenerates to ``key % S`` — not a
+    shuffle at all. ``pos`` = the row's position within its shard
+    under ``(knuth(key), key)`` order. A global ``random_shuffle`` would move
     every byte through an all-to-all exchange; here ONLY the
     (key, hash) pairs participate, and writers later co-locate payloads
     by (shard, pos) with a partitioned sink. Equivalent to DuckDB
@@ -198,7 +202,9 @@ def shuffle_shards(
             b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         )
         rank = (keys.astype(np.uint64) * _KNUTH) % _MOD32
-        shard = (rank % np.uint64(num_shards)).astype(np.int64)
+        shard = (
+            ((rank >> np.uint64(16)) ^ rank) % np.uint64(num_shards)
+        ).astype(np.int64)
         bucket = shard * n_sub + (rank >> shift).astype(np.int64)
         return pa.table(
             {
