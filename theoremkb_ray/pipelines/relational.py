@@ -2455,6 +2455,86 @@ FROM orders
 """
 
 
+def q_cross_join(sf_dir: str):
+    """CROSS JOIN of two small dimension tables (region x nation) —
+    the only join shape where broadcast is the ONLY sane plan; the
+    broadcast side rides the object store once per worker."""
+    region = _pq(sf_dir, "region", ["r_regionkey", "r_name"])
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+
+    def cross(b: pd.DataFrame) -> pd.DataFrame:
+        return b.merge(nation, how="cross")
+
+    return region.map_batches(cross, batch_format="pandas")
+
+
+SQL_CROSS_JOIN = """
+SELECT r_regionkey, r_name, n_nationkey, n_name
+FROM region CROSS JOIN nation
+"""
+
+
+def q_intersect_keys(sf_dir: str):
+    """INTERSECT: customer keys that appear in both the orders and
+    events key spaces — distinct-intersection via two semi joins over
+    pruned key columns."""
+    from ..stages.joins import broadcast_join
+
+    ev_users = (
+        _pq(sf_dir, "events", ["user_id"])
+        .groupby("user_id")
+        .count()
+        .select_columns(["user_id"])
+    )
+    o_keys = (
+        _pq(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .count()
+        .select_columns(["o_custkey"])
+    )
+    return broadcast_join(
+        o_keys, ev_users.to_pandas(), on=["o_custkey"],
+        right_on=["user_id"], how="semi",
+    )
+
+
+SQL_INTERSECT_KEYS = """
+SELECT o_custkey FROM orders
+INTERSECT
+SELECT user_id FROM events
+"""
+
+
+def q_except_keys(sf_dir: str):
+    """EXCEPT: customer keys with orders but no events — distinct keys
+    anti-joined against the (small) distinct event-user set."""
+    from ..stages.joins import broadcast_join
+
+    ev_users = (
+        _pq(sf_dir, "events", ["user_id"])
+        .groupby("user_id")
+        .count()
+        .select_columns(["user_id"])
+    )
+    o_keys = (
+        _pq(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .count()
+        .select_columns(["o_custkey"])
+    )
+    return broadcast_join(
+        o_keys, ev_users.to_pandas(), on=["o_custkey"],
+        right_on=["user_id"], how="anti",
+    )
+
+
+SQL_EXCEPT_KEYS = """
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT user_id FROM events
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -2514,4 +2594,7 @@ REGISTRY: dict[str, tuple] = {
     "pivot_events": (q_pivot_events, SQL_PIVOT_EVENTS),
     "latest_record": (q_latest_record, SQL_LATEST_RECORD),
     "percentile_rank": (q_percentile_rank, SQL_PERCENTILE_RANK),
+    "cross_join": (q_cross_join, SQL_CROSS_JOIN),
+    "intersect_keys": (q_intersect_keys, SQL_INTERSECT_KEYS),
+    "except_keys": (q_except_keys, SQL_EXCEPT_KEYS),
 }
