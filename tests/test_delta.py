@@ -164,3 +164,49 @@ def test_serve_sees_delta_segments(tmp_path):
     meta = load_store_meta(store)
     rows = lookup_subject(store, subj, meta)
     assert rows and all(r["subject"] == subj for r in rows)
+
+
+def test_compaction_folds_delta_segments(tmp_path):
+    """repartition_store folds delta_NNN segments into the new base
+    and carries the _processed sidecar, so incremental ingest keeps
+    its dedup memory on the compacted store."""
+    import glob
+    import os
+
+    from theoremkb_ray.sources.sinks import repartition_store
+
+    base_dir = materialize_corpus(str(tmp_path / "b"), num_docs=50, seed=9)
+    extra_dir = materialize_corpus(str(tmp_path / "e"), num_docs=15, seed=77)
+    store = str(tmp_path / "s")
+    run_kg(
+        f"{base_dir}/corpus.parquet", store, segmenter="naive",
+        canonicalize=False, num_partitions=4,
+    )
+    record_processed(read_corpus(f"{base_dir}/corpus.parquet"), store)
+    extra_t = pq.read_table(f"{extra_dir}/corpus.parquet")
+    extra_t = extra_t.set_column(
+        extra_t.column_names.index("repo"), "repo",
+        pa.array(
+            ["cnew/" + r for r in extra_t["repo"].to_pylist()], pa.string()
+        ),
+    )
+    combined = pa.concat_tables(
+        [pq.read_table(f"{base_dir}/corpus.parquet"), extra_t],
+        promote_options="default",
+    )
+    comb_path = str(tmp_path / "c.parquet")
+    pq.write_table(combined, comb_path)
+    run_kg_delta(comb_path, store, segmenter="naive", canonicalize=False)
+    before = _triple_set(read_triples(store))
+
+    compacted = str(tmp_path / "s2")
+    rep = repartition_store(store, compacted, num_partitions=6)
+    assert rep["rows"] == len(before)
+    # no delta segments in the compacted store; content identical
+    assert not glob.glob(os.path.join(compacted, "delta_*"))
+    assert _triple_set(read_triples(compacted)) == before
+    # sidecar carried: a re-run of the same corpus finds nothing new
+    res = run_kg_delta(
+        comb_path, compacted, segmenter="naive", canonicalize=False
+    )
+    assert res["n_new"] == 0

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -493,4 +494,14 @@ def repartition_store(
         lineage=f"compact:{store_dir}",
     )
     rows = [r["rows"] for r in summary.take_all()]
+    # compaction folds delta_NNN segments into the base partitions
+    # (read_triples unions them); carry the _processed/ sidecar over
+    # so incremental ingest keeps its dedup memory on the new store
+    src_sidecar = os.path.join(store_dir, "_processed")
+    if os.path.isdir(src_sidecar):
+        shutil.copytree(
+            src_sidecar,
+            os.path.join(out_dir, "_processed"),
+            dirs_exist_ok=True,
+        )
     return {"partitions": len(rows), "rows": int(sum(rows))}
