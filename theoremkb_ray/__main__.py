@@ -207,6 +207,42 @@ def cmd_delta(args) -> int:
     return 0
 
 
+def cmd_build_corpus(args) -> int:
+    """Composed LLM corpus build (pipelines/corpus_build.py)."""
+    from .pipelines.corpus_build import run_corpus_build
+
+    quotas = json.loads(args.quotas) if args.quotas else None
+    langs = args.langs.split(",") if args.langs else None
+    rep = run_corpus_build(
+        args.docs,
+        out_dir=args.out,
+        quality_min=args.quality_min,
+        langs=langs,
+        quotas=quotas,
+        num_shards=args.shards,
+        report=not args.no_report,
+    )
+    print(rep.to_json(orient="records"))
+    return 0
+
+
+def cmd_watch(args) -> int:
+    """Micro-batch continuous ingestion (pipelines/stream.py)."""
+    from .pipelines.stream import watch_and_ingest
+
+    log = watch_and_ingest(
+        args.watch_dir,
+        args.store,
+        poll_interval=args.poll,
+        max_rounds=args.max_rounds,
+        stop_after_idle=args.stop_after_idle,
+        segmenter=args.segmenter,
+        canonicalize=not args.no_canonicalize,
+    )
+    print(log.to_json(orient="records"))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="theoremkb_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -269,6 +305,30 @@ def main(argv: list[str] | None = None) -> int:
         "sidecar for a store built by `apply`)",
     )
     dp.set_defaults(fn=cmd_delta)
+
+    cb = sub.add_parser(
+        "build-corpus", help="composed LLM corpus curation chain"
+    )
+    cb.add_argument("--docs", required=True)
+    cb.add_argument("--out")
+    cb.add_argument("--quality-min", type=float, default=0.2)
+    cb.add_argument("--langs", help="comma-separated lang allowlist")
+    cb.add_argument("--quotas", help='JSON dict, e.g. {"en": 100}')
+    cb.add_argument("--shards", type=int, default=16)
+    cb.add_argument("--no-report", action="store_true")
+    cb.set_defaults(fn=cmd_build_corpus)
+
+    wp = sub.add_parser(
+        "watch", help="micro-batch continuous ingestion from a directory"
+    )
+    wp.add_argument("--watch-dir", required=True)
+    wp.add_argument("--store", required=True)
+    wp.add_argument("--poll", type=float, default=5.0)
+    wp.add_argument("--max-rounds", type=int)
+    wp.add_argument("--stop-after-idle", type=int, default=2)
+    wp.add_argument("--segmenter", default="crf")
+    wp.add_argument("--no-canonicalize", action="store_true")
+    wp.set_defaults(fn=cmd_watch)
 
     bp = sub.add_parser("bench", help="time the triple pipeline")
     bp.add_argument("--corpus", required=True)
