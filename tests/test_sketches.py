@@ -157,3 +157,32 @@ def test_tdigest_partition_invariance_is_approximate_but_stable():
     for t in (t1, t2):
         rank = float((x <= t[0.5]).sum())
         assert abs(rank - 10_000) < 600
+
+
+def test_tdigest_grouped_accuracy():
+    import ray.data as rd
+
+    from theoremkb_ray.stages.sketches import tdigest_quantiles_grouped
+
+    rng = np.random.RandomState(12)
+    g = rng.randint(0, 5, size=30_000)
+    # distinct per-group distributions (shifted normals)
+    x = rng.randn(30_000) + g * 10.0
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "grp": pa.array(g.astype(np.int64)),
+                "v": pa.array(x, pa.float64()),
+            }
+        )
+    ).repartition(9)
+    out = tdigest_quantiles_grouped(
+        ds, "grp", "v", [0.1, 0.5, 0.9], delta=100
+    ).to_pandas()
+    assert len(out) == 15
+    for _, row in out.iterrows():
+        sel = x[g == row["grp"]]
+        rank = float((sel <= row["est"]).sum())
+        want = row["q"] * len(sel)
+        tol = max(4 * len(sel) * row["q"] * (1 - row["q"]) / 100, 2) * 3
+        assert abs(rank - want) <= tol, (row["grp"], row["q"])

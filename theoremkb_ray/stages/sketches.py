@@ -363,3 +363,103 @@ def tdigest_quantiles(
         else:
             out[q] = float(np.interp(target, cum, means))
     return out
+
+
+def tdigest_quantiles_grouped(
+    ds,
+    group_col: str,
+    col: str,
+    quantiles: list[float],
+    delta: int = 100,
+):
+    """Per-group approximate quantiles from mergeable digests ->
+    Dataset(group, q, est).
+
+    Per block, each group present gets one compressed digest row
+    (O(groups-per-block × δ) partial output, independent of row
+    count); the per-group fold happens inside ``groupby(group)`` —
+    the exchange is group-bounded, exactly like
+    `cluster.grouped_centroids`. The single-group accuracy contract
+    (rank error ~q(1-q)/δ, exact min/max endpoints) is inherited from
+    :func:`tdigest_quantiles` and tested per group."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b[group_col].to_numpy(zero_copy_only=False)
+        x = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(g, kind="mergesort")
+        g, x = g[order], x[order]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        rows_g, rows_m, rows_w, rows_lo, rows_hi = [], [], [], [], []
+        for s, e in zip(starts, ends):
+            xi = x[s:e]
+            xi = xi[~np.isnan(xi)]
+            if not len(xi):
+                continue
+            xs = np.sort(xi)
+            k = min(2 * delta, len(xs))
+            bs = (np.arange(k) * len(xs)) // k
+            sums = np.add.reduceat(xs, bs)
+            cnts = np.diff(np.r_[bs, len(xs)])
+            m, w = _tdigest_compress(
+                sums / cnts, cnts.astype(np.float64), delta
+            )
+            rows_g.append(g[s])
+            rows_m.append(m.tolist())
+            rows_w.append(w.tolist())
+            rows_lo.append(float(xs[0]))
+            rows_hi.append(float(xs[-1]))
+        return pa.table(
+            {
+                group_col: pa.array(rows_g),
+                "m": pa.array(rows_m, pa.list_(pa.float64())),
+                "w": pa.array(rows_w, pa.list_(pa.float64())),
+                "lo": pa.array(rows_lo, pa.float64()),
+                "hi": pa.array(rows_hi, pa.float64()),
+            }
+        )
+
+    def fold(gdf: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate(
+            [np.asarray(v, np.float64) for v in gdf["m"]]
+        )
+        weights = np.concatenate(
+            [np.asarray(v, np.float64) for v in gdf["w"]]
+        )
+        means, weights = _tdigest_compress(means, weights, delta)
+        lo, hi = float(gdf["lo"].min()), float(gdf["hi"].max())
+        total = weights.sum()
+        cum = np.cumsum(weights) - weights / 2.0
+        out_q, out_e = [], []
+        for q in quantiles:
+            target = q * total
+            if target <= cum[0]:
+                est = lo if q <= 0 else float(
+                    lo + (means[0] - lo) * (target / max(cum[0], 1e-12))
+                )
+            elif target >= cum[-1]:
+                span = total - cum[-1]
+                est = hi if q >= 1 else float(
+                    means[-1]
+                    + (hi - means[-1])
+                    * ((target - cum[-1]) / max(span, 1e-12))
+                )
+            else:
+                est = float(np.interp(target, cum, means))
+            out_q.append(q)
+            out_e.append(est)
+        return pd.DataFrame(
+            {
+                group_col: [gdf[group_col].iloc[0]] * len(out_q),
+                "q": out_q,
+                "est": out_e,
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(fold, batch_format="pandas")
+    )
