@@ -105,6 +105,48 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    if ONLY == "corpus":
+        # scaled corpus-build flagship: the sf documents table
+        # replicated REP x with re-keyed doc_ids (cached on disk) so
+        # the parallel fraction dominates Ray's fixed overheads
+        import glob
+        import shutil as _sh
+
+        from theoremkb_ray.pipelines.corpus_build import run_corpus_build
+
+        rep = int(os.environ.get("GRAFT_CORPUS_REP", "200"))
+        base = pq.read_table(f"{SF_DIR}/documents.parquet")
+        n = base.num_rows
+        cache = f"/tmp/tkb_bench_docs_{n}x{rep}"
+        if not glob.glob(f"{cache}/*.parquet"):
+            _sh.rmtree(cache, ignore_errors=True)
+            os.makedirs(cache, exist_ok=True)
+            import pyarrow as _pa
+
+            ids = base["doc_id"].to_numpy(zero_copy_only=False)
+            for i in range(rep):
+                t = base.set_column(
+                    base.column_names.index("doc_id"),
+                    "doc_id",
+                    _pa.array(ids + i * n, _pa.int64()),
+                )
+                pq.write_table(t, f"{cache}/rep_{i:04d}.parquet")
+        out_dir = "/tmp/tkb_bench_corpus_build_out"
+        _sh.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        run_corpus_build(cache, out_dir=out_dir, report=False)
+        sec = round(time.perf_counter() - t0, 3)
+        ray.shutdown()
+        return {
+            "metric": "corpus_build",
+            "value": sec,
+            "unit": "sec",
+            "docs": n * rep,
+            "docs_per_sec": round(n * rep / sec, 1),
+            "sf": sf,
+            "num_cpus": NUM_CPUS,
+        }
+
     # ---------------- headline: KG construction end-to-end ----------
     cdir = _kg_corpus_dir(sf)
     links = pq.read_table(f"{cdir}/links")
@@ -280,8 +322,48 @@ def run_scaling() -> dict:
     }
 
 
+def run_scaling_corpus() -> dict:
+    """The corpus-build flagship at 8 vs 32 CPUs (same min-of-2
+    protocol as run_scaling; the replicated input is cached so both
+    legs read identical bytes). Not part of the driver's default
+    --scaling run — invoke with --scaling-corpus; the result is
+    recorded in BASELINE.md."""
+
+    def run_once(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ONLY="corpus"
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        a, b = run_once(ncpu), run_once(ncpu)
+        return a if a["value"] <= b["value"] else b
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "corpus_build_scaling",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "docs": r_hi["docs"],
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-corpus" in sys.argv:
+        print(json.dumps(run_scaling_corpus()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))
