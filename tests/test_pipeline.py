@@ -78,3 +78,36 @@ def test_ingest_adds_doc_id_and_sha(gold100):
     ].to_pylist()
     did = out["doc_id"].to_pylist()[0]
     assert "@" in did and did.startswith(out["repo"].to_pylist()[0])
+
+
+def test_flagship_invariant_under_partitioning(tmp_path):
+    """The same corpus through run_kg at different partition counts
+    and input block layouts yields the identical triple SET — the
+    repo's determinism-under-any-parallelism contract at flagship
+    granularity (CRF decode, canonical ids, sink partitioning are all
+    partition-independent by construction)."""
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.pipelines.kg import run_kg
+    from theoremkb_ray.sources.sinks import read_triples
+    from theoremkb_ray.synth import materialize_corpus
+
+    cdir = materialize_corpus(str(tmp_path / "c"), num_docs=60, seed=21)
+    links = pq.read_table(f"{cdir}/links.parquet")
+
+    def triples(store, parts):
+        run_kg(
+            f"{cdir}/corpus.parquet", store, links_tbl=links,
+            segmenter="crf", canonicalize=True, num_partitions=parts,
+        )
+        df = read_triples(store).to_pandas()
+        return set(
+            map(
+                tuple,
+                df[["subject", "predicate", "object"]].itertuples(False),
+            )
+        )
+
+    a = triples(str(tmp_path / "s3"), 3)
+    b = triples(str(tmp_path / "s8"), 8)
+    assert a == b and len(a) > 0

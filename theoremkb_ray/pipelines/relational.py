@@ -2535,6 +2535,38 @@ SELECT user_id FROM events
 """
 
 
+def q_fuzzy_pairs(sf_dir: str):
+    """Deletion-neighborhood fuzzy self-join (stages/fuzzy.py):
+    document pairs whose first-12-token prefixes are within one token
+    edit (insert/delete/substitute). Oracle re-derives the identical
+    variant definition in DuckDB and exact-joins on variant strings —
+    the implementation also compares real strings inside its coarse
+    groups, so hash collisions cannot create extra pairs."""
+    from ..stages.fuzzy import fuzzy_pairs
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return fuzzy_pairs(docs, max_tokens=12)
+
+
+SQL_FUZZY_PAIRS = """
+WITH t AS (
+  SELECT doc_id, (string_split(text, ' '))[1:12] AS toks FROM documents
+),
+v AS (
+  SELECT doc_id, array_to_string(toks, ' ') AS variant FROM t
+  UNION ALL
+  SELECT doc_id,
+         array_to_string(
+           list_concat(toks[1:i-1], toks[i+1:len(toks)]), ' ')
+  FROM t, unnest(generate_series(1, len(toks))) AS s(i)
+  WHERE len(toks) > 1
+)
+SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                greatest(a.doc_id, b.doc_id) AS id_b
+FROM v a JOIN v b ON a.variant = b.variant AND a.doc_id <> b.doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -2597,4 +2629,5 @@ REGISTRY: dict[str, tuple] = {
     "cross_join": (q_cross_join, SQL_CROSS_JOIN),
     "intersect_keys": (q_intersect_keys, SQL_INTERSECT_KEYS),
     "except_keys": (q_except_keys, SQL_EXCEPT_KEYS),
+    "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
 }
