@@ -66,14 +66,20 @@ def segment_mean_std(
     """Population mean/std per segment (the reference's ``.agg(['std',
     'mean'])`` analog; population std so a 1-child segment is 0)."""
     counts = np.diff(offsets).astype(np.float64)
-    s1 = segment_sums(values, offsets)
-    s2 = segment_sums(
-        np.asarray(values, dtype=np.float64) ** 2, offsets
-    )
+    vals = np.asarray(values, dtype=np.float64)
+    s1 = segment_sums(vals, offsets)
     n = np.maximum(counts, 1.0)
     mean = s1 / n
-    var = np.maximum(s2 / n - mean**2, 0.0)
     mean[counts == 0] = 0.0
+    # two-pass centered variance: E[x²]-E[x]² cancels catastrophically
+    # when |mean| >> std (hypothesis found a 3e-5 absolute error on
+    # values ~1e3 with spread ~1) — subtract the segment mean FIRST
+    seg_of = np.repeat(
+        np.arange(len(counts), dtype=np.int64), np.diff(offsets)
+    )
+    centered_sq = (vals - mean[seg_of]) ** 2
+    s2c = segment_sums(centered_sq, offsets)
+    var = np.maximum(s2c / n, 0.0)
     return mean, np.sqrt(var)
 
 
