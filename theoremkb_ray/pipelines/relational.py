@@ -2567,6 +2567,87 @@ FROM v a JOIN v b ON a.variant = b.variant AND a.doc_id <> b.doc_id
 """
 
 
+def q_histogram(sf_dir: str):
+    """Fixed-bin histogram of order totals: per-batch bincount
+    partials over width_bucket boundaries -> one tiny groupby. Only
+    (bin, count) partial rows ever move."""
+    orders = _pq(sf_dir, "orders", ["o_totalprice"])
+    LO, HI, BINS = 0.0, 600_000.0, 24
+    width = (HI - LO) / BINS
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        # width_bucket semantics: bin 0 = below LO, BINS+1 = >= HI
+        bins = np.clip(
+            np.floor((x - LO) / width).astype(np.int64) + 1, 0, BINS + 1
+        )
+        bins[x >= HI] = BINS + 1
+        u, c = np.unique(bins, return_counts=True)
+        return pa.table(
+            {
+                "bin": pa.array(u, pa.int64()),
+                "n": pa.array(c, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+
+SQL_HISTOGRAM = """
+SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 600000 THEN 25
+            ELSE floor(o_totalprice / 25000.0) + 1 END AS BIGINT) AS bin,
+       count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_window_range_frame(sf_dir: str):
+    """Time-RANGE window frame (vs the ROWS frame of
+    `window_moving_avg`): per user, the sum of values in the last hour
+    INCLUDING the current event — per-user sorted prefix sums + one
+    searchsorted per row inside coarse buckets."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    HOUR_US = 3600 * 1_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = g["ts"].astype("int64").to_numpy()
+        val = g["value"].to_numpy(dtype=np.float64)
+        uid = g["user_id"].to_numpy()
+        csum = np.cumsum(val)
+        out = np.empty(len(g))
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        for s, e in zip(starts, ends):
+            t = ts[s:e]
+            lo = np.searchsorted(t, t - HOUR_US, side="left") + s
+            # csum is GLOBAL over the sorted bucket, so subtracting
+            # csum[lo-1] removes both the out-of-window rows of this
+            # user and every earlier user's contribution in one shot
+            out[s:e] = csum[s:e] - np.where(lo > 0, csum[lo - 1], 0.0)
+        g["hour_sum"] = np.round(out, 6)
+        return g.drop(columns=["bucket"])
+
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_WINDOW_RANGE_FRAME = """
+SELECT event_id, user_id, ts, value,
+       round(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ), 6) AS hour_sum
+FROM events
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -2630,4 +2711,6 @@ REGISTRY: dict[str, tuple] = {
     "intersect_keys": (q_intersect_keys, SQL_INTERSECT_KEYS),
     "except_keys": (q_except_keys, SQL_EXCEPT_KEYS),
     "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
+    "histogram": (q_histogram, SQL_HISTOGRAM),
+    "window_range_frame": (q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
 }
