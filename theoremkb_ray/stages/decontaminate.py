@@ -89,3 +89,90 @@ def decontaminate(ds, bench_texts, col: str = "text", k: int = NGRAM):
         ),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------- bloom scale path
+
+
+def benchmark_bloom(
+    bench_ds, col: str = "text", k: int = NGRAM,
+    bits: int = 1 << 26, hashes: int = 4,
+):
+    """Bloom bitmap of a benchmark DATASET's k-gram hashes — the scale
+    path when the eval side is itself too large for an exact sorted
+    gram array (the broadcast fingerprint above is ~8 bytes/gram; the
+    bitmap is ``bits/8`` bytes TOTAL — 8 MiB at the 2^26 default —
+    regardless of benchmark size). Per-block distinct positions stream
+    to a driver OR, same mechanics as `joins.bloom_semi_join`."""
+    from .joins import _bloom_positions
+
+    def positions(b: pa.Table) -> pa.Table:
+        flat, starts = flat_token_hashes_arrow(b[col])
+        grams, _ = shingle_hashes_flat(flat, starts, k=k)
+        pos = np.unique(
+            _bloom_positions(
+                np.unique(grams).astype(np.int64), bits, hashes
+            )
+        )
+        return pa.table({"p": pa.array(pos, pa.int64())})
+
+    words = np.zeros(bits // 64, np.uint64)
+    for b in (
+        bench_ds.select_columns([col])
+        .map_batches(positions, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        p = b["p"].to_numpy(zero_copy_only=False)
+        np.bitwise_or.at(
+            words, p // 64, np.uint64(1) << (p % 64).astype(np.uint64)
+        )
+    return words
+
+
+def decontaminate_bloom(
+    ds, bench_ds, col: str = "text", k: int = NGRAM,
+    bits: int = 1 << 26, hashes: int = 4,
+):
+    """Drop corpus docs sharing any k-gram with the benchmark DATASET,
+    via the Bloom fingerprint. One-sided error: NO false negatives
+    (every truly contaminated doc is dropped — the property that
+    matters for decontamination), a small false-positive rate
+    (~0.024 at 4 hashes / 8 bits-per-gram) drops a few clean docs —
+    the conservative direction. Exactness vs the broadcast path is
+    bounded in tests/test_decontaminate.py."""
+    import ray
+
+    from .joins import _bloom_positions
+
+    words_ref = ray.put(benchmark_bloom(bench_ds, col, k, bits, hashes))
+
+    class BloomFlagger:
+        def __init__(self) -> None:
+            from ..state.broadcast import get_broadcast
+
+            self.words = get_broadcast(words_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            flat, starts = flat_token_hashes_arrow(batch[col])
+            grams, gdoc = shingle_hashes_flat(flat, starts, k=k)
+            clean = np.ones(n, dtype=bool)
+            if len(grams):
+                pos = _bloom_positions(
+                    grams.astype(np.int64), bits, hashes
+                )
+                hit = (
+                    (self.words[pos // 64]
+                     >> (pos % 64).astype(np.uint64))
+                    & np.uint64(1)
+                ).astype(bool).all(axis=1)
+                bad = np.unique(gdoc[hit])
+                clean[bad] = False
+            return batch.filter(pa.array(clean))
+
+    return ds.map_batches(
+        BloomFlagger,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
