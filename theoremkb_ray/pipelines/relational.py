@@ -2648,6 +2648,66 @@ FROM events
 """
 
 
+def q_describe_stats(sf_dir: str):
+    """One-pass table profiling (stages/profile.py:describe): the
+    EXACT numeric stats (count/nulls/min/max/mean/stddev_pop) of
+    selected lineitem columns, long form — mergeable Welford moments,
+    one streamed pass for all columns together. The HLL distinct
+    estimate describe() also returns is approximate and excluded from
+    the hash check (tested separately)."""
+    from ..stages.profile import describe
+
+    li = _pq(
+        sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+    df = describe(li)
+    rows = []
+    for _, r in df.iterrows():
+        for stat in ["n", "n_null", "min", "max", "mean", "std"]:
+            rows.append(
+                {
+                    "col": r["column"],
+                    "stat": stat,
+                    "value": round(float(r[stat]), 6),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+SQL_DESCRIBE_STATS = """
+WITH s AS (
+  SELECT 'l_quantity' AS col,
+         CAST(count(l_quantity) AS DOUBLE) AS n,
+         CAST(count(*) - count(l_quantity) AS DOUBLE) AS n_null,
+         CAST(min(l_quantity) AS DOUBLE) AS mn,
+         CAST(max(l_quantity) AS DOUBLE) AS mx,
+         avg(CAST(l_quantity AS DOUBLE)) AS mean,
+         stddev_pop(CAST(l_quantity AS DOUBLE)) AS std
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', CAST(count(l_extendedprice) AS DOUBLE),
+         CAST(count(*) - count(l_extendedprice) AS DOUBLE),
+         CAST(min(l_extendedprice) AS DOUBLE),
+         CAST(max(l_extendedprice) AS DOUBLE),
+         avg(CAST(l_extendedprice AS DOUBLE)),
+         stddev_pop(CAST(l_extendedprice AS DOUBLE))
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', CAST(count(l_discount) AS DOUBLE),
+         CAST(count(*) - count(l_discount) AS DOUBLE),
+         CAST(min(l_discount) AS DOUBLE),
+         CAST(max(l_discount) AS DOUBLE),
+         avg(CAST(l_discount AS DOUBLE)),
+         stddev_pop(CAST(l_discount AS DOUBLE))
+  FROM lineitem
+)
+SELECT col, u.stat, round(u.value, 6) AS value
+FROM s, LATERAL (VALUES ('n', n), ('n_null', n_null), ('min', mn),
+                 ('max', mx), ('mean', mean), ('std', std))
+         AS u(stat, value)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -2713,4 +2773,5 @@ REGISTRY: dict[str, tuple] = {
     "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
     "histogram": (q_histogram, SQL_HISTOGRAM),
     "window_range_frame": (q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
+    "describe_stats": (q_describe_stats, SQL_DESCRIBE_STATS),
 }
