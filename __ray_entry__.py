@@ -818,6 +818,48 @@ def _corpus_build(sf_dir: str):
     )
 
 
+def _media_search(sf_dir: str):
+    """Multimodal composition (stages/multimodal.py): synthetic media
+    -> actor-pool fake decode -> resize -> projection embedding ->
+    cosine top-3 per query over the media embeddings
+    (stages/similarity.py:brute_topk). Deterministic end to end; the
+    decode/resize/embed contracts are tested in tests/test_vision.py."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from theoremkb_ray.stages.multimodal import (
+        decode_media,
+        embed_media,
+        resize_media,
+        synth_media_table,
+    )
+    from theoremkb_ray.stages.similarity import brute_topk
+
+    ds = rd.from_arrow(synth_media_table(64, seed=11)).repartition(4)
+    emb = embed_media(decode_media(resize_media(ds))).materialize()
+    with_id = emb.map_batches(
+        lambda b: b.append_column(
+            "vec_id",
+            pa.array(
+                [int(m[1:]) for m in b["media_id"].to_pylist()],
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    df = with_id.to_pandas().sort_values("vec_id")
+    Q = np.stack(
+        [np.asarray(v, np.float32) for v in df["embedding"].head(3)]
+    )
+    out = brute_topk(with_id, Q, k=3).to_pandas()
+    out["score"] = out["score"].round(6)
+    return out.sort_values(["query_id", "score", "vec_id"],
+                           ascending=[True, False, True]).reset_index(
+        drop=True
+    )
+
+
 #: quotas for the mixture_sample query — rebalance languages to a
 #: target mix (en-heavy corpus downsampled, the rest kept broader)
 MIXTURE_QUOTAS = {"en": 40, "de": 20, "fr": 20, "es": 20, "zh": 20}
@@ -878,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "decontaminate_docs": _decontaminate_docs,
             "substring_dups": _substring_dups,
             "media_decode": _media_decode,
+            "media_search": _media_search,
             "page_segment": _page_segment,
             "agreement_diff": _agreement_diff,
             "agreement_spans": _agreement_spans,

@@ -65,3 +65,63 @@ def test_segment_pages_actor_pool_recovers_planted_bands():
         ).any():
             hits += 1
     assert hits / len(g) >= 0.95
+
+
+def test_media_resize_contract():
+    import ray.data as rd
+
+    from theoremkb_ray.stages.multimodal import (
+        resize_media,
+        synth_media_table,
+    )
+
+    ds = rd.from_arrow(synth_media_table(24, seed=3)).repartition(3)
+    out = resize_media(ds, width=64, height=64).to_pandas()
+    assert len(out) == 24
+    imgs = out[out["kind"] == "image"]
+    others = out[out["kind"] != "image"]
+    assert (imgs["width"] == 64).all() and (imgs["height"] == 64).all()
+    # fake resample: payload bytes scale with target area
+    assert (imgs["payload"].str.len() == 64 * 64 // 64).all()
+    # non-images pass through untouched
+    src = synth_media_table(24, seed=3).to_pandas().set_index("media_id")
+    for _, r in others.iterrows():
+        assert r["payload"] == src.loc[r["media_id"], "payload"]
+    # deterministic under re-run
+    out2 = resize_media(ds, width=64, height=64).to_pandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    assert (a["payload"] == b["payload"]).all()
+
+
+def test_media_embed_and_search_composition():
+    import numpy as np
+    import ray.data as rd
+
+    from theoremkb_ray.stages.multimodal import (
+        decode_media,
+        embed_media,
+        synth_media_table,
+    )
+    from theoremkb_ray.stages.similarity import brute_topk
+
+    ds = rd.from_arrow(synth_media_table(48, seed=5)).repartition(4)
+    emb = embed_media(decode_media(ds)).materialize()
+    df = emb.to_pandas()
+    assert len(df) == 48
+    E = np.stack([np.asarray(v, np.float32) for v in df["embedding"]])
+    assert np.allclose(np.linalg.norm(E, axis=1), 1.0, atol=1e-5)
+    # ANN over media embeddings: each item's own embedding is its top hit
+    with_id = emb.map_batches(
+        lambda b: b.append_column(
+            "vec_id",
+            __import__("pyarrow").array(
+                [int(m[1:]) for m in b["media_id"].to_pylist()],
+                __import__("pyarrow").int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    q = E[:3]
+    top = brute_topk(with_id, q, k=1).to_pandas()
+    assert sorted(top["vec_id"]) == [0, 1, 2]

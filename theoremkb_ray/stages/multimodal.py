@@ -141,3 +141,119 @@ def frame_sample_plan_batch(batch: pa.Table, every_ms: int = 1000) -> pa.Table:
             "frame_ts_ms": pa.array(ts, pa.int64()),
         }
     )
+
+
+class MediaResizer:
+    """Actor-pool RESIZE stage — the one media op whose contract IS an
+    explicit transcode (payload in, payload out), so unlike the decode
+    stage it re-emits binary. Fake backend: a deterministic
+    size-preserving byte transform + updated geometry metadata; real
+    backend raises until codec libs are plugged in.
+
+    Scale math carried by the signature: payload-bearing batches stay
+    small (batch_size=32 default at call sites) and the output payload
+    is the RESIZED size, so downstream blocks shrink with the target
+    resolution rather than inheriting source bytes."""
+
+    def __init__(
+        self, width: int = 224, height: int = 224, backend: str = "fake"
+    ) -> None:
+        if backend not in ("fake", "real"):
+            raise ValueError(backend)
+        self.w, self.h, self.backend = width, height, backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if self.backend == "real":
+            raise NotImplementedError(
+                "image resize requires codec libraries not in this "
+                "container; use backend='fake' or install PIL"
+            )
+        imgs = pc.equal(batch["kind"], "image").to_numpy(
+            zero_copy_only=False
+        )
+        payloads = batch["payload"].to_pylist()
+        out_pay, out_w, out_h = [], [], []
+        target = self.w * self.h // 64  # fake: bytes scale with area
+        for i, p in enumerate(payloads):
+            if not imgs[i]:
+                out_pay.append(p)
+                out_w.append(batch["width"][i].as_py())
+                out_h.append(batch["height"][i].as_py())
+                continue
+            # deterministic resample: sha-seeded byte stream of the
+            # target size, keyed by source payload (stable under
+            # retries / partitioning)
+            seed = hashlib.sha256(p).digest()
+            reps = target // len(seed) + 1
+            out_pay.append((seed * reps)[:target])
+            out_w.append(self.w)
+            out_h.append(self.h)
+        out = batch.drop_columns(["payload", "width", "height"])
+        out = out.append_column("width", pa.array(out_w, pa.int32()))
+        out = out.append_column("height", pa.array(out_h, pa.int32()))
+        return out.append_column("payload", pa.array(out_pay, pa.binary()))
+
+
+def resize_media(
+    ds, width: int = 224, height: int = 224, backend: str = "fake",
+    concurrency=(1, 4), batch_size: int = 32,
+):
+    return ds.map_batches(
+        MediaResizer,
+        fn_constructor_args=(width, height, backend),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class MediaEmbedder:
+    """Feature-extract stage: decoded feature tensors -> a shared
+    embedding space via a projection 'model' loaded ONCE per actor
+    (the model-load-in-__init__ pattern the real CLIP/CLAP replacement
+    slots into). Deterministic: the projection is seed-derived."""
+
+    def __init__(self, feat_dim: int = 16, emb_dim: int = 32,
+                 seed: int = 7) -> None:
+        rng = np.random.RandomState(seed)
+        self.W = rng.randn(feat_dim, emb_dim).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = batch["features"]
+        arr = (
+            feats.combine_chunks()
+            if isinstance(feats, pa.ChunkedArray)
+            else feats
+        )
+        X = (
+            arr.values.to_numpy(zero_copy_only=False)
+            .astype(np.float32)
+            .reshape(len(arr), -1)
+        )
+        E = X @ self.W
+        n = np.linalg.norm(E, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        E = E / n
+        return batch.drop_columns(["features"]).append_column(
+            "embedding",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(E.reshape(-1), pa.float32()), E.shape[1]
+            ),
+        )
+
+
+def embed_media(
+    ds, feat_dim: int = 16, emb_dim: int = 32,
+    concurrency=(1, 4), batch_size: int = 256,
+):
+    """Decoded media -> normalized embeddings (batch_size can grow
+    again here — the payload column is gone)."""
+    return ds.map_batches(
+        MediaEmbedder,
+        fn_constructor_args=(feat_dim, emb_dim),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
