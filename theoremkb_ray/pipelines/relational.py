@@ -2708,6 +2708,82 @@ FROM s, LATERAL (VALUES ('n', n), ('n_null', n_null), ('min', mn),
 """
 
 
+def q_lag_lead(sf_dir: str):
+    """LAG/LEAD window functions: each event with its user's previous
+    and next value — one vectorized shift inside the coarse user
+    buckets (nulls at partition edges)."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)["value"]
+        g["prev_value"] = grp.shift(1)
+        g["next_value"] = grp.shift(-1)
+        return g.drop(columns=["bucket"])
+
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_LAG_LEAD = """
+SELECT event_id, user_id, ts, value,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_date_parts(sf_dir: str):
+    """Temporal rollup: per-day event counts + mean value via Arrow
+    floor_temporal — the date_trunc kernel exercised end to end
+    (timestamps never leave Arrow until the final tiny groupby)."""
+    ds = _pq(sf_dir, "events", ["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b["ts"], unit="day")
+        t = pa.table({"day": day, "value": b["value"]})
+        g = pa.TableGroupBy(t, "day").aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return g.rename_columns(["day", "n", "vsum"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            _Sum("n", alias_name="n"), _Sum("vsum", alias_name="vsum")
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        mean = pc.round(
+            pc.divide(
+                pc.cast(b["vsum"], pa.float64()),
+                pc.cast(b["n"], pa.float64()),
+            ),
+            ndigits=6,
+        )
+        return pa.table(
+            {
+                "day": pc.cast(b["day"], pa.string()),
+                "n": b["n"],
+                "mean_value": mean,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DATE_PARTS = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+       count(*) AS n,
+       round(sum(value) / count(*), 6) AS mean_value
+FROM events GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -2774,4 +2850,6 @@ REGISTRY: dict[str, tuple] = {
     "histogram": (q_histogram, SQL_HISTOGRAM),
     "window_range_frame": (q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
     "describe_stats": (q_describe_stats, SQL_DESCRIBE_STATS),
+    "lag_lead": (q_lag_lead, SQL_LAG_LEAD),
+    "date_parts": (q_date_parts, SQL_DATE_PARTS),
 }
