@@ -115,7 +115,9 @@ def run_bench() -> dict:
         from theoremkb_ray.pipelines.corpus_build import run_corpus_build
 
         rep = int(os.environ.get("GRAFT_CORPUS_REP", "200"))
-        base = pq.read_table(f"{SF_DIR}/documents.parquet")
+        base = pq.read_table(
+            f"{SF_DIR}/documents.parquet"
+        ).replace_schema_metadata(None)
         n = base.num_rows
         cache = f"/tmp/tkb_bench_docs_{n}x{rep}"
         if not glob.glob(f"{cache}/*.parquet"):

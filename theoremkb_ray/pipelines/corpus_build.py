@@ -69,8 +69,15 @@ def run_corpus_build(
             rows.append((name, ds.count()))
         return ds
 
-    ds = rd.read_parquet(
-        docs_path, columns=["doc_id", "text", "lang", "source"]
+    from ..stages.joins import strip_schema_metadata
+
+    # strip pandas parquet metadata up front: a schema WITH metadata is
+    # unhashable, knocking every exchange off Ray's schema-dedup fast
+    # path (see BASELINE.md scale lessons)
+    ds = strip_schema_metadata(
+        rd.read_parquet(
+            docs_path, columns=["doc_id", "text", "lang", "source"]
+        )
     )
     ds = checkpoint("raw", ds)
 
