@@ -186,3 +186,42 @@ def test_tdigest_grouped_accuracy():
         want = row["q"] * len(sel)
         tol = max(4 * len(sel) * row["q"] * (1 - row["q"]) / 100, 2) * 3
         assert abs(rank - want) <= tol, (row["grp"], row["q"])
+
+
+def test_approx_distinct_grouped():
+    import ray.data as rd
+
+    from theoremkb_ray.stages.sketches import approx_distinct_grouped
+
+    rng = np.random.RandomState(3)
+    n = 40_000
+    g = rng.randint(0, 4, size=n)
+    # group k draws from a key space of size 100 * 10^k
+    keys = np.array(
+        [rng.randint(0, 100 * 10 ** gi) for gi in g], dtype=np.int64
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "grp": pa.array(g.astype(np.int64)),
+                "k": pa.array(keys),
+            }
+        )
+    ).repartition(11)
+    out = (
+        approx_distinct_grouped(ds, "grp", "k")
+        .to_pandas()
+        .set_index("grp")
+        .sort_index()
+    )
+    import pandas as pd
+
+    exact = (
+        pd.DataFrame({"grp": g, "k": keys})
+        .groupby("grp")["k"]
+        .nunique()
+    )
+    for gi in range(4):
+        got = out.loc[gi, "n_distinct_approx"]
+        want = exact[gi]
+        assert abs(got - want) / want < 0.08, (gi, got, want)

@@ -463,3 +463,55 @@ def tdigest_quantiles_grouped(
         .groupby(group_col)
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def approx_distinct_grouped(
+    ds, group_col: str, col: str, p: int = 12
+):
+    """Per-group approximate COUNT(DISTINCT col) -> Dataset(group,
+    n_distinct_approx) — grouped cardinality without a distinct
+    shuffle.
+
+    Per block each group present contributes one 2^p-byte HLL register
+    row (p=12 -> 4 KiB; grouped profiles use a smaller p than the
+    global sketch since there is one per group); registers merge by
+    element-wise max inside ``groupby(group)`` — the exchange is
+    group-bounded like `cluster.grouped_centroids`, never row-bounded.
+    Relative error ~1.04/sqrt(2^p) = 1.6% at the default."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b[group_col].to_numpy(zero_copy_only=False)
+        h = _col_hashes(b, col)
+        order = np.argsort(g, kind="mergesort")
+        g, h = g[order], h[order]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        rows_g, rows_r = [], []
+        for s, e in zip(starts, ends):
+            rows_g.append(g[s])
+            rows_r.append(hll_partial(h[s:e], p).tobytes())
+        return pa.table(
+            {
+                group_col: pa.array(rows_g),
+                "regs": pa.array(rows_r, pa.binary()),
+            }
+        )
+
+    def fold(gdf: pd.DataFrame) -> pd.DataFrame:
+        merged = np.zeros(1 << p, np.uint8)
+        for r in gdf["regs"]:
+            np.maximum(merged, np.frombuffer(r, np.uint8), out=merged)
+        return pd.DataFrame(
+            {
+                group_col: [gdf[group_col].iloc[0]],
+                "n_distinct_approx": [round(hll_estimate(merged), 1)],
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(fold, batch_format="pandas")
+    )
