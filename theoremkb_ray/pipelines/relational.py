@@ -2784,6 +2784,80 @@ FROM events GROUP BY 1
 """
 
 
+def q_cooccurrence(sf_dir: str):
+    """Windowed token co-occurrence counts (the word2vec/PMI
+    preprocessing sweep): ordered pairs (w1 before w2, gap <= 3)
+    counted per batch with ONE flat np.unique over factorized pair
+    codes — the w²-bounded partial table shuffles, never token
+    positions."""
+    docs = _pq(sf_dir, "documents", ["text"])
+    W = 3
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], " ")
+        toks = (
+            toks.combine_chunks()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks
+        )
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        codes, vocab = pd.factorize(flat)
+        n = len(flat)
+        doc_of = np.repeat(
+            np.arange(len(offs) - 1, dtype=np.int64), np.diff(offs)
+        )
+        pair_codes = []
+        for d in range(1, W + 1):
+            if n <= d:
+                break
+            same_doc = doc_of[d:] == doc_of[:-d]
+            a = codes[:-d][same_doc]
+            c = codes[d:][same_doc]
+            pair_codes.append(a.astype(np.int64) * len(vocab) + c)
+        if not pair_codes:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        packed = np.concatenate(pair_codes)
+        u, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "w1": pa.array(vocab[(u // len(vocab))], pa.string()),
+                "w2": pa.array(vocab[(u % len(vocab))], pa.string()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+
+SQL_COOCCURRENCE = """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+pos AS (
+  SELECT row_number() OVER () AS doc_id, toks FROM t
+),
+flat AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS p
+  FROM pos
+)
+SELECT a.w AS w1, b.w AS w2, count(*) AS n
+FROM flat a JOIN flat b
+  ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 3
+GROUP BY 1, 2
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
@@ -2852,4 +2926,5 @@ REGISTRY: dict[str, tuple] = {
     "describe_stats": (q_describe_stats, SQL_DESCRIBE_STATS),
     "lag_lead": (q_lag_lead, SQL_LAG_LEAD),
     "date_parts": (q_date_parts, SQL_DATE_PARTS),
+    "cooccurrence": (q_cooccurrence, SQL_COOCCURRENCE),
 }
