@@ -59,3 +59,26 @@ def test_partition_invariance_and_no_selfpairs():
     p2 = _pairs(texts, blocks=11)
     assert p1 == p2
     assert all(a < b for a, b in p1)
+
+
+def test_hot_cap_preserves_components():
+    # 40 docs share one degenerate title: uncapped -> C(40,2) pairs;
+    # capped -> star edges, same connected component
+    texts = ["untitled document placeholder"] * 40 + [
+        "a unique other title here"
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    full = fuzzy_pairs(ds).to_pandas()
+    capped = fuzzy_pairs(ds, hot_cap=5).to_pandas()
+    assert len(full) == 40 * 39 // 2
+    assert len(capped) < len(full)
+    # star edges: every dup doc connects (directly) to doc 0
+    assert set(capped["id_a"]) == {0}
+    assert set(capped["id_b"]) == set(range(1, 40))

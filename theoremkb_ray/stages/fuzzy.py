@@ -93,9 +93,17 @@ def fuzzy_pairs(
     text_col: str = "text",
     max_tokens: int = 12,
     coarse: int = 64,
+    hot_cap: int | None = None,
 ):
     """-> Dataset(id_a, id_b): distinct pairs within token edit
-    distance <= 1 on the first ``max_tokens`` tokens (id_a < id_b)."""
+    distance <= 1 on the first ``max_tokens`` tokens (id_a < id_b).
+
+    ``hot_cap``: production guard for degenerate keys (a web corpus
+    has millions of docs titled "untitled" — all-pairs on that run is
+    quadratic). Runs longer than the cap emit STAR edges to the run's
+    min id instead of all pairs — connected components are preserved
+    (the dedup use case) but pair completeness is not, so the exact
+    `fuzzy_pairs` oracle runs uncapped."""
 
     def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["variant", "id"])
@@ -119,6 +127,13 @@ def fuzzy_pairs(
             out_a.append(ids[two])
             out_b.append(ids[two + 1])
         for s0, ln in zip(starts[lens > 2], lens[lens > 2]):
+            if hot_cap is not None and ln > hot_cap:
+                run = ids[s0 : s0 + ln]
+                mn = run.min()
+                others = run[run != mn]
+                out_a.append(np.full(len(others), mn, np.int64))
+                out_b.append(others)
+                continue
             ii, jj = np.triu_indices(ln, k=1)
             out_a.append(ids[s0 + ii])
             out_b.append(ids[s0 + jj])
