@@ -243,6 +243,26 @@ def cmd_watch(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    """Declarative expectations over a parquet table
+    (stages/validate.py); exit 1 when any rule fails."""
+    import ray.data as rd
+
+    from .stages.validate import ValidationError, validate
+
+    rules = json.loads(open(args.rules).read())
+    ds = rd.read_parquet(args.table)
+    try:
+        rep = validate(
+            ds, rules, mode="raise" if args.strict else "report"
+        )
+    except ValidationError as e:
+        print(json.dumps({"ok": False, "error": str(e)}))
+        return 1
+    print(rep.to_json(orient="records"))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="theoremkb_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -329,6 +349,14 @@ def main(argv: list[str] | None = None) -> int:
     wp.add_argument("--segmenter", default="crf")
     wp.add_argument("--no-canonicalize", action="store_true")
     wp.set_defaults(fn=cmd_watch)
+
+    vv = sub.add_parser(
+        "validate", help="data-quality expectations over a parquet table"
+    )
+    vv.add_argument("--table", required=True)
+    vv.add_argument("--rules", required=True, help="JSON rule list")
+    vv.add_argument("--strict", action="store_true")
+    vv.set_defaults(fn=cmd_validate)
 
     bp = sub.add_parser("bench", help="time the triple pipeline")
     bp.add_argument("--corpus", required=True)
