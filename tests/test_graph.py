@@ -111,3 +111,40 @@ def test_shuffle_shards_matches_window_reference():
     # positions are a permutation of 0..n-1 within each shard
     for s, g in out.groupby("shard"):
         assert sorted(g["pos"]) == list(range(len(g)))
+
+
+def test_pagerank_distributed_matches_broadcast():
+    from theoremkb_ray.stages.graph import pagerank, pagerank_distributed
+
+    # ring + chords, duplicate-free via set (set-dedup keeps the ring
+    # edge when a chord coincides with it, so no node goes dangling —
+    # the distributed variant's documented contract)
+    n = 200
+    src = list(range(n)) + [i for i in range(0, n, 3)]
+    dst = [(i + 1) % n for i in range(n)] + [
+        (i * 7 + 3) % n for i in range(0, n, 3)
+    ]
+    edges = sorted(set(zip(src, dst)))
+    tbl = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    a = (
+        pagerank(ds, iters=8)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    b = (
+        pagerank_distributed(ds, iters=8)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert (a["node"] == b["node"]).all()
+    # both 6-dp rounded; allow 1 ulp of the rounding grid for float
+    # association differences between the two physical plans
+    assert (np.abs(a["rank"] - b["rank"]) <= 1e-6 + 1e-12).all()
