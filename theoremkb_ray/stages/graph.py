@@ -12,11 +12,11 @@ in the EDGES >> NODES regime that fits a 100 TB corpus:
   indexed ONCE up front so iterations touch two int64 columns, not
   the raw keys);
 - the rank vector is driver-resident (O(N) doubles — 8 GB at 1e9
-  nodes, the practical ceiling; beyond that a vertex-partitioned
-  rank join is required, see connected_components_distributed in
-  stages/canonicalize.py for the analogous escalation) and broadcast
-  once per iteration via ``ray.put`` (numpy array, never a dict —
-  see BASELINE.md scale lessons);
+  nodes, the practical ceiling) and broadcast once per iteration via
+  ``ray.put`` (numpy array, never a dict — see BASELINE.md scale
+  lessons); BEYOND that ceiling use :func:`pagerank_distributed`,
+  which keeps ranks as a keyed Dataset and pays the honest
+  2-exchanges-per-iteration join cost;
 - each block emits only its OBSERVED (dst, partial-sum) rows — the
   per-iteration driver traffic is O(blocks × distinct-dst-per-block),
   not O(blocks × N);
