@@ -268,6 +268,28 @@ def run_bench() -> dict:
         )
         timings["corpus_build"] = round(time.perf_counter() - t0, 3)
 
+        # ---------------- driver-contract extras ---------------------
+        # the non-SQL queries() pipelines the REGISTRY loop doesn't
+        # cover (ANN compressed paths, CV, digests, multimodal)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import __ray_entry__ as entrymod
+
+        qmap = entrymod.queries()
+        for name in (
+            "pq_topk_docs",
+            "ivfpq_topk_docs",
+            "seg_crossval",
+            "tdigest_docs",
+            "media_search",
+            "kmeans_docs",
+            "semdedup_docs",
+        ):
+            t0 = time.perf_counter()
+            res = qmap[name](SF_DIR)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "kg_e2e",
