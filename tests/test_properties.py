@@ -276,3 +276,112 @@ def test_connected_components_local_min_label(edges):
         lo = min(comp)
         for v in comp:
             assert got[v] == lo
+
+
+# ---------------------------------------------- chunking property
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(1, 40), min_size=1, max_size=6),
+    st.integers(2, 10),
+    st.integers(1, 10),
+)
+def test_chunk_documents_matches_loop(ntoks, window, stride):
+    import ray.data as rd
+
+    from theoremkb_ray.stages.chunk import chunk_documents
+
+    stride = min(stride, window)
+    texts = [
+        " ".join(f"t{d}_{i}" for i in range(n))
+        for d, n in enumerate(ntoks)
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(2)
+    got = sorted(
+        map(
+            tuple,
+            chunk_documents(ds, window=window, stride=stride)
+            .to_pandas()[["doc_id", "chunk_id", "n_tokens", "chunk"]]
+            .itertuples(False),
+        )
+    )
+    want = []
+    for d, t in enumerate(texts):
+        toks = t.split(" ")
+        s, cid = 0, 0
+        while True:
+            piece = toks[s : s + window]
+            want.append((d, cid, len(piece), " ".join(piece)))
+            cid += 1
+            s += stride
+            if s >= len(toks):
+                break
+    assert got == sorted(want)
+
+
+# ------------------------------------------ interval-join property
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=40),
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 400)),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(50, 400),
+)
+def test_interval_join_matches_loop(ts, spans, bucket):
+    import ray.data as rd
+
+    from theoremkb_ray.stages.joins import interval_join
+
+    pts = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(ts)), pa.int64()),
+                "ts": pa.array(np.asarray(ts, np.int64)),
+            }
+        )
+    ).repartition(2)
+    ivs = rd.from_arrow(
+        pa.table(
+            {
+                "window_id": pa.array(range(len(spans)), pa.int64()),
+                "start_us": pa.array(
+                    np.asarray([s for s, _ in spans], np.int64)
+                ),
+                "end_us": pa.array(
+                    np.asarray([s + w for s, w in spans], np.int64)
+                ),
+            }
+        )
+    ).repartition(2)
+    df = interval_join(
+        pts, ivs, point_cols=["event_id"],
+        interval_cols=["window_id"], bucket_us=bucket,
+    ).to_pandas()
+    # an all-empty result can come back schemaless through Ray
+    got = (
+        sorted(
+            map(tuple, df[["window_id", "event_id"]].itertuples(False))
+        )
+        if len(df)
+        else []
+    )
+    want = sorted(
+        (wi, ei)
+        for ei, t in enumerate(ts)
+        for wi, (s, w) in enumerate(spans)
+        if s <= t < s + w
+    )
+    assert got == want
