@@ -385,3 +385,37 @@ def test_interval_join_matches_loop(ts, spans, bucket):
         if s <= t < s + w
     )
     assert got == want
+
+
+# -------------------------------------- weighted-sample property
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 999)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 20),
+)
+def test_weighted_sample_matches_loop(rows, k):
+    import ray.data as rd
+
+    from theoremkb_ray.stages.sampling import weighted_sample
+
+    ids = np.array([r[0] for r in rows], np.int64)
+    w = np.array([r[1] for r in rows], np.int64)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(w)})
+    ).repartition(3)
+    got = weighted_sample(ds, "doc_id", "n_chars", k=k).to_pandas()
+    r = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+        1 << 32
+    )
+    u = (r.astype(np.float64) + 1.0) / float((1 << 32) + 1)
+    e = -np.log(u) / w
+    order = np.lexsort((ids, e))
+    want = [int(ids[i]) for i in order[: min(k, len(ids))]]
+    assert list(got["doc_id"]) == want
