@@ -326,8 +326,11 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     def run(ncpu: int) -> dict:
-        a, b = run_once(ncpu), run_once(ncpu)
-        return a if a["value"] <= b["value"] else b
+        # min-of-3 on BOTH legs: single runs swing ±20-35% on this VM
+        # (THP/page-fault stalls); the minimum estimates capability and
+        # three samples tighten it on both sides of the ratio equally
+        runs = [run_once(ncpu) for _ in range(3)]
+        return min(runs, key=lambda r: r["value"])
 
     lo, hi = 8, 32
     r_lo, r_hi = run(lo), run(hi)
