@@ -317,7 +317,7 @@ def materialize_triples(
     _t0 = _time.perf_counter()
     spool = os.path.join(out_dir, "_spool")
     shutil.rmtree(spool, ignore_errors=True)  # stale spool from a crash
-    pending = spool_write_partitioned(ds, spool, "part")
+    pending, expected_rows = spool_write_partitioned(ds, spool, "part")
     _mark("spool written (upstream emit/rewrite executed)")
     if not pending:
         shutil.rmtree(spool, ignore_errors=True)
@@ -329,6 +329,15 @@ def materialize_triples(
             tbl = read_spool_partition(spool, "part", part).drop_columns(
                 ["part"]
             )
+            want = expected_rows.get(part, -1)
+            if len(tbl) != want:
+                raise RuntimeError(
+                    f"triple-store spool reconciliation failed: partition "
+                    f"part={part} has {len(tbl)} rows on disk, map tasks "
+                    f"wrote {want} — the store/spool directory is not "
+                    f"shared across nodes (it must live on the same "
+                    f"shared storage as the triple store itself)."
+                )
             rows_out.append(
                 _write_partition(tbl, part, out_dir, "materialize", lineage)
             )

@@ -285,6 +285,9 @@ def hot_band_hashes(
         ),
         "range_id",
         find_hot,
+        # find_hot only needs equal hashes co-located, so oversized
+        # ranges may be re-split on the hash itself (adaptive fan-out)
+        fine_col="band_hash",
     )
     chunks = [
         np.frombuffer(m, dtype=np.uint64)
@@ -376,6 +379,10 @@ def pairs_from_bands(
         "coarse",
         lambda g: _pairs_from_coarse(g, cap),
         batch_format="pandas",
+        # _pairs_from_coarse sub-buckets by (band_idx, band_hash)
+        # anyway, so a coarse bucket that outgrows one task's heap is
+        # re-split on band_hash — fan-out grows with survivor volume
+        fine_col="band_hash",
     )
     mark("pairs_from_bands: spooled pair-gen done")
     return out
