@@ -193,19 +193,31 @@ def line_confusion_batch(
 ) -> pa.Table:
     """Per-batch partial confusion counts (pred_label, gold_label, n)
     at LINE level; gold spans broadcast. Merged by a tiny groupby —
-    the partial+final pattern."""
+    the partial+final pattern.
+
+    The gold side arrives as SORTED NUMPY ARRAYS (doc-hash keys +
+    group offsets + parallel label/start/end columns), not a Python
+    dict-of-lists: a dict is re-pickled into every worker process
+    (the links-dict scale cliff fixed in `emit.py:emit_triples`),
+    while numpy broadcast halves are zero-copy plasma reads and the
+    per-batch probe is one searchsorted."""
+    from ..functions.hashing import hash_strings
     from ..state.broadcast import get_broadcast
 
-    gold_by_doc: dict[str, list] = get_broadcast(gold_ref)
-    docs = batch["doc_id"].to_pylist()
+    doc_keys, starts, ends, g_labels, g_s0, g_s1 = get_broadcast(gold_ref)
     flat, offsets = explode_lines(batch["lines"])
     n_total = int(offsets[-1])
     pred = spans_to_line_labels(batch["spans"], offsets)
     gold = np.full(n_total, "O", dtype=object)
-    for i in range(batch.num_rows):
-        base = offsets[i]
-        for label, s0, s1 in gold_by_doc.get(docs[i], []):
-            gold[base + s0 : base + s1 + 1] = label
+    if len(doc_keys):
+        h = hash_strings(batch["doc_id"].to_numpy(zero_copy_only=False))
+        pos = np.searchsorted(doc_keys, h)
+        pos[pos >= len(doc_keys)] = len(doc_keys) - 1
+        matched = np.flatnonzero(doc_keys[pos] == h)
+        for i in matched:
+            base = offsets[i]
+            for j in range(starts[pos[i]], ends[pos[i]]):
+                gold[base + g_s0[j] : base + g_s1[j] + 1] = g_labels[j]
     counts = (
         pd.DataFrame({"pred": pred, "gold": gold})
         .groupby(["pred", "gold"], sort=False)
@@ -229,15 +241,22 @@ def classification_report(
     import ray
     from ray.data.aggregate import Sum
 
-    gold_by_doc: dict[str, list] = {}
-    for d, l, s0, s1 in zip(
-        gold_spans["doc_id"].to_pylist(),
-        gold_spans["label"].to_pylist(),
-        gold_spans["start_line"].to_pylist(),
-        gold_spans["end_line"].to_pylist(),
-    ):
-        gold_by_doc.setdefault(d, []).append((l, s0, s1))
-    ref = ray.put(gold_by_doc)
+    from ..functions.hashing import hash_strings
+
+    # gold broadcast = sorted doc-hash keys + group offsets + parallel
+    # span columns (all numpy — no per-worker dict re-pickling; 64-bit
+    # doc-hash collisions are ~1e-5 at 10M docs, same budget as the
+    # emit.py links probe)
+    h = hash_strings(gold_spans["doc_id"].to_numpy(zero_copy_only=False))
+    order = np.argsort(h, kind="stable")
+    h = h[order]
+    g_labels = np.asarray(gold_spans["label"].to_pylist(), dtype=object)[order]
+    g_s0 = gold_spans["start_line"].to_numpy(zero_copy_only=False)[order]
+    g_s1 = gold_spans["end_line"].to_numpy(zero_copy_only=False)[order]
+    doc_keys = np.unique(h)
+    starts = np.searchsorted(h, doc_keys, side="left")
+    ends = np.searchsorted(h, doc_keys, side="right")
+    ref = ray.put((doc_keys, starts, ends, g_labels, g_s0, g_s1))
     conf = (
         segmented_ds.map_batches(
             lambda b: line_confusion_batch(b, ref),

@@ -53,6 +53,20 @@ def _join_batch(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _side_bytes(t) -> int:
+    """In-memory size of a candidate broadcast side."""
+    if isinstance(t, pa.Table):
+        return t.nbytes
+    return int(t.memory_usage(deep=True).sum())
+
+
+#: above this, a "broadcast" side stops being small: every worker
+#: heap pays for a copy and the ray.put itself becomes the bottleneck
+#: — route to the hash-partitioned join instead (safe by default; the
+#: caller shouldn't have to know the side outgrew the plan)
+MAX_BROADCAST_BYTES = 256 << 20
+
+
 def broadcast_join(
     left_ds,
     right: pa.Table | pd.DataFrame,
@@ -61,12 +75,37 @@ def broadcast_join(
     how: str = "inner",
     concurrency=None,  # kept for API compat; stateless tasks autoscale
     batch_size: int = 8192,
+    max_broadcast_bytes: int = MAX_BROADCAST_BYTES,
 ):
-    """Broadcast hash join; right side must fit in worker memory."""
+    """Broadcast hash join. Auto-switches to :func:`hash_join` when
+    the build side exceeds ``max_broadcast_bytes`` — same rows, one
+    hash exchange instead of a per-worker copy of an oversized side."""
     assert how in ("inner", "left", "semi", "anti")
-    right_ref = ray.put(right)
     on = list(on)
     r_on = list(right_on or on)
+    if _side_bytes(right) > max_broadcast_bytes:
+        import ray.data as rd
+
+        tbl = (
+            right
+            if isinstance(right, pa.Table)
+            else pa.Table.from_pandas(right, preserve_index=False)
+        )
+        join_r_on = list(r_on)
+        if how in ("inner", "left"):
+            # Dataset.join drops the right key columns; the pandas
+            # broadcast merge keeps them whenever the names differ.
+            # Join on throwaway copies so the schema stays identical
+            # either way the plan resolves.
+            for i, (lc, rc) in enumerate(zip(on, r_on)):
+                if rc != lc:
+                    tmp = f"__tkb_jk_{i}"
+                    tbl = tbl.append_column(tmp, tbl[rc])
+                    join_r_on[i] = tmp
+        return hash_join(
+            left_ds, rd.from_arrow(tbl), on=on, right_on=join_r_on, how=how
+        )
+    right_ref = ray.put(right)
     return left_ds.map_batches(
         lambda b: _join_batch(b, right_ref, on, r_on, how),
         batch_format="pandas",
