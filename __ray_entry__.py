@@ -388,6 +388,22 @@ def _media_decode(sf_dir: str):
         ["media_id", "kind", "payload_bytes"]
     )
 
+def _media_decode_real(sf_dir: str):
+    """S10 real path: decode VALID PNG/PGM/WAV payloads through the
+    pure-stdlib codecs (functions/codecs.py) — content features, not
+    sha-derived fakes. Video stays stubbed (needs pyav)."""
+    import ray.data as rd
+
+    from theoremkb_ray.stages.multimodal import (
+        decode_media,
+        synth_real_media_table,
+    )
+
+    ds = rd.from_arrow(synth_real_media_table(48, seed=7))
+    return decode_media(ds, backend="real").select_columns(
+        ["media_id", "kind", "payload_bytes"]
+    )
+
 
 def _tfidf_match(sf_dir: str):
     """T6/J9: TF-IDF theorem matching, fork docs vs their originals."""
@@ -920,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "decontaminate_docs": _decontaminate_docs,
             "substring_dups": _substring_dups,
             "media_decode": _media_decode,
+            "media_decode_real": _media_decode_real,
             "media_search": _media_search,
             "page_segment": _page_segment,
             "agreement_diff": _agreement_diff,

@@ -1,0 +1,229 @@
+"""Pure-stdlib media codecs (zlib + wave + numpy — nothing to install).
+
+The container has no PIL/imageio/pyav, but "no codec libs" never
+meant "no codecs": PNG is zlib behind five scanline filters (RFC
+2083), PPM/PGM are headers + raw bytes, and WAV ships in the stdlib.
+These implement REAL decode/encode for those formats so the
+multimodal stages (`stages/multimodal.py`, reference analog:
+Styling/src/lib/paper/__init__.py:360-390 rendering pages to
+ndarrays) can run ``backend="real"`` on genuine image/audio bytes.
+Video stays out of scope (a real container format needs pyav).
+
+Perf notes: decode runs inside actor-pool stages over small batches
+of payload rows; PNG unfiltering is vectorized where the filter
+allows (none/sub/up) and falls back to a per-row loop for
+average/paeth — fine for page-render-sized images, and our own
+encoder emits filter 0 so round-trips stay on the fast path.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
+
+
+def sniff_format(data: bytes) -> str:
+    """Best-effort container sniff of a payload's leading bytes."""
+    if data[:8] == _PNG_SIG:
+        return "png"
+    if data[:2] in (b"P5", b"P6"):
+        return "ppm"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+# ------------------------------------------------------------------ PNG
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters. ``raw`` is the decompressed
+    stream: h rows of (1 filter byte + stride data bytes)."""
+    raw = raw.reshape(h, stride + 1)
+    ftypes = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = rows[y]
+        if f == 0:  # none
+            line = cur
+        elif f == 1:  # sub: cumsum per channel offset
+            line = np.cumsum(
+                cur.reshape(-1, bpp), axis=0
+            ) % 256
+            line = line.reshape(-1)
+        elif f == 2:  # up
+            line = (cur + prev) % 256
+        elif f == 3:  # average
+            line = cur.copy()
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # paeth
+            line = cur.copy()
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                if pa_ <= pb and pa_ <= pc_:
+                    pred = a
+                elif pb <= pc_:
+                    pred = b
+                else:
+                    pred = c
+                line[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = line
+        prev = line
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, C) uint8 array. 8-bit depth, color types
+    gray/RGB/gray+alpha/RGBA, non-interlaced (what page renderers and
+    our own encoder emit); anything fancier raises."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, hdr = 8, [], None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if hdr is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    w, h, depth, color, comp, filt, interlace = hdr
+    if depth != 8 or color not in _CHANNELS or interlace:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color}, "
+            f"interlace={interlace}); supported: 8-bit gray/RGB/GA/RGBA"
+        )
+    c = _CHANNELS[color]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (w * c + 1):
+        raise ValueError("PNG data length mismatch")
+    return _unfilter(raw, h, w * c, c).reshape(h, w, c)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W[, C]) uint8 -> PNG bytes (filter 0, one IDAT)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    scan = np.concatenate(
+        [np.zeros((h, 1), np.uint8), a.reshape(h, w * c)], axis=1
+    )
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+# ------------------------------------------------------------- PPM/PGM
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) -> (H, W, C) uint8."""
+    parts, pos = [], 2
+    magic = data[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM/PGM")
+    while len(parts) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment line
+            while data[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        parts.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM/PGM supported")
+    c = 3 if magic == b"P6" else 1
+    px = np.frombuffer(data, dtype=np.uint8, count=h * w * c, offset=pos)
+    return px.reshape(h, w, c).copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    if c not in (1, 3):
+        raise ValueError("PPM/PGM is gray or RGB only")
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+# ----------------------------------------------------------------- WAV
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> ((n_samples, channels) int16 array, sample_rate)."""
+    with wave.open(io.BytesIO(data), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV supported")
+        n, ch, rate = f.getnframes(), f.getnchannels(), f.getframerate()
+        samples = np.frombuffer(f.readframes(n), dtype="<i2")
+    return samples.reshape(-1, ch), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(s.shape[1])
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+# -------------------------------------------------------------- resize
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """(H, W, C) -> (height, width, C) nearest-neighbor, fully
+    vectorized (two take()s along each axis)."""
+    h, w = arr.shape[:2]
+    ys = np.minimum((np.arange(height) * h) // height, h - 1)
+    xs = np.minimum((np.arange(width) * w) // width, w - 1)
+    return arr[ys][:, xs]

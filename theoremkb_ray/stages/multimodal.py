@@ -2,12 +2,13 @@
 
 The reference's CV branch renders PDF pages to ndarrays and feeds a
 U-net (reference: Styling/src/lib/paper/__init__.py:360-390,
-Styling/src/lib/extractors/cnn.py:18-164). The image/audio decode
-libraries are NOT in this container, so the decode kernel itself is
-STUBBED (``NotImplementedError`` unless the deterministic fake decoder
-is selected) — but everything Ray-side is real and tested: the binary
-column schema, actor-pool signature, batch sizing for large payloads,
-and the output layout.
+Styling/src/lib/extractors/cnn.py:18-164). ``backend="real"``
+genuinely decodes PNG / PPM / PGM images and 16-bit PCM WAV audio via
+the pure-stdlib codecs in `functions/codecs.py` (zlib + wave + numpy
+— nothing to install) and derives content features (intensity
+histograms, spectral energy bands). Only VIDEO decode stays a stub
+(a real container format needs pyav); the deterministic fake decoder
+remains for CI and for formats outside the stdlib's reach.
 
 Design rules for 100 TB media:
 - payload stays an opaque ``binary`` column; never hex/base64 strings;
@@ -59,11 +60,50 @@ def synth_media_table(n: int = 32, seed: int = 0) -> pa.Table:
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
+def synth_real_media_table(n: int = 16, seed: int = 0) -> pa.Table:
+    """Media rows whose payloads are VALID bytes: seeded RGB PNGs,
+    gray PGMs, and 16-bit sine-wave WAVs — what ``backend="real"``
+    pipelines decode in tests (no video: real video stays stubbed)."""
+    from ..functions import codecs
+
+    rng = np.random.RandomState(seed)
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n):
+        which = i % 3
+        if which == 0:  # RGB PNG
+            w, h = int(rng.randint(8, 48)), int(rng.randint(8, 48))
+            img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            payload, fmt, kind, dur = codecs.encode_png(img), "png", "image", -1
+        elif which == 1:  # gray PGM
+            w, h = int(rng.randint(8, 48)), int(rng.randint(8, 48))
+            img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+            payload, fmt, kind, dur = codecs.encode_ppm(img), "ppm", "image", -1
+        else:  # sine WAV
+            rate = 8000
+            ms = int(rng.randint(50, 400))
+            t = np.arange(rate * ms // 1000, dtype=np.float64) / rate
+            freq = float(rng.randint(100, 2000))
+            s = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+            payload, fmt, kind, dur = codecs.encode_wav(s, rate), "wav", "audio", ms
+            w = h = -1
+        rows["media_id"].append(f"r{i:05d}")
+        rows["kind"].append(kind)
+        rows["format"].append(fmt)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(dur)
+        rows["payload"].append(payload)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
 class MediaDecoder:
     """Actor-pool decode stage.
 
-    ``backend="real"`` raises NotImplementedError (no codec libs in
-    this container — plug PIL/soundfile/pyav here on a real cluster).
+    ``backend="real"`` decodes actual bytes: PNG/PPM/PGM -> a
+    ``feat_dim``-bin intensity histogram (+ mean/std folded into the
+    last bins), WAV -> ``feat_dim`` spectral energy bands. Video (or
+    an undecodable image format) raises NotImplementedError — plug
+    pyav/PIL on a cluster that has them.
     ``backend="fake"`` derives a deterministic feature tensor from the
     payload bytes so the full pipeline is testable end-to-end.
     """
@@ -75,9 +115,39 @@ class MediaDecoder:
         self.feat_dim = feat_dim
 
     def _decode_real(self, payload: bytes, kind: str) -> np.ndarray:
+        from ..functions import codecs
+
+        fmt = codecs.sniff_format(payload)
+        if fmt in ("png", "ppm"):
+            img = (
+                codecs.decode_png(payload)
+                if fmt == "png"
+                else codecs.decode_ppm(payload)
+            )
+            # real content features: normalized intensity histogram
+            hist = np.bincount(
+                (img.reshape(-1).astype(np.int64) * self.feat_dim) // 256,
+                minlength=self.feat_dim,
+            ).astype(np.float32)
+            return hist / max(1.0, float(img.size))
+        if fmt == "wav":
+            samples, _rate = codecs.decode_wav(payload)
+            mono = samples.mean(axis=1).astype(np.float32)
+            spec = np.abs(np.fft.rfft(mono))
+            # feat_dim equal-width energy bands, L2-normalized
+            bands = np.array(
+                [
+                    float(chunk.sum())
+                    for chunk in np.array_split(spec, self.feat_dim)
+                ],
+                dtype=np.float32,
+            )
+            n = float(np.linalg.norm(bands))
+            return bands / n if n else bands
         raise NotImplementedError(
-            "media decode requires codec libraries not present in this "
-            "container; use backend='fake' or install PIL/soundfile/pyav"
+            f"real decode of kind={kind!r} payload (sniffed {fmt!r}) "
+            "needs codec libraries not in this container (pyav/PIL); "
+            "PNG/PPM/PGM/WAV decode natively — or use backend='fake'"
         )
 
     def _decode_fake(self, payload: bytes, kind: str) -> np.ndarray:
@@ -148,7 +218,8 @@ class MediaResizer:
     explicit transcode (payload in, payload out), so unlike the decode
     stage it re-emits binary. Fake backend: a deterministic
     size-preserving byte transform + updated geometry metadata; real
-    backend raises until codec libs are plugged in.
+    backend decodes PNG/PPM/PGM, nearest-neighbor resamples, and
+    re-encodes the same format (other image formats raise).
 
     Scale math carried by the signature: payload-bearing batches stay
     small (batch_size=32 default at call sites) and the output payload
@@ -162,14 +233,28 @@ class MediaResizer:
             raise ValueError(backend)
         self.w, self.h, self.backend = width, height, backend
 
+    def _resize_real(self, payload: bytes) -> bytes:
+        from ..functions import codecs
+
+        fmt = codecs.sniff_format(payload)
+        if fmt == "png":
+            img = codecs.decode_png(payload)
+            return codecs.encode_png(
+                codecs.resize_nearest(img, self.w, self.h)
+            )
+        if fmt == "ppm":
+            img = codecs.decode_ppm(payload)
+            return codecs.encode_ppm(
+                codecs.resize_nearest(img, self.w, self.h)
+            )
+        raise NotImplementedError(
+            f"real resize of sniffed format {fmt!r} needs PIL/pyav; "
+            "PNG/PPM/PGM resize natively — or use backend='fake'"
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        if self.backend == "real":
-            raise NotImplementedError(
-                "image resize requires codec libraries not in this "
-                "container; use backend='fake' or install PIL"
-            )
         imgs = pc.equal(batch["kind"], "image").to_numpy(
             zero_copy_only=False
         )
@@ -181,6 +266,11 @@ class MediaResizer:
                 out_pay.append(p)
                 out_w.append(batch["width"][i].as_py())
                 out_h.append(batch["height"][i].as_py())
+                continue
+            if self.backend == "real":
+                out_pay.append(self._resize_real(p))
+                out_w.append(self.w)
+                out_h.append(self.h)
                 continue
             # deterministic resample: sha-seeded byte stream of the
             # target size, keyed by source payload (stable under
