@@ -913,6 +913,66 @@ def _redact_docs(sf_dir: str):
     )
 
 
+def _ngram_dedup_docs(sf_dir: str):
+    """D6 exact sibling: deterministic word-5-gram-Jaccard dedup
+    (discriminative-gram semantics, df_cap=64) -> kept docs per lang.
+    Unlike minhash/simhash there is no probabilistic recall term, so
+    the SQL twin recomputes the identical answer from first
+    principles (grams -> df filter -> Jaccard -> recursive-CTE
+    connected components -> lexicographic-min canonicals)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from theoremkb_ray.stages.dedup import ngram_dedup
+
+    ds = _rp(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return ngram_dedup(ds).groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def _ngram_dup_edges(sf_dir: str):
+    """The edge list behind _ngram_dedup_docs: (a, b, jaccard), exact.
+    Jaccard stays a raw double — the SQL twin computes the identical
+    inter/(na+nb-inter) expression from identical integer counts, so
+    the values are bit-equal and the driver's own 6dp rounding agrees
+    on both sides."""
+    from theoremkb_ray.stages.dedup import exact_ngram_dup_edges
+
+    ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_ngram_dup_edges(ds)
+
+
+def _dedup_norm_docs(sf_dir: str):
+    """Normalization-exact dedup: case-fold + collapse whitespace,
+    then exact dedup on the normalized key (keep min doc_id). The
+    cheap first rung of the dedup ladder — catches
+    reformatted-but-identical docs before any sketch runs."""
+    import pyarrow.compute as pc
+
+    from theoremkb_ray.stages.dedup import exact_dedup
+
+    ds = _rp(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def add_norm(b):
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(b["text"]), r"\s+", " "
+            )
+        )
+        return b.append_column("norm_text", norm)
+
+    return (
+        exact_dedup(
+            ds.map_batches(add_norm, batch_format="pyarrow"),
+            col="norm_text",
+        )
+        .select_columns(["doc_id", "lang"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from theoremkb_ray.pipelines.relational import REGISTRY
 
@@ -926,6 +986,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_results": _kg_results,
             "docs_segment": _docs_segment,
             "minhash_dedup_docs": _minhash_dedup_docs,
+            "ngram_dedup_docs": _ngram_dedup_docs,
+            "ngram_dup_edges": _ngram_dup_edges,
+            "dedup_norm_docs": _dedup_norm_docs,
             "simhash_dedup_docs": _simhash_dedup_docs,
             "langid_docs": _langid_docs,
             "fingerprint_docs": _fingerprint_docs,
@@ -1040,6 +1103,214 @@ GROUP BY doc_id
 """
 
 
+#: oracle for the EXACT word-5-gram dedup: recompute grams, apply the
+#: df<=64 discriminative filter to both sizes and intersections,
+#: threshold Jaccard at 0.5, take connected components via a
+#: recursive CTE (min over VARCHAR = the engine's lexicographic-min
+#: canonical), count survivors per lang. Engine works on gram HASHES,
+#: oracle on gram STRINGS (equivalent modulo negligible collisions).
+SQL_NGRAM_DEDUP = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+4], ' ')
+                        FOR i IN generate_series(1, len(toks) - 4)]) AS grams
+  FROM tok WHERE len(toks) >= 5
+),
+gx0 AS (SELECT CAST(doc_id AS VARCHAR) AS id, unnest(grams) AS gram FROM g),
+df AS (SELECT gram, count(*) AS c FROM gx0 GROUP BY gram),
+gx AS (SELECT gx0.id, gx0.gram FROM gx0 JOIN df USING (gram) WHERE df.c <= 64),
+sizes AS (SELECT id, count(*) AS n FROM gx GROUP BY id),
+pair AS (
+  SELECT a.id AS pa, b.id AS pb, count(*) AS inter
+  FROM gx a JOIN gx b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT pa AS a, pb AS b
+  FROM pair JOIN sizes sa ON sa.id = pa JOIN sizes sb ON sb.id = pb
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+),
+nodes AS (SELECT a AS id FROM edges UNION SELECT b FROM edges),
+adj AS (SELECT a AS x, b AS y FROM edges UNION ALL SELECT b AS x, a AS y FROM edges),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT r.src, a.y FROM r JOIN adj a ON a.x = r.dst
+  ) SELECT * FROM r
+),
+labels AS (SELECT src AS id, min(dst) AS label FROM reach GROUP BY src),
+dropped AS (SELECT id FROM labels WHERE id <> label)
+SELECT d.lang, count(*) AS n
+FROM documents d LEFT JOIN dropped dr ON CAST(d.doc_id AS VARCHAR) = dr.id
+WHERE dr.id IS NULL
+GROUP BY d.lang
+"""
+
+
+#: the raw edge list behind SQL_NGRAM_DEDUP (a < b LEXICOGRAPHICALLY,
+#: matching the engine's np.sort over string ids); jaccard is the
+#: same double expression over the same integer counts -> bit-equal.
+SQL_NGRAM_DUP_EDGES = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+4], ' ')
+                        FOR i IN generate_series(1, len(toks) - 4)]) AS grams
+  FROM tok WHERE len(toks) >= 5
+),
+gx0 AS (SELECT CAST(doc_id AS VARCHAR) AS id, unnest(grams) AS gram FROM g),
+df AS (SELECT gram, count(*) AS c FROM gx0 GROUP BY gram),
+gx AS (SELECT gx0.id, gx0.gram FROM gx0 JOIN df USING (gram) WHERE df.c <= 64),
+sizes AS (SELECT id, count(*) AS n FROM gx GROUP BY id),
+pair AS (
+  SELECT a.id AS pa, b.id AS pb, count(*) AS inter
+  FROM gx a JOIN gx b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT pa AS a, pb AS b,
+       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+FROM pair JOIN sizes sa ON sa.id = pa JOIN sizes sb ON sb.id = pb
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+"""
+
+
+#: MinHash-LSH dedup oracle: the planted near-dup landscape is
+#: bimodal (J >= 0.87 within groups, <= 0.02 across), so the
+#: LSH+hamming-verified result provably equals exact word-5-gram
+#: Jaccard >= 0.5 components — which SQL recomputes independently
+#: (no df cap here: the engine's minhash path has none).
+SQL_MINHASH_DEDUP = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+4], ' ')
+                        FOR i IN generate_series(1, len(toks) - 4)]) AS grams
+  FROM tok WHERE len(toks) >= 5
+),
+gx AS (SELECT CAST(doc_id AS VARCHAR) AS id, unnest(grams) AS gram FROM g),
+sizes AS (SELECT id, count(*) AS n FROM gx GROUP BY id),
+pair AS (
+  SELECT a.id AS pa, b.id AS pb, count(*) AS inter
+  FROM gx a JOIN gx b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT pa AS a, pb AS b
+  FROM pair JOIN sizes sa ON sa.id = pa JOIN sizes sb ON sb.id = pb
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+),
+nodes AS (SELECT a AS id FROM edges UNION SELECT b FROM edges),
+adj AS (SELECT a AS x, b AS y FROM edges UNION ALL SELECT b AS x, a AS y FROM edges),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT r.src, a.y FROM r JOIN adj a ON a.x = r.dst
+  ) SELECT * FROM r
+),
+labels AS (SELECT src AS id, min(dst) AS label FROM reach GROUP BY src),
+dropped AS (SELECT id FROM labels WHERE id <> label)
+SELECT d.lang, count(*) AS n
+FROM documents d LEFT JOIN dropped dr ON CAST(d.doc_id AS VARCHAR) = dr.id
+WHERE dr.id IS NULL
+GROUP BY d.lang
+"""
+
+
+#: language-ID oracle: replicate stages/textstats.py:LangId exactly —
+#: lower + whitespace split + first 200 words, stopword hit counts
+#: per profile, priority order en > fr > es > de on ties, 'und' on
+#: zero hits, CJK shortcut over the first 400 characters.
+SQL_LANGID = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t <> '')[:200] AS ws
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    len(list_filter(ws, t -> t IN ('the','and','of','to','a','in','is','that','for','it'))) AS h_en,
+    len(list_filter(ws, t -> t IN ('le','la','les','de','des','et','un','une','est','que'))) AS h_fr,
+    len(list_filter(ws, t -> t IN ('el','la','los','de','y','un','una','es','que','en'))) AS h_es,
+    len(list_filter(ws, t -> t IN ('der','die','das','und','ein','eine','ist','zu','den','von'))) AS h_de
+  FROM w
+),
+c AS (
+  SELECT doc_id,
+    length(substring(text, 1, 400))
+      - length(regexp_replace(substring(text, 1, 400), '[一-鿿]', '', 'g')) AS nc,
+    least(length(text), 400) AS tl
+  FROM documents
+)
+SELECT h.doc_id,
+  CASE WHEN c.nc > 0.2 * c.tl THEN 'zh'
+       WHEN greatest(h_en, h_fr, h_es, h_de) = 0 THEN 'und'
+       WHEN h_en >= h_fr AND h_en >= h_es AND h_en >= h_de THEN 'en'
+       WHEN h_fr >= h_es AND h_fr >= h_de THEN 'fr'
+       WHEN h_es >= h_de THEN 'es'
+       ELSE 'de' END AS lang_pred
+FROM h JOIN c ON h.doc_id = c.doc_id
+"""
+
+
+#: embedding near-dup oracle: exact pairwise cosine at the SRP
+#: operating point (hamming<=6 of 64 ~ cos>=0.96) + the same
+#: recursive-CTE components; verifies the LSH path emits NO false
+#: positives and misses nothing above the threshold.
+SQL_EMBEDDING_DUPS = r"""
+WITH pairs AS (
+  SELECT CAST(a.vec_id AS VARCHAR) AS pa, CAST(b.vec_id AS VARCHAR) AS pb
+  FROM embeddings a JOIN embeddings b
+    ON CAST(a.vec_id AS VARCHAR) < CAST(b.vec_id AS VARCHAR)
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.96
+),
+nodes AS (SELECT pa AS id FROM pairs UNION SELECT pb FROM pairs),
+adj AS (SELECT pa AS x, pb AS y FROM pairs UNION ALL SELECT pb AS x, pa AS y FROM pairs),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT r.src, a.y FROM r JOIN adj a ON a.x = r.dst
+  ) SELECT * FROM r
+),
+labels AS (SELECT src AS id, min(dst) AS label FROM reach GROUP BY src),
+dup AS (SELECT id, label FROM labels WHERE id <> label)
+SELECT '_summary' AS vec_id,
+       'n_vectors=' || CAST((SELECT count(*) FROM embeddings) AS VARCHAR)
+         || ';n_dups=' || CAST((SELECT count(*) FROM dup) AS VARCHAR) AS canonical
+UNION ALL
+SELECT id AS vec_id, label AS canonical FROM dup
+"""
+
+
+#: normalization-exact dedup oracle: identical normalization
+#: (casefold + collapse whitespace + trim), keep min doc_id per key.
+SQL_DEDUP_NORM = r"""
+WITH k AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS key
+  FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY key)
+SELECT k.doc_id, k.lang FROM k JOIN keep USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from theoremkb_ray.pipelines.relational import REGISTRY
 
@@ -1115,4 +1386,10 @@ SELECT doc_id, lang,
            '{_phone}', '<PHONE>', 'g') AS redacted
 FROM documents
 """
+    out["ngram_dedup_docs"] = SQL_NGRAM_DEDUP
+    out["ngram_dup_edges"] = SQL_NGRAM_DUP_EDGES
+    out["minhash_dedup_docs"] = SQL_MINHASH_DEDUP
+    out["langid_docs"] = SQL_LANGID
+    out["embedding_dups"] = SQL_EMBEDDING_DUPS
+    out["dedup_norm_docs"] = SQL_DEDUP_NORM
     return out

@@ -164,3 +164,62 @@ def test_dedup_by_edges_matches_minhash_dedup():
     )
     assert joined_ids == broadcast_ids
     assert len(joined_ids) < t.num_rows  # something was actually dropped
+
+
+def test_exact_ngram_dedup_matches_bruteforce(ray_session):
+    """exact_ngram_dup_edges == brute-force df-filtered word-5-gram
+    Jaccard on a corpus with planted near-dups."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from theoremkb_ray.stages.dedup import exact_ngram_dup_edges, ngram_dedup
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = {}
+    for i in range(40):
+        docs[f"d{i:03d}"] = " ".join(rng.choice(vocab, 40))
+    # planted near-dups: copy with one token swapped
+    for i in range(6):
+        src = f"d{i:03d}"
+        toks = docs[src].split()
+        toks[20] = "zzz"
+        docs[f"x{i:03d}"] = " ".join(toks)
+    tbl = pa.table(
+        {"doc_id": list(docs), "text": list(docs.values())}
+    )
+
+    got = (
+        exact_ngram_dup_edges(rd.from_arrow(tbl), threshold=0.5)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+    # brute force with identical semantics
+    def grams(t):
+        tok = t.split()
+        return set(" ".join(tok[i : i + 5]) for i in range(len(tok) - 4))
+
+    G = {k: grams(v) for k, v in docs.items()}
+    from collections import Counter
+
+    df_counts = Counter(g for s in G.values() for g in s)
+    Gf = {k: {g for g in s if df_counts[g] <= 64} for k, s in G.items()}
+    want = []
+    for a, b in itertools.combinations(sorted(docs), 2):
+        inter = len(Gf[a] & Gf[b])
+        un = len(Gf[a]) + len(Gf[b]) - inter
+        if un and inter / un >= 0.5:
+            want.append((a, b, inter / un))
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert len(want) == 6  # every planted dup found, nothing else
+
+    kept = set(
+        ngram_dedup(rd.from_arrow(tbl), threshold=0.5)
+        .to_pandas()["doc_id"]
+    )
+    assert kept == {k for k in docs if not k.startswith("x")}

@@ -863,3 +863,205 @@ def substring_dup_counts(
     return partial.groupby("doc_id").aggregate(
         Sum("n", alias_name="shared_grams")
     )
+
+
+# ------------------------------------------- exact word-n-gram dedup
+
+
+def exact_ngram_dup_edges(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+    df_cap: int = 64,
+    coarse: int = 64,
+):
+    """EXACT near-duplicate edges by word-n-gram Jaccard — the
+    deterministic sibling of the MinHash path (recall 1 by
+    construction: any pair with J > 0 shares a gram, so it surfaces in
+    that gram's group). Semantics are "discriminative-gram Jaccard":
+    grams occurring in more than ``df_cap`` documents are excluded
+    from BOTH the intersection and the set sizes — that keeps a stop
+    phrase from generating df^2 candidate pairs at corpus scale while
+    staying a well-defined, SQL-expressible contract (the oracle
+    applies the same df filter).
+
+    Physical plan (no all-pairs): distinct gram hashes per doc ->
+    ONE coarse-keyed spool exchange on the gram hash (adaptive
+    fan-out via fine_col) where each gram run emits per-doc size
+    contributions (df <= cap) and per-pair co-occurrence rows
+    (2 <= df <= cap) -> two small groupby-sums -> distributed joins
+    pair<->sizes -> Jaccard filter. Returns Dataset (a, b, jaccard).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..state.spool import spooled_group_map
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b[id_col], pa.string()).to_numpy(zero_copy_only=False)
+        texts = b[col].to_numpy(zero_copy_only=False)
+        out_g, out_i = [], []
+        for i, t in zip(ids, texts):
+            toks = t.split()
+            if len(toks) < n:
+                continue
+            grams = np.unique(
+                hash_strings(
+                    [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+                )
+            )
+            out_g.append(grams)
+            out_i.extend([i] * len(grams))
+        g = (
+            np.concatenate(out_g)
+            if out_g
+            else np.empty(0, np.uint64)
+        )
+        return pa.table(
+            {
+                "gram": pa.array(g),
+                "id": pa.array(out_i, pa.string()),
+                "ck": pa.array(
+                    ((g * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+                     ).astype(np.int64) % coarse
+                ),
+            }
+        )
+
+    def per_gram_group(b: pa.Table) -> pa.Table:
+        g = b["gram"].to_numpy(zero_copy_only=False)
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g, ids = g[order], ids[order]
+        change = np.ones(len(g), dtype=bool)
+        change[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, len(g)))
+        ok = lens <= df_cap
+        # size contributions: every (doc, gram) row of a df<=cap gram
+        size_ids = ids[np.repeat(ok, lens)]
+        a_out, b_out = [], []
+        for s, ln in zip(starts[ok & (lens >= 2)], lens[ok & (lens >= 2)]):
+            members = np.sort(ids[s : s + ln])
+            ia, ib = np.triu_indices(int(ln), k=1)
+            a_out.append(members[ia])
+            b_out.append(members[ib])
+        sid, scnt = (
+            np.unique(size_ids, return_counts=True)
+            if len(size_ids)
+            else (np.empty(0, object), np.empty(0, np.int64))
+        )
+        if a_out:
+            cnt = (
+                pd.DataFrame(
+                    {"a": np.concatenate(a_out), "b": np.concatenate(b_out)}
+                )
+                .groupby(["a", "b"], sort=False)
+                .size()
+                .reset_index(name="w")
+            )
+            p_a = cnt["a"].to_numpy()
+            p_b = cnt["b"].to_numpy()
+            p_w = cnt["w"].to_numpy().astype(np.int64)
+        else:
+            p_a = p_b = np.empty(0, object)
+            p_w = np.empty(0, np.int64)
+        return pa.table(
+            {
+                "a": pa.array(
+                    np.concatenate([sid.astype(object), p_a.astype(object)]),
+                    pa.string(),
+                ),
+                "b": pa.array(
+                    [None] * len(sid) + list(p_b.astype(object)), pa.string()
+                ),
+                "w": pa.array(
+                    np.concatenate([scnt, p_w]).astype(np.int64)
+                ),
+            }
+        )
+
+    rows = spooled_group_map(
+        ds.map_batches(gram_rows, batch_format="pyarrow"),
+        "ck",
+        per_gram_group,
+        fine_col="gram",
+    )
+    sizes = (
+        rows.filter(lambda r: r["b"] is None)
+        .groupby("a")
+        .aggregate(Sum("w", alias_name="n_grams"))
+    )
+    inter = (
+        rows.filter(lambda r: r["b"] is not None)
+        .groupby(["a", "b"])
+        .aggregate(Sum("w", alias_name="inter"))
+        .materialize()
+    )
+    if inter.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    from .joins import hash_join
+
+    sa = sizes.map_batches(
+        lambda t: t.rename_columns(["a", "na"]), batch_format="pyarrow"
+    )
+    sb = sizes.map_batches(
+        lambda t: t.rename_columns(["b", "nb"]), batch_format="pyarrow"
+    )
+    joined = hash_join(hash_join(inter, sa, on=["a"]), sb, on=["b"])
+
+    def score(t: pa.Table) -> pa.Table:
+        it = t["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        j = it / (na + nb - it)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "a": t["a"].filter(pa.array(keep)),
+                "b": t["b"].filter(pa.array(keep)),
+                "jaccard": pa.array(j[keep], pa.float64()),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
+def ngram_dedup(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+    df_cap: int = 64,
+):
+    """Keep one representative (lexicographic min id) per exact
+    word-n-gram-Jaccard component (see :func:`exact_ngram_dup_edges`).
+    Deterministic — unlike the MinHash/SimHash paths there is no
+    probabilistic recall term, so the result has an exact SQL twin."""
+    import ray
+
+    from ..state.broadcast import get_broadcast
+
+    canon = dup_assignments(
+        exact_ngram_dup_edges(ds, col, id_col, n, threshold, df_cap)
+    )
+    dup_ref = ray.put(pa.array(sorted(canon.keys()), pa.string()))
+
+    def drop(b: pa.Table) -> pa.Table:
+        dups = get_broadcast(dup_ref)
+        ids = pc.cast(b[id_col], pa.string())
+        keep = pc.invert(pc.is_in(ids, value_set=dups))
+        return b.filter(keep)
+
+    return ds.map_batches(drop, batch_format="pyarrow")
