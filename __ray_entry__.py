@@ -405,6 +405,17 @@ def _media_decode_real(sf_dir: str):
     )
 
 
+def _seg_report_noisy(sf_dir: str):
+    """Tagger quality under the reference's real operating regime:
+    15% label noise on the training gold + 25% head look-alike
+    distractor lines; line-level B/I/O P/R vs CLEAN held-out gold.
+    Reference bar: B .96/.96, I .83/.73 (Training.ipynb cell 13).
+    Model scoring — no SQL oracle (rows-only check)."""
+    from theoremkb_ray.stages.crf import noise_robust_report
+
+    return noise_robust_report()
+
+
 def _tfidf_match(sf_dir: str):
     """T6/J9: TF-IDF theorem matching, fork docs vs their originals."""
     import pyarrow.parquet as pq
@@ -1007,6 +1018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "seg_report": _seg_report,
             "seg_report_words": _seg_report_words,
             "seg_report_cnn1d": _seg_report_cnn1d,
+            "seg_report_noisy": _seg_report_noisy,
             "nlp_classify": _nlp_classify,
             "split_stratified": _split_stratified,
             "tfidf_match": _tfidf_match,

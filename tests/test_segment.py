@@ -317,3 +317,20 @@ def test_synth_plants_repetitive_headers():
         for s in flat_np[rep]
     )
     assert any(s.startswith("draft ") for s in flat_np[rep])
+
+
+def test_noise_robust_tagger_meets_reference_bar(ray_session):
+    """Trained on 15%-corrupted gold over a 25%-distractor corpus,
+    the tagger must clear the reference's published line-level bars
+    (B .96/.96, I .83/.73 on its real noisy corpus — reference
+    Styling/tools/notebooks/Training.ipynb cell 13)."""
+    from theoremkb_ray.stages.crf import noise_robust_report
+
+    rep = noise_robust_report().set_index("tag_class")
+    assert rep.loc["B", "precision"] >= 0.96
+    assert rep.loc["B", "recall"] >= 0.96
+    assert rep.loc["I", "precision"] >= 0.83
+    assert rep.loc["I", "recall"] >= 0.73
+    # the clean-regime suite already asserts P/R 1.0; here the point
+    # is robustness, not perfection
+    assert rep.loc["O", "recall"] >= 0.95

@@ -159,12 +159,22 @@ class LinearChainTagger:
         y: np.ndarray,
         epochs: int = 8,
         seed: int = 0,
+        l2: float = 0.0,
     ) -> "LinearChainTagger":
-        """Averaged structured perceptron over per-document sequences."""
+        """Averaged structured perceptron over per-document sequences.
+
+        ``l2`` is a per-step weight-decay factor (the perceptron
+        counterpart of the reference's c2 L2 penalty on its lbfgs CRF,
+        Styling/src/lib/models/crf.py:20-50): each update step shrinks
+        the working weights toward zero, so a single mislabeled
+        document can't park a large permanent weight on a noisy
+        feature — the averaged output then dominates by the *stable*
+        margins. 0.0 (default) is the exact previous behavior."""
         n_docs = len(offsets) - 1
         rng = np.random.RandomState(seed)
         W, T = self.W.copy(), self.T.copy()
         Wsum, Tsum = np.zeros_like(W), np.zeros_like(T)
+        decay = 1.0 - l2
         steps = 0
         for _ in range(epochs):
             order = rng.permutation(n_docs)
@@ -176,6 +186,9 @@ class LinearChainTagger:
                     Xd, np.array([0, hi - lo], dtype=np.int64)
                 )
                 if not np.array_equal(pred, yd):
+                    if l2:
+                        W *= decay
+                        T *= decay
                     np.add.at(W, yd, Xd.astype(float))
                     np.subtract.at(W, pred, Xd.astype(float))
                     if hi - lo > 1:
@@ -420,7 +433,7 @@ def featurize_for_training(
 
 
 def fit_from_training_ds(
-    train_ds, epochs: int = 8, seed: int = 0
+    train_ds, epochs: int = 8, seed: int = 0, l2: float = 0.0
 ) -> LinearChainTagger:
     """Collect the compact featurized payloads and fit the perceptron.
 
@@ -446,7 +459,9 @@ def fit_from_training_ds(
     np.cumsum([len(x) for x in Xs], out=offsets[1:])
     X = np.concatenate(Xs) if Xs else np.zeros((0, N_FEATS), dtype=bool)
     y = np.concatenate(ys) if ys else np.zeros(0, dtype=np.int32)
-    return LinearChainTagger().fit(X, offsets, y, epochs=epochs, seed=seed)
+    return LinearChainTagger().fit(
+        X, offsets, y, epochs=epochs, seed=seed, l2=l2
+    )
 
 
 def train_crf_distributed(
@@ -455,12 +470,13 @@ def train_crf_distributed(
     epochs: int = 8,
     balance_window: int | None = None,
     out_path: str | None = None,
+    l2: float = 0.0,
 ) -> LinearChainTagger:
     """cli.py-train analog: distributed featurize -> driver fit."""
     train_ds = featurize_for_training(
         corpus_ds, gold_spans, balance_window=balance_window
     )
-    model = fit_from_training_ds(train_ds, epochs=epochs)
+    model = fit_from_training_ds(train_ds, epochs=epochs, l2=l2)
     if out_path:
         model.save(out_path)
     return model
@@ -507,3 +523,108 @@ def train_crf(
     if out_path:
         model.save(out_path)
     return model, acc
+
+
+def noise_robust_report(
+    num_docs: int = 300,
+    seed: int = 7,
+    label_noise: float = 0.15,
+    distractor_rate: float = 0.25,
+    l2: float = 1e-4,
+    epochs: int = 16,
+    eval_docs: int = 100,
+):
+    """Tagger quality under the reference's REAL operating conditions
+    (noisy annotations + ambiguous head styles), not the clean-synth
+    P/R-1.0 regime.
+
+    Train: gold spans corrupted at ``label_noise`` (boundary jitter /
+    kind relabel / span drop — synth.corrupt_gold_spans) over a corpus
+    whose filler contains head LOOK-ALIKE lines
+    (synth.inject_distractors). Eval: a held-out corpus with the same
+    distractor rate but CLEAN labels, scored line-level after
+    collapsing tags to {O, B, I} — the reference's own tag set and
+    report granularity (its published bar: B .96/.96, I .83/.73 on
+    2,642 noisy arXiv papers, Styling/tools/notebooks/Training.ipynb
+    cell 13). Returns a DataFrame (tag_class, precision, recall, f1,
+    support).
+
+    Featurize fans out over the cluster (featurize_for_training);
+    only the compact bit-packed payloads reach the fitting process."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..synth import (
+        corrupt_gold_spans,
+        generate_corpus,
+        inject_distractors,
+    )
+
+    # ---- train side
+    tr = generate_corpus(num_docs, seed=seed, dup_fraction=0.0)
+    tr_corpus = inject_distractors(
+        tr["corpus"], tr["gold_spans"], rate=distractor_rate, seed=seed
+    )
+    noisy_gold = corrupt_gold_spans(
+        tr["gold_spans"], rate=label_noise, seed=seed
+    )
+    model = train_crf_distributed(
+        rd.from_arrow(tr_corpus),
+        noisy_gold,
+        epochs=epochs,
+        l2=l2,
+    )
+
+    # ---- eval side: same distractor regime, CLEAN labels
+    te = generate_corpus(eval_docs, seed=seed + 1, dup_fraction=0.0)
+    te_corpus = inject_distractors(
+        te["corpus"], te["gold_spans"], rate=distractor_rate, seed=seed + 1
+    )
+    eval_ds = featurize_for_training(
+        rd.from_arrow(te_corpus), te["gold_spans"]
+    )
+    n_bytes = (N_FEATS + 7) // 8
+    Xs, ys = [], []
+    for b in eval_ds.iter_batches(batch_format="pyarrow"):
+        for packed, tags in zip(
+            b["packed_feats"].to_pylist(), b["tags"].to_pylist()
+        ):
+            if not tags:
+                continue
+            arr = np.frombuffer(bytes(packed), dtype=np.uint8).reshape(
+                len(tags), n_bytes
+            )
+            Xs.append(np.unpackbits(arr, axis=1)[:, :N_FEATS].astype(bool))
+            ys.append(np.asarray(tags, dtype=np.int32))
+    offsets = np.zeros(len(Xs) + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in Xs], out=offsets[1:])
+    X = np.concatenate(Xs)
+    y = np.concatenate(ys)
+    pred = model.decode_batch(X, offsets)
+
+    def collapse(t: np.ndarray) -> np.ndarray:
+        # 0 stays O; odd ids are B-*, even (>0) are I-*
+        out = np.zeros(len(t), dtype=np.int8)
+        out[(t > 0) & ((t - 1) % 2 == 0)] = 1  # B
+        out[(t > 0) & ((t - 1) % 2 == 1)] = 2  # I
+        return out
+
+    yc, pc_ = collapse(y), collapse(pred)
+    rows = []
+    for cid, cname in ((0, "O"), (1, "B"), (2, "I")):
+        tp = int(((pc_ == cid) & (yc == cid)).sum())
+        fp = int(((pc_ == cid) & (yc != cid)).sum())
+        fn = int(((pc_ != cid) & (yc == cid)).sum())
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * p * r / (p + r) if p + r else 0.0
+        rows.append(
+            {
+                "tag_class": cname,
+                "precision": round(p, 4),
+                "recall": round(r, 4),
+                "f1": round(f1, 4),
+                "support": tp + fn,
+            }
+        )
+    return pd.DataFrame(rows)
