@@ -109,3 +109,56 @@ def test_http_routes(tmp_path, ray_session):
         doc = urllib.parse.quote(_doc(0), safe="")
         code, doc_rows = _get(f"{url}/document/{doc}")
         assert code == 200 and len(doc_rows) == 5
+
+
+def _req(url: str, method: str, payload=None):
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_layer_metadata_crud(tmp_path, ray_session):
+    """The reference server's editable layer surface (create/update/
+    delete + tag dict), over the JSON sidecar registry."""
+    store = _store(str(tmp_path / "store"))
+    with TripleStoreServer(store) as url:
+        code, empty = _get(f"{url}/layers")
+        assert code == 200 and empty == []
+        code, row = _req(
+            f"{url}/layers",
+            "POST",
+            {"name": "run-1", "class": "segmentation", "training": True},
+        )
+        assert code == 201 and row["training"] and row["id"].startswith("ly_")
+        lid = row["id"]
+        # unknown class rejected
+        code, err = _req(f"{url}/layers", "POST", {"name": "x", "class": "nope"})
+        assert code == 400
+        # update: rename + tag merge + tag delete
+        code, row = _req(
+            f"{url}/layers/{lid}", "POST",
+            {"name": "run-1b", "tags": {"reviewed": True, "note": "a"}},
+        )
+        assert code == 200 and row["name"] == "run-1b"
+        code, row = _req(
+            f"{url}/layers/{lid}", "POST", {"tags": {"note": None}}
+        )
+        assert code == 200 and "note" not in row["tags"]
+        code, got = _get(f"{url}/layers/{lid}")
+        assert code == 200 and got["tags"] == {"reviewed": True}
+        # immutable field rejected
+        code, err = _req(f"{url}/layers/{lid}", "POST", {"class": "x"})
+        assert code == 400
+        # delete + 404 after
+        code, _ = _req(f"{url}/layers/{lid}", "DELETE")
+        assert code == 200
+        code, err = _get(f"{url}/layers/{lid}")
+        assert code == 404
+        code, err = _req(f"{url}/layers/ly_missing", "DELETE")
+        assert code == 404

@@ -18,8 +18,17 @@ the reference's read surface directly on top of it:
   property: a doc's entities share its repo);
 - ``GET /stats`` / ``GET /partitions`` — manifest roll-up.
 
+One surface IS mutable, matching the reference server's layer CRUD
+(Styling/src/server.py POST/DELETE routes): annotation-layer METADATA
+(name / class / training flag / tag dict) lives in a ``_layers.json``
+sidecar (state/layers.py) behind ``GET/POST/DELETE /layers[/<id>]``.
+Box-geometry editing stays out of scope by design — in a batch engine
+the correction cycle is "edit gold, re-run extraction", not row-level
+mutation of the immutable sorted parquet.
+
 Multi-node note: the server is stateless over shared storage — any
-number of replicas can serve the same store directory.
+number of replicas can serve the same store directory (single-writer
+contract for the layer sidecar).
 """
 
 from __future__ import annotations
@@ -170,6 +179,68 @@ class _Handler(BaseHTTPRequestHandler):
                 self._json(200, store_stats(store))
             elif path == "/partitions":
                 self._json(200, read_manifests(store))
+            elif path == "/layers":
+                self._json(200, self._layers().list())
+            elif path.startswith("/layers/"):
+                try:
+                    self._json(
+                        200, self._layers().get(path[len("/layers/") :])
+                    )
+                except KeyError as e:
+                    self._json(404, {"error": str(e)})
+            else:
+                self._json(404, {"error": f"no route {path!r}"})
+        except Exception as e:  # pragma: no cover - defensive
+            self._json(500, {"error": str(e)})
+
+    # ---- layer-metadata CRUD (reference server.py POST/DELETE layer
+    # routes; geometry editing is out of scope — see state/layers.py)
+    def _layers(self):
+        from .state.layers import LayerRegistry
+
+        return LayerRegistry(self.server.store_dir)  # type: ignore[attr-defined]
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        return json.loads(self.rfile.read(n) or b"{}")
+
+    def do_POST(self) -> None:  # noqa: N802
+        path = unquote(self.path)
+        try:
+            if path == "/layers":
+                b = self._body()
+                row = self._layers().create(
+                    b["name"],
+                    b["class"],
+                    training=b.get("training", False),
+                    tags=b.get("tags"),
+                )
+                self._json(201, row)
+            elif path.startswith("/layers/"):
+                lid = path[len("/layers/") :]
+                try:
+                    row = self._layers().update(lid, **self._body())
+                except KeyError as e:
+                    self._json(404, {"error": str(e)})
+                    return
+                self._json(200, row)
+            else:
+                self._json(404, {"error": f"no route {path!r}"})
+        except (KeyError, ValueError) as e:
+            self._json(400, {"error": str(e)})
+        except Exception as e:  # pragma: no cover - defensive
+            self._json(500, {"error": str(e)})
+
+    def do_DELETE(self) -> None:  # noqa: N802
+        path = unquote(self.path)
+        try:
+            if path.startswith("/layers/"):
+                try:
+                    self._layers().delete(path[len("/layers/") :])
+                except KeyError as e:
+                    self._json(404, {"error": str(e)})
+                    return
+                self._json(200, {"deleted": path[len("/layers/") :]})
             else:
                 self._json(404, {"error": f"no route {path!r}"})
         except Exception as e:  # pragma: no cover - defensive
