@@ -174,6 +174,11 @@ def _minhash_dedup_docs(sf_dir: str):
 
 
 def _simhash_dedup_docs(sf_dir: str):
+    """Approximate BY DESIGN (hamming<=12 on a 64-bit simhash trades
+    recall for one 8-byte sketch per doc): at sf0.01 it finds 20 of
+    the 24 exact-Jaccard assignments — the 4 borderline pairs are the
+    documented trade, so there is no SQL twin (the deterministic
+    sibling with one is ngram_dedup_docs)."""
     import ray.data as rd
 
     from theoremkb_ray.stages.dedup import dup_assignments, simhash_dup_edges
@@ -216,6 +221,10 @@ def _fingerprint_docs(sf_dir: str):
 
 
 def _ivf_topk(sf_dir: str):
+    """Approximate BY DESIGN (probed-list subset of centroids); the
+    exact contract is oracled twice over: ivf_exact_topk
+    (nprobe==num_centroids reduces to brute force) and ann_topk.
+    Recall@k vs the brute twin is asserted in tests/test_pipeline."""
     import numpy as np
     import ray.data as rd
 

@@ -174,12 +174,29 @@ def run_bench() -> dict:
 
     results = results_dataset(corpus, segmenter="crf").materialize()
     mark("results materialized")
+    # skew pre-pass overlaps the canonicalization tail (reads only the
+    # pinned results — concurrent Ray Data jobs from a second thread)
+    import threading
+
+    salt_box: dict = {}
+
+    def _skew() -> None:
+        try:
+            salt_box["salt"] = detect_skewed_repos_from_results(results, 64)
+        except BaseException as e:
+            salt_box["err"] = e
+
+    skew_thread = threading.Thread(target=_skew, daemon=True)
+    skew_thread.start()
     triples = triples_from_materialized_results(
         results, links_tbl=links, canonicalize=True
     )
     mark("triples dataset built (canon done)")
-    salt = detect_skewed_repos_from_results(results, 64)
-    mark("skew detected")
+    skew_thread.join()
+    if "err" in salt_box:
+        raise salt_box["err"]
+    salt = salt_box["salt"]
+    mark("skew joined")
     summary = materialize_triples(
         triples, out_dir, num_partitions=64, resume=False, salt_repos=salt
     )

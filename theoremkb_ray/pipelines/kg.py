@@ -108,8 +108,18 @@ def triples_from_materialized_results(
         # pin_bands=False: bands derive from the PINNED results table —
         # re-running the vectorized emitter per pass costs seconds,
         # materializing ~11 band rows/result cost a 10.7GB plasma pin
-        # at the 2.2M-doc stress point
-        edges = candidate_pairs(bands, pin_bands=False)
+        # at the 2.2M-doc stress point. The band-row count is known
+        # a priori (NUM_BANDS per result; proofs excluded makes this
+        # an overestimate, which only biases the hot-prefilter plan
+        # gate toward the spool path), so the prefilter skips its
+        # whole count pass — one fewer full emitter execution.
+        from ..stages.canonicalize import NUM_BANDS
+
+        edges = candidate_pairs(
+            bands,
+            pin_bands=False,
+            n_rows_hint=results.count() * NUM_BANDS,
+        )
         triples = canonicalize_triples(triples, edges)
         mark("kg: canonicalize_triples returned")
     return triples
@@ -176,16 +186,36 @@ def run_kg(
                 stage="results",
                 lineage=lineage_id,
             )
+    # skew pre-pass on the pinned results (one tiny groupby) — sampling
+    # the lazy triples would re-execute emit+rewrite end-to-end. It
+    # only reads the pinned results, so it OVERLAPS the serial
+    # canonicalization tail (links broadcast build, driver CC) in a
+    # thread instead of adding its seconds after it; Ray Data jobs on
+    # separate datasets run concurrently from separate driver threads.
+    salt_box: dict = {}
+    skew_thread = None
+    if auto_salt:
+        import threading
+
+        def _skew() -> None:
+            try:
+                salt_box["salt"] = detect_skewed_repos_from_results(
+                    results, num_partitions
+                )
+            except BaseException as e:  # re-raised on join
+                salt_box["err"] = e
+
+        skew_thread = threading.Thread(target=_skew, daemon=True)
+        skew_thread.start()
     triples = triples_from_materialized_results(
         results, links_tbl=links_tbl, canonicalize=canonicalize
     )
-    # skew pre-pass on the pinned results (one tiny groupby) — sampling
-    # the lazy triples would re-execute emit+rewrite end-to-end
-    salt = (
-        detect_skewed_repos_from_results(results, num_partitions)
-        if auto_salt
-        else None
-    )
+    if skew_thread is not None:
+        skew_thread.join()
+        if "err" in salt_box:
+            raise salt_box["err"]
+    salt = salt_box.get("salt")
+    mark("kg: skew pre-pass joined")
     return materialize_triples(
         triples,
         out_dir,

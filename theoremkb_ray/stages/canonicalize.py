@@ -119,7 +119,11 @@ def dedup_pairs(pairs_ds, coarse: int = 64):
 
 
 def candidate_pairs(
-    band_ds, cap: int = 50, dedup: bool = True, pin_bands: bool = True
+    band_ds,
+    cap: int = 50,
+    dedup: bool = True,
+    pin_bands: bool = True,
+    n_rows_hint: int | None = None,
 ):
     """Coarse-keyed bucket groupby -> verified near-dup edges
     (a, b, confidence), deduplicated across bands by default.
@@ -133,7 +137,9 @@ def candidate_pairs(
     distributed end-to-end."""
     from .dedup import pairs_from_bands
 
-    pairs = pairs_from_bands(band_ds, cap=cap, pin_bands=pin_bands)
+    pairs = pairs_from_bands(
+        band_ds, cap=cap, pin_bands=pin_bands, n_rows_hint=n_rows_hint
+    )
     if dedup:
         pairs = dedup_pairs(pairs)
 

@@ -202,6 +202,7 @@ def hot_band_hashes(
     band_ds,
     driver_rows_max: int = 4_000_000,
     hot_collect_max: int = 20_000_000,
+    n_rows: int | None = None,
 ):
     """Band hashes occurring >= 2 times, as a broadcastable Arrow
     array — or None when the hot set is too large to broadcast.
@@ -224,8 +225,16 @@ def hot_band_hashes(
     BOTH parallelism levels (the driver sort is serial) and preserves
     scaling. Above ``hot_collect_max`` hot hashes the prefilter is
     skipped entirely (returns None — the caller falls through to the
-    unfiltered shuffle)."""
-    n_rows = band_ds.count()
+    unfiltered shuffle).
+
+    ``n_rows`` skips the count pass when the caller already knows the
+    band volume (bands are exactly NUM_BANDS rows per emitted id, so
+    a pinned upstream's count times NUM_BANDS is free) — with
+    pin_bands=False the count would otherwise re-run the whole minhash
+    emitter once just to pick a plan. An overestimate only biases the
+    driver-vs-spool gate toward the spool path, never correctness."""
+    if n_rows is None:
+        n_rows = band_ds.count()
     if n_rows <= driver_rows_max:
         chunks = []
         for b in band_ds.select_columns(["band_hash"]).iter_batches(
@@ -309,6 +318,7 @@ def pairs_from_bands(
     coarse: int = COARSE_BUCKETS,
     prefilter: bool = True,
     pin_bands: bool = True,
+    n_rows_hint: int | None = None,
 ):
     """LSH band rows -> candidate pair rows via ONE coarse-keyed
     exchange (see :func:`_pairs_from_coarse`), preceded (by default) by
@@ -335,7 +345,8 @@ def pairs_from_bands(
         if pin_bands:
             band_ds = band_ds.materialize()
             mark("pairs_from_bands: bands materialized")
-        hot = hot_band_hashes(band_ds)
+            n_rows_hint = None  # pinned: count() is metadata, free
+        hot = hot_band_hashes(band_ds, n_rows=n_rows_hint)
         mark("pairs_from_bands: hot prefilter built")
         if hot is not None and len(hot) == 0:
             return rd.from_pandas(pd.DataFrame(_EMPTY_PAIRS))
