@@ -234,6 +234,18 @@ def run_bench() -> dict:
         ).to_pandas()
         timings["minhash_dedup"] = round(time.perf_counter() - t0, 3)
 
+        # exact word-n-gram dedup (D7 — the deterministic sibling)
+        from theoremkb_ray.stages.dedup import ngram_dedup
+
+        t0 = time.perf_counter()
+        docs = rd.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        ngram_dedup(docs).groupby("lang").aggregate(
+            Count(alias_name="n")
+        ).to_pandas()
+        timings["ngram_dedup"] = round(time.perf_counter() - t0, 3)
+
         # ---------------- textstats sweep ----------------------------
         from theoremkb_ray.stages.textstats import langid, quality, token_counts
 
