@@ -1000,13 +1000,21 @@ def exact_ngram_dup_edges(
         per_gram_group,
         fine_col="gram",
     )
+    # rows is already materialized (spooled_group_map pins its result),
+    # so the two consumers below never recompute the exchange
     sizes = (
-        rows.filter(lambda r: r["b"] is None)
+        rows.map_batches(
+            lambda t: t.filter(pc.is_null(t["b"])).drop_columns(["b"]),
+            batch_format="pyarrow",
+        )
         .groupby("a")
         .aggregate(Sum("w", alias_name="n_grams"))
     )
     inter = (
-        rows.filter(lambda r: r["b"] is not None)
+        rows.map_batches(
+            lambda t: t.filter(pc.is_valid(t["b"])),
+            batch_format="pyarrow",
+        )
         .groupby(["a", "b"])
         .aggregate(Sum("w", alias_name="inter"))
         .materialize()
