@@ -354,15 +354,24 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        # min-of-3 on BOTH legs: single runs swing ±20-35% on this VM
-        # (THP/page-fault stalls); the minimum estimates capability and
-        # three samples tighten it on both sides of the ratio equally
-        runs = [run_once(ncpu) for _ in range(3)]
-        return min(runs, key=lambda r: r["value"])
-
+    # min-of-3 on BOTH legs, INTERLEAVED (lo,hi,lo,hi,lo,hi): single
+    # runs swing ±20-35% on this VM (THP/page-fault stalls) and the
+    # drift is time-correlated — running all lo samples in one era and
+    # all hi samples in another biases the RATIO, which is the number
+    # under test. Interleaving gives both legs the same noise regime;
+    # the minimum estimates capability.
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    lo_runs, hi_runs = [], []
+    for i in range(3):
+        lo_runs.append(run_once(lo))
+        hi_runs.append(run_once(hi))
+        print(
+            f"[scaling sample {i}] {lo}cpu={lo_runs[-1]['value']}s "
+            f"{hi}cpu={hi_runs[-1]['value']}s",
+            file=sys.stderr, flush=True,
+        )
+    r_lo = min(lo_runs, key=lambda r: r["value"])
+    r_hi = min(hi_runs, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {

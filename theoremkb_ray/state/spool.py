@@ -371,7 +371,10 @@ def spooled_group_map(
     of it, keeping per-reduce-task memory flat as data volume grows.
     ``fn`` must only rely on fine-key co-location (true for every
     bucketed group fn in this repo), NOT on seeing the whole coarse
-    group. Omit it for fns that need the full semantic group (e.g.
+    group — and not on the key column's VALUE either (re-split
+    partitions carry fresh synthetic key ids). ``fine_col`` must be
+    an integer column (its values are re-hashed with splitmix).
+    Omit it for fns that need the full semantic group (e.g.
     SemDedup's per-cluster prune).
 
     Multi-node guard: with >1 alive node and no declared shared
