@@ -25,13 +25,19 @@ def _make_ds(n=5_000, coarse=8, seed=0, payload=16):
     fine = rng.integers(0, 400, n, dtype=np.uint64) * np.uint64(
         0x9E3779B97F4A7C15
     )
+    # INCOMPRESSIBLE padding: the byte-cap assertions below must hold
+    # under whatever spool compression is configured (a constant pad
+    # collapses to nothing under zstd and no partition ever splits)
+    pad = [
+        rng.bytes(payload).hex()[:payload] for _ in range(n)
+    ]
     return rd.from_arrow(
         pa.table(
             {
                 "fine": pa.array(fine),
                 "k": pa.array((fine % np.uint64(coarse)).astype(np.int64)),
                 "v": pa.array(rng.integers(0, 1000, n)),
-                "pad": pa.array(["x" * payload] * n),
+                "pad": pa.array(pad),
             }
         )
     ).repartition(8)

@@ -199,7 +199,10 @@ def _write_partition(
     os.makedirs(pdir, exist_ok=True)
     tmp = os.path.join(pdir, "data.parquet.tmp")
     final = os.path.join(pdir, "data.parquet")
-    pq.write_table(tbl, tmp)
+    # zstd over default snappy: the finalize pass is disk-bound at
+    # high CPU counts (same measurement as the spool's compression
+    # note, state/spool.py) and triple ids are highly compressible
+    pq.write_table(tbl, tmp, compression="zstd")
     os.replace(tmp, final)
     # manifest hash formula unchanged (sub\tpred\tobj joined by \n);
     # binary_join over one list scalar builds the bytes in Arrow C++

@@ -53,6 +53,14 @@ import pyarrow.feather as pf
 #: default scratch root; override per-call or via $TKB_SCRATCH
 SCRATCH_ENV = "TKB_SCRATCH"
 
+#: spool compression: zstd (level 1) over lz4 — the sink phase is
+#: DISK-bound at high CPU counts (measured 92s at 32 CPUs vs 95s at
+#: 8 for the same 28.5M-triple spool: wall = IO bytes / bandwidth,
+#: not CPU), and these string-heavy blocks compress ~2x better under
+#: zstd for a decode cost the idle CPUs absorb. Override with
+#: $TKB_SPOOL_COMP (lz4 restores the old behavior).
+SPOOL_COMPRESSION = os.environ.get("TKB_SPOOL_COMP", "zstd")
+
 #: re-split any spool partition larger than this before the reduce
 #: side reads it whole (only when the caller provides ``fine_col``).
 #: 256 MiB of lz4 feather decodes to well under a worker's heap even
@@ -140,7 +148,7 @@ def spool_write_partitioned(
             pf.write_feather(
                 b.slice(s, e - s).drop_columns([key_col]),
                 os.path.join(d, f"{tag}_{s}.feather"),
-                compression="lz4",
+                compression=SPOOL_COMPRESSION,
             )
         return pa.table(
             {
@@ -234,7 +242,7 @@ def _resplit_partition(
             pf.write_feather(
                 t.slice(a, e - a),
                 os.path.join(nd, f"{tag}_{a}.feather"),
-                compression="lz4",
+                compression=SPOOL_COMPRESSION,
             )
             counts[int(sub[a])] += e - a
     shutil.rmtree(d)
