@@ -572,7 +572,9 @@ def _page_segment(sf_dir: str):
 
 
 def _split_stratified(sf_dir: str):
-    """O5/O6: deterministic hash split + stratified sample summary."""
+    """O5/O6: deterministic hash split + stratified sample summary.
+    Both sides rank doc_id via key_rank64 (splitmix64 chain, seed 11),
+    so the DuckDB oracle reproduces the exact counts."""
     import pandas as pd
     import ray.data as rd
 
@@ -647,10 +649,11 @@ def _heavy_hitters_types(sf_dir: str):
 
 def _sample_docs(sf_dir: str):
     """Deterministic uniform 50-sample of documents without a global
-    shuffle: rank = splitmix64(hash(doc_id) ^ seed), keep the 50
-    smallest. Membership is a pure function of (doc_id, seed) —
-    identical under any partitioning (asserted in tests); the custom
-    64-bit mix is not expressible in ANSI SQL, so no oracle."""
+    shuffle: rank = key_rank64(doc_id, seed) — a pure splitmix64 chain
+    for integer keys — keep the 50 smallest. Membership is a pure
+    function of (doc_id, seed), identical under any partitioning
+    (asserted in tests), and the DuckDB oracle recomputes the chain
+    exactly via UHUGEINT wrap-around arithmetic."""
     import ray.data as rd
 
     from theoremkb_ray.stages.sketches import uniform_sample
@@ -1332,6 +1335,41 @@ SELECT k.doc_id, k.lang FROM k JOIN keep USING (doc_id)
 """
 
 
+def _splitmix_round_ctes(p: str, src: str, carry: str) -> str:
+    """One splitmix64 finalizer round as a DuckDB CTE chain.
+
+    Reproduces functions/hashing.py:splitmix64 bit-for-bit: 64-bit
+    wrap-around via UHUGEINT arithmetic mod 2**64 (64x64-bit products
+    fit uint128 exactly). `src` must expose a UBIGINT column `x` plus
+    the carried columns; the chain ends at CTE ``{p}4``."""
+    M = 18446744073709551616  # 2**64
+    return f"""
+{p}1 AS (SELECT {carry}, CAST((CAST(x AS UHUGEINT) + 11400714819323198485) % {M} AS UBIGINT) AS x FROM {src}),
+{p}2 AS (SELECT {carry}, CAST((CAST(xor(x, x >> 30) AS UHUGEINT) * 13787848793156543929) % {M} AS UBIGINT) AS x FROM {p}1),
+{p}3 AS (SELECT {carry}, CAST((CAST(xor(x, x >> 27) AS UHUGEINT) * 10723151780598845931) % {M} AS UBIGINT) AS x FROM {p}2),
+{p}4 AS (SELECT {carry}, xor(x, x >> 31) AS x FROM {p}3),"""
+
+
+def _key_rank_sql(table: str, key: str, carry: str, seed: int) -> str:
+    """WITH-clause body computing ``rank = key_rank64(key, seed)``
+    (functions/hashing.py) for non-negative integer keys: two splitmix
+    rounds with the seed XORed in between. Final CTE ``r`` exposes the
+    carried columns plus UBIGINT ``x`` = the rank. seed=0 matches the
+    runtime's single-round shortcut (key_rank64 skips the outer mix)."""
+    head = f"""
+s0 AS (SELECT {carry}, CAST({key} AS UBIGINT) AS x FROM {table}),
+{_splitmix_round_ctes('a', 's0', carry)}"""
+    if not seed:
+        return head + f"\nr AS (SELECT {carry}, x FROM a4)"
+    return (
+        head
+        + f"""
+sx AS (SELECT {carry}, xor(x, CAST({seed} AS UBIGINT)) AS x FROM a4),
+{_splitmix_round_ctes('b', 'sx', carry)}
+r AS (SELECT {carry}, x FROM b4)"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from theoremkb_ray.pipelines.relational import REGISTRY
 
@@ -1413,4 +1451,28 @@ FROM documents
     out["langid_docs"] = SQL_LANGID
     out["embedding_dups"] = SQL_EMBEDDING_DUPS
     out["dedup_norm_docs"] = SQL_DEDUP_NORM
+    # sample_docs: uniform_sample ranks integer keys by the pure
+    # splitmix64 chain (key_rank64), reproduced here exactly — the
+    # 50 smallest ranks are the sample, order-insensitive.
+    out["sample_docs"] = f"""
+WITH {_key_rank_sql('documents', 'doc_id', 'doc_id, lang', 7)}
+SELECT doc_id, lang FROM r ORDER BY x LIMIT 50
+"""
+    # split_stratified: ONE rank column serves both the 0.2 hash
+    # threshold split and the per-lang 10-smallest stratified sample
+    # (both run with seed=11 on doc_id). Threshold mirrors
+    # train_test_split's int(f * 2**64) exactly.
+    _thresh = int(0.2 * 2**64)
+    out["split_stratified"] = f"""
+WITH {_key_rank_sql('documents', 'doc_id', 'doc_id, lang', 11)},
+nums AS (
+  SELECT lang,
+         row_number() OVER (PARTITION BY lang ORDER BY x, doc_id) AS rn
+  FROM r
+)
+SELECT
+  (SELECT count(*) FROM r WHERE x >= {_thresh}) AS n_train,
+  (SELECT count(*) FROM r WHERE x < {_thresh}) AS n_test,
+  (SELECT count(*) FROM nums WHERE rn <= 10) AS n_strat
+"""
     return out

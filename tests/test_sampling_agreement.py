@@ -133,3 +133,32 @@ def test_classification_report_perfect_on_naive(gold100):
     by = rep.set_index("label")
     assert by.loc["theorem", "f1"] == 1.0
     assert by.loc["O", "f1"] == 1.0
+
+
+def test_key_rank64_matches_duckdb_splitmix_chain():
+    """The integer-key sampling rank is the SQL-reproducible contract
+    behind the sample_docs / split_stratified oracles: pin the numpy
+    chain against DuckDB's UHUGEINT wrap-around reproduction."""
+    import duckdb
+    import numpy as np
+
+    import __ray_entry__ as entry
+    from theoremkb_ray.functions.hashing import key_rank64
+
+    keys = np.array([0, 1, 42, 2**31, 2**63 - 1, 123456789], np.int64)
+    for seed in (0, 7, 11):
+        expect = key_rank64(keys, seed=seed)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ",".join(f"({int(k)})" for k in keys)
+            + ") v(doc_id)"
+        )
+        sql = (
+            "WITH "
+            + entry._key_rank_sql("t", "doc_id", "doc_id", seed)
+            + " SELECT doc_id, x FROM r ORDER BY doc_id"
+        )
+        got = dict(con.execute(sql).fetchall())
+        for k, e in zip(np.sort(keys), expect[np.argsort(keys)]):
+            assert got[int(k)] == int(e), (seed, k)

@@ -41,6 +41,31 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def key_rank64(values, seed: int = 0) -> np.ndarray:
+    """uint64 sampling rank of a key column.
+
+    Integer keys rank by a pure splitmix64 chain —
+    ``splitmix64(splitmix64(u64(key)) ^ seed)`` — which a SQL oracle
+    can reproduce exactly with 128-bit wrap-around arithmetic
+    (DuckDB UHUGEINT; see ``_splitmix_rank_ctes`` in
+    ``__ray_entry__.py``), so hash-deterministic sampling over integer
+    keys is value-hash-checkable. Non-integer keys fall back to the
+    siphash path of :func:`hash_strings` (not SQL-expressible).
+
+    Negative integers wrap mod 2**64 at runtime; the SQL twin assumes
+    non-negative keys (DuckDB refuses CAST(negative AS UBIGINT)).
+    """
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iu":
+        with np.errstate(over="ignore"):
+            h = splitmix64(arr.astype(np.uint64))
+    else:
+        h = hash_strings(arr)
+    if seed:
+        h = splitmix64(h ^ _U64(seed))
+    return h
+
+
 def shingle_hashes(token_hashes: np.ndarray, k: int = 3) -> np.ndarray:
     """uint64 hashes of all k-grams of a token-hash sequence.
 

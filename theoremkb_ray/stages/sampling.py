@@ -14,14 +14,15 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import hash_strings, splitmix64
+from ..functions.hashing import hash_strings, key_rank64, splitmix64
 
 
 def _key_hash(batch: pa.Table, key_col: str, seed: int) -> np.ndarray:
-    import pyarrow.compute as pc
-
-    keys = pc.cast(batch[key_col], pa.string()).to_numpy(zero_copy_only=False)
-    return splitmix64(hash_strings(keys) ^ np.uint64(seed))
+    # integer keys take the SQL-reproducible splitmix64 chain (the
+    # DuckDB oracle twin recomputes it), strings the siphash path
+    return key_rank64(
+        batch[key_col].to_numpy(zero_copy_only=False), seed=seed
+    )
 
 
 def train_test_split(
@@ -55,10 +56,7 @@ def stratified_sample(
     under any partitioning."""
 
     def take(g: pd.DataFrame) -> pd.DataFrame:
-        h = splitmix64(
-            hash_strings(g[key_col].astype(str).to_numpy())
-            ^ np.uint64(seed)
-        )
+        h = key_rank64(g[key_col].to_numpy(), seed=seed)
         order = np.argsort(h, kind="stable")
         return g.iloc[order[:n_per_group]]
 

@@ -214,14 +214,17 @@ def heavy_hitters(
 def uniform_sample(ds, key_col: str, k: int, seed: int = 0):
     """Deterministic uniform k-sample without replacement, no shuffle.
 
-    Rank = splitmix64(hash(key) ^ seed); keep the k smallest ranks
-    globally (per-batch partial top-k -> merge of n_blocks x k rows).
-    Equivalent to sorting all rows by an i.i.d. uniform key and taking
-    the head — but only k rows per block ever move. Returns a Dataset
-    with the original columns."""
+    Rank = ``key_rank64(key, seed)`` — for integer keys a pure
+    splitmix64 chain the DuckDB oracle reproduces exactly (UHUGEINT
+    wrap-around arithmetic), for strings the siphash path. Keep the k
+    smallest ranks globally (per-batch partial top-k -> merge of
+    n_blocks x k rows). Equivalent to sorting all rows by an i.i.d.
+    uniform key and taking the head — but only k rows per block ever
+    move. Returns a Dataset with the original columns."""
+    from ..functions.hashing import key_rank64
 
     def partial(b: pa.Table) -> pa.Table:
-        h = splitmix64(_col_hashes(b, key_col) ^ np.uint64(seed))
+        h = key_rank64(b[key_col].to_numpy(zero_copy_only=False), seed=seed)
         if len(h) > k:
             # sort keep FIRST so ranks stay aligned with the taken rows
             keep = np.sort(np.argpartition(h, k)[:k])
