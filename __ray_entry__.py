@@ -80,6 +80,10 @@ def entry() -> Any:
 
 
 def _kg_triples(sf_dir: str):
+    """Flagship KG triples over the SYNTH corpus (not the sf parquet
+    tables, so no DuckDB view exists to twin it): CRF model scoring +
+    regex mention extraction — the e2e gold check is triple P/R vs the
+    planted ground truth (tests/test_pipeline.py)."""
     import pyarrow.parquet as pq
 
     from theoremkb_ray.pipelines.kg import triples_dataset
@@ -96,6 +100,9 @@ def _kg_triples(sf_dir: str):
 
 
 def _kg_triples_canonical(sf_dir: str):
+    """_kg_triples + LSH/CC canonicalization (model scoring +
+    iterative component labeling over the synth corpus — no SQL twin;
+    gold-merge exactness asserted in tests/test_canonicalize.py)."""
     import pyarrow.parquet as pq
 
     from theoremkb_ray.pipelines.kg import triples_dataset
@@ -112,6 +119,9 @@ def _kg_triples_canonical(sf_dir: str):
 
 
 def _kg_results(sf_dir: str):
+    """Extracted theorem/proof results table (CRF scoring over the
+    synth corpus — model inference has no SQL twin; line-level P/R is
+    the seg_report family, triple P/R the e2e gold check)."""
     from theoremkb_ray.pipelines.kg import results_dataset
     from theoremkb_ray.sources.corpus import read_corpus
 
@@ -210,6 +220,11 @@ def _langid_docs(sf_dir: str):
 
 
 def _fingerprint_docs(sf_dir: str):
+    """Winnowing document fingerprints (rolling window-8 hashes, keep
+    ≡0 mod 16, XOR-fold to one uint64). Token hashes come from the
+    C-siphash path (functions/hashing.py:hash_strings), which no ANSI
+    SQL engine reproduces — determinism and window semantics are
+    pinned in tests/test_textstats.py instead (rows-only check)."""
     import ray.data as rd
 
     from theoremkb_ray.stages.textstats import fingerprints
@@ -388,6 +403,10 @@ def _decontaminate_docs(sf_dir: str):
 
 
 def _media_decode(sf_dir: str):
+    """S10 plumbing path: opaque binary payloads through the actor-pool
+    decoder with the deterministic fake backend (CI-safe twin of
+    media_decode_real). Binary media has no SQL representation — the
+    decode contract is pinned in tests/test_vision.py."""
     import ray.data as rd
 
     from theoremkb_ray.stages.multimodal import decode_media, synth_media_table
@@ -398,9 +417,10 @@ def _media_decode(sf_dir: str):
     )
 
 def _media_decode_real(sf_dir: str):
-    """S10 real path: decode VALID PNG/PGM/WAV payloads through the
-    pure-stdlib codecs (functions/codecs.py) — content features, not
-    sha-derived fakes. Video stays stubbed (needs pyav)."""
+    """S10 real path: decode VALID PNG/PGM/WAV/uncompressed-AVI
+    payloads through the pure-stdlib codecs (functions/codecs.py) —
+    content features, not sha-derived fakes. Only compressed video
+    codecs (mp4/h264) still need external libraries."""
     import ray.data as rd
 
     from theoremkb_ray.stages.multimodal import (
@@ -410,6 +430,28 @@ def _media_decode_real(sf_dir: str):
 
     ds = rd.from_arrow(synth_real_media_table(48, seed=7))
     return decode_media(ds, backend="real").select_columns(
+        ["media_id", "kind", "payload_bytes"]
+    )
+
+
+def _media_frames(sf_dir: str):
+    """Real video frame sampling: uncompressed-AVI payloads decode,
+    sample one frame per 200 ms, PNG re-encode
+    (stages/multimodal.py:FrameExtractor), then flow through the real
+    image decoder — video genuinely joins the image pipeline. Binary
+    media has no SQL twin; frame exactness vs the source video is
+    pinned in tests/test_codecs.py."""
+    import ray.data as rd
+
+    from theoremkb_ray.stages.multimodal import (
+        decode_media,
+        extract_frames,
+        synth_real_media_table,
+    )
+
+    ds = rd.from_arrow(synth_real_media_table(32, seed=7))
+    frames = extract_frames(ds, every_ms=200, backend="real")
+    return decode_media(frames, backend="real").select_columns(
         ["media_id", "kind", "payload_bytes"]
     )
 
@@ -1023,6 +1065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "substring_dups": _substring_dups,
             "media_decode": _media_decode,
             "media_decode_real": _media_decode_real,
+            "media_frames": _media_frames,
             "media_search": _media_search,
             "page_segment": _page_segment,
             "agreement_diff": _agreement_diff,

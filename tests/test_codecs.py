@@ -149,12 +149,12 @@ def test_decode_media_real(ray_session):
     assert len(out) == 12 and "features" not in (None,)
     feats = np.stack(out["features"].to_numpy())
     assert feats.shape == (12, 16) and np.isfinite(feats).all()
-    # image features are normalized histograms; audio are L2-normed
-    img = out["kind"] == "image"
-    np.testing.assert_allclose(feats[img.to_numpy()].sum(axis=1), 1.0,
-                               atol=1e-5)
-    aud = feats[(~img).to_numpy()]
+    # image/video features are normalized histograms; audio L2-normed
+    hist = (out["kind"] != "audio").to_numpy()
+    np.testing.assert_allclose(feats[hist].sum(axis=1), 1.0, atol=1e-5)
+    aud = feats[~hist]
     np.testing.assert_allclose(np.linalg.norm(aud, axis=1), 1.0, atol=1e-5)
+    assert (out["kind"] == "video").any()  # AVI rows decode for real
 
 
 def test_decode_media_real_rejects_fake_payload(ray_session):
@@ -186,3 +186,77 @@ def test_resize_media_real(ray_session):
             else codecs.decode_ppm(row["payload"])
         )
         assert img.shape[:2] == (12, 16)
+
+
+@pytest.mark.parametrize("shape", [(1, 8, 8), (5, 13, 17), (3, 24, 10)])
+def test_avi_roundtrip(shape):
+    n, h, w = shape
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 256, (n, h, w, 3), np.uint8)
+    payload = codecs.encode_avi_rgb24(frames, fps=12)
+    assert codecs.sniff_format(payload) == "avi"
+    got, fps = codecs.decode_avi_rgb24(payload)
+    assert fps == 12.0
+    np.testing.assert_array_equal(got, frames)
+
+
+def test_avi_rejects_compressed():
+    rng = np.random.RandomState(0)
+    payload = bytearray(
+        codecs.encode_avi_rgb24(rng.randint(0, 256, (2, 4, 4, 3), np.uint8))
+    )
+    # flip biCompression in the strf chunk to a nonzero codec id
+    i = bytes(payload).index(b"strf")
+    payload[i + 8 + 16 : i + 8 + 20] = b"MJPG"
+    with pytest.raises(ValueError, match="compressed"):
+        codecs.decode_avi_rgb24(bytes(payload))
+
+
+def test_extract_frames_real(ray_session):
+    """Each sampled frame must equal the source frame at that
+    timestamp, byte-for-byte after the PNG re-encode roundtrip."""
+    import pyarrow as pa
+
+    from theoremkb_ray.stages.multimodal import MEDIA_SCHEMA, extract_frames
+
+    rng = np.random.RandomState(9)
+    frames = rng.randint(0, 256, (6, 10, 12, 3), np.uint8)  # 10 fps
+    tbl = pa.table(
+        {
+            "media_id": ["v0"],
+            "kind": ["video"],
+            "format": ["avi"],
+            "width": [12],
+            "height": [10],
+            "duration_ms": [600],
+            "payload": [codecs.encode_avi_rgb24(frames, fps=10)],
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = (
+        extract_frames(rd.from_arrow(tbl), every_ms=200, backend="real")
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert list(out["media_id"]) == ["v0@0", "v0@200", "v0@400"]
+    assert (out["kind"] == "image").all()
+    for ts, row in zip((0, 200, 400), out.itertuples()):
+        img = codecs.decode_png(row.payload)
+        np.testing.assert_array_equal(img, frames[ts // 100])
+
+
+def test_extract_frames_passthrough_and_fake(ray_session):
+    from theoremkb_ray.stages.multimodal import (
+        extract_frames,
+        synth_media_table,
+    )
+
+    tbl = synth_media_table(9, seed=4)
+    out = extract_frames(
+        rd.from_arrow(tbl), every_ms=1000, backend="fake"
+    ).to_pandas()
+    # non-video rows pass through untouched; video rows fan out
+    src = tbl.to_pandas()
+    n_nonvid = (src["kind"] != "video").sum()
+    assert (out["kind"] != "video").all()
+    assert len(out) >= n_nonvid + (src["kind"] == "video").sum()

@@ -37,6 +37,8 @@ def sniff_format(data: bytes) -> str:
         return "ppm"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     return "unknown"
 
 
@@ -215,6 +217,114 @@ def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
         f.setframerate(rate)
         f.writeframes(s.tobytes())
     return buf.getvalue()
+
+
+# ----------------------------------------------------------------- AVI
+#
+# Minimal RIFF/AVI container with uncompressed 24-bit RGB frames
+# ('DIB ' handler, BI_RGB) — the one video format decodable from pure
+# stdlib + numpy. Layout per the public AVI RIFF spec: RIFF('AVI '
+# LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi' '00db'*)).
+# Frames are stored BMP-style: bottom-up rows, BGR byte order, each
+# row padded to a 4-byte boundary.
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(kind: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + body)
+
+
+def encode_avi_rgb24(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames -> uncompressed AVI bytes."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    if f.ndim != 4 or f.shape[3] != 3:
+        raise ValueError("expected (n, h, w, 3) RGB frames")
+    n, h, w, _ = f.shape
+    stride = (3 * w + 3) & ~3
+    frame_bytes = stride * h
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX absent; 0x10 = AVIF_WASCAPTUREFILE (benign)
+        n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIii4h",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps,  # dwScale, dwRate -> fps frames/sec
+        0, n, frame_bytes, -1, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    strl = _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf))
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih) + strl)
+    # bottom-up BGR rows padded to 4 bytes, one '00db' chunk per frame
+    padded = np.zeros((n, h, stride), dtype=np.uint8)
+    padded[:, :, : 3 * w] = f[:, ::-1, :, ::-1].reshape(n, h, 3 * w)
+    movi = _riff_list(
+        b"movi",
+        b"".join(_riff_chunk(b"00db", fr.tobytes()) for fr in padded),
+    )
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi_rgb24(data: bytes) -> tuple[np.ndarray, float]:
+    """Uncompressed ('DIB '/BI_RGB 24-bit) AVI bytes ->
+    ((n, h, w, 3) uint8 RGB frames, fps). Raises ValueError on any
+    other codec — compressed AVI needs real codec libraries."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI RIFF container")
+
+    w = h = None
+    scale, rate = 1, 10
+    bitcount, compression = 24, 0
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal w, h, scale, rate, bitcount, compression
+        pos = 0
+        while pos + 8 <= len(buf):
+            fourcc = buf[pos : pos + 4]
+            size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+            body = buf[pos + 8 : pos + 8 + size]
+            if fourcc == b"LIST":
+                walk(body[4:])
+            elif fourcc == b"strh" and body[:4] == b"vids":
+                scale, rate = struct.unpack("<II", body[20:28])
+            elif fourcc == b"strf" and len(body) >= 40:
+                _, w, h, _, bitcount, compression = struct.unpack(
+                    "<IiiHHI", body[:20]
+                )
+            elif fourcc in (b"00db", b"00dc") and size:
+                frames.append(body)
+            pos += 8 + size + (size % 2)
+
+    walk(data[12:])
+    if w is None or not frames:
+        raise ValueError("no video stream found")
+    if compression != 0 or bitcount != 24:
+        raise ValueError(
+            f"compressed AVI (biCompression={compression}, "
+            f"biBitCount={bitcount}) needs codec libraries"
+        )
+    h = abs(h)
+    stride = (3 * w + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, fr in enumerate(frames):
+        rows = np.frombuffer(fr[: stride * h], dtype=np.uint8).reshape(
+            h, stride
+        )
+        # bottom-up BGR -> top-down RGB
+        out[i] = rows[::-1, : 3 * w].reshape(h, w, 3)[:, :, ::-1]
+    fps = rate / scale if scale else float(rate)
+    return out, fps
 
 
 # -------------------------------------------------------------- resize

@@ -62,15 +62,24 @@ def synth_media_table(n: int = 32, seed: int = 0) -> pa.Table:
 
 def synth_real_media_table(n: int = 16, seed: int = 0) -> pa.Table:
     """Media rows whose payloads are VALID bytes: seeded RGB PNGs,
-    gray PGMs, and 16-bit sine-wave WAVs — what ``backend="real"``
-    pipelines decode in tests (no video: real video stays stubbed)."""
+    gray PGMs, 16-bit sine-wave WAVs, and uncompressed RGB24 AVIs —
+    everything ``backend="real"`` decodes from pure stdlib. Only
+    compressed video codecs (mp4/h264 etc.) still need external
+    libraries."""
     from ..functions import codecs
 
     rng = np.random.RandomState(seed)
     rows = {k.name: [] for k in MEDIA_SCHEMA}
     for i in range(n):
-        which = i % 3
-        if which == 0:  # RGB PNG
+        which = i % 4
+        if which == 3:  # uncompressed AVI video
+            w, h = int(rng.randint(8, 24)), int(rng.randint(8, 24))
+            fps = 10
+            nf = int(rng.randint(3, 9))
+            frames = rng.randint(0, 256, (nf, h, w, 3), dtype=np.uint8)
+            payload = codecs.encode_avi_rgb24(frames, fps=fps)
+            fmt, kind, dur = "avi", "video", nf * 1000 // fps
+        elif which == 0:  # RGB PNG
             w, h = int(rng.randint(8, 48)), int(rng.randint(8, 48))
             img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
             payload, fmt, kind, dur = codecs.encode_png(img), "png", "image", -1
@@ -100,10 +109,10 @@ class MediaDecoder:
     """Actor-pool decode stage.
 
     ``backend="real"`` decodes actual bytes: PNG/PPM/PGM -> a
-    ``feat_dim``-bin intensity histogram (+ mean/std folded into the
-    last bins), WAV -> ``feat_dim`` spectral energy bands. Video (or
-    an undecodable image format) raises NotImplementedError — plug
-    pyav/PIL on a cluster that has them.
+    ``feat_dim``-bin intensity histogram, WAV -> ``feat_dim`` spectral
+    energy bands, uncompressed RGB24 AVI -> temporal-mean intensity
+    histogram. Compressed video / other image formats raise
+    NotImplementedError — plug pyav/PIL on a cluster that has them.
     ``backend="fake"`` derives a deterministic feature tensor from the
     payload bytes so the full pipeline is testable end-to-end.
     """
@@ -144,10 +153,21 @@ class MediaDecoder:
             )
             n = float(np.linalg.norm(bands))
             return bands / n if n else bands
+        if fmt == "avi":
+            frames, _fps = codecs.decode_avi_rgb24(payload)
+            # temporal mean of per-frame intensity histograms — same
+            # feature family as the still-image branch
+            hist = np.bincount(
+                (frames.reshape(-1).astype(np.int64) * self.feat_dim)
+                // 256,
+                minlength=self.feat_dim,
+            ).astype(np.float32)
+            return hist / max(1.0, float(frames.size))
         raise NotImplementedError(
             f"real decode of kind={kind!r} payload (sniffed {fmt!r}) "
             "needs codec libraries not in this container (pyav/PIL); "
-            "PNG/PPM/PGM/WAV decode natively — or use backend='fake'"
+            "PNG/PPM/PGM/WAV/uncompressed-AVI decode natively — or use "
+            "backend='fake'"
         )
 
     def _decode_fake(self, payload: bytes, kind: str) -> np.ndarray:
@@ -210,6 +230,88 @@ def frame_sample_plan_batch(batch: pa.Table, every_ms: int = 1000) -> pa.Table:
             "media_id": pa.array(ids, pa.string()),
             "frame_ts_ms": pa.array(ts, pa.int64()),
         }
+    )
+
+
+class FrameExtractor:
+    """Actor-pool video frame sampler — the REAL counterpart of
+    :func:`frame_sample_plan_batch`: decode each video payload
+    (uncompressed RGB24 AVI via functions/codecs.py), take one frame
+    every ``every_ms``, re-encode each as PNG, and emit one IMAGE row
+    per sampled frame. Non-video rows pass through unchanged, so the
+    stage composes ahead of the image decode/resize/embed stages.
+
+    ``backend="fake"`` emits sha-derived payloads per (media_id, ts)
+    without decoding (CI twin, any video format). Payload-bearing
+    output: keep batch_size small at call sites (default 32)."""
+
+    def __init__(self, every_ms: int = 1000, backend: str = "real") -> None:
+        if backend not in ("fake", "real"):
+            raise ValueError(backend)
+        self.every_ms = every_ms
+        self.backend = backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..functions import codecs
+
+        is_vid = pc.equal(batch["kind"], "video").to_numpy(
+            zero_copy_only=False
+        )
+        passthrough = batch.filter(pa.array(~is_vid))
+        vids = batch.filter(pa.array(is_vid))
+        rows = {k.name: [] for k in MEDIA_SCHEMA}
+        for mid, dur, payload in zip(
+            vids["media_id"].to_pylist(),
+            vids["duration_ms"].to_pylist(),
+            vids["payload"].to_pylist(),
+        ):
+            if self.backend == "real":
+                frames, fps = codecs.decode_avi_rgb24(payload)
+                n_f, h, w = frames.shape[:3]
+                for ts in range(0, max(1, int(dur)), self.every_ms):
+                    idx = min(int(ts * fps / 1000.0), n_f - 1)
+                    rows["payload"].append(
+                        codecs.encode_png(frames[idx])
+                    )
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["media_id"].append(f"{mid}@{ts}")
+                    rows["kind"].append("image")
+                    rows["format"].append("png")
+                    rows["duration_ms"].append(-1)
+            else:
+                for ts in range(0, max(1, int(dur)), self.every_ms):
+                    seed = hashlib.sha256(
+                        payload + ts.to_bytes(8, "little")
+                    ).digest()
+                    rows["payload"].append(seed * 4)
+                    rows["width"].append(8)
+                    rows["height"].append(8)
+                    rows["media_id"].append(f"{mid}@{ts}")
+                    rows["kind"].append("image")
+                    rows["format"].append("png")
+                    rows["duration_ms"].append(-1)
+        frames_tbl = pa.table(rows, schema=MEDIA_SCHEMA)
+        return pa.concat_tables(
+            [passthrough.select(MEDIA_SCHEMA.names), frames_tbl]
+        )
+
+
+def extract_frames(
+    ds, every_ms: int = 1000, backend: str = "real",
+    concurrency=(1, 4), batch_size: int = 32,
+):
+    """Video rows -> sampled image-frame rows (non-video passes
+    through). Output payload volume is frames-per-video x PNG size —
+    bounded by every_ms, independent of source bitrate."""
+    return ds.map_batches(
+        FrameExtractor,
+        fn_constructor_args=(every_ms, backend),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
     )
 
 
