@@ -34,6 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from ..state.raypatch import apply_join_patch
 from ..functions.hashing import (
     band_hashes,
     flat_token_hashes_arrow,
@@ -43,6 +44,9 @@ from ..functions.hashing import (
     shingle_hashes_flat,
     simhash64_flat,
 )
+
+# Dataset.join schema-broadcast fix (state/raypatch.py)
+apply_join_patch()
 
 NUM_PERM = 64
 NUM_BANDS = 16  # r = 4 -> catches Jaccard >= ~0.75 with high prob.

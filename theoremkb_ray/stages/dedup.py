@@ -23,6 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..state.raypatch import apply_join_patch
 from ..functions.hashing import (
     band_hashes,
     flat_token_hashes_arrow,
@@ -33,6 +34,9 @@ from ..functions.hashing import (
     shingle_hashes_flat,
     simhash64_flat,
 )
+
+# Dataset.join schema-broadcast fix (state/raypatch.py)
+apply_join_patch()
 from .canonicalize import connected_components_local, _collect
 
 # --------------------------------------------------------------- exact dedup
@@ -911,33 +915,51 @@ def exact_ngram_dup_edges(
     from ..state.spool import spooled_group_map
 
     def gram_rows(b: pa.Table) -> pa.Table:
-        ids = pc.cast(b[id_col], pa.string()).to_numpy(zero_copy_only=False)
-        texts = b[col].to_numpy(zero_copy_only=False)
-        out_g, out_i = [], []
-        for i, t in zip(ids, texts):
-            toks = t.split()
-            if len(toks) < n:
-                continue
-            grams = np.unique(
-                hash_strings(
-                    [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
-                )
-            )
-            out_g.append(grams)
-            out_i.extend([i] * len(grams))
-        g = (
-            np.concatenate(out_g)
-            if out_g
-            else np.empty(0, np.uint64)
+        # fully vectorized: ONE Arrow whitespace split + ONE siphash
+        # for the batch, n-gram hashes via the flat shingle kernel
+        # (equal token sequences -> equal hashes, which is all the
+        # df/Jaccard semantics use), then per-doc unique by lexsort.
+        # Docs shorter than n tokens emit nothing (matching the SQL
+        # twin), so the short-doc fallback path is filtered out first.
+        from ..functions.hashing import (
+            flat_token_hashes_arrow,
+            shingle_hashes_flat,
         )
+
+        ids = pc.cast(b[id_col], pa.string())
+        th, starts = flat_token_hashes_arrow(b[col])
+        lengths = np.diff(starts)
+        keep = lengths >= n
+        doc_idx = np.flatnonzero(keep)
+        empty = pa.table(
+            {
+                "gram": pa.array([], pa.uint64()),
+                "id": pa.array([], pa.string()),
+                "ck": pa.array([], pa.int64()),
+            }
+        )
+        if len(doc_idx) == 0:
+            return empty
+        th2 = th[np.repeat(keep, lengths)]
+        st2 = np.zeros(len(doc_idx) + 1, np.int64)
+        st2[1:] = np.cumsum(lengths[keep])
+        sh, sd = shingle_hashes_flat(th2, st2, k=n)
+        if len(sh) == 0:
+            return empty
+        order = np.lexsort((sh, sd))
+        sh, sd = sh[order], sd[order]
+        uniq = np.ones(len(sh), dtype=bool)
+        uniq[1:] = (sh[1:] != sh[:-1]) | (sd[1:] != sd[:-1])
+        g = sh[uniq]
+        with np.errstate(over="ignore"):
+            ck = (
+                (g * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+            ).astype(np.int64) % coarse
         return pa.table(
             {
                 "gram": pa.array(g),
-                "id": pa.array(out_i, pa.string()),
-                "ck": pa.array(
-                    ((g * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
-                     ).astype(np.int64) % coarse
-                ),
+                "id": ids.take(pa.array(doc_idx[sd[uniq]])),
+                "ck": pa.array(ck),
             }
         )
 

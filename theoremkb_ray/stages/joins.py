@@ -20,6 +20,12 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..state.raypatch import apply_join_patch
+
+# every Dataset.join in this repo needs the schema-broadcast fix
+# (see state/raypatch.py) — install it as soon as joins are importable
+apply_join_patch()
+
 
 def _join_batch(
     batch: pd.DataFrame, right_ref, on, right_on, how
