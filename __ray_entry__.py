@@ -660,6 +660,23 @@ def _perplexity_docs(sf_dir: str):
     return perplexity(ds, lm)
 
 
+def _bigram_perplexity_docs(sf_dir: str):
+    """KenLM-shaped upgrade of the CCNet filter: add-1 smoothed
+    BIGRAM LM trained on the documents corpus in one fused exchange,
+    each doc scored by mean -ln p(w_i | w_{i-1}). Context-sensitive
+    (shuffled-token junk scores worse than fluent text with the same
+    token multiset, which the unigram filter cannot see). Counts are
+    exact integers, so the score is value-hash-oracled against a pure
+    DuckDB re-derivation."""
+    from theoremkb_ray.stages.lm import bigram_lm, bigram_perplexity
+
+    ds = _rp(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    lm = bigram_lm(ds)
+    return bigram_perplexity(ds, lm)
+
+
 def _approx_distinct_users(sf_dir: str):
     """HyperLogLog distinct user_id count over events (p=14, ~0.8%
     relative error). Approximate by design — the accuracy bound is
@@ -1081,6 +1098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "heavy_hitters_types": _heavy_hitters_types,
             "sample_docs": _sample_docs,
             "perplexity_docs": _perplexity_docs,
+            "bigram_perplexity_docs": _bigram_perplexity_docs,
             "mixture_docs": _mixture_docs,
             "redact_docs": _redact_docs,
             "kmeans_docs": _kmeans_docs,
@@ -1454,6 +1472,39 @@ SELECT t.doc_id,
        -avg(ln(cn.c / tot.n)) AS nll
 FROM tok t JOIN counts cn ON t.tok = cn.tok CROSS JOIN tot
 GROUP BY t.doc_id
+"""
+    # bigram_perplexity_docs: re-derive the add-1 bigram LM in SQL —
+    # zipped unnest of prefix/suffix list slices yields the in-doc
+    # bigrams, p = (c2+1)/(c1+V) with c1 the corpus-wide unigram count
+    # of the left token and V the vocabulary size. Docs with < 2
+    # tokens emit no row on either side.
+    out["bigram_perplexity_docs"] = r"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     t -> t <> '') AS a
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(a) AS tok FROM arr),
+uni AS (SELECT tok, count(*)::DOUBLE AS c FROM tok GROUP BY tok),
+v AS (SELECT count(*)::DOUBLE AS v FROM uni),
+big AS (
+  SELECT doc_id,
+         unnest(a[1:len(a)-1]) AS prev,
+         unnest(a[2:len(a)]) AS cur
+  FROM arr WHERE len(a) >= 2
+),
+bcnt AS (
+  SELECT prev, cur, count(*)::DOUBLE AS c2 FROM big GROUP BY prev, cur
+)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       -avg(ln((bc.c2 + 1.0) / (u.c + v.v))) AS nll
+FROM big b
+JOIN bcnt bc ON b.prev = bc.prev AND b.cur = bc.cur
+JOIN uni u ON b.prev = u.tok
+CROSS JOIN v
+GROUP BY b.doc_id
 """
     # mixture_docs: same Knuth rank + per-language quota as
     # stages/sampling.py:mixture_sample (keep CASE in sync with

@@ -1,4 +1,4 @@
-"""Unigram-LM perplexity scoring (stages/lm.py)."""
+"""Unigram- and bigram-LM perplexity scoring (stages/lm.py)."""
 
 from __future__ import annotations
 
@@ -8,7 +8,12 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from theoremkb_ray.stages.lm import perplexity, unigram_lm
+from theoremkb_ray.stages.lm import (
+    bigram_lm,
+    bigram_perplexity,
+    perplexity,
+    unigram_lm,
+)
 
 
 def _docs_ds(texts, blocks=4):
@@ -63,6 +68,44 @@ def test_lm_oov_and_empty_docs():
     assert list(score["doc_id"]) == ["d0"]  # empty doc dropped
     assert abs(score["nll"].iloc[0] + oov) < 1e-12
     assert oov == math.log(1 / 4)
+
+
+def test_bigram_lm_matches_hand_computation():
+    # unigrams: a x3, b x3 (V=2); bigrams: (a,b) x2, (b,a) x1; k=1
+    ds = _docs_ds(["a b", "a b", "b a"], blocks=3)
+    lm = bigram_lm(ds)
+    uni_h, uni_n, bi_h, bi_n, V, k = lm
+    assert V == 2.0 and k == 1.0
+    assert sorted(uni_n.tolist()) == [3.0, 3.0]
+    assert sorted(bi_n.tolist()) == [1.0, 2.0]
+    out = bigram_perplexity(ds, lm).to_pandas().set_index("doc_id")
+    # p(b|a) = (2+1)/(3+2), p(a|b) = (1+1)/(3+2)
+    assert abs(out.loc["d0", "nll"] + math.log(3 / 5)) < 1e-12
+    assert abs(out.loc["d2", "nll"] + math.log(2 / 5)) < 1e-12
+    assert out["n_bigrams"].tolist() == [1, 1, 1]
+
+
+def test_bigram_lm_is_context_sensitive():
+    # Same token multiset, different order: the unigram score cannot
+    # separate them, the bigram score must.
+    fluent = " ".join(f"w{i}" for i in range(10))
+    shuffled = " ".join(f"w{i}" for i in (3, 8, 1, 9, 0, 6, 2, 7, 5, 4))
+    ds = _docs_ds([fluent] * 50 + [shuffled], blocks=6)
+    uni = perplexity(ds, unigram_lm(ds)).to_pandas().set_index("doc_id")
+    assert abs(uni.loc["d0", "nll"] - uni.loc["d50", "nll"]) < 1e-9
+    big = (
+        bigram_perplexity(ds, bigram_lm(ds))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert big.loc["d50", "nll"] > big.loc["d0", "nll"] + 1.0
+
+
+def test_bigram_lm_drops_short_docs():
+    ds = _docs_ds(["a", "", "a b"], blocks=2)
+    out = bigram_perplexity(ds, bigram_lm(ds)).to_pandas()
+    assert list(out["doc_id"]) == ["d2"]
+    assert out["n_bigrams"].tolist() == [1]
 
 
 def test_lm_vocab_cap_keeps_most_frequent():

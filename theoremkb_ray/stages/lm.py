@@ -150,3 +150,173 @@ def perplexity(ds, lm, batch_size: int | None = None):
         batch_size=batch_size,
         concurrency=(1, 8),
     )
+
+
+# --------------------------------------------------------------------
+# Bigram LM (add-k smoothed) — the KenLM-shaped upgrade of the unigram
+# filter: p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + k) / (c(w_{i-1}) + k·V).
+# Context-sensitive perplexity separates shuffled-token junk from
+# fluent text, which a unigram model cannot (same token multiset ->
+# same unigram score). Counts are exact integers, so the score is a
+# pure function of the corpus and the `bigram_perplexity_docs` query
+# is value-hash-oracled against a DuckDB re-derivation.
+# --------------------------------------------------------------------
+
+_BIG_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix_pair(prev: np.ndarray, cur: np.ndarray) -> np.ndarray:
+    """Combine two uint64 token hashes into one bigram key
+    (splitmix64-style finalizer over an asymmetric combine, so
+    (a,b) != (b,a)). Collision probability over a real vocabulary is
+    ~n²/2⁶⁴ — the same budget the unigram hashes already spend."""
+    z = (prev * _BIG_MIX + cur) + _BIG_MIX
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bigram_pairs(flat: np.ndarray, starts: np.ndarray, with_pos=False):
+    """(prev, cur[, position-mask]) for the within-doc bigrams of a
+    flat token array with doc offsets. A position is a bigram slot iff
+    it is not its doc's first token. Trailing empty docs have
+    ``start == len(flat)`` and are skipped rather than clamped — a
+    clamp would clear the final real slot (the reduceat-starts trap).
+    """
+    pos = np.ones(len(flat), bool)
+    s = starts[:-1]
+    pos[s[s < len(flat)]] = False
+    prev = flat[:-1][pos[1:]] if len(flat) else flat[:0]
+    cur = flat[1:][pos[1:]] if len(flat) else flat[:0]
+    return (prev, cur, pos) if with_pos else (prev, cur)
+
+
+def bigram_lm(ds, text_col: str = "text", k: float = 1.0):
+    """Train an add-``k`` bigram LM over ``ds[text_col]``.
+
+    Returns ``(uni_h, uni_n, bi_h, bi_n, V, k)``: sorted uint64
+    unigram hashes with their counts, sorted uint64 bigram keys with
+    their counts, the vocabulary size and the smoothing constant.
+
+    ONE fused exchange trains both tables: each batch emits its
+    partial unigram AND bigram counts (np.unique combiners keep the
+    moved rows type-bounded, not token-bounded), tagged with a
+    ``kind`` column, and a single ``groupby(kind, h).sum`` merges
+    them. The exchange is bounded by the corpus' bigram-type count —
+    the same scale envelope as the cooccurrence operator."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, starts = flat_token_hashes_arrow(b[text_col])
+        uh, uc = np.unique(flat, return_counts=True)
+        keys = _mix_pair(*_bigram_pairs(flat, starts))
+        bh, bc = np.unique(keys, return_counts=True)
+        kind = np.concatenate(
+            [np.zeros(len(uh), np.int8), np.ones(len(bh), np.int8)]
+        )
+        return pa.table(
+            {
+                "kind": pa.array(kind),
+                "h": pa.array(
+                    np.concatenate([uh, bh]).view(np.int64)
+                ),
+                "n": pa.array(
+                    np.concatenate([uc, bc]).astype(np.int64)
+                ),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind", "h"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    ks, hs, ns = [], [], []
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        ks.append(b["kind"].to_numpy(zero_copy_only=False))
+        hs.append(b["h"].to_numpy(zero_copy_only=False))
+        ns.append(b["n"].to_numpy(zero_copy_only=False))
+    kind = np.concatenate(ks) if ks else np.empty(0, np.int8)
+    h = (
+        np.concatenate(hs).astype(np.int64, copy=False).view(np.uint64)
+        if hs
+        else np.empty(0, np.uint64)
+    )
+    n = (
+        np.concatenate(ns).astype(np.float64, copy=False)
+        if ns
+        else np.empty(0, np.float64)
+    )
+    uni_h, uni_n = h[kind == 0], n[kind == 0]
+    bi_h, bi_n = h[kind == 1], n[kind == 1]
+    o = np.argsort(uni_h)
+    uni_h, uni_n = uni_h[o], uni_n[o]
+    o = np.argsort(bi_h)
+    bi_h, bi_n = bi_h[o], bi_n[o]
+    return uni_h, uni_n, bi_h, bi_n, float(len(uni_h)), float(k)
+
+
+class BigramScorer:
+    """map_batches callable: (doc_id, text) -> (doc_id, n_bigrams,
+    nll) where nll = -mean ln p(w_i | w_{i-1}) over positions
+    i = 2..n. Docs with fewer than two tokens emit no row (no bigram
+    positions — the SQL twin's ``len(a) >= 2`` filter)."""
+
+    def __init__(self, lm_ref) -> None:
+        from ..state.broadcast import get_broadcast
+
+        (
+            self.uni_h,
+            self.uni_n,
+            self.bi_h,
+            self.bi_n,
+            self.V,
+            self.k,
+        ) = get_broadcast(lm_ref)
+
+    def _lookup(self, keys, h, n):
+        out = np.zeros(len(keys), np.float64)
+        if len(h) and len(keys):
+            idx = np.searchsorted(h, keys)
+            idx[idx >= len(h)] = len(h) - 1
+            hit = h[idx] == keys
+            out[hit] = n[idx[hit]]
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, starts = flat_token_hashes_arrow(batch["text"])
+        n_tok = np.diff(starts)
+        prev, cur, pos = _bigram_pairs(flat, starts, with_pos=True)
+        # per-position logp, aligned with flat; doc-first slots stay 0
+        lp = np.zeros(len(flat), np.float64)
+        c2 = self._lookup(_mix_pair(prev, cur), self.bi_h, self.bi_n)
+        c1 = self._lookup(prev, self.uni_h, self.uni_n)
+        lp[pos] = np.log((c2 + self.k) / (c1 + self.k * self.V))
+        sums = np.add.reduceat(
+            np.concatenate([lp, [0.0]]), np.minimum(starts[:-1], len(lp))
+        )
+        n_big = np.maximum(n_tok - 1, 0)
+        keep = n_big > 0
+        nll = -sums[keep] / n_big[keep]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(keep)),
+                "n_bigrams": pa.array(n_big[keep], pa.int64()),
+                "nll": pa.array(nll, pa.float64()),
+            }
+        )
+
+
+def bigram_perplexity(ds, lm, batch_size: int | None = None):
+    """Score every row of ``ds`` against a trained bigram LM tuple;
+    the tuple is ``ray.put`` once and shared read-only by workers."""
+    import ray
+
+    lm_ref = ray.put(lm)
+    return ds.map_batches(
+        BigramScorer,
+        fn_constructor_args=(lm_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )
