@@ -677,6 +677,50 @@ def _bigram_perplexity_docs(sf_dir: str):
     return bigram_perplexity(ds, lm)
 
 
+def _dsir_docs(sf_dir: str):
+    """DSIR importance scoring (Xie et al., NeurIPS 2023): every doc
+    scored by the add-1 unigram log-likelihood ratio of a TARGET LM
+    (here the English subset — the domain to upweight) against the
+    raw-corpus LM. Exact integer counts -> value-hash-oracled against
+    a pure DuckDB re-derivation."""
+    import pyarrow.compute as pc
+
+    from theoremkb_ray.stages.lm import dsir_scores
+
+    ds = _rp(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    target = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["lang"], "en")),
+        batch_format="pyarrow",
+    )
+    return dsir_scores(ds, target)
+
+
+def _collocations_pmi(sf_dir: str):
+    """PMI collocation mining (Church & Hanks): every adjacent-token
+    pair with corpus count >= 5, scored ln(c2*N/(ca*cb)). Exact
+    integer membership predicate -> value-hash-oracled."""
+    from theoremkb_ray.stages.collocate import collocations
+
+    ds = _rp(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return collocations(ds, min_count=5)
+
+
+def _source_drift(sf_dir: str):
+    """Per-source KL divergence of the source's unigram distribution
+    vs the whole corpus (mixture/ingest-feed drift diagnostics).
+    Exact counts -> value-hash-oracled."""
+    from theoremkb_ray.stages.collocate import source_drift
+
+    ds = _rp(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return source_drift(ds)
+
+
 def _approx_distinct_users(sf_dir: str):
     """HyperLogLog distinct user_id count over events (p=14, ~0.8%
     relative error). Approximate by design — the accuracy bound is
@@ -1099,6 +1143,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sample_docs": _sample_docs,
             "perplexity_docs": _perplexity_docs,
             "bigram_perplexity_docs": _bigram_perplexity_docs,
+            "dsir_docs": _dsir_docs,
+            "collocations_pmi": _collocations_pmi,
+            "source_drift": _source_drift,
             "mixture_docs": _mixture_docs,
             "redact_docs": _redact_docs,
             "kmeans_docs": _kmeans_docs,
@@ -1505,6 +1552,89 @@ JOIN bcnt bc ON b.prev = bc.prev AND b.cur = bc.cur
 JOIN uni u ON b.prev = u.tok
 CROSS JOIN v
 GROUP BY b.doc_id
+"""
+    # dsir_docs: add-1 unigram log-likelihood ratio, target = lang='en'
+    # subset, smoothing denominator T_* + V with V the RAW-corpus
+    # vocabulary (stages/lm.py:DSIRScorer — keep the predicate and the
+    # denominators in sync).
+    out["dsir_docs"] = r"""
+WITH arr AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     t -> t <> '') AS a
+  FROM documents
+),
+tok AS (SELECT doc_id, lang, unnest(a) AS tok FROM arr),
+rcnt AS (SELECT tok, count(*)::DOUBLE AS c FROM tok GROUP BY tok),
+vt AS (SELECT count(*)::DOUBLE AS v, sum(c) AS t FROM rcnt),
+tcnt AS (
+  SELECT tok, count(*)::DOUBLE AS c FROM tok
+  WHERE lang = 'en' GROUP BY tok
+),
+tt AS (SELECT coalesce(sum(c), 0.0) AS t FROM tcnt)
+SELECT k.doc_id,
+       count(*) AS n_tokens,
+       avg(ln((coalesce(g.c, 0.0) + 1.0) / (tt.t + vt.v))
+           - ln((r.c + 1.0) / (vt.t + vt.v))) AS dsir_score
+FROM tok k
+JOIN rcnt r ON k.tok = r.tok
+LEFT JOIN tcnt g ON k.tok = g.tok
+CROSS JOIN vt CROSS JOIN tt
+GROUP BY k.doc_id
+"""
+    # collocations_pmi: adjacent-pair counts >= 5 with
+    # pmi = ln(c2 * N / (ca * cb)) — stages/collocate.py:collocations
+    out["collocations_pmi"] = r"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     t -> t <> '') AS a
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(a) AS tok FROM arr),
+uni AS (SELECT tok, count(*)::DOUBLE AS c FROM tok GROUP BY tok),
+tot AS (SELECT sum(c) AS n FROM uni),
+big AS (
+  SELECT unnest(a[1:len(a)-1]) AS prev,
+         unnest(a[2:len(a)]) AS cur
+  FROM arr WHERE len(a) >= 2
+),
+bcnt AS (
+  SELECT prev, cur, count(*) AS pair_n FROM big GROUP BY prev, cur
+)
+SELECT b.prev, b.cur, b.pair_n,
+       ln(b.pair_n::DOUBLE * tot.n / (ua.c * ub.c)) AS pmi
+FROM bcnt b
+JOIN uni ua ON b.prev = ua.tok
+JOIN uni ub ON b.cur = ub.tok
+CROSS JOIN tot
+WHERE b.pair_n >= 5
+"""
+    # source_drift: per-source KL(source || corpus) over unigram
+    # distributions — stages/collocate.py:source_drift
+    out["source_drift"] = r"""
+WITH arr AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     t -> t <> '') AS a
+  FROM documents
+),
+tok AS (SELECT source, unnest(a) AS tok FROM arr),
+scnt AS (
+  SELECT source, tok, count(*)::DOUBLE AS c FROM tok
+  GROUP BY source, tok
+),
+stot AS (SELECT source, sum(c) AS ns FROM scnt GROUP BY source),
+ccnt AS (SELECT tok, sum(c) AS c FROM scnt GROUP BY tok),
+ctot AS (SELECT sum(c) AS n FROM ccnt)
+SELECT s.source,
+       CAST(st.ns AS BIGINT) AS n_tokens,
+       sum((s.c / st.ns) * ln((s.c / st.ns) / (g.c / ctot.n))) AS kl
+FROM scnt s
+JOIN stot st ON s.source = st.source
+JOIN ccnt g ON s.tok = g.tok
+CROSS JOIN ctot
+GROUP BY s.source, st.ns
 """
     # mixture_docs: same Knuth rank + per-language quota as
     # stages/sampling.py:mixture_sample (keep CASE in sync with

@@ -117,3 +117,54 @@ def test_lm_vocab_cap_keeps_most_frequent():
     np.testing.assert_allclose(
         sorted(np.exp(logp) * total), [3.0, 5.0], rtol=1e-12
     )
+
+
+def test_dsir_scores_hand_computed():
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    # corpus: d0="a a b" (target), d1="b c" — V=3, T_r=5, T_t=3
+    tbl = pd.DataFrame(
+        {"doc_id": ["d0", "d1"], "text": ["a a b", "b c"]}
+    )
+    ds = rd.from_pandas(tbl).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    )
+    target = ds.filter(lambda r: r["doc_id"] == "d0")
+    from theoremkb_ray.stages.lm import dsir_scores
+
+    out = dsir_scores(ds, target).to_pandas().set_index("doc_id")
+    V, Tt, Tr = 3.0, 3.0, 5.0
+
+    def lr(ct, cr):
+        return math.log((ct + 1) / (Tt + V)) - math.log(
+            (cr + 1) / (Tr + V)
+        )
+
+    want_d0 = (2 * lr(2, 2) + lr(1, 2)) / 3
+    want_d1 = (lr(1, 2) + lr(0, 1)) / 2
+    assert abs(out.loc["d0", "dsir_score"] - want_d0) < 1e-12
+    assert abs(out.loc["d1", "dsir_score"] - want_d1) < 1e-12
+    assert out["n_tokens"].tolist() == [3, 2]
+
+
+def test_dsir_select_prefers_target_like_docs():
+    import ray.data as rd
+
+    # 20 "sciency" docs, 20 "webby" docs; target = the sciency half.
+    sci = ["theorem proof lemma corollary bound"] * 20
+    web = ["click buy now free offer"] * 20
+    tbl = {
+        "doc_id": [f"d{i}" for i in range(40)],
+        "text": sci + web,
+    }
+    ds = rd.from_arrow(pa.table(tbl))
+    target = ds.filter(lambda r: int(r["doc_id"][1:]) < 20)
+    from theoremkb_ray.stages.lm import dsir_select
+
+    kept = dsir_select(ds, target, frac=0.5).to_pandas()
+    assert len(kept) == 20
+    assert all(int(d[1:]) < 20 for d in kept["doc_id"])
+    assert (kept["dsir_score"] > 0).all()

@@ -123,14 +123,13 @@ def minhash_signatures(
     return out
 
 
-def flat_token_hashes_arrow(texts) -> tuple[np.ndarray, np.ndarray]:
-    """(flat token hashes, int64[N+1] doc offsets) for a pyarrow
-    string (chunked) array — the vectorized analog of per-doc
-    ``t.split()`` + :func:`hash_strings`: ONE Arrow whitespace split +
-    ONE siphash call for the whole batch. Arrow's
-    ``utf8_split_whitespace`` emits empty tokens at string edges;
-    those are dropped so tokenization matches Python ``str.split``.
-    """
+def flat_tokens_arrow(texts):
+    """(flat pyarrow StringArray of tokens, int64[N+1] doc offsets)
+    for a pyarrow string (chunked) array — ONE Arrow whitespace split
+    for the whole batch. Arrow's ``utf8_split_whitespace`` emits empty
+    tokens at string edges; those are dropped so tokenization matches
+    Python ``str.split`` (and DuckDB ``regexp_split_to_array('\\s+')``
+    + empty filter)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -143,15 +142,25 @@ def flat_token_hashes_arrow(texts) -> tuple[np.ndarray, np.ndarray]:
     )
     flat = lst.flatten()
     n = len(counts)
+    starts = np.zeros(n + 1, np.int64)
     if len(flat) == 0:
-        return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
+        return flat, starts
     keep = pc.greater(pc.binary_length(flat), 0)
     keep_np = keep.to_numpy(zero_copy_only=False)
     d = np.repeat(np.arange(n, dtype=np.int64), counts)[keep_np]
     flat = flat.filter(keep)
-    h = hash_strings(flat.to_numpy(zero_copy_only=False))
-    starts = np.zeros(n + 1, np.int64)
     starts[1:] = np.cumsum(np.bincount(d, minlength=n))
+    return flat, starts
+
+
+def flat_token_hashes_arrow(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(flat token hashes, int64[N+1] doc offsets) for a pyarrow
+    string (chunked) array — :func:`flat_tokens_arrow` + ONE siphash
+    call for the whole batch."""
+    flat, starts = flat_tokens_arrow(texts)
+    if len(flat) == 0:
+        return np.empty(0, np.uint64), starts
+    h = hash_strings(flat.to_numpy(zero_copy_only=False))
     return h, starts
 
 

@@ -320,3 +320,149 @@ def bigram_perplexity(ds, lm, batch_size: int | None = None):
         batch_size=batch_size,
         concurrency=(1, 8),
     )
+
+
+# --------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al.,
+# NeurIPS 2023): score every document by the log-likelihood ratio of
+# an add-1 smoothed unigram LM fit on a TARGET subset (the "domain
+# you want more of") against one fit on the raw corpus, then keep the
+# top-scoring fraction. The reference has no analog (it curates by
+# CRF structure); this is the standard pretraining-mixture selection
+# operator. Scale shape: two vocabulary-sized count exchanges, both
+# tables ray.put once, one shuffle-free scoring pass.
+# --------------------------------------------------------------------
+
+
+def unigram_counts(ds, text_col: str = "text"):
+    """(sorted uint64 token hashes, float64 counts, total tokens) for
+    ``ds[text_col]`` — the raw-count sibling of :func:`unigram_lm`
+    (same partial-``np.unique`` combiner, vocabulary-sized exchange,
+    no smoothing applied)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _ = flat_token_hashes_arrow(b[text_col])
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(u.view(np.int64)),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    hs, ns = [], []
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        hs.append(b["h"].to_numpy(zero_copy_only=False))
+        ns.append(b["n"].to_numpy(zero_copy_only=False))
+    h = (
+        np.concatenate(hs).astype(np.int64, copy=False).view(np.uint64)
+        if hs
+        else np.empty(0, np.uint64)
+    )
+    n = (
+        np.concatenate(ns).astype(np.float64, copy=False)
+        if ns
+        else np.empty(0, np.float64)
+    )
+    o = np.argsort(h)
+    h, n = h[o], n[o]
+    return h, n, float(n.sum())
+
+
+class DSIRScorer:
+    """map_batches callable: (doc_id, text) -> (doc_id, n_tokens,
+    dsir_score) with
+
+        dsir_score = mean_t [ ln p_target(t) - ln p_raw(t) ]
+        p_*(t) = (c_*(t) + 1) / (T_* + V)
+
+    where V is the RAW-corpus vocabulary size (the feature space both
+    models share — a token outside it contributes the two smoothing
+    floors). Positive = more target-like than corpus-average."""
+
+    def __init__(self, model_ref) -> None:
+        from ..state.broadcast import get_broadcast
+
+        (
+            self.th,
+            self.tn,
+            self.t_denom,
+            self.rh,
+            self.rn,
+            self.r_denom,
+        ) = get_broadcast(model_ref)
+
+    @staticmethod
+    def _counts(keys, h, n):
+        out = np.zeros(len(keys), np.float64)
+        if len(h) and len(keys):
+            idx = np.searchsorted(h, keys)
+            idx[idx >= len(h)] = len(h) - 1
+            hit = h[idx] == keys
+            out[hit] = n[idx[hit]]
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, starts = flat_token_hashes_arrow(batch["text"])
+        ct = self._counts(flat, self.th, self.tn)
+        cr = self._counts(flat, self.rh, self.rn)
+        lr = np.log((ct + 1.0) / self.t_denom) - np.log(
+            (cr + 1.0) / self.r_denom
+        )
+        n_tok = np.diff(starts)
+        sums = np.add.reduceat(
+            np.concatenate([lr, [0.0]]), np.minimum(starts[:-1], len(lr))
+        )
+        sums[n_tok == 0] = 0.0
+        keep = n_tok > 0
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(keep)),
+                "n_tokens": pa.array(n_tok[keep], pa.int64()),
+                "dsir_score": pa.array(
+                    sums[keep] / n_tok[keep], pa.float64()
+                ),
+            }
+        )
+
+
+def dsir_scores(ds, target, text_col: str = "text"):
+    """Importance-ratio scores for every row of ``ds`` against the
+    ``target`` subset. Trains both unigram count tables (two
+    vocabulary-sized exchanges), broadcasts them once, scores in one
+    streaming pass. Zero-token docs emit no row (matching the SQL
+    twin). ``target`` is typically ``ds`` filtered by a predicate —
+    Ray Data dedupes the shared read."""
+    import ray
+
+    th, tn, t_total = unigram_counts(target, text_col)
+    rh, rn, r_total = unigram_counts(ds, text_col)
+    V = float(len(rh))
+    model_ref = ray.put((th, tn, t_total + V, rh, rn, r_total + V))
+    return ds.map_batches(
+        DSIRScorer,
+        fn_constructor_args=(model_ref,),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 8),
+    )
+
+
+def dsir_select(ds, target, frac: float = 0.25, text_col: str = "text"):
+    """Keep the top-``frac`` of ``ds`` by DSIR score (ties broken by
+    doc_id for determinism under any partitioning). The threshold is
+    found with a distributed sort + limit over the SCORES table (one
+    row per doc, far smaller than the corpus), never by collecting
+    documents on the driver."""
+    scored = dsir_scores(ds, target, text_col).materialize()
+    k = max(1, int(scored.count() * frac))
+    return (
+        scored.sort(["dsir_score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
