@@ -235,6 +235,21 @@ def _fingerprint_docs(sf_dir: str):
     return fingerprints(ds).select_columns(["doc_id", "fingerprint64"])
 
 
+def _winnow_fingerprint_docs(sf_dir: str):
+    """SQL-exact winnowing fingerprints: token IDs are lexicographic
+    vocabulary ranks (the tokenizer-ID analog), window hashes are the
+    FNV fold + splitmix64 chain DuckDB reproduces bit-for-bit with
+    UHUGEINT mod-2^64 arithmetic (``_splitmix_round_ctes``). One
+    (doc_id, fp) row per distinct kept window hash — value-hash-oracled
+    twin of the siphash-based ``fingerprint_docs``."""
+    from theoremkb_ray.stages.textstats import winnow_fingerprints_ranked
+
+    ds = _rp(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return winnow_fingerprints_ranked(ds)
+
+
 def _ivf_topk(sf_dir: str):
     """Approximate BY DESIGN (probed-list subset of centroids); the
     exact contract is oracled twice over: ivf_exact_topk
@@ -1118,6 +1133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "simhash_dedup_docs": _simhash_dedup_docs,
             "langid_docs": _langid_docs,
             "fingerprint_docs": _fingerprint_docs,
+            "winnow_fingerprint_docs": _winnow_fingerprint_docs,
             "ivf_topk": _ivf_topk,
             "ivf_exact_topk": _ivf_exact_topk,
             "embedding_dups": _embedding_dups,
@@ -1557,6 +1573,58 @@ GROUP BY b.doc_id
     # subset, smoothing denominator T_* + V with V the RAW-corpus
     # vocabulary (stages/lm.py:DSIRScorer — keep the predicate and the
     # denominators in sync).
+    # winnow_fingerprint_docs: token IDs = dense_rank over the sorted
+    # distinct vocabulary (0-based, matching pc.index_in against the
+    # sorted vocab); window hash = list_reduce FNV fold mod 2^64 then
+    # one splitmix64 round chain; winnow keeps x % 16 = 0 per doc, or
+    # the doc's min window hash when none qualify (the degenerate rule
+    # of functions/hashing.py:rolling_fingerprint). Keep in sync with
+    # stages/textstats.py:winnow_fingerprints_ranked.
+    out["winnow_fingerprint_docs"] = (
+        r"""
+WITH arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             t -> t <> '') AS a
+  FROM documents
+),
+vocab AS (
+  SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) - 1 AS UBIGINT) AS id
+  FROM (SELECT DISTINCT unnest(a) AS tok FROM arr)
+),
+tok AS (
+  SELECT doc_id, i AS pos, a[i] AS tokval
+  FROM arr, unnest(generate_series(1, len(a))) AS t(i)
+),
+idarr AS (
+  SELECT doc_id, list(v.id ORDER BY pos) AS ids
+  FROM tok JOIN vocab v ON tok.tokval = v.tok
+  GROUP BY doc_id
+),
+w AS (
+  SELECT doc_id,
+         CASE WHEN len(ids) >= 8 THEN ids[i:i+7] ELSE ids END AS win
+  FROM idarr,
+       unnest(generate_series(1, greatest(len(ids) - 7, 1))) AS t(i)
+  WHERE len(ids) > 0
+),
+acc AS (
+  SELECT doc_id,
+         list_reduce(win, (a, x) -> CAST(
+           (CAST(a AS UHUGEINT) * 1099511628211 + x)
+           % 18446744073709551616 AS UBIGINT)) AS x
+  FROM w
+),
+"""
+        + _splitmix_round_ctes("s", "acc", "doc_id")
+        + r"""
+kept AS (SELECT DISTINCT doc_id, x FROM s4 WHERE x % 16 = 0),
+mn AS (SELECT doc_id, min(x) AS x FROM s4 GROUP BY doc_id)
+SELECT doc_id, x AS fp FROM kept
+UNION
+SELECT doc_id, x AS fp FROM mn
+WHERE doc_id NOT IN (SELECT doc_id FROM kept)
+"""
+    )
     out["dsir_docs"] = r"""
 WITH arr AS (
   SELECT doc_id, lang,

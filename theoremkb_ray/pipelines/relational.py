@@ -2928,3 +2928,280 @@ REGISTRY: dict[str, tuple] = {
     "date_parts": (q_date_parts, SQL_DATE_PARTS),
     "cooccurrence": (q_cooccurrence, SQL_COOCCURRENCE),
 }
+
+
+# ------------------------------------------------- round-3 additions
+
+
+def q_funnel_users(sf_dir: str):
+    """Ordered event-sequence funnel: per user, the longest completed
+    prefix of click -> view -> purchase with STRICTLY increasing
+    timestamps (each step's time = the earliest qualifying event after
+    the previous step). The classic product-analytics operator; one
+    user-bucketed shuffle, vectorized ``reduceat`` folds per bucket."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
+    INF = np.iinfo(np.int64).max
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"),
+                 "steps": pd.Series(dtype="int64")}
+            )
+        ts = (
+            g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        et = g["event_type"].to_numpy()
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new_user)
+        seg = np.cumsum(new_user) - 1
+
+        def first_after(mask, prev):
+            cand = np.where(mask & (ts > prev[seg]), ts, INF)
+            return np.minimum.reduceat(cand, starts)
+
+        none = np.full(len(starts), -1, np.int64)  # ts > -1 always
+        t1 = first_after(et == "click", none)
+        t2 = first_after(et == "view", t1)
+        t3 = first_after(et == "purchase", t2)
+        steps = (
+            (t1 < INF).astype(np.int64)
+            + (t2 < INF)
+            + (t3 < INF)
+        )
+        return pd.DataFrame({"user_id": u[starts], "steps": steps})
+
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_FUNNEL_USERS = """
+WITH c AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'click' GROUP BY user_id),
+v AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN c USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > c.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN v.user_id IS NOT NULL THEN 2
+                 WHEN c.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS steps
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN c USING (user_id)
+LEFT JOIN v USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention: users grouped by first-active day (epoch
+    days), counted on each later active day offset. Day arithmetic is
+    integer on both sides. Partial dedup of (user, day) inside
+    map_batches, one user-bucketed shuffle, then a tiny
+    (cohort, offset) groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+    DAY_US = 86_400_000_000
+
+    def to_days(b: pa.Table) -> pa.Table:
+        ts = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        day = ts // DAY_US
+        pairs = np.unique(
+            np.stack(
+                [b["user_id"].to_numpy(zero_copy_only=False), day],
+                axis=1,
+            ),
+            axis=0,
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(pairs[:, 0], pa.int64()),
+                "day": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    days = ds.map_batches(to_days, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy()
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame(
+                {"cohort_day": pd.Series(dtype="int64"),
+                 "day_offset": pd.Series(dtype="int64"),
+                 "n": pd.Series(dtype="int64")}
+            )
+        dedup = np.ones(n, dtype=bool)
+        dedup[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[dedup], d[dedup]
+        new_user = np.ones(len(u), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(new_user) - 1
+        cohort = d[new_user][seg]
+        off = d - cohort
+        key = cohort * 100_000 + off  # offsets < 100k days
+        uk, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame(
+            {
+                "cohort_day": uk // 100_000,
+                "day_offset": uk % 100_000,
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    partial = _by_user_bucket(days).map_groups(
+        per_bucket, batch_format="pandas"
+    )
+    return partial.groupby(["cohort_day", "day_offset"]).aggregate(
+        Sum("n", alias_name="n_users")
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+           FROM events),
+f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+       count(*) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY f.cohort_day, day_offset
+"""
+
+
+def q_entropy_docs(sf_dir: str):
+    """Per-doc token Shannon entropy + type counts
+    (stages/textstats.py:token_entropy) — shuffle-free quality signal."""
+    from ..stages.textstats import token_entropy
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return token_entropy(ds)
+
+
+SQL_ENTROPY_DOCS = r"""
+WITH arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             t -> t <> '') AS a
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(a) AS tok FROM arr),
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS c FROM tok
+       GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id)
+SELECT tf.doc_id, CAST(dl.n AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       -sum((tf.c / dl.n) * ln(tf.c / dl.n)) AS entropy
+FROM tf JOIN dl USING (doc_id)
+GROUP BY tf.doc_id, dl.n
+"""
+
+
+def q_keywords_tfidf(sf_dir: str):
+    """Top-3 tokens per doc by tf-idf, ties by token asc
+    (stages/textstats.py:doc_keywords — df table broadcast, per-doc
+    ranking shuffle-free)."""
+    from ..stages.textstats import doc_keywords
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return doc_keywords(ds, k=3)
+
+
+SQL_KEYWORDS_TFIDF = r"""
+WITH arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             t -> t <> '') AS a
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(a) AS tok FROM arr),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok AS token, tf.tf,
+         tf.tf * ln(nn.n / df.df) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln(nn.n / df.df) DESC, tf.tok
+         ) AS rn
+  FROM tf JOIN df USING (tok) CROSS JOIN nn
+)
+SELECT doc_id, token, tf, tfidf FROM scored WHERE rn <= 3
+"""
+
+
+def q_nearest_doc_jaccard(sf_dir: str):
+    """Top-1 catalog match by exact token-set Jaccard: every doc with
+    doc_id >= 25 matched against the 25-doc candidate catalog
+    (doc_id < 25), ties toward the smallest candidate id
+    (stages/match.py:jaccard_match — candidates broadcast once; never
+    a token-equality join, which explodes as sum_t df_a*df_b)."""
+    import pyarrow.parquet as pq_
+
+    from ..stages.match import jaccard_match
+
+    cand = pq_.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    cand = cand.filter(pc.less(cand["doc_id"], 25))
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"]).filter(
+        expr="doc_id >= 25"
+    )
+    return jaccard_match(ds, cand)
+
+
+SQL_NEAREST_DOC_JACCARD = r"""
+WITH arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             t -> t <> '') AS a
+  FROM documents
+),
+tok AS (SELECT DISTINCT doc_id, unnest(a) AS tok FROM arr),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT t.doc_id AS doc_id, c.doc_id AS cand_id, count(*) AS inter_n
+  FROM tok t JOIN tok c ON t.tok = c.tok
+  WHERE t.doc_id >= 25 AND c.doc_id < 25
+  GROUP BY t.doc_id, c.doc_id
+),
+scored AS (
+  SELECT i.doc_id, i.cand_id AS match_id, i.inter_n,
+         CAST(i.inter_n AS DOUBLE) / (st.n + sc.n - i.inter_n) AS sim,
+         row_number() OVER (
+           PARTITION BY i.doc_id
+           ORDER BY CAST(i.inter_n AS DOUBLE)
+                    / (st.n + sc.n - i.inter_n) DESC, i.cand_id
+         ) AS rn
+  FROM inter i
+  JOIN sizes st ON i.doc_id = st.doc_id
+  JOIN sizes sc ON i.cand_id = sc.doc_id
+)
+SELECT doc_id, match_id, inter_n, sim FROM scored WHERE rn = 1
+"""
+
+
+REGISTRY.update(
+    {
+        "funnel_users": (q_funnel_users, SQL_FUNNEL_USERS),
+        "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+        "entropy_docs": (q_entropy_docs, SQL_ENTROPY_DOCS),
+        "keywords_tfidf": (q_keywords_tfidf, SQL_KEYWORDS_TFIDF),
+        "nearest_doc_jaccard": (
+            q_nearest_doc_jaccard,
+            SQL_NEAREST_DOC_JACCARD,
+        ),
+    }
+)

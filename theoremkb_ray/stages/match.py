@@ -121,3 +121,111 @@ def tfidf_match(results_ds, doc_pairs: list[tuple[str, str]]):
     return fanned.groupby("pair_id").map_groups(
         _match_pair, batch_format="pandas"
     )
+
+
+def jaccard_match(ds, candidates, text_col: str = "text", id_col: str = "doc_id"):
+    """Top-1 match of every row of ``ds`` against a SMALL candidate
+    table by token-SET Jaccard similarity (the catalog-matching shape:
+    docs vs a bounded reference set — J9's argmax contract with an
+    exact-integer similarity, so the winner is value-hash-oracle-able;
+    the TF-IDF sibling :func:`tfidf_match` keeps the reference's
+    per-pair cosine semantics).
+
+    ``candidates``: a pyarrow Table / pandas DataFrame with
+    ``(id_col, text_col)``. Broadcast once as (union-vocab sorted hash
+    array, per-candidate boolean membership matrix); each batch scores
+    docs x candidates with ONE sparse-ish matmul — no shuffle, no
+    pairwise token join (the token-join plan explodes as
+    sum_t df_a(t)*df_b(t); this stays |docs| x |candidates|).
+    Ties break toward the smallest candidate id. Zero-token docs and
+    zero-intersection docs emit no row (no meaningful match).
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.hashing import flat_token_hashes_arrow
+
+    if isinstance(candidates, pa.Table):
+        candidates = candidates.to_pandas()
+    cand = candidates.sort_values(id_col, kind="mergesort")
+    cand_ids = cand[id_col].to_numpy()
+    cand_sets = [
+        np.unique(hash_strings(t.split()))
+        if t.split()
+        else np.empty(0, np.uint64)
+        for t in cand[text_col].tolist()
+    ]
+    union = np.unique(
+        np.concatenate(cand_sets)
+        if cand_sets and any(len(s) for s in cand_sets)
+        else np.empty(0, np.uint64)
+    )
+    M = np.zeros((len(cand_sets), len(union)), np.float64)
+    for ci, s in enumerate(cand_sets):
+        M[ci, np.searchsorted(union, s)] = 1.0
+    sizes = M.sum(axis=1)
+    ref = ray.put((union, M, sizes, cand_ids))
+
+    class Score:
+        def __init__(self, model_ref) -> None:
+            (
+                self.union,
+                self.M,
+                self.sizes,
+                self.cand_ids,
+            ) = get_broadcast(model_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            flat, starts = flat_token_hashes_arrow(b[text_col])
+            n_docs = len(starts) - 1
+            lengths = np.diff(starts)
+            d = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+            # distinct (doc, token) membership over the candidate vocab
+            order = np.lexsort((flat, d))
+            kd, kh = d[order], flat[order]
+            new = np.ones(len(kd), bool)
+            new[1:] = (kd[1:] != kd[:-1]) | (kh[1:] != kh[:-1])
+            kd, kh = kd[new], kh[new]
+            n_distinct = np.bincount(kd, minlength=n_docs).astype(
+                np.float64
+            )
+            idx = np.searchsorted(self.union, kh)
+            hit = (idx < len(self.union)) & (
+                len(self.union) > 0
+                and self.union[np.minimum(idx, len(self.union) - 1)]
+                == kh
+            )
+            X = np.zeros((n_docs, len(self.union)), np.float64)
+            X[kd[hit], idx[hit]] = 1.0
+            inter = X @ self.M.T  # docs x candidates
+            union_sz = (
+                n_distinct[:, None] + self.sizes[None, :] - inter
+            )
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sim = np.where(union_sz > 0, inter / union_sz, 0.0)
+            best = np.argmax(sim, axis=1)  # first max = smallest cand id
+            rows = np.arange(n_docs)
+            keep = inter[rows, best] > 0
+            return pa.table(
+                {
+                    "doc_id": b[id_col].filter(pa.array(keep)),
+                    "match_id": pa.array(
+                        self.cand_ids[best[keep]], pa.int64()
+                    ),
+                    "inter_n": pa.array(
+                        inter[rows, best][keep].astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "sim": pa.array(
+                        sim[rows, best][keep], pa.float64()
+                    ),
+                }
+            )
+
+    return ds.map_batches(
+        Score,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 8),
+    )

@@ -246,3 +246,277 @@ def vocabulary_topk(ds, col: str = "text", k: int = 100):
         .sort(["count", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+def token_entropy(ds, text_col: str = "text", batch_size: int = 4096):
+    """Per-document Shannon entropy of the token distribution:
+    ``H = -sum_t (c_t/n) ln(c_t/n)`` over the doc's token types, plus
+    the type count. A quality/diversity signal (low entropy = heavy
+    repetition — the Gopher "repetition" family's information-theoretic
+    cousin). Zero-token docs emit no row (matches the SQL twin).
+
+    Scale shape: a document is one row, so the whole computation is a
+    single shuffle-free ``map_batches`` pass — per-batch token hashing,
+    one lexsort for (doc, type) run-lengths, ``np.bincount`` folds.
+    """
+    from ..functions.hashing import flat_token_hashes_arrow
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        flat, starts = flat_token_hashes_arrow(b[text_col])
+        n_docs = len(starts) - 1
+        lengths = np.diff(starts)
+        d = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+        order = np.lexsort((flat, d))
+        kd, kh = d[order], flat[order]
+        new = np.ones(len(kd), bool)
+        new[1:] = (kd[1:] != kd[:-1]) | (kh[1:] != kh[:-1])
+        type_starts = np.nonzero(new)[0]
+        cnt = np.diff(np.append(type_starts, len(kd))).astype(np.float64)
+        tdoc = kd[type_starts]
+        p = cnt / lengths[tdoc]
+        ent = np.zeros(n_docs, np.float64)
+        np.subtract.at(ent, tdoc, p * np.log(p))
+        n_types = np.bincount(tdoc, minlength=n_docs)
+        keep = lengths > 0
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].filter(pa.array(keep)),
+                "n_tokens": pa.array(lengths[keep], pa.int64()),
+                "n_types": pa.array(n_types[keep], pa.int64()),
+                "entropy": pa.array(ent[keep], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(
+        per_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def doc_keywords(ds, text_col: str = "text", k: int = 3):
+    """Top-``k`` tokens per document by tf-idf
+    (``tf * ln(N / df)``, ties broken by token ascending) — the
+    classic per-doc keyword extractor.
+
+    Scale shape: ONE vocabulary-sized exchange builds the df table
+    (per-batch distinct-(doc,token) partials; a sentinel ''-token row
+    carries the batch's doc count so N needs no second pass), the df
+    table broadcasts once as a sorted uint64-hash array, and scoring +
+    per-doc top-k are shuffle-free per-batch numpy (a doc is one row,
+    so tf is batch-local)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import (
+        flat_token_hashes_arrow,
+        flat_tokens_arrow,
+        hash_strings,
+    )
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        flat, starts = flat_token_hashes_arrow(b[text_col])
+        n_docs = len(starts) - 1
+        d = np.repeat(
+            np.arange(n_docs, dtype=np.int64), np.diff(starts)
+        )
+        # distinct (doc, token-hash) pairs -> per-token doc counts
+        pairs = np.unique(np.stack([d, flat.view(np.int64)], axis=1), axis=0)
+        u, c = np.unique(pairs[:, 1], return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(np.append(u, np.int64(0))),
+                "df": pa.array(
+                    np.append(c.astype(np.int64), np.int64(n_docs))
+                ),
+                "is_n": pa.array(
+                    np.append(np.zeros(len(u), bool), [True])
+                ),
+            }
+        )
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby(["h", "is_n"])
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    hs, dfs, n_total = [], [], 0
+    for b in df_tbl.iter_batches(batch_format="pyarrow"):
+        isn = b["is_n"].to_numpy(zero_copy_only=False)
+        h = b["h"].to_numpy(zero_copy_only=False)
+        df = b["df"].to_numpy(zero_copy_only=False)
+        n_total += int(df[isn].sum())
+        hs.append(h[~isn])
+        dfs.append(df[~isn])
+    h = (
+        np.concatenate(hs).view(np.uint64)
+        if hs
+        else np.empty(0, np.uint64)
+    )
+    df = (
+        np.concatenate(dfs).astype(np.float64)
+        if dfs
+        else np.empty(0, np.float64)
+    )
+    o = np.argsort(h)
+    ref = ray.put((h[o], df[o], float(n_total)))
+
+    class ScoreKeywords:
+        def __init__(self, model_ref) -> None:
+            from ..state.broadcast import get_broadcast
+
+            self.h, self.df, self.n = get_broadcast(model_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            flat, starts = flat_tokens_arrow(b[text_col])
+            toks = flat.to_numpy(zero_copy_only=False)
+            fh = (
+                hash_strings(toks)
+                if len(toks)
+                else np.empty(0, np.uint64)
+            )
+            n_docs = len(starts) - 1
+            d = np.repeat(
+                np.arange(n_docs, dtype=np.int64), np.diff(starts)
+            )
+            # per-(doc, token) tf via lexsort run-lengths on hashes
+            order = np.lexsort((fh, d))
+            kd, kh, kt = d[order], fh[order], toks[order]
+            new = np.ones(len(kd), bool)
+            new[1:] = (kd[1:] != kd[:-1]) | (kh[1:] != kh[:-1])
+            ts = np.nonzero(new)[0]
+            tf = np.diff(np.append(ts, len(kd))).astype(np.float64)
+            tdoc, ttok, thash = kd[ts], kt[ts], kh[ts]
+            idx = np.searchsorted(self.h, thash)
+            if len(self.h):
+                idx[idx >= len(self.h)] = len(self.h) - 1
+                dfv = self.df[idx]
+            else:
+                dfv = np.ones(len(thash))
+            tfidf = tf * np.log(self.n / dfv)
+            # rank within doc: tfidf desc, token asc
+            o2 = np.lexsort((ttok, -tfidf, tdoc))
+            sd = tdoc[o2]
+            first = np.ones(len(sd), bool)
+            first[1:] = sd[1:] != sd[:-1]
+            pos = np.arange(len(sd)) - np.maximum.accumulate(
+                np.where(first, np.arange(len(sd)), -1)
+            )
+            keep = o2[pos < k]
+            keep.sort()
+            ids = b["doc_id"].take(pa.array(tdoc[keep], pa.int64()))
+            return pa.table(
+                {
+                    "doc_id": ids,
+                    "token": pa.array(ttok[keep], pa.string()),
+                    "tf": pa.array(tf[keep].astype(np.int64), pa.int64()),
+                    "tfidf": pa.array(tfidf[keep], pa.float64()),
+                }
+            )
+
+    return ds.map_batches(
+        ScoreKeywords,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 8),
+    )
+
+
+def winnow_fingerprints_ranked(
+    ds, text_col: str = "text", window: int = 8, keep_mod: int = 16
+):
+    """SQL-exact winnowing fingerprint: token IDs are each token's
+    rank in the lexicographically-sorted corpus vocabulary (a
+    tokenizer-style integer ID a SQL oracle can re-derive with
+    ``dense_rank``), window hashes are the FNV-1a-style fold
+    ``acc = acc*0x100000001B3 + id (mod 2^64)`` finished with
+    splitmix64 (both reproducible in DuckDB via UHUGEINT arithmetic —
+    ``_splitmix_round_ctes`` in ``__ray_entry__.py``), and a document
+    keeps the windows ``≡ 0 (mod keep_mod)`` (or its minimum window
+    hash when none qualify — the degenerate-doc rule of
+    :func:`rolling_fingerprint`). Emits one ``(doc_id, fp)`` row per
+    distinct kept hash.
+
+    The sibling of :func:`fingerprints` whose digests are
+    value-hash-oracle-able; the siphash variant stays the production
+    default (no vocabulary pass needed). Scale assumption: the
+    vocabulary is tokenizer-bounded (BPE-sized), so the sorted-ID
+    broadcast is small; docs are rows, so windowing is shuffle-free.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import (
+        flat_tokens_arrow,
+        shingle_hashes_flat,
+    )
+
+    def vocab_partial(b: pa.Table) -> pa.Table:
+        flat, _ = flat_tokens_arrow(b[text_col])
+        u = np.unique(flat.to_numpy(zero_copy_only=False))
+        return pa.table({"token": pa.array(u, pa.string())})
+
+    vocab_ds = (
+        ds.map_batches(vocab_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Count(alias_name="n"))
+    )
+    toks = []
+    for b in vocab_ds.iter_batches(batch_format="pyarrow"):
+        toks.append(b["token"].to_numpy(zero_copy_only=False))
+    vocab = np.sort(np.concatenate(toks)) if toks else np.empty(0, object)
+    vocab_ref = ray.put(pa.array(vocab, pa.string()))
+
+    class Winnow:
+        def __init__(self, ref) -> None:
+            from ..state.broadcast import get_broadcast
+
+            self.vocab = get_broadcast(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            flat, starts = flat_tokens_arrow(b[text_col])
+            ids = (
+                pc.index_in(flat, value_set=self.vocab)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            wh, wdoc = shingle_hashes_flat(ids, starts, k=window)
+            if len(wh) == 0:
+                return pa.table(
+                    {
+                        "doc_id": b["doc_id"].slice(0, 0),
+                        "fp": pa.array([], pa.uint64()),
+                    }
+                )
+            keep = wh % np.uint64(keep_mod) == 0
+            # degenerate docs (no window ≡ 0): keep the min window hash
+            n_docs = len(starts) - 1
+            has = np.zeros(n_docs, bool)
+            has[wdoc[keep]] = True
+            mins = np.full(n_docs, np.iinfo(np.uint64).max, np.uint64)
+            np.minimum.at(mins, wdoc, wh)
+            fb_docs = np.nonzero(
+                ~has & (np.bincount(wdoc, minlength=n_docs) > 0)
+            )[0]
+            out_d = np.concatenate([wdoc[keep], fb_docs])
+            out_h = np.concatenate([wh[keep], mins[fb_docs]])
+            # distinct (doc, fp)
+            uniq = np.unique(
+                np.stack([out_d, out_h.view(np.int64)], axis=1), axis=0
+            )
+            ids_out = b["doc_id"].take(pa.array(uniq[:, 0], pa.int64()))
+            return pa.table(
+                {
+                    "doc_id": ids_out,
+                    "fp": pa.array(
+                        uniq[:, 1].view(np.uint64), pa.uint64()
+                    ),
+                }
+            )
+
+    return ds.map_batches(
+        Winnow,
+        fn_constructor_args=(vocab_ref,),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 8),
+    )
