@@ -250,6 +250,17 @@ def _winnow_fingerprint_docs(sf_dir: str):
     return winnow_fingerprints_ranked(ds)
 
 
+def _simhash_ranked_docs(sf_dir: str):
+    """SQL-exact SimHash sketch per doc: vocabulary-rank token IDs
+    hashed with one splitmix64 round, strict-majority bit vote
+    (stages/textstats.py:simhash_ranked). The value-hash-oracled twin
+    of the production siphash simhash_dedup_docs."""
+    from theoremkb_ray.stages.textstats import simhash_ranked
+
+    ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_ranked(ds)
+
+
 def _ivf_topk(sf_dir: str):
     """Approximate BY DESIGN (probed-list subset of centroids); the
     exact contract is oracled twice over: ivf_exact_topk
@@ -1134,6 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "langid_docs": _langid_docs,
             "fingerprint_docs": _fingerprint_docs,
             "winnow_fingerprint_docs": _winnow_fingerprint_docs,
+            "simhash_ranked_docs": _simhash_ranked_docs,
             "ivf_topk": _ivf_topk,
             "ivf_exact_topk": _ivf_exact_topk,
             "embedding_dups": _embedding_dups,
@@ -1623,6 +1635,49 @@ SELECT doc_id, x AS fp FROM kept
 UNION
 SELECT doc_id, x AS fp FROM mn
 WHERE doc_id NOT IN (SELECT doc_id FROM kept)
+"""
+    )
+    # simhash_ranked_docs: token IDs = dense_rank - 1 over the sorted
+    # vocabulary; per-occurrence hash = ONE splitmix64 round of the ID
+    # (functions/hashing.py:splitmix64 == _splitmix_round_ctes); sketch
+    # bit m set iff 2 * (count of set bit-m token hashes, weighted by
+    # occurrence count) > doc token count — simhash64_flat's strict
+    # majority. Keep in sync with stages/textstats.py:simhash_ranked.
+    out["simhash_ranked_docs"] = (
+        r"""
+WITH arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             t -> t <> '') AS a
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(a) AS tokval FROM arr),
+tc AS (SELECT doc_id, tokval, count(*) AS cnt FROM tok
+       GROUP BY doc_id, tokval),
+vocab AS (
+  SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) - 1 AS UBIGINT) AS id
+  FROM (SELECT DISTINCT tokval AS tok FROM tok)
+),
+acc AS (
+  SELECT tc.doc_id, tc.cnt, v.id AS x
+  FROM tc JOIN vocab v ON tc.tokval = v.tok
+),
+"""
+        + _splitmix_round_ctes("s", "acc", "doc_id, cnt")
+        + r"""
+tl AS (SELECT doc_id, sum(cnt) AS total FROM s4 GROUP BY doc_id),
+bits AS (
+  SELECT s4.doc_id, b.b,
+         CAST(sum(cnt * CAST((x >> b.b) & 1 AS BIGINT)) AS BIGINT) AS ones
+  FROM s4, (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY s4.doc_id, b.b
+)
+SELECT bits.doc_id,
+       bit_or(CASE WHEN 2 * ones > tl.total
+                   THEN CAST(CAST(1 AS UHUGEINT) << CAST(b AS UHUGEINT)
+                             AS UBIGINT)
+                   ELSE CAST(0 AS UBIGINT) END) AS simhash
+FROM bits JOIN tl USING (doc_id)
+GROUP BY bits.doc_id
 """
     )
     out["dsir_docs"] = r"""

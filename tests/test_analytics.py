@@ -218,3 +218,110 @@ def test_winnow_ranked_matches_pure_python():
         kept = {h for h in hs if h % 16 == 0} or {min(hs)}
         want |= {(did, h) for h in kept}
     assert set(zip(got["doc_id"], got["fp"])) == want
+
+
+def test_simhash_ranked_strict_majority_bits():
+    from theoremkb_ray.functions.hashing import splitmix64
+    from theoremkb_ray.stages.textstats import simhash_ranked
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["b a b", "a", ""],
+            }
+        )
+    )
+    out = simhash_ranked(ds).to_pandas().set_index("doc_id")
+    # vocab sorted: a->0, b->1; h(id) = one splitmix64 round
+    ha, hb = splitmix64(np.array([0, 1], dtype=np.uint64))
+    # doc0 tokens (b,a,b): bit m set iff 2*(bits of [hb,ha,hb]) > 3
+    exp0 = np.uint64(0)
+    for m in range(64):
+        ones = 2 * ((hb >> np.uint64(m)) & np.uint64(1)) + (
+            (ha >> np.uint64(m)) & np.uint64(1)
+        )
+        if 2 * int(ones) > 3:
+            exp0 |= np.uint64(1) << np.uint64(m)
+    assert out.loc[0, "simhash"] == exp0
+    assert out.loc[1, "simhash"] == ha  # single token -> its hash
+    assert 2 not in out.index  # empty doc -> no row
+
+
+def test_novelty_hand_computed():
+    from theoremkb_ray.stages.dedup import novelty
+
+    # doc0 and doc1 share the exact 5-gram "a b c d e"; each also has
+    # one private gram. doc2 is short (<5 tokens) -> whole-seq gram.
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "a b c d e f",      # grams: abcde, bcdef
+                    "a b c d e",        # gram: abcde (shared w/ doc0)
+                    "x y",              # whole-seq gram, unique
+                    "",                 # empty -> no row
+                ],
+            }
+        )
+    )
+    out = novelty(ds).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "n_grams"] == 2 and out.loc[0, "n_unique"] == 1
+    assert out.loc[0, "novelty"] == 0.5
+    assert out.loc[1, "n_grams"] == 1 and out.loc[1, "n_unique"] == 0
+    assert out.loc[2, "novelty"] == 1.0
+    assert 3 not in out.index
+
+
+def test_prefix_dup_groups():
+    import theoremkb_ray.pipelines.relational as rel
+
+    pre = " ".join(f"t{i}" for i in range(8))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    pre + " alpha",
+                    pre + " beta gamma",
+                    "other text entirely here now yes ok fine",
+                    "short",  # <8 tokens: prefix = all of them
+                ],
+            }
+        )
+    )
+    orig = rel._pq
+    try:
+        rel._pq = lambda sf_dir, table, columns=None: ds
+        out = rel.q_prefix_dup_docs("unused").to_pandas()
+    finally:
+        rel._pq = orig
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["group_n"].tolist() == [2, 2]
+
+
+def test_cumulative_users_hand_computed():
+    import theoremkb_ray.pipelines.relational as rel
+
+    DAY = 86_400
+    ds = _events(
+        [
+            (1, 5, "a"), (1, 10, "b"),          # u1 day0 (two events)
+            (2, DAY + 3, "a"),                  # u2 day1
+            (1, 2 * DAY + 1, "a"),              # u1 again day2
+            (3, 2 * DAY + 2, "a"),              # u3 day2
+        ]
+    )
+    orig = rel._pq
+    try:
+        rel._pq = lambda sf_dir, table, columns=None: ds
+        out = rel.q_cumulative_users("unused").to_pandas()
+    finally:
+        rel._pq = orig
+    out = out.sort_values("day").reset_index(drop=True)
+    assert out["day"].tolist() == [0, 1, 2]
+    assert out["n_active"].tolist() == [1, 1, 2]
+    assert out["n_new"].tolist() == [1, 1, 1]
+    assert out["cum_users"].tolist() == [1, 2, 3]

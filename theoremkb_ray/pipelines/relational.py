@@ -3205,3 +3205,222 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_novelty_docs(sf_dir: str):
+    """Per-doc 5-gram novelty score (fraction of distinct grams with
+    corpus df == 1; stages/dedup.py:novelty — one coarse gram exchange
+    + one doc-keyed fold, no join)."""
+    from ..stages.dedup import novelty
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return novelty(ds, n=5)
+
+
+SQL_NOVELTY_DOCS = r"""
+WITH arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             t -> t <> '') AS a
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         CASE WHEN len(a) >= 5 THEN a[i:i+4] ELSE a END AS g
+  FROM arr,
+       unnest(generate_series(1, greatest(len(a) - 4, 1))) AS t(i)
+  WHERE len(a) > 0
+),
+dg AS (SELECT DISTINCT doc_id, g FROM w),
+df AS (SELECT g, count(*) AS df, min(doc_id) AS owner FROM dg GROUP BY g),
+ng AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id),
+nu AS (SELECT owner AS doc_id, count(*) AS n_unique FROM df
+       WHERE df = 1 GROUP BY owner)
+SELECT ng.doc_id, ng.n_grams,
+       COALESCE(nu.n_unique, 0) AS n_unique,
+       CAST(COALESCE(nu.n_unique, 0) AS DOUBLE) / ng.n_grams AS novelty
+FROM ng LEFT JOIN nu USING (doc_id)
+"""
+
+
+def q_prefix_dup_docs(sf_dir: str):
+    """Shared-prefix boilerplate detection: docs whose first 8 tokens
+    are identical to at least one other doc's, with the group size —
+    the cheap screen for template/boilerplate corpora (same-prefix
+    crawl pages, licence headers). One coarse hash-bucketed exchange;
+    prefix equality via an 8-step FNV fold over per-token siphashes
+    (equal prefixes -> equal folds; the SQL twin groups the literal
+    prefix string)."""
+    from ..functions.hashing import flat_token_hashes_arrow, splitmix64
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    FNV = np.uint64(0x100000001B3)
+
+    def prefix_hash(b: pa.Table) -> pa.Table:
+        th, starts = flat_token_hashes_arrow(b["text"])
+        lengths = np.diff(starts)
+        keep = np.flatnonzero(lengths > 0)
+        acc = np.zeros(len(keep), np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(8):
+                valid = lengths[keep] > j
+                idx = starts[keep[valid]] + j
+                acc[valid] = acc[valid] * FNV + th[idx]
+        bucket = (splitmix64(acc) % np.uint64(COARSE_USER_BUCKETS)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "h": pa.array(acc),
+                "doc_id": b["doc_id"].take(pa.array(keep)),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        h, d = h[order], d[order]
+        change = np.ones(len(h), dtype=bool)
+        change[1:] = h[1:] != h[:-1]
+        sizes = np.diff(np.append(np.flatnonzero(change), len(h)))
+        per_row = np.repeat(sizes, sizes)
+        keep = per_row > 1
+        return pd.DataFrame(
+            {
+                "doc_id": d[keep],
+                "group_n": per_row[keep].astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(prefix_hash, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+SQL_PREFIX_DUP_DOCS = r"""
+WITH arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             t -> t <> '') AS a
+  FROM documents
+),
+p AS (
+  SELECT doc_id, list_aggregate(a[1:8], 'string_agg', ' ') AS pre
+  FROM arr WHERE len(a) > 0
+),
+c AS (SELECT pre, count(*) AS group_n FROM p GROUP BY pre)
+SELECT p.doc_id, c.group_n
+FROM p JOIN c USING (pre)
+WHERE c.group_n > 1
+"""
+
+
+def q_cumulative_users(sf_dir: str):
+    """Daily active / new / cumulative distinct users — the growth
+    dashboard triple. Per-batch distinct-(user, day) partials, one
+    user-bucketed exchange folding active-day and first-day counts,
+    a tiny day-keyed sum, then an ordered cumulative fold over the
+    day table (calendar-bounded cardinality, so the single-block
+    finalize is justified)."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+    DAY_US = 86_400_000_000
+
+    def to_days(b: pa.Table) -> pa.Table:
+        ts = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        pairs = np.unique(
+            np.stack(
+                [b["user_id"].to_numpy(zero_copy_only=False), ts // DAY_US],
+                axis=1,
+            ),
+            axis=0,
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(pairs[:, 0], pa.int64()),
+                "day": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy()
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame(
+                {"day": pd.Series(dtype="int64"),
+                 "n_active": pd.Series(dtype="int64"),
+                 "n_new": pd.Series(dtype="int64")}
+            )
+        dedup = np.ones(n, dtype=bool)
+        dedup[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[dedup], d[dedup]
+        new_user = np.ones(len(u), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        act_day, act_n = np.unique(d, return_counts=True)
+        new_day, new_n = np.unique(d[new_user], return_counts=True)
+        days = np.union1d(act_day, new_day)
+        out = pd.DataFrame({"day": days})
+        out["n_active"] = 0
+        out["n_new"] = 0
+        out.loc[np.searchsorted(days, act_day), "n_active"] = act_n
+        out.loc[np.searchsorted(days, new_day), "n_new"] = new_n
+        return out
+
+    per_day = (
+        _by_user_bucket(ds.map_batches(to_days, batch_format="pyarrow"))
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("day")
+        .aggregate(
+            Sum("n_active", alias_name="n_active"),
+            Sum("n_new", alias_name="n_new"),
+        )
+    )
+
+    def cum(b: pa.Table) -> pa.Table:
+        new = b["n_new"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "day": pc.cast(b["day"], pa.int64()),
+                "n_active": pc.cast(b["n_active"], pa.int64()),
+                "n_new": pa.array(new),
+                "cum_users": pa.array(np.cumsum(new)),
+            }
+        )
+
+    return (
+        per_day.sort("day").repartition(1)
+        .map_batches(cum, batch_format="pyarrow", batch_size=None)
+    )
+
+
+SQL_CUMULATIVE_USERS = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+           FROM events),
+f AS (SELECT user_id, min(day) AS fday FROM d GROUP BY user_id),
+act AS (SELECT day, count(*) AS n_active FROM d GROUP BY day),
+nw AS (SELECT fday AS day, count(*) AS n_new FROM f GROUP BY fday)
+SELECT act.day, act.n_active,
+       COALESCE(nw.n_new, 0) AS n_new,
+       CAST(sum(COALESCE(nw.n_new, 0))
+            OVER (ORDER BY act.day) AS BIGINT) AS cum_users
+FROM act LEFT JOIN nw USING (day)
+"""
+
+
+REGISTRY.update(
+    {
+        "novelty_docs": (q_novelty_docs, SQL_NOVELTY_DOCS),
+        "prefix_dup_docs": (q_prefix_dup_docs, SQL_PREFIX_DUP_DOCS),
+        "cumulative_users": (q_cumulative_users, SQL_CUMULATIVE_USERS),
+    }
+)

@@ -1106,3 +1106,115 @@ def ngram_dedup(
         return b.filter(keep)
 
     return ds.map_batches(drop, batch_format="pyarrow")
+
+
+def novelty(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    coarse: int = 64,
+):
+    """Per-document n-gram novelty score: the fraction of a doc's
+    DISTINCT word-n-grams that occur in NO other document
+    (corpus document-frequency exactly 1). High novelty = original
+    content; low novelty = boilerplate / near-copy — the memorization
+    screen of the curation family (the complement of
+    :func:`exact_ngram_dup_edges`'s overlap view, reusing its gram
+    kernel). Docs shorter than ``n`` tokens contribute their whole
+    token sequence as one gram (the ``shingle_hashes_flat`` rule);
+    empty docs emit no row.
+
+    Physical plan: distinct (gram-hash, doc) rows per batch -> ONE
+    coarse-keyed spool exchange on the gram hash (adaptive fan-out)
+    where each gram run is flagged df==1 -> one doc-keyed groupby
+    folding (n_grams, n_unique). No join, no all-pairs, nothing on
+    the driver. Returns (doc_id, n_grams, n_unique, novelty).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..state.spool import spooled_group_map
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import (
+            flat_token_hashes_arrow,
+            shingle_hashes_flat,
+        )
+
+        th, starts = flat_token_hashes_arrow(b[col])
+        sh, sd = shingle_hashes_flat(th, starts, k=n)
+        if len(sh) == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "ck": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((sh, sd))
+        sh, sd = sh[order], sd[order]
+        uniq = np.ones(len(sh), dtype=bool)
+        uniq[1:] = (sh[1:] != sh[:-1]) | (sd[1:] != sd[:-1])
+        g = sh[uniq]
+        docs = (
+            b[id_col]
+            .take(pa.array(sd[uniq]))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        with np.errstate(over="ignore"):
+            ck = (
+                (g * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+            ).astype(np.int64) % coarse
+        return pa.table(
+            {
+                "gram": pa.array(g),
+                "doc_id": pa.array(docs),
+                "ck": pa.array(ck),
+            }
+        )
+
+    def per_gram_group(b: pa.Table) -> pa.Table:
+        g = b["gram"].to_numpy(zero_copy_only=False)
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g, d = g[order], d[order]
+        change = np.ones(len(g), dtype=bool)
+        change[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, len(g)))
+        uniq = np.repeat(lens == 1, lens)
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "uniq": pa.array(uniq.astype(np.int64)),
+            }
+        )
+
+    per_doc = (
+        spooled_group_map(
+            ds.map_batches(gram_rows, batch_format="pyarrow"),
+            "ck",
+            per_gram_group,
+            fine_col="gram",
+        )
+        .groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n_grams"),
+            Sum("uniq", alias_name="n_unique"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        ng = b["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nu = b["n_unique"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_grams": pa.array(ng),
+                "n_unique": pa.array(nu),
+                "novelty": pa.array(nu / ng, pa.float64()),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

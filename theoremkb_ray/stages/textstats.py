@@ -421,6 +421,90 @@ def doc_keywords(ds, text_col: str = "text", k: int = 3):
     )
 
 
+def ranked_vocab_ref(ds, text_col: str = "text"):
+    """Broadcast handle for the lexicographically-sorted corpus
+    vocabulary (one string Array in plasma). A token's 0-based position
+    in it is the tokenizer-style integer ID the SQL-exact operators
+    (:func:`winnow_fingerprints_ranked`, :func:`simhash_ranked`) hash —
+    DuckDB re-derives the same ID with ``dense_rank() - 1``.
+
+    Scale shape: per-batch distinct partials -> ONE vocabulary-sized
+    groupby; the collected vocabulary is tokenizer-bounded (BPE-sized),
+    so the sorted broadcast is small even on a 100 TB corpus."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import flat_tokens_arrow
+
+    def vocab_partial(b: pa.Table) -> pa.Table:
+        flat, _ = flat_tokens_arrow(b[text_col])
+        u = np.unique(flat.to_numpy(zero_copy_only=False))
+        return pa.table({"token": pa.array(u, pa.string())})
+
+    vocab_ds = (
+        ds.map_batches(vocab_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Count(alias_name="n"))
+    )
+    toks = []
+    for b in vocab_ds.iter_batches(batch_format="pyarrow"):
+        toks.append(b["token"].to_numpy(zero_copy_only=False))
+    vocab = np.sort(np.concatenate(toks)) if toks else np.empty(0, object)
+    return ray.put(pa.array(vocab, pa.string()))
+
+
+def simhash_ranked(ds, text_col: str = "text"):
+    """SQL-exact 64-bit SimHash per document: token IDs are corpus
+    vocabulary ranks (``ranked_vocab_ref``), each occurrence hashed
+    with one splitmix64 round, and bit ``m`` of the sketch is set iff
+    a strict majority of the doc's token-hash bits ``m`` are set
+    (``simhash64_flat``'s ``2*ones > n`` rule). Every step is
+    reproducible in DuckDB (UHUGEINT splitmix chain + per-bit sums),
+    so the sketch itself is value-hash-oracle-able — the twin of the
+    production siphash :func:`~theoremkb_ray.stages.dedup.simhash_dedup`
+    whose numbers a SQL oracle CAN check. Empty docs emit no row.
+
+    Scale shape: one vocabulary exchange + broadcast, then a
+    shuffle-free per-batch pass (bit-plane streaming kernel)."""
+    from ..functions.hashing import (
+        flat_tokens_arrow,
+        simhash64_flat,
+        splitmix64,
+    )
+
+    vocab_ref = ranked_vocab_ref(ds, text_col)
+
+    class Sketch:
+        def __init__(self, ref) -> None:
+            from ..state.broadcast import get_broadcast
+
+            self.vocab = get_broadcast(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            flat, starts = flat_tokens_arrow(b[text_col])
+            ids = (
+                pc.index_in(flat, value_set=self.vocab)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            sh = simhash64_flat(splitmix64(ids), starts)
+            keep = np.diff(starts) > 0
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"].filter(pa.array(keep)),
+                    "simhash": pa.array(sh[keep], pa.uint64()),
+                }
+            )
+
+    return ds.map_batches(
+        Sketch,
+        fn_constructor_args=(vocab_ref,),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 8),
+    )
+
+
 def winnow_fingerprints_ranked(
     ds, text_col: str = "text", window: int = 8, keep_mod: int = 16
 ):
@@ -442,29 +526,12 @@ def winnow_fingerprints_ranked(
     vocabulary is tokenizer-bounded (BPE-sized), so the sorted-ID
     broadcast is small; docs are rows, so windowing is shuffle-free.
     """
-    import ray
-    from ray.data.aggregate import Count
-
     from ..functions.hashing import (
         flat_tokens_arrow,
         shingle_hashes_flat,
     )
 
-    def vocab_partial(b: pa.Table) -> pa.Table:
-        flat, _ = flat_tokens_arrow(b[text_col])
-        u = np.unique(flat.to_numpy(zero_copy_only=False))
-        return pa.table({"token": pa.array(u, pa.string())})
-
-    vocab_ds = (
-        ds.map_batches(vocab_partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Count(alias_name="n"))
-    )
-    toks = []
-    for b in vocab_ds.iter_batches(batch_format="pyarrow"):
-        toks.append(b["token"].to_numpy(zero_copy_only=False))
-    vocab = np.sort(np.concatenate(toks)) if toks else np.empty(0, object)
-    vocab_ref = ray.put(pa.array(vocab, pa.string()))
+    vocab_ref = ranked_vocab_ref(ds, text_col)
 
     class Winnow:
         def __init__(self, ref) -> None:
