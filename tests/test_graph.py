@@ -148,3 +148,150 @@ def test_pagerank_distributed_matches_broadcast():
     # both 6-dp rounded; allow 1 ulp of the rounding grid for float
     # association differences between the two physical plans
     assert (np.abs(a["rank"] - b["rank"]) <= 1e-6 + 1e-12).all()
+
+
+def _mk_edges(pairs):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([p[0] for p in pairs], pa.int64()),
+                "dst": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    ).repartition(5)
+
+
+def _ref_graph(n=120):
+    # ring + tendrils: multiples of 3 form a squared ring (deg >= 4);
+    # every other node hangs off a chain so peeling takes many rounds
+    pairs = []
+    ring = [i for i in range(n) if i % 3 == 0]
+    for idx, i in enumerate(ring):
+        pairs.append((i, ring[(idx + 1) % len(ring)]))
+        pairs.append((i, ring[(idx + 2) % len(ring)]))
+    for i in range(1, n):
+        if i % 3 != 0:
+            pairs.append((i, i // 2))  # tree tendril
+    # direction noise + duplicates + self loop (normalized away)
+    pairs += [(b, a) for a, b in pairs[:17]] + [(5, 5), (9, 12), (9, 12)]
+    return n, pairs
+
+
+def _adj_from(pairs):
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def test_kcore_matches_local_peel():
+    from theoremkb_ray.stages.graph import kcore
+
+    n, pairs = _ref_graph()
+    adj = _adj_from(pairs)
+    alive = set(adj)
+    k = 3
+    while True:
+        drop = {u for u in alive if len(adj[u] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    got = kcore(_mk_edges(pairs), k=k).to_pandas().sort_values("node")
+    assert list(got["node"]) == sorted(alive)
+    for _, r in got.iterrows():
+        assert r["core_deg"] == len(adj[r["node"]] & alive)
+    assert len(alive) > 0  # the squared ring must survive
+
+
+def test_kcore_empty_core():
+    from theoremkb_ray.stages.graph import kcore
+
+    # pure tree: 2-core is empty, peel cascades over many rounds
+    pairs = [(i, i // 2) for i in range(1, 64)]
+    out = kcore(_mk_edges(pairs), k=2)
+    assert out.schema().names == ["node", "core_deg"]
+    assert out.count() == 0
+
+
+def test_bfs_hops_matches_local_bfs():
+    from collections import deque
+
+    from theoremkb_ray.stages.graph import bfs_hops
+
+    n, pairs = _ref_graph()
+    adj = _adj_from(pairs)
+    dist = {0: 0, 7: 0}
+    q = deque([0, 7])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    cap = 6
+    want = sorted((u, d) for u, d in dist.items() if d <= cap)
+    got = bfs_hops(_mk_edges(pairs), seeds=[0, 7], max_hops=cap).to_pandas()
+    assert sorted(zip(got["node"], got["hops"])) == want
+
+
+def test_link_predict_matches_local_reference():
+    import math
+
+    from theoremkb_ray.stages.graph import link_predict
+
+    n, pairs = _ref_graph()
+    adj = _adj_from(pairs)
+    scores = {}
+    nodes = sorted(adj)
+    for c in nodes:
+        nbrs = sorted(adj[c])
+        for i in range(len(nbrs)):
+            for j in range(i + 1, len(nbrs)):
+                a, b = nbrs[i], nbrs[j]
+                if b in adj[a]:
+                    continue
+                cn, aa = scores.get((a, b), (0, 0.0))
+                scores[(a, b)] = (cn + 1, aa + 1.0 / math.log(len(adj[c])))
+    want = {
+        (a, b): (
+            cn,
+            round(cn / (len(adj[a]) + len(adj[b]) - cn), 6),
+            round(aa, 6),
+        )
+        for (a, b), (cn, aa) in scores.items()
+        if cn >= 2
+    }
+    got = link_predict(_mk_edges(pairs), min_common=2).to_pandas()
+    got_map = {
+        (r.a, r.b): (r.cn, r.jaccard, r.adamic_adar)
+        for r in got.itertuples()
+    }
+    assert set(got_map) == set(want)
+    for key in want:
+        assert got_map[key][0] == want[key][0], key
+        assert abs(got_map[key][1] - want[key][1]) <= 1e-6
+        assert abs(got_map[key][2] - want[key][2]) <= 1e-6
+    assert len(want) > 10
+
+
+def test_round3_graph_partition_independence():
+    from theoremkb_ray.stages.graph import bfs_hops, kcore
+
+    n, pairs = _ref_graph(60)
+    for parts in (1, 11):
+        ds = _mk_edges(pairs).repartition(parts)
+        a = kcore(ds, k=3).to_pandas().sort_values("node").reset_index(drop=True)
+        b = (
+            bfs_hops(ds, seeds=[0], max_hops=8)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        if parts == 1:
+            ref_a, ref_b = a, b
+        else:
+            assert ref_a.equals(a)
+            assert ref_b.equals(b)

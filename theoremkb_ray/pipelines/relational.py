@@ -3424,3 +3424,203 @@ REGISTRY.update(
         "cumulative_users": (q_cumulative_users, SQL_CUMULATIVE_USERS),
     }
 )
+
+
+def q_kcore_nodes(sf_dir: str):
+    """k-core decomposition (stages/graph.py:kcore — parallel peel,
+    one streaming edge pass per round) over a deterministic graph
+    built to need MULTIPLE peel rounds: the binary-tree edges
+    (i, i//2) cascade-peel from the leaves up (~log2 n rounds) while a
+    squared ring over the multiples of 5 (i, i+5), (i, i+10) keeps a
+    guaranteed min-degree-4 3-core alive. Oracle replays the peel with
+    a DuckDB recursive CTE carrying the surviving edge set per level
+    (24 levels >= the peel depth at every tested sf)."""
+    from ..stages.graph import kcore
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    n = cust.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tree = c[c >= 1]
+        ring = c[c % 5 == 0]
+        src = np.concatenate([tree, ring, ring])
+        dst = np.concatenate(
+            [tree // 2, (ring + 5) % n, (ring + 10) % n]
+        )
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    return kcore(cust.map_batches(edges, batch_format="pyarrow"), k=3)
+
+
+SQL_KCORE_NODES = """
+WITH RECURSIVE cnt AS (SELECT count(*) AS n FROM customer),
+raw AS (
+  SELECT c_custkey AS a, c_custkey // 2 AS b
+  FROM customer WHERE c_custkey >= 1
+  UNION ALL
+  SELECT c_custkey, (c_custkey + 5) % (SELECT n FROM cnt)
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey, (c_custkey + 10) % (SELECT n FROM cnt)
+  FROM customer WHERE c_custkey % 5 = 0
+),
+e AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a <> b
+),
+peel(iter, u, v) AS (
+  SELECT 0, u, v FROM e
+  UNION ALL
+  SELECT p.iter + 1, p.u, p.v
+  FROM peel p
+  WHERE p.iter < 24
+    AND p.u IN (SELECT x FROM (
+          SELECT u AS x, count(*) AS c FROM (
+            SELECT u, v FROM peel UNION ALL SELECT v, u FROM peel
+          ) GROUP BY 1) WHERE c >= 3)
+    AND p.v IN (SELECT x FROM (
+          SELECT u AS x, count(*) AS c FROM (
+            SELECT u, v FROM peel UNION ALL SELECT v, u FROM peel
+          ) GROUP BY 1) WHERE c >= 3)
+),
+core AS (SELECT u, v FROM peel WHERE iter = 24),
+adj AS (SELECT u AS node, v FROM core UNION ALL SELECT v, u FROM core)
+SELECT CAST(node AS BIGINT) AS node, count(*) AS core_deg
+FROM adj GROUP BY node
+"""
+
+
+def q_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distance (stages/graph.py:bfs_hops —
+    level-synchronous frontier, node-sized driver state) from node 0
+    over the ring + multiplicative-chord graph (chords (i, 5i+1) every
+    4th node make distances logarithmic). Capped at 16 hops on BOTH
+    sides; oracle = DuckDB recursive UNION walk with min(d)."""
+    from ..stages.graph import bfs_hops
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    n = cust.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = c[c % 4 == 0]
+        src = np.concatenate([c, ch])
+        dst = np.concatenate([(c + 1) % n, (ch * 5 + 1) % n])
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    return bfs_hops(
+        cust.map_batches(edges, batch_format="pyarrow"),
+        seeds=[0],
+        max_hops=16,
+    )
+
+
+SQL_BFS_HOPS = """
+WITH RECURSIVE cnt AS (SELECT count(*) AS n FROM customer),
+raw AS (
+  SELECT c_custkey AS a, (c_custkey + 1) % (SELECT n FROM cnt) AS b
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 5 + 1) % (SELECT n FROM cnt)
+  FROM customer WHERE c_custkey % 4 = 0
+),
+e AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a <> b
+),
+adj AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+walk(node, d) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+  UNION
+  SELECT adj.y, walk.d + 1
+  FROM walk JOIN adj ON adj.x = walk.node
+  WHERE walk.d < 16
+)
+SELECT node, CAST(min(d) AS BIGINT) AS hops FROM walk GROUP BY node
+"""
+
+
+def q_link_predict(sf_dir: str):
+    """Link-prediction scores (stages/graph.py:link_predict — wedge
+    generation with per-group pre-aggregated (pair, cn, aa) partials,
+    existing edges riding the same exchange as the non-edge filter)
+    over the triangle_count ring+chord graph: every non-edge pair with
+    >= 2 common neighbors scored by common-neighbor count,
+    neighborhood Jaccard, and Adamic-Adar. Oracle = DuckDB wedge
+    self-join + ANTI JOIN against the edge set."""
+    from ..stages.graph import link_predict
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    n = cust.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = c[c % 4 == 0]
+        src = np.concatenate([c, c, ch])
+        dst = np.concatenate([(c + 1) % n, (c + 2) % n, (ch * 5 + 1) % n])
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    return link_predict(
+        cust.map_batches(edges, batch_format="pyarrow"), min_common=2
+    )
+
+
+SQL_LINK_PREDICT = """
+WITH cnt AS (SELECT count(*) AS n FROM customer),
+raw AS (
+  SELECT c_custkey AS a, (c_custkey + 1) % (SELECT n FROM cnt) AS b
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, (c_custkey + 2) % (SELECT n FROM cnt) FROM customer
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 5 + 1) % (SELECT n FROM cnt)
+  FROM customer WHERE c_custkey % 4 = 0
+),
+e AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a <> b
+),
+adj AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT x, count(*) AS d FROM adj GROUP BY x),
+w AS (
+  SELECT a.y AS pa, b.y AS pb, count(*) AS cn,
+         sum(1.0 / ln(dc.d)) AS aa
+  FROM adj a
+  JOIN adj b ON a.x = b.x AND a.y < b.y
+  JOIN deg dc ON dc.x = a.x
+  GROUP BY 1, 2
+),
+nw AS (SELECT w.* FROM w ANTI JOIN e ON e.u = w.pa AND e.v = w.pb)
+SELECT CAST(pa AS BIGINT) AS a, CAST(pb AS BIGINT) AS b, cn,
+       round(CAST(cn AS DOUBLE) / (da.d + db.d - cn), 6) AS jaccard,
+       round(aa, 6) AS adamic_adar
+FROM nw
+JOIN deg da ON da.x = pa
+JOIN deg db ON db.x = pb
+WHERE cn >= 2
+"""
+
+
+REGISTRY.update(
+    {
+        "kcore_nodes": (q_kcore_nodes, SQL_KCORE_NODES),
+        "bfs_hops": (q_bfs_hops, SQL_BFS_HOPS),
+        "link_predict": (q_link_predict, SQL_LINK_PREDICT),
+    }
+)

@@ -647,3 +647,380 @@ def _dst_partials(b: pa.Table) -> pa.Table:
     )
 
 
+
+
+# ------------------------------------------------- round-3 additions
+
+
+def _unique_undirected(edges_ds, src_col: str, dst_col: str, coarse: int):
+    """Shared normalization for the round-3 graph family: index nodes
+    (O(N) driver state, the module's stated bound), drop self-loops,
+    canonicalize direction, dedup multi-edges through a coarse packed-
+    key exchange (never a driver set). Returns
+    ``(uniq_ds[packed], nodes, n, nodes_ref)`` with ``packed = lo*n+hi``
+    over node INDICES — the same key layout :func:`_triangle_core`
+    uses."""
+    import pandas as pd
+
+    nodes = _collect_unique(edges_ds, [src_col, dst_col])
+    n = len(nodes)
+    nodes_ref = ray.put(nodes)
+
+    def norm(b: pa.Table) -> pa.Table:
+        nd = get_broadcast(nodes_ref)
+        s = np.searchsorted(
+            nd, b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        d = np.searchsorted(
+            nd, b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        packed = lo * n + hi
+        return pa.table(
+            {
+                "packed": pa.array(packed, pa.int64()),
+                "ek": pa.array(packed % coarse, pa.int64()),
+            }
+        )
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"packed": np.unique(g["packed"].to_numpy())})
+
+    uniq = (
+        edges_ds.map_batches(norm, batch_format="pyarrow")
+        .groupby("ek")
+        .map_groups(dedup_group, batch_format="pandas")
+        .materialize()
+    )
+    return uniq, nodes, n, nodes_ref
+
+
+def _alive_degrees(uniq, alive: np.ndarray, n: int) -> np.ndarray:
+    """One streaming pass over the deduped edge Dataset: degree of
+    every node counting only edges whose BOTH endpoints are alive.
+    Per-block (idx, count) partials; node-sized driver fold."""
+    alive_ref = ray.put(alive)
+
+    def partial(b: pa.Table) -> pa.Table:
+        av = get_broadcast(alive_ref)
+        p = b["packed"].to_numpy(zero_copy_only=False)
+        lo, hi = p // n, p % n
+        keep = av[lo] & av[hi]
+        ends = np.concatenate([lo[keep], hi[keep]])
+        u, c = np.unique(ends, return_counts=True)
+        return pa.table(
+            {"i": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    deg = np.zeros(n, np.int64)
+    for b in uniq.map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        np.add.at(
+            deg,
+            b["i"].to_numpy(zero_copy_only=False),
+            b["c"].to_numpy(zero_copy_only=False),
+        )
+    return deg
+
+
+def kcore(
+    edges_ds,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    coarse: int = _TRI_COARSE,
+    max_rounds: int = 64,
+):
+    """-> Dataset(node, core_deg): the k-core of the undirected simple
+    graph (maximal subgraph with min degree >= k) by parallel peeling
+    — every round drops ALL nodes of current degree < k at once, so
+    round count is the graph's peeling complexity (typically tens),
+    not node count. Each round is ONE streaming pass over the deduped
+    edge Dataset (per-block degree partials against a broadcast alive
+    mask); the alive/degree vectors are node-sized driver state — the
+    same O(N) ceiling :func:`pagerank` documents. Raises on
+    non-convergence at ``max_rounds`` (the CC convergence-guard rule:
+    never return silently-unpeeled cores).
+
+    Reference context: the theorem-graph CSVs
+    (Styling/tools/theoremdb/extract_graph.py) feed citation-graph
+    consumers; core decomposition is the standard "dense citation
+    community" query on that artifact. Oracle `kcore_nodes`
+    (pipelines/relational.py) replays the peel with a DuckDB recursive
+    CTE carrying the surviving edge set per level."""
+    import ray.data as rd
+
+    uniq, nodes, n, _ = _unique_undirected(edges_ds, src_col, dst_col, coarse)
+    empty = pa.table(
+        {
+            "node": pa.array([], pa.int64()),
+            "core_deg": pa.array([], pa.int64()),
+        }
+    )
+    if n == 0:
+        return rd.from_arrow(empty)
+
+    alive = np.ones(n, dtype=bool)
+    deg = _alive_degrees(uniq, alive, n)
+    for _round in range(max_rounds):
+        drop = alive & (deg < k)
+        if not drop.any():
+            break
+        alive &= deg >= k
+        if not alive.any():
+            break
+        deg = _alive_degrees(uniq, alive, n)
+    else:
+        raise RuntimeError(
+            f"kcore: peeling did not converge in {max_rounds} rounds"
+        )
+    if not alive.any():
+        return rd.from_arrow(empty)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes[alive], pa.int64()),
+                "core_deg": pa.array(deg[alive], pa.int64()),
+            }
+        )
+    )
+
+
+def bfs_hops(
+    edges_ds,
+    seeds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 16,
+    coarse: int = _TRI_COARSE,
+):
+    """-> Dataset(node, hops): minimum hop distance from any seed over
+    the undirected simple graph, capped at ``max_hops`` (unreached
+    nodes are absent). Level-synchronous frontier BFS: the visited /
+    frontier vectors are node-sized driver state, each level is one
+    streaming pass over the deduped edges emitting per-block
+    frontier-neighbor partials. Edges incident to no frontier node
+    contribute nothing to driver traffic.
+
+    Oracle `bfs_hops` (pipelines/relational.py): DuckDB recursive
+    UNION walk with min(d) per node — identical cap on both sides."""
+    import ray.data as rd
+
+    uniq, nodes, n, _ = _unique_undirected(edges_ds, src_col, dst_col, coarse)
+    dist = np.full(n, -1, np.int64)
+    seed_idx = np.flatnonzero(
+        np.isin(nodes, np.asarray(list(seeds), np.int64))
+    )
+    dist[seed_idx] = 0
+    frontier = np.zeros(n, dtype=bool)
+    frontier[seed_idx] = True
+
+    for hop in range(1, max_hops + 1):
+        if not frontier.any():
+            break
+        fr_ref = ray.put(frontier)
+
+        def partial(b: pa.Table) -> pa.Table:
+            fr = get_broadcast(fr_ref)
+            p = b["packed"].to_numpy(zero_copy_only=False)
+            lo, hi = p // n, p % n
+            out = np.unique(
+                np.concatenate([hi[fr[lo]], lo[fr[hi]]])
+            )
+            return pa.table({"i": pa.array(out, pa.int64())})
+
+        cand = np.zeros(n, dtype=bool)
+        for b in uniq.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            cand[b["i"].to_numpy(zero_copy_only=False)] = True
+        newly = cand & (dist < 0)
+        dist[newly] = hop
+        frontier = newly
+
+    reached = dist >= 0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes[reached], pa.int64()),
+                "hops": pa.array(dist[reached], pa.int64()),
+            }
+        )
+    )
+
+
+def link_predict(
+    edges_ds,
+    min_common: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    coarse: int = _TRI_COARSE,
+    max_degree: int | None = None,
+):
+    """-> Dataset(a, b, cn, jaccard, adamic_adar): link-prediction
+    scores for every NON-edge pair with >= ``min_common`` common
+    neighbors — common-neighbor count, neighborhood Jaccard, and
+    Adamic-Adar (sum of 1/ln(deg(center)) over shared neighbors).
+
+    Shape mirrors :func:`_triangle_core`: adjacency rows grouped by a
+    coarse center key generate wedge pairs with numpy run detection;
+    each group PRE-AGGREGATES (pair, count, aa-weight) partials before
+    the pair-keyed exchange, where existing edges ride along as tagged
+    rows so the non-edge filter happens inside the same exchange (no
+    extra join). Degrees are node-sized driver state broadcast once.
+
+    Wedge fan-out is C(deg, 2) per center — the documented hub hazard;
+    ``max_degree`` skips centers above the cap (the standard
+    recall-for-cost trade on skewed graphs; None = exact). Pairs with
+    cn < ``min_common`` never leave the generating group unpruned —
+    they still ship as partials, but the packed-key exchange is
+    wedge-bounded exactly like the triangle closure check."""
+    import pandas as pd
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "cn": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+            "adamic_adar": pa.array([], pa.float64()),
+        }
+    )
+    uniq, nodes, n, nodes_ref = _unique_undirected(
+        edges_ds, src_col, dst_col, coarse
+    )
+    if n < 3:
+        return rd.from_arrow(empty)
+    deg = _alive_degrees(uniq, np.ones(n, dtype=bool), n)
+    deg_ref = ray.put(deg)
+
+    # adjacency rows (center, nbr) both directions, coarse center key
+    def adj(b: pa.Table) -> pa.Table:
+        p = b["packed"].to_numpy(zero_copy_only=False)
+        lo, hi = p // n, p % n
+        c = np.concatenate([lo, hi])
+        v = np.concatenate([hi, lo])
+        return pa.table(
+            {
+                "c": pa.array(c, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "ck": pa.array(c % coarse, pa.int64()),
+            }
+        )
+
+    def wedge_partials(g: pd.DataFrame) -> pd.DataFrame:
+        d = get_broadcast(deg_ref)
+        c = g["c"].to_numpy()
+        v = g["v"].to_numpy()
+        order = np.lexsort((v, c))
+        c, v = c[order], v[order]
+        m = len(c)
+        change = np.empty(m, dtype=bool)
+        change[0] = True
+        np.not_equal(c[1:], c[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, m))
+        sel = lens >= 2
+        if max_degree is not None:
+            sel &= lens <= max_degree
+        pk, wt = [], []
+        for s0, ln in zip(starts[sel], lens[sel]):
+            nb = v[s0 : s0 + ln]
+            ii, jj = np.triu_indices(ln, k=1)
+            pk.append(nb[ii] * n + nb[jj])  # nb sorted asc -> lo*n+hi
+            wt.append(
+                np.full(len(ii), 1.0 / np.log(d[c[s0]]), np.float64)
+            )
+        if not pk:
+            return pd.DataFrame(
+                {
+                    "packed": np.empty(0, np.int64),
+                    "cn": np.empty(0, np.int64),
+                    "aa": np.empty(0, np.float64),
+                }
+            )
+        pka = np.concatenate(pk)
+        wta = np.concatenate(wt)
+        u, inv = np.unique(pka, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "packed": u,
+                "cn": np.bincount(inv),
+                "aa": np.bincount(inv, weights=wta),
+            }
+        )
+
+    wedge_ds = (
+        uniq.map_batches(adj, batch_format="pyarrow")
+        .groupby("ck")
+        .map_groups(wedge_partials, batch_format="pandas")
+        .map_batches(
+            lambda t: t.append_column(
+                "ek",
+                pa.array(
+                    t["packed"].to_numpy(zero_copy_only=False) % coarse,
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    # existing edges ride the same exchange tagged cn = -1
+    edges_tagged = uniq.map_batches(
+        lambda t: pa.table(
+            {
+                "packed": t["packed"],
+                "cn": pa.array(np.full(len(t), -1, np.int64), pa.int64()),
+                "aa": pa.array(np.zeros(len(t)), pa.float64()),
+                "ek": pa.array(
+                    t["packed"].to_numpy(zero_copy_only=False) % coarse,
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        d = get_broadcast(deg_ref)
+        nd = get_broadcast(nodes_ref)
+        p = g["packed"].to_numpy()
+        cn = g["cn"].to_numpy()
+        aa = g["aa"].to_numpy()
+        is_edge = cn < 0
+        eset = np.sort(p[is_edge])
+        wsel = ~is_edge
+        p, cn, aa = p[wsel], cn[wsel], aa[wsel]
+        u, inv = np.unique(p, return_inverse=True)
+        cn_t = np.bincount(inv, weights=cn).astype(np.int64)
+        aa_t = np.bincount(inv, weights=aa)
+        if len(eset):
+            pos = np.searchsorted(eset, u)
+            pos[pos == len(eset)] = len(eset) - 1
+            keep = eset[pos] != u
+        else:
+            keep = np.ones(len(u), dtype=bool)
+        keep &= cn_t >= min_common
+        u, cn_t, aa_t = u[keep], cn_t[keep], aa_t[keep]
+        lo, hi = u // n, u % n
+        jac = cn_t / (d[lo] + d[hi] - cn_t)
+        return pd.DataFrame(
+            {
+                "a": nd[lo],
+                "b": nd[hi],
+                "cn": cn_t,
+                "jaccard": np.round(jac, 6),
+                "adamic_adar": np.round(aa_t, 6),
+            }
+        )
+
+    out = (
+        wedge_ds.union(edges_tagged)
+        .groupby("ek")
+        .map_groups(finish, batch_format="pandas")
+    )
+    return out
