@@ -324,3 +324,99 @@ def test_window_hopping_fanout_invariant():
         // 3_600_000_000
     )
     assert set(got["window_start"]) == hours | {h - 1 for h in hours}
+
+
+def test_postings_topk_matches_pandas():
+    from theoremkb_ray.pipelines.relational import q_postings_topk
+
+    got = (
+        _df(q_postings_topk(SF_DIR))
+        .sort_values(["term", "rank"])
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    rows = []
+    for _, r in docs.iterrows():
+        toks = r["text"].split()
+        for t in set(toks):
+            rows.append((t, r["doc_id"], toks.count(t)))
+    tf = pd.DataFrame(rows, columns=["term", "doc_id", "tf"])
+    want = []
+    for term, g in tf.groupby("term"):
+        g = g.sort_values(["tf", "doc_id"], ascending=[False, True]).head(5)
+        for rank, (_, r) in enumerate(g.iterrows(), 1):
+            want.append((term, r["doc_id"], r["tf"], rank))
+    want = (
+        pd.DataFrame(want, columns=["term", "doc_id", "tf", "rank"])
+        .sort_values(["term", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["term", "doc_id", "tf", "rank"]].astype(
+            {"doc_id": "int64", "tf": "int64", "rank": "int64"}
+        ),
+        want.astype({"doc_id": "int64", "tf": "int64", "rank": "int64"}),
+    )
+
+
+def test_block_dedup_keep_first_on_planted_dups(tmp_path):
+    """Two exact-duplicate docs + one partial overlap: the EARLIER
+    (doc_id, block_no) instance is canonical, later ones are dups;
+    blocks of the partial doc that only it holds are not dups."""
+    from theoremkb_ray.pipelines.relational import q_block_dedup_docs
+
+    w = ["w%02d" % i for i in range(30)]
+    base = " ".join(w)  # 3 full blocks of 10
+    other = " ".join(w[:10] + ["zz%02d" % i for i in range(10)])
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base, base, other],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(base), len(base), len(other)],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.to_parquet(d / "documents.parquet", index=False)
+    got = (
+        _df(q_block_dedup_docs(str(d)))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_blocks"]) == [3, 3, 2]
+    # doc 1 is first everywhere; doc 2 duplicates all 3 blocks; doc 3
+    # duplicates only its first block (w00..w09)
+    assert list(got["n_dup_blocks"]) == [0, 3, 1]
+    assert list(got["dup_ratio"]) == [0.0, 1.0, 0.5]
+
+
+def test_event_transitions_matches_pandas():
+    from theoremkb_ray.pipelines.relational import q_event_transitions
+
+    got = (
+        _df(q_event_transitions(SF_DIR))
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    pairs = {}
+    for _, g in ev.groupby("user_id", sort=False):
+        et = list(g["event_type"])
+        for a, b in zip(et, et[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    want = pd.DataFrame(
+        [(a, b, n) for (a, b), n in pairs.items()],
+        columns=["from_type", "to_type", "n"],
+    )
+    tot = want.groupby("from_type")["n"].transform("sum")
+    want["p"] = (want["n"] / tot).round(6)
+    want = want.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["from_type", "to_type", "n", "p"]].astype({"n": "int64"}),
+        want.astype({"n": "int64"}),
+    )

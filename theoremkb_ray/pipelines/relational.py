@@ -3624,3 +3624,310 @@ REGISTRY.update(
         "link_predict": (q_link_predict, SQL_LINK_PREDICT),
     }
 )
+
+
+def q_postings_topk(sf_dir: str):
+    """Distributed inverted-index build, pruned to the per-term top-5
+    postings by term frequency (the IR index-construction classic):
+    ONE Arrow whitespace split per batch, within-batch (term, doc, tf)
+    partials via packed-code np.unique (docs are whole within a batch,
+    so tf is exact with no cross-batch combine), then a term-keyed
+    exchange where each group keeps rank <= 5 by (tf DESC, doc_id
+    ASC). Oracle = UNNEST + GROUP BY + row_number window."""
+    from ..functions.hashing import flat_tokens_arrow
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_rows(b: pa.Table) -> pa.Table:
+        flat, starts = flat_tokens_arrow(b["text"])
+        doc = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.repeat(np.arange(len(doc), dtype=np.int64), np.diff(starts))
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        # C-level term codes (no Python string sort)
+        enc = pc.dictionary_encode(flat)
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = code * len(doc) + d
+        upk, tf = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "term": enc.dictionary.take(
+                    pa.array(upk // len(doc), pa.int64())
+                ),
+                "doc_id": pa.array(doc[upk % len(doc)], pa.int64()),
+                "tf": pa.array(tf.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["tf", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(5)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["term", "doc_id", "tf", "rank"]]
+
+    return (
+        ds.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+SQL_POSTINGS_TOPK = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+r AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (
+           PARTITION BY term ORDER BY tf DESC, doc_id) AS rank
+  FROM tf
+)
+SELECT term, doc_id, tf, rank FROM r WHERE rank <= 5
+"""
+
+
+_BLOCK_W = 10  #: tokens per dedup block (the C4 span-dedup analog)
+
+
+def q_block_dedup_docs(sf_dir: str):
+    """Corpus-wide exact dedup of consecutive 10-token blocks with
+    keep-FIRST semantics (the span/paragraph-level exact-dedup pass of
+    C4-style curation, expressed over the single-line documents
+    table): a block instance is a duplicate iff an earlier
+    (doc_id, block_no) holds the same block. Engine keys blocks by an
+    FNV fold over siphash token hashes (vectorized, no string
+    rebuilding); the oracle keys the block STRINGS — equivalent modulo
+    negligible 64-bit collisions (the decontaminate argument). One
+    block-keyed coarse exchange emits per-doc (count, dup) partials;
+    one doc-keyed groupby folds them."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.hashing import flat_token_hashes_arrow
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    W = _BLOCK_W
+    FNV = np.uint64(0x100000001B3)
+    MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def block_rows(b: pa.Table) -> pa.Table:
+        th, starts = flat_token_hashes_arrow(b["text"])
+        doc = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = np.diff(starts)
+        d = np.repeat(np.arange(len(doc), dtype=np.int64), lengths)
+        F = len(th)
+        if F == 0:
+            return pa.table(
+                {
+                    "bh": pa.array([], pa.int64()),
+                    "packed": pa.array([], pa.int64()),
+                    "bk": pa.array([], pa.int64()),
+                }
+            )
+        pos = np.arange(F, dtype=np.int64) - np.repeat(starts[:-1], lengths)
+        blk = pos // W
+        bid = d * np.int64(1 << 32) + blk  # ascending by construction
+        change = np.empty(F, dtype=bool)
+        change[0] = True
+        np.not_equal(bid[1:], bid[:-1], out=change[1:])
+        bstart = np.flatnonzero(change)
+        blen = np.diff(np.append(bstart, F))
+        acc = np.zeros(len(bstart), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(W):
+                sel = blen > j
+                acc[sel] = (acc[sel] * FNV + th[bstart[sel] + j]) & MASK
+        packed = doc[d[bstart]] * np.int64(1 << 20) + blk[bstart]
+        bh = acc.view(np.int64)
+        return pa.table(
+            {
+                "bh": pa.array(bh, pa.int64()),
+                "packed": pa.array(packed, pa.int64()),
+                "bk": pa.array(bh % 64, pa.int64()),
+            }
+        )
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        bh = g["bh"].to_numpy()
+        packed = g["packed"].to_numpy()
+        order = np.lexsort((packed, bh))
+        bh, packed = bh[order], packed[order]
+        m = len(bh)
+        change = np.empty(m, dtype=bool)
+        change[0] = True
+        np.not_equal(bh[1:], bh[:-1], out=change[1:])
+        gmin = packed[change][np.cumsum(change) - 1]
+        dup = packed != gmin
+        doc = packed >> 20
+        u, inv = np.unique(doc, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "doc_id": u,
+                "n_blocks": np.bincount(inv),
+                "n_dup_blocks": np.bincount(inv, weights=dup).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    def ratio(b: pa.Table) -> pa.Table:
+        n = b["n_blocks"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = b["n_dup_blocks"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_blocks": pa.array(n, pa.int64()),
+                "n_dup_blocks": pa.array(dup, pa.int64()),
+                "dup_ratio": pa.array(
+                    np.round(dup / np.maximum(n, 1), 6), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(block_rows, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(mark_dups, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            _Sum("n_blocks", alias_name="n_blocks"),
+            _Sum("n_dup_blocks", alias_name="n_dup_blocks"),
+        )
+        .map_batches(ratio, batch_format="pyarrow")
+    )
+
+
+SQL_BLOCK_DEDUP_DOCS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, i AS block_no,
+         array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS blk
+  FROM tok,
+       unnest(generate_series(
+         0, CAST(ceil(len(toks) / 10.0) AS INT) - 1)) AS t(i)
+  WHERE len(toks) > 0
+),
+m AS (
+  SELECT blk, min(doc_id * 1048576 + block_no) AS first_pk
+  FROM blocks GROUP BY blk
+),
+d AS (
+  SELECT b.doc_id, count(*) AS n_blocks,
+         sum(CASE WHEN b.doc_id * 1048576 + b.block_no <> m.first_pk
+                  THEN 1 ELSE 0 END) AS n_dup
+  FROM blocks b JOIN m ON b.blk = m.blk
+  GROUP BY 1
+)
+SELECT doc_id, n_blocks, CAST(n_dup AS BIGINT) AS n_dup_blocks,
+       round(CAST(n_dup AS DOUBLE) / n_blocks, 6) AS dup_ratio
+FROM d
+"""
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition matrix over per-user event
+    streams: consecutive event-type pairs ordered by (ts, event_id)
+    within each user, counted globally, with the per-from-type
+    transition probability. One user-bucketed exchange with
+    vectorized within-bucket pair extraction; the transition matrix is
+    type-vocabulary-sized, so the probability normalization runs on a
+    single final block. Oracle = lead() window + count + window sum."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        n = len(u)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "from_type": pd.Series(dtype=object),
+                    "to_type": pd.Series(dtype=object),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        same = u[1:] == u[:-1]
+        ft, tt = et[:-1][same], et[1:][same]
+        uniq_f, fc = np.unique(ft, return_inverse=True)
+        uniq_t, tc = np.unique(tt, return_inverse=True)
+        packed = fc.astype(np.int64) * len(uniq_t) + tc
+        upk, cnt = np.unique(packed, return_counts=True)
+        return pd.DataFrame(
+            {
+                "from_type": uniq_f[upk // len(uniq_t)],
+                "to_type": uniq_t[upk % len(uniq_t)],
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    def prob(b: pa.Table) -> pa.Table:
+        f = b["from_type"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq_f, inv = np.unique(f, return_inverse=True)
+        tot = np.bincount(inv, weights=n)
+        return pa.table(
+            {
+                "from_type": b["from_type"],
+                "to_type": b["to_type"],
+                "n": pa.array(n, pa.int64()),
+                "p": pa.array(np.round(n / tot[inv], 6), pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        _by_user_bucket(ds)
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .repartition(1)
+        .map_batches(prob, batch_format="pyarrow", batch_size=None)
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type AS ft,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS tt
+  FROM events
+),
+c AS (
+  SELECT ft AS from_type, tt AS to_type, count(*) AS n
+  FROM s WHERE tt IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type),
+             6) AS p
+FROM c
+"""
+
+
+REGISTRY.update(
+    {
+        "postings_topk": (q_postings_topk, SQL_POSTINGS_TOPK),
+        "block_dedup_docs": (q_block_dedup_docs, SQL_BLOCK_DEDUP_DOCS),
+        "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    }
+)
