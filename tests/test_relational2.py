@@ -420,3 +420,93 @@ def test_event_transitions_matches_pandas():
         got[["from_type", "to_type", "n", "p"]].astype({"n": "int64"}),
         want.astype({"n": "int64"}),
     )
+
+
+def test_outliers_mad_matches_pandas():
+    from theoremkb_ray.pipelines.relational import q_outliers_mad
+
+    got = (
+        _df(q_outliers_mad(SF_DIR))
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    rows = []
+    for t, g in ev.groupby("event_type"):
+        v = g["value"].to_numpy()
+        med = np.quantile(v, 0.5)
+        mad = np.quantile(np.abs(v - med), 0.5)
+        f = g[np.abs(v - med) > 3 * mad]
+        rows.append(f.assign(med=round(med, 4), mad=round(mad, 4)))
+    want = (
+        pd.concat(rows).sort_values("event_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[["event_id", "event_type", "value", "med", "mad"]],
+        want[["event_id", "event_type", "value", "med", "mad"]],
+    )
+
+
+def test_chi_square_matches_scipy_formula():
+    from theoremkb_ray.pipelines.relational import q_chi_square_events
+
+    got = _df(q_chi_square_events(SF_DIR))
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "event_type"]
+    )
+    obs = (
+        ev.assign(k=ev["user_id"] % 4)
+        .pivot_table(
+            index="event_type", columns="k", aggfunc="size", fill_value=0
+        )
+        .to_numpy()
+        .astype(float)
+    )
+    e = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / obs.sum()
+    chi2 = ((obs - e) ** 2 / e).sum()
+    assert len(got) == 1
+    assert abs(got["chi2"].iloc[0] - round(chi2, 6)) <= 1e-6
+    assert got["dof"].iloc[0] == (obs.shape[0] - 1) * (obs.shape[1] - 1)
+
+
+def test_interval_coverage_merges_overlaps():
+    """Three planted users: disjoint windows sum fully; overlapping
+    windows merge; a chain a<30min apart collapses to ONE interval."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from theoremkb_ray.pipelines.relational import (
+        q_interval_coverage_users,
+    )
+
+    W = 30 * 60 * 1_000_000
+    base = np.int64(1_700_000_000_000_000)
+    rows = [
+        (1, base), (1, base + 2 * W),            # disjoint: 2 x W
+        (2, base), (2, base + W // 2),           # overlap: 1.5 x W
+        (3, base), (3, base + W - 1), (3, base + 2 * W - 2),  # chain
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+            "user_id": [r[0] for r in rows],
+            "event_type": "click",
+            "value": 1.0,
+            "props": "",
+        }
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="tkb_iv_")
+    df.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    got = (
+        _df(q_interval_coverage_users(d))
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_intervals"]) == [2, 1, 1]
+    assert list(got["coverage_us"]) == [2 * W, W + W // 2, 3 * W - 2]

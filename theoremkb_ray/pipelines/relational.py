@@ -3931,3 +3931,227 @@ REGISTRY.update(
         "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     }
 )
+
+
+def q_outliers_mad(sf_dir: str):
+    """Robust per-group outlier detection: flag events whose value
+    deviates from the group median by more than 3x the median absolute
+    deviation (the MAD rule — robust to the heavy upper tail the mean
+    +/- k*sigma rule would swallow). Exact per-group medians: groups
+    are event-type-sized so each fits one task (the same contract as
+    quantiles_group); flagged rows keep their identity columns. Oracle
+    = DuckDB median() twice + join."""
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def per_grp(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        med = np.quantile(v, 0.5, method="linear")
+        mad = np.quantile(np.abs(v - med), 0.5, method="linear")
+        flag = np.abs(v - med) > 3 * mad
+        out = g.loc[flag, ["event_id", "event_type", "value"]].copy()
+        out["med"] = np.round(med, 4)
+        out["mad"] = np.round(mad, 4)
+        return out
+
+    return ds.groupby("event_type").map_groups(per_grp, batch_format="pandas")
+
+
+SQL_OUTLIERS_MAD = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type, median(abs(e.value - m.med)) AS mad,
+         min(m.med) AS med
+  FROM events e JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(m.med, 4) AS med, round(m.mad, 4) AS mad
+FROM events e JOIN mad m USING (event_type)
+WHERE abs(e.value - m.med) > 3 * m.mad
+"""
+
+
+def q_chi_square_events(sf_dir: str):
+    """Chi-square test of independence between event type and a
+    deterministic user cohort (user_id % 4): contingency counts fold
+    as (type, cohort, n) partials per batch — the exchange is
+    cell-count-sized, never row-sized — and the statistic (including
+    the zero-observed cells' expected mass) is computed on the final
+    single block. Oracle = CROSS JOIN of the margins LEFT JOIN the
+    observed cells."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(
+            b["event_type"].combine_chunks()
+            if isinstance(b["event_type"], pa.ChunkedArray)
+            else b["event_type"]
+        )
+        t = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = b["user_id"].to_numpy(zero_copy_only=False) % 4
+        packed = t * 4 + k
+        upk, n = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "t": enc.dictionary.take(pa.array(upk // 4, pa.int64())),
+                "k": pa.array(upk % 4, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b["t"].to_numpy(zero_copy_only=False)
+        k = b["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ut, ti = np.unique(t, return_inverse=True)
+        uk, ki = np.unique(k, return_inverse=True)
+        obs = np.zeros((len(ut), len(uk)))
+        obs[ti, ki] = n
+        rt = obs.sum(axis=1, keepdims=True)
+        ct = obs.sum(axis=0, keepdims=True)
+        e = rt * ct / obs.sum()
+        chi2 = ((obs - e) ** 2 / e).sum()
+        dof = (len(ut) - 1) * (len(uk) - 1)
+        return pa.table(
+            {
+                "chi2": pa.array([round(float(chi2), 6)], pa.float64()),
+                "dof": pa.array([dof], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["t", "k"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
+SQL_CHI_SQUARE_EVENTS = """
+WITH c AS (
+  SELECT event_type AS t, user_id % 4 AS k, count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT t, sum(o) AS r FROM c GROUP BY 1),
+ct AS (SELECT k, sum(o) AS cc FROM c GROUP BY 1),
+tot AS (SELECT sum(o) AS n FROM c),
+grid AS (
+  SELECT rt.t, ct.k, COALESCE(c.o, 0) AS o,
+         CAST(rt.r AS DOUBLE) * ct.cc / tot.n AS e
+  FROM rt CROSS JOIN ct CROSS JOIN tot
+  LEFT JOIN c ON c.t = rt.t AND c.k = ct.k
+)
+SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+       CAST((SELECT count(*) - 1 FROM rt)
+            * (SELECT count(*) - 1 FROM ct) AS BIGINT) AS dof
+FROM grid
+"""
+
+
+def q_interval_coverage_users(sf_dir: str):
+    """Per-user union-of-intervals coverage: each event opens a
+    30-minute activity window; overlapping windows merge (the classic
+    sweep), and the output is each user's merged-interval count and
+    total covered MICROSECONDS (exact int64 — no float drift). One
+    user-bucketed exchange; the sweep is a segmented cumulative max
+    (offset trick keeps it one numpy pass per bucket). Oracle = the
+    textbook window-function island detection (max(e) OVER preceding
+    rows) + island aggregation."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+    WIN_US = 30 * 60 * 1_000_000
+    OFF = np.int64(1) << 46  # > any in-bucket time span (rebased)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_intervals": pd.Series(dtype="int64"),
+                    "coverage_us": pd.Series(dtype="int64"),
+                }
+            )
+        s = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        base = s.min()
+        s0 = s - base
+        e0 = s0 + WIN_US
+        assert int(e0.max()) < int(OFF), "time span exceeds offset trick"
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        uidx = np.cumsum(new_user) - 1
+        # segmented cumulative max of e0 within each user run
+        m = np.maximum.accumulate(e0 + uidx * OFF) - uidx * OFF
+        prev_m = np.empty(n, np.int64)
+        prev_m[0] = 0
+        prev_m[1:] = m[:-1]
+        brk = new_user | (s0 > prev_m)
+        grp = np.cumsum(brk) - 1
+        gstart = np.flatnonzero(brk)
+        gend = np.append(gstart[1:], n) - 1
+        length = m[gend] - s0[gstart]
+        iv_user = u[gstart]
+        uu, inv = np.unique(iv_user, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "user_id": uu,
+                "n_intervals": np.bincount(inv).astype(np.int64),
+                "coverage_us": np.bincount(inv, weights=length).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_INTERVAL_COVERAGE_USERS = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + 1800000000 AS e
+  FROM events
+),
+o AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_max
+  FROM iv
+),
+g AS (
+  SELECT user_id, s, e,
+         CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+           AS brk
+  FROM o
+),
+gg AS (
+  SELECT user_id, s, e,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY s, e) AS grp
+  FROM g
+),
+m AS (
+  SELECT user_id, grp, min(s) AS s, max(e) AS e
+  FROM gg GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_intervals,
+       CAST(sum(e - s) AS BIGINT) AS coverage_us
+FROM m GROUP BY user_id
+"""
+
+
+REGISTRY.update(
+    {
+        "outliers_mad": (q_outliers_mad, SQL_OUTLIERS_MAD),
+        "chi_square_events": (q_chi_square_events, SQL_CHI_SQUARE_EVENTS),
+        "interval_coverage_users": (
+            q_interval_coverage_users,
+            SQL_INTERVAL_COVERAGE_USERS,
+        ),
+    }
+)
