@@ -510,3 +510,77 @@ def test_interval_coverage_merges_overlaps():
     )
     assert list(got["n_intervals"]) == [2, 1, 1]
     assert list(got["coverage_us"]) == [2 * W, W + W // 2, 3 * W - 2]
+
+
+def test_regression_group_matches_numpy_lstsq():
+    from theoremkb_ray.pipelines.relational import q_regression_group
+
+    got = (
+        _df(q_regression_group(SF_DIR))
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    li = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    for _, r in got.iterrows():
+        g = li[li["l_returnflag"] == r["l_returnflag"]]
+        slope, inter = np.polyfit(
+            g["l_quantity"].to_numpy(), g["l_extendedprice"].to_numpy(), 1
+        )
+        assert abs(r["slope"] - slope) <= 1e-4
+        assert abs(r["intercept"] - inter) <= 1e-2
+
+
+def test_hhi_events_bounds_and_reference():
+    from theoremkb_ray.pipelines.relational import q_hhi_events
+
+    got = _df(q_hhi_events(SF_DIR)).set_index("event_type")
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "event_type"]
+    )
+    for t, g in ev.groupby("event_type"):
+        n = g.groupby("user_id").size().to_numpy().astype(float)
+        hhi = float(((n / n.sum()) ** 2).sum())
+        assert abs(got.loc[t, "hhi"] - round(hhi, 6)) <= 1e-6
+        assert got.loc[t, "n_users"] == len(n)
+        # bounds: 1/n_users <= hhi <= 1
+        assert 1.0 / len(n) - 1e-9 <= got.loc[t, "hhi"] <= 1.0
+
+
+def test_sequence_triples_contiguity(tmp_path):
+    """click,view,purchase back-to-back counts; an intervening event
+    breaks the run; runs crossing user boundaries never count."""
+    from theoremkb_ray.pipelines.relational import q_sequence_triples
+
+    seq = [
+        (1, "click"), (1, "view"), (1, "purchase"),   # hit
+        (1, "click"), (1, "error"), (1, "view"), (1, "purchase"),  # broken
+        (2, "click"), (2, "view"),                    # crosses into user 3
+        (3, "purchase"),
+        (4, "click"), (4, "view"), (4, "purchase"),
+        (4, "click"), (4, "view"), (4, "purchase"),   # two hits
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(seq)),
+            "ts": pd.to_datetime(
+                np.arange(len(seq)) * 1000, unit="ms"
+            ),
+            "user_id": [s[0] for s in seq],
+            "event_type": [s[1] for s in seq],
+            "value": 1.0,
+            "props": "",
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet", index=False)
+    got = (
+        _df(q_sequence_triples(str(d)))
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["user_id"]) == [1, 4]
+    assert list(got["n_triples"]) == [1, 2]

@@ -4155,3 +4155,224 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_regression_group(sf_dir: str):
+    """Grouped ordinary-least-squares fit (price ~ quantity per
+    returnflag) via the corr_agg two-pass shape: pass 1 = grouped
+    means (tiny result broadcast), pass 2 = per-block CENTERED
+    (sxy, sxx) partials merged by a tiny groupby — slope = sxy/sxx,
+    intercept = mean_y - slope*mean_x. Numerically matches DuckDB's
+    regr_slope/regr_intercept to well below the 6-dp margin (the
+    uncentered normal-equation form would not). Only stats-sized rows
+    ever shuffle."""
+    from ray.data.aggregate import Sum as _Sum
+
+    cols = ["l_returnflag", "l_quantity", "l_extendedprice"]
+    ds = _pq(sf_dir, "lineitem", cols)
+    means = (
+        ds.groupby("l_returnflag")
+        .aggregate(
+            Mean("l_quantity", alias_name="mq"),
+            Mean("l_extendedprice", alias_name="mp"),
+        )
+        .to_pandas()
+    )
+    mq = dict(zip(means["l_returnflag"], means["mq"]))
+    mp = dict(zip(means["l_returnflag"], means["mp"]))
+
+    def partials(b: pa.Table) -> pa.Table:
+        flags = b["l_returnflag"].to_numpy(zero_copy_only=False)
+        x = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = (
+            b["l_extendedprice"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        codes, uniq = pd.factorize(flags)
+        dx = x - np.array([mq[f] for f in uniq])[codes]
+        dy = y - np.array([mp[f] for f in uniq])[codes]
+        return pa.table(
+            {
+                "l_returnflag": pa.array(uniq),
+                "sxy": pa.array(np.bincount(codes, dx * dy)),
+                "sxx": pa.array(np.bincount(codes, dx * dx)),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        f = b["l_returnflag"].to_numpy(zero_copy_only=False)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False)
+        sxx = b["sxx"].to_numpy(zero_copy_only=False)
+        slope = sxy / sxx
+        inter = np.array([mp[v] for v in f]) - slope * np.array(
+            [mq[v] for v in f]
+        )
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "slope": pa.array(np.round(slope, 6), pa.float64()),
+                "intercept": pa.array(np.round(inter, 4), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            _Sum("sxy", alias_name="sxy"), _Sum("sxx", alias_name="sxx")
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+SQL_REGRESSION_GROUP = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4)
+         AS intercept
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_hhi_events(sf_dir: str):
+    """Per-event-type Herfindahl-Hirschman concentration index of
+    user activity: HHI = sum over users of (share of the type's
+    events)^2 — the standard "is this event type driven by a few
+    power users?" diagnostic. Two pre-aggregated exchanges, both
+    count-sized: (type, user) counts, then per-type sum of squares +
+    total. Oracle = nested GROUP BY."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(
+            b["event_type"].combine_chunks()
+            if isinstance(b["event_type"], pa.ChunkedArray)
+            else b["event_type"]
+        )
+        t = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, ui = np.unique(u, return_inverse=True)
+        packed = t * len(uu) + ui
+        upk, n = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "event_type": enc.dictionary.take(
+                    pa.array(upk // len(uu), pa.int64())
+                ),
+                "user_id": pa.array(uu[upk % len(uu)], pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def squares(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "sq": pa.array(n * n, pa.float64()),
+                "tot": pa.array(n, pa.float64()),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        sq = b["sq"].to_numpy(zero_copy_only=False)
+        tot = b["tot"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "n_users": pc.cast(b["n_users"], pa.int64()),
+                "hhi": pa.array(np.round(sq / (tot * tot), 6), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .map_batches(squares, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            _Sum("sq", alias_name="sq"),
+            _Sum("tot", alias_name="tot"),
+            Count(alias_name="n_users"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+SQL_HHI_EVENTS = """
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, count(*) AS n_users,
+       round(sum(CAST(n AS DOUBLE) * n)
+             / (sum(CAST(n AS DOUBLE)) * sum(CAST(n AS DOUBLE))),
+             6) AS hhi
+FROM c GROUP BY event_type
+"""
+
+
+def q_sequence_triples(sf_dir: str):
+    """Strict-adjacency sequence mining: per user, the number of
+    click -> view -> purchase runs with NO intervening event (the
+    contiguous variant of the funnel; transitions/funnel count
+    non-contiguous progressions). Vectorized three-way shift compare
+    inside user buckets; users with zero matches are dropped. Oracle
+    = two lead() windows + filter."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        n = len(u)
+        if n < 3:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_triples": pd.Series(dtype="int64"),
+                }
+            )
+        hit = (
+            (et[:-2] == "click")
+            & (et[1:-1] == "view")
+            & (et[2:] == "purchase")
+            & (u[:-2] == u[2:])
+        )
+        uu, inv = np.unique(u[:-2][hit], return_inverse=True)
+        return pd.DataFrame(
+            {
+                "user_id": uu,
+                "n_triples": np.bincount(inv).astype(np.int64),
+            }
+        )
+
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_SEQUENCE_TRIPLES = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e1,
+         lead(event_type, 2) OVER w AS e2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(*) AS n_triples
+FROM s
+WHERE event_type = 'click' AND e1 = 'view' AND e2 = 'purchase'
+GROUP BY user_id
+"""
+
+
+REGISTRY.update(
+    {
+        "regression_group": (q_regression_group, SQL_REGRESSION_GROUP),
+        "hhi_events": (q_hhi_events, SQL_HHI_EVENTS),
+        "sequence_triples": (q_sequence_triples, SQL_SEQUENCE_TRIPLES),
+    }
+)
