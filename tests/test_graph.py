@@ -295,3 +295,74 @@ def test_round3_graph_partition_independence():
         else:
             assert ref_a.equals(a)
             assert ref_b.equals(b)
+
+
+def _local_harmonic(E, max_hops=3):
+    """Dict-BFS reference: per source, min distance to every node <= max_hops."""
+    adj: dict[int, list[int]] = {}
+    for s, d in E:
+        if s != d:
+            adj.setdefault(int(s), []).append(int(d))
+    rows = []
+    nodes = sorted({int(x) for e in E for x in e})
+    for u in nodes:
+        dist = {u: 0}
+        frontier = [u]
+        for d in range(1, max_hops + 1):
+            nxt = []
+            for v in frontier:
+                for w in adj.get(v, ()):
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        ds = [d for v, d in dist.items() if v != u]
+        if ds:
+            rows.append(
+                (
+                    u,
+                    len(ds),
+                    max(ds),
+                    round(sum(1.0 / d for d in ds), 6),
+                )
+            )
+    return pd.DataFrame(
+        rows, columns=["node", "n_reach", "ecc", "harmonic"]
+    )
+
+
+def test_harmonic_bounded_matches_local_bfs():
+    from theoremkb_ray.stages.graph import harmonic_bounded
+
+    rng = np.random.RandomState(7)
+    E = rng.randint(0, 40, size=(150, 2)).astype(np.int64)
+    out = (
+        harmonic_bounded(_edges_ds(E, blocks=5), max_hops=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    ref = _local_harmonic(E).sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out.astype({"node": "int64", "n_reach": "int64", "ecc": "int64"}),
+        ref.astype({"node": "int64", "n_reach": "int64", "ecc": "int64"}),
+    )
+
+
+def test_harmonic_bounded_chain_exact():
+    from theoremkb_ray.stages.graph import harmonic_bounded
+
+    # directed chain 0->1->2->3->4: hop-3 horizon truncates 0's reach
+    E = np.array([[0, 1], [1, 2], [2, 3], [3, 4]], dtype=np.int64)
+    out = (
+        harmonic_bounded(_edges_ds(E, blocks=2), max_hops=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert out.loc[out["node"] == 0, "n_reach"].item() == 3
+    assert out.loc[out["node"] == 0, "ecc"].item() == 3
+    assert out.loc[out["node"] == 0, "harmonic"].item() == round(
+        1 + 1 / 2 + 1 / 3, 6
+    )
+    assert 4 not in set(out["node"])  # sink reaches nothing

@@ -4376,3 +4376,353 @@ REGISTRY.update(
         "sequence_triples": (q_sequence_triples, SQL_SEQUENCE_TRIPLES),
     }
 )
+
+
+def q_zipf_slope(sf_dir: str):
+    """Per-language Zipf-law fit over the top-500 vocabulary: OLS
+    slope of ln(count) on ln(rank) (rank = count DESC, token ASC —
+    identical tie-break both sides). A corpus-level curation
+    diagnostic: natural text sits near -1; templated/synthetic text
+    drifts flat. Scale shape: packed-code (lang, token) partial counts
+    inside map_batches (the vocab_topk pattern), one vocab-sized
+    groupby-sum, then a per-lang finalizer whose group is one
+    language's vocabulary (the same task-size contract as
+    vocab_topk's sort)."""
+
+    ds = _pq(sf_dir, "documents", ["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern(b["text"], " ")
+        reps = pc.list_value_length(toks_list).to_numpy(
+            zero_copy_only=False
+        )
+        langs = b["lang"].to_numpy(zero_copy_only=False)
+        tok = pc.list_flatten(toks_list).to_numpy(zero_copy_only=False)
+        lang_rep = np.repeat(langs, reps)
+        mask = tok != ""
+        if not mask.any():
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        lc, lu = pd.factorize(lang_rep[mask])
+        tc, tu = pd.factorize(tok[mask])
+        packed = lc.astype(np.int64) * len(tu) + tc
+        upk, n = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array(lu[upk // len(tu)], pa.string()),
+                "token": pa.array(tu[upk % len(tu)], pa.string()),
+                "cnt": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        ).head(500)
+        if len(g) < 2:  # regr_slope undefined; SQL twin HAVING >= 2
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series(dtype="object"),
+                    "n_types": pd.Series(dtype="int64"),
+                    "zipf_slope": pd.Series(dtype="float64"),
+                }
+            )
+        y = np.log(g["cnt"].to_numpy(np.float64))
+        x = np.log(np.arange(1, len(g) + 1, dtype=np.float64))
+        xc = x - x.mean()
+        slope = float((xc * (y - y.mean())).sum() / (xc * xc).sum())
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "n_types": np.array([len(g)], np.int64),
+                "zipf_slope": [round(slope, 6)],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=2048)
+        .groupby(["lang", "token"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("lang")
+        .map_groups(per_lang, batch_format="pandas")
+    )
+
+
+SQL_ZIPF_SLOPE = """
+WITH c AS (
+  SELECT lang, token, count(*) AS cnt FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS token
+    FROM documents)
+  WHERE token <> '' GROUP BY lang, token),
+r AS (
+  SELECT lang, cnt,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
+  FROM c)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+       round(regr_slope(ln(CAST(cnt AS DOUBLE)),
+                        ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope
+FROM r WHERE rnk <= 500 GROUP BY lang HAVING count(*) >= 2
+"""
+
+
+def q_burstiness_users(sf_dir: str):
+    """Per-user inter-event-gap statistics: gap count, mean/population
+    -std of the gap in seconds, and the Goh-Barabasi burstiness
+    coefficient B = (sigma - mu) / (sigma + mu) (-1 = periodic, 0 =
+    Poisson, ->1 = bursty). One user-bucketed exchange; inside each
+    bucket the sweep is one mergesort + vectorized int64-microsecond
+    diffs + bincount folds (gaps are diffed in integer microseconds
+    FIRST, then divided — the float-second epoch values are too coarse
+    at 2^53 to subtract). Users with a single event have no gap and
+    emit nothing; all-zero-gap users are filtered on BOTH sides
+    (sigma + mu > 0)."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = (
+            g["ts"]
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        same = u[1:] == u[:-1]
+        gaps = (t[1:] - t[:-1])[same].astype(np.float64) / 1e6
+        gu = u[1:][same]
+        if len(gu) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_gaps": pd.Series(dtype="int64"),
+                    "mean_gap_s": pd.Series(dtype="float64"),
+                    "std_gap_s": pd.Series(dtype="float64"),
+                    "burstiness": pd.Series(dtype="float64"),
+                }
+            )
+        uu, inv = np.unique(gu, return_inverse=True)
+        n = np.bincount(inv)
+        mu = np.bincount(inv, gaps) / n
+        d = gaps - mu[inv]
+        sig = np.sqrt(np.bincount(inv, d * d) / n)
+        keep = (sig + mu) > 0
+        b = (sig[keep] - mu[keep]) / (sig[keep] + mu[keep])
+        return pd.DataFrame(
+            {
+                "user_id": uu[keep],
+                "n_gaps": n[keep].astype(np.int64),
+                "mean_gap_s": np.round(mu[keep], 4),
+                "std_gap_s": np.round(sig[keep], 4),
+                "burstiness": np.round(b, 6),
+            }
+        )
+
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_BURSTINESS_USERS = """
+WITH g AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+           / 1000000.0 AS gap
+  FROM events),
+s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         avg(gap) AS mu, stddev_pop(gap) AS sigma
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+SELECT user_id, n_gaps,
+       round(mu, 4) AS mean_gap_s,
+       round(sigma, 4) AS std_gap_s,
+       round((sigma - mu) / (sigma + mu), 6) AS burstiness
+FROM s WHERE sigma + mu > 0
+"""
+
+
+def q_harmonic_centrality(sf_dir: str):
+    """Bounded-hop harmonic centrality
+    (stages/graph.py:harmonic_bounded — all-pairs <=3-hop directed
+    distances via iterated distributed frontier-edge hash joins, NO
+    per-node driver state) over the pagerank ring+chord digraph.
+    Emits per node: reachable-set size, 3-hop eccentricity, and
+    sum(1/d). Oracle = DuckDB recursive UNION walk + min(d) with the
+    identical hop cap."""
+    from ..stages.graph import harmonic_bounded
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    n = cust.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ring_dst = (c + 1) % n
+        ch = c[c % 3 == 0]
+        ch_dst = (ch * 7 + 3) % n
+        keep = ch_dst != (ch + 1) % n
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([c, ch[keep]]), pa.int64()),
+                "dst": pa.array(
+                    np.concatenate([ring_dst, ch_dst[keep]]), pa.int64()
+                ),
+            }
+        )
+
+    return harmonic_bounded(
+        cust.map_batches(edges, batch_format="pyarrow"), max_hops=3
+    )
+
+
+SQL_HARMONIC_CENTRALITY = """
+WITH RECURSIVE cnt AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT c_custkey AS src,
+           (c_custkey + 1) % (SELECT n FROM cnt) AS dst
+    FROM customer
+    UNION ALL
+    SELECT c_custkey,
+           (c_custkey * 7 + 3) % (SELECT n FROM cnt)
+    FROM customer WHERE c_custkey % 3 = 0)
+  WHERE src <> dst),
+walk(src, dst, d) AS (
+  SELECT src, dst, 1 FROM e
+  UNION
+  SELECT w.src, e.dst, w.d + 1
+  FROM walk w JOIN e ON e.src = w.dst WHERE w.d < 3
+),
+md AS (
+  SELECT src, dst, min(d) AS d FROM walk
+  WHERE src <> dst GROUP BY src, dst)
+SELECT src AS node, CAST(count(*) AS BIGINT) AS n_reach,
+       CAST(max(d) AS BIGINT) AS ecc,
+       round(sum(1.0 / d), 6) AS harmonic
+FROM md GROUP BY src
+"""
+
+
+def q_lift_pairs(sf_dir: str):
+    """Market-basket association mining: the top-15 part pairs
+    co-occurring in the most orders, scored by lift = N * n12 /
+    (n1 * n2). Scale shape: orders are hash-bucketed (an order's lines
+    land in ONE bucket, so per-bucket drop_duplicates and the
+    within-order self-merge are globally exact partials), pair counts
+    pre-aggregate per bucket before the pair-keyed groupby-sum, and
+    the per-part order counts + the distinct-order total ride the SAME
+    bucketed pass via a sentinel part_id=-1 row (part catalogs are
+    bounded, so collecting the per-part table to the driver for the
+    15-row finisher is a broadcast-sized lookup, not a data-sized
+    one)."""
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    bucketed = _by_user_bucket(li, col="l_orderkey")
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        out = (
+            m.groupby(["l_partkey_x", "l_partkey_y"], sort=False)
+            .size()
+            .reset_index(name="n12")
+        )
+        return out.rename(
+            columns={"l_partkey_x": "p1", "l_partkey_y": "p2"}
+        )
+
+    pair_counts = (
+        bucketed.map_groups(pair_partial, batch_format="pandas")
+        .groupby(["p1", "p2"])
+        .aggregate(Sum("n12", alias_name="pair_orders"))
+    )
+    top = pair_counts.sort(
+        ["pair_orders", "p1", "p2"], descending=[True, False, False]
+    ).limit(15)
+
+    def part_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        out = (
+            g.groupby("l_partkey", sort=False)
+            .size()
+            .reset_index(name="n_ord")
+        )
+        # sentinel: bucket-local distinct-order count (orders are
+        # bucket-disjoint, so the global sum is the exact total)
+        sent = pd.DataFrame(
+            {
+                "l_partkey": np.array([-1], np.int64),
+                "n_ord": np.array(
+                    [g["l_orderkey"].nunique()], np.int64
+                ),
+            }
+        )
+        return pd.concat([out, sent], ignore_index=True)
+
+    parts = (
+        bucketed.map_groups(part_partial, batch_format="pandas")
+        .groupby("l_partkey")
+        .aggregate(Sum("n_ord", alias_name="n_ord"))
+        .to_pandas()
+    )
+    total = float(parts.loc[parts["l_partkey"] == -1, "n_ord"].iloc[0])
+    parts = parts[parts["l_partkey"] != -1]
+    pk = parts["l_partkey"].to_numpy(np.int64)
+    nc = parts["n_ord"].to_numpy(np.float64)
+    order = np.argsort(pk)
+    pk, nc = pk[order], nc[order]
+
+    def finish(b: pa.Table) -> pa.Table:
+        p1 = b["p1"].to_numpy(zero_copy_only=False)
+        p2 = b["p2"].to_numpy(zero_copy_only=False)
+        n12 = b["pair_orders"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        n1 = nc[np.searchsorted(pk, p1)]
+        n2 = nc[np.searchsorted(pk, p2)]
+        lift = np.round(n12 * total / (n1 * n2), 6)
+        return pa.table(
+            {
+                "p1": pc.cast(b["p1"], pa.int64()),
+                "p2": pc.cast(b["p2"], pa.int64()),
+                "pair_orders": pc.cast(b["pair_orders"], pa.int64()),
+                "lift": pa.array(lift, pa.float64()),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LIFT_PAIRS = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+tot AS (SELECT count(DISTINCT o) AS n FROM op),
+pcnt AS (SELECT p, count(*) AS n_ord FROM op GROUP BY p),
+pairs AS (
+  SELECT a.p AS p1, b.p AS p2, count(*) AS n12
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2),
+top AS (SELECT * FROM pairs ORDER BY n12 DESC, p1, p2 LIMIT 15)
+SELECT p1, p2, CAST(n12 AS BIGINT) AS pair_orders,
+       round(CAST(n12 AS DOUBLE) * (SELECT n FROM tot)
+             / (c1.n_ord * c2.n_ord), 6) AS lift
+FROM top
+JOIN pcnt c1 ON c1.p = top.p1
+JOIN pcnt c2 ON c2.p = top.p2
+"""
+
+
+REGISTRY.update(
+    {
+        "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
+        "burstiness_users": (q_burstiness_users, SQL_BURSTINESS_USERS),
+        "harmonic_centrality": (
+            q_harmonic_centrality,
+            SQL_HARMONIC_CENTRALITY,
+        ),
+        "lift_pairs": (q_lift_pairs, SQL_LIFT_PAIRS),
+    }
+)
