@@ -1125,6 +1125,48 @@ def _dedup_norm_docs(sf_dir: str):
     )
 
 
+
+def _dup_cluster_sizes(sf_dir: str):
+    """Near-dup CLUSTER topology: size distribution of the connected
+    components of the exact word-5-gram Jaccard>=0.5 dup graph —
+    (cluster_size, n_clusters). The number dedup capacity planning
+    actually needs (a 2-cluster-heavy landscape dedups cheaply; a few
+    giant components mean transitive merge storms). Composes two
+    oracle-checked distributed operators end to end: the
+    discriminative-gram edge generator and min-label-propagation CC;
+    the histogram adds two key-bounded groupbys (component ids, then
+    the tiny size domain). Oracle = the edge SQL verbatim + a
+    recursive-CTE transitive closure + the same double groupby."""
+    from ray.data.aggregate import Count
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from theoremkb_ray.stages.canonicalize import connected_components
+    from theoremkb_ray.stages.dedup import exact_ngram_dup_edges
+
+    ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    labs = connected_components(
+        exact_ngram_dup_edges(ds).select_columns(["a", "b"])
+    )
+    sizes = labs.groupby("label").aggregate(
+        Count(alias_name="cluster_size")
+    )
+    out = sizes.groupby("cluster_size").aggregate(
+        Count(alias_name="n_clusters")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster_size": pc.cast(b["cluster_size"], pa.int64()),
+                "n_clusters": pc.cast(b["n_clusters"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from theoremkb_ray.pipelines.relational import REGISTRY
 
@@ -1141,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ngram_dedup_docs": _ngram_dedup_docs,
             "ngram_dup_edges": _ngram_dup_edges,
             "dedup_norm_docs": _dedup_norm_docs,
+            "dup_cluster_sizes": _dup_cluster_sizes,
             "simhash_dedup_docs": _simhash_dedup_docs,
             "langid_docs": _langid_docs,
             "fingerprint_docs": _fingerprint_docs,
@@ -1343,6 +1386,49 @@ FROM pair JOIN sizes sa ON sa.id = pa JOIN sizes sb ON sb.id = pb
 WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
 """
 
+
+
+#: dup_cluster_sizes oracle: the ngram-dup edge SQL verbatim, then a
+#: recursive-CTE transitive closure (min-label per node) and the same
+#: component-size -> histogram double groupby as the engine.
+SQL_DUP_CLUSTER_SIZES = r"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+4], ' ')
+                        FOR i IN generate_series(1, len(toks) - 4)]) AS grams
+  FROM tok WHERE len(toks) >= 5
+),
+gx0 AS (SELECT CAST(doc_id AS VARCHAR) AS id, unnest(grams) AS gram FROM g),
+df AS (SELECT gram, count(*) AS c FROM gx0 GROUP BY gram),
+gx AS (SELECT gx0.id, gx0.gram FROM gx0 JOIN df USING (gram) WHERE df.c <= 64),
+sizes AS (SELECT id, count(*) AS n FROM gx GROUP BY id),
+pair AS (
+  SELECT a.id AS pa, b.id AS pb, count(*) AS inter
+  FROM gx a JOIN gx b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT pa AS a, pb AS b
+  FROM pair JOIN sizes sa ON sa.id = pa JOIN sizes sb ON sb.id = pb
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+reach(node, s) AS (
+  SELECT a, a FROM und GROUP BY a
+  UNION
+  SELECT und.b, reach.s FROM reach JOIN und ON und.a = reach.node
+),
+comp AS (SELECT node, min(s) AS component FROM reach GROUP BY node),
+cs AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM cs GROUP BY 1
+"""
 
 #: MinHash-LSH dedup oracle: the planted near-dup landscape is
 #: bimodal (J >= 0.87 within groups, <= 0.02 across), so the
@@ -1794,6 +1880,7 @@ FROM documents
 """
     out["ngram_dedup_docs"] = SQL_NGRAM_DEDUP
     out["ngram_dup_edges"] = SQL_NGRAM_DUP_EDGES
+    out["dup_cluster_sizes"] = SQL_DUP_CLUSTER_SIZES
     out["minhash_dedup_docs"] = SQL_MINHASH_DEDUP
     out["langid_docs"] = SQL_LANGID
     out["embedding_dups"] = SQL_EMBEDDING_DUPS

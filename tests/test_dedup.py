@@ -223,3 +223,48 @@ def test_exact_ngram_dedup_matches_bruteforce(ray_session):
         .to_pandas()["doc_id"]
     )
     assert kept == {k for k in docs if not k.startswith("x")}
+
+
+def test_dup_cluster_sizes_planted_groups(tmp_path):
+    """Two planted near-dup groups (sizes 3 and 2) among unique docs
+    -> histogram {3: 1, 2: 1}; singletons never appear."""
+    import pandas as pd
+
+    import __ray_entry__ as entry
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old "
+        "river bank while seven wizards watch quietly from afar"
+    )
+    docs, did = [], 0
+
+    def add(text):
+        nonlocal did
+        docs.append({"doc_id": did, "text": text, "lang": "en",
+                     "source": "s", "n_chars": len(text)})
+        did += 1
+
+    for suffix in ("", " one", " two"):          # group of 3
+        add(base + suffix)
+    other = (
+        "completely separate second passage about ancient mountain "
+        "trails where careful travelers gather rare herbs under "
+        "bright winter stars every single evening"
+    )
+    for suffix in (" alpha", " beta"):           # group of 2
+        add(other + suffix)
+    rng = np.random.RandomState(5)
+    vocab = [f"tok{i}" for i in range(500)]
+    for _ in range(20):                          # unique background
+        add(" ".join(rng.choice(vocab, 40)))
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(docs).to_parquet(d / "documents.parquet", index=False)
+    got = (
+        entry.queries()["dup_cluster_sizes"](str(d))
+        .to_pandas()
+        .sort_values("cluster_size")
+        .reset_index(drop=True)
+    )
+    assert list(got["cluster_size"]) == [2, 3]
+    assert list(got["n_clusters"]) == [1, 1]

@@ -584,3 +584,86 @@ def test_sequence_triples_contiguity(tmp_path):
     )
     assert list(got["user_id"]) == [1, 4]
     assert list(got["n_triples"]) == [1, 2]
+
+
+def test_skyline_parts_matches_quadratic_reference(tmp_path):
+    """Distributed skyline (per-block frontier + one merge) equals the
+    O(n^2) dominance definition, including duplicate co-optimal
+    points; result is block-layout independent."""
+    from theoremkb_ray.pipelines.relational import q_skyline_parts
+
+    rng = np.random.RandomState(3)
+    n = 400
+    price = np.round(rng.uniform(1, 50, n), 2)
+    size = rng.randint(1, 40, n)
+    # force a duplicate co-optimal pair on the frontier
+    price[10] = price[11] = 0.5
+    size[10] = size[11] = 39
+    df = pd.DataFrame(
+        {
+            "p_partkey": np.arange(n, dtype=np.int64),
+            "p_name": "x",
+            "p_brand": "b",
+            "p_type": "t",
+            "p_size": size.astype(np.int32),
+            "p_retailprice": price,
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.to_parquet(d / "part.parquet", index=False)
+    got = (
+        _df(q_skyline_parts(str(d)))
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+    dominated = np.zeros(n, bool)
+    for i in range(n):
+        dominated[i] = bool(
+            np.any(
+                (price <= price[i])
+                & (size >= size[i])
+                & ((price < price[i]) | (size > size[i]))
+            )
+        )
+    want = np.flatnonzero(~dominated)
+    assert list(got["p_partkey"]) == list(want)
+    assert {10, 11} <= set(got["p_partkey"])
+
+
+def test_gini_orders_closed_form_vs_sorted_reference():
+    from theoremkb_ray.pipelines.relational import q_gini_orders
+
+    got = _df(q_gini_orders(SF_DIR))
+    cnt = (
+        pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_custkey"])
+        .groupby("o_custkey")
+        .size()
+        .to_numpy(np.float64)
+    )
+    x = np.sort(cnt)
+    n = len(x)
+    gini = float(
+        ((2 * np.arange(1, n + 1) - n - 1) * x).sum() / (n * x.sum())
+    )
+    assert got["n_customers"].iloc[0] == n
+    assert abs(got["gini"].iloc[0] - round(gini, 6)) <= 1e-6
+    assert 0.0 <= got["gini"].iloc[0] < 1.0
+
+
+def test_decay_score_users_reference():
+    from theoremkb_ray.pipelines.relational import q_decay_score_users
+
+    got = _df(q_decay_score_users(SF_DIR)).set_index("user_id")
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    tau = 7.0 * 86400 * 1e6
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    w = ev["value"].to_numpy() * np.exp((t - t.max()) / tau)
+    ref = pd.DataFrame({"user_id": ev["user_id"], "w": w}).groupby(
+        "user_id"
+    )["w"].sum()
+    assert len(got) == len(ref)
+    for uid, s in ref.items():
+        assert abs(got.loc[uid, "decay_score"] - s) <= 1e-4

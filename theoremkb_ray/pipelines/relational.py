@@ -4726,3 +4726,180 @@ REGISTRY.update(
         "lift_pairs": (q_lift_pairs, SQL_LIFT_PAIRS),
     }
 )
+
+
+def q_skyline_parts(sf_dir: str):
+    """2D Pareto frontier (skyline) of the part catalog: parts where
+    no other part is both cheaper-or-equal AND larger-or-equal with at
+    least one strict. The distributed shape exploits the skyline
+    algebra — skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — so
+    each batch emits only its local frontier (O(log n) expected rows
+    on independent dims) and ONE final task merges the candidate set;
+    no shuffle, no driver loop, candidate volume is frontier-sized
+    regardless of input size. Ties: duplicate (price, size) points
+    dominate neither, so all co-optimal duplicates survive (both
+    sides)."""
+    ds = _pq(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def local_skyline(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        price = b["p_retailprice"].to_numpy(zero_copy_only=False)
+        size = b["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((-size, price))  # price asc, size desc
+        p, s = price[order], size[order]
+        new = np.empty(len(p), bool)
+        new[0] = True
+        new[1:] = p[1:] != p[:-1]
+        gid = np.cumsum(new) - 1
+        gmax = s[new]  # first row of each price group = its max size
+        cheaper = np.concatenate(
+            ([np.iinfo(np.int64).min], np.maximum.accumulate(gmax)[:-1])
+        )
+        keep = (s == gmax[gid]) & (gmax[gid] > cheaper[gid])
+        idx = order[keep]
+        return pa.table(
+            {
+                "p_partkey": pc.take(b["p_partkey"], pa.array(idx)),
+                "p_retailprice": pa.array(price[idx], pa.float64()),
+                "p_size": pa.array(size[idx], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(local_skyline, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local_skyline, batch_format="pyarrow", batch_size=None)
+    )
+
+
+SQL_SKYLINE_PARTS = """
+WITH g AS (
+  SELECT p_retailprice AS price, max(p_size) AS msize
+  FROM part GROUP BY 1),
+c AS (
+  SELECT price, msize,
+         max(msize) OVER (ORDER BY price
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS cheaper_max
+  FROM g)
+SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+FROM part p JOIN c ON p.p_retailprice = c.price
+WHERE p.p_size = c.msize
+  AND (c.cheaper_max IS NULL OR p.p_size > c.cheaper_max)
+"""
+
+
+def q_gini_orders(sf_dir: str):
+    """Key-skew diagnostic: the Gini coefficient of per-customer order
+    counts (0 = perfectly even load, ->1 = one hot key owns the
+    table) — the number you consult before choosing salting for a
+    partitioner. Exact WITHOUT a global sort: customers are
+    hash-bucketed (each customer's orders land in one bucket, so
+    bucket-local value_counts are globally exact), each bucket folds
+    its counts into a (orders_per_customer -> n_customers) histogram,
+    and the closed-form rank identity sum((2i - n - 1) x_i) is
+    evaluated over the tiny value-domain histogram — tie-invariant, so
+    row_number on the SQL side agrees. Only the histogram (bounded by
+    max orders per key, not by key count) ever reaches the driver."""
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("o_custkey", sort=False).size().to_numpy(np.int64)
+        v, n = np.unique(cnt, return_counts=True)
+        return pd.DataFrame(
+            {"cnt": v, "n_cust": n.astype(np.int64)}
+        )
+
+    hist = (
+        _by_user_bucket(ds, col="o_custkey")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("cnt")
+        .aggregate(Sum("n_cust", alias_name="n_cust"))
+        .to_pandas()
+        .sort_values("cnt")
+    )
+    v = hist["cnt"].to_numpy(np.float64)
+    h = hist["n_cust"].to_numpy(np.int64)
+    n = int(h.sum())
+    total = float((v * h).sum())
+    # ranks of the h[v]-sized tie group start after cumulative count C:
+    # sum_{i=C+1..C+c}(2i - n - 1) = 2cC + c(c+1) - c(n+1)
+    C = np.concatenate(([0], np.cumsum(h)[:-1])).astype(np.float64)
+    c = h.astype(np.float64)
+    coef = 2.0 * c * C + c * (c + 1.0) - c * (n + 1.0)
+    gini = float((coef * v).sum() / (n * total))
+    return pd.DataFrame(
+        {
+            "n_customers": np.array([n], np.int64),
+            "mean_orders": [round(total / n, 6)],
+            "gini": [round(gini, 6)],
+        }
+    )
+
+
+SQL_GINI_ORDERS = """
+WITH c AS (
+  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1),
+r AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt) AS i,
+         count(*) OVER () AS n,
+         sum(cnt) OVER () AS s
+  FROM c)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       round(CAST(sum(cnt) AS DOUBLE) / max(n), 6) AS mean_orders,
+       round(sum((2.0 * i - n - 1) * cnt) / (max(n) * max(s)), 6) AS gini
+FROM r
+"""
+
+
+def q_decay_score_users(sf_dir: str):
+    """Recency-weighted engagement: per user, sum of value *
+    exp(-age / tau) with tau = 7 days, age measured from the corpus'
+    global max timestamp — the standard feature-store decay score.
+    Two passes: a scalar max-ts aggregate (one number to the driver),
+    then user-bucketed partial folds (factorize + bincount inside each
+    bucket; a user's rows share a bucket so partials are exact)."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "value"])
+    tau_us = 7.0 * 86400.0 * 1e6
+
+    mt = ds.max("ts")
+    mt_us = np.datetime64(mt, "us").astype(np.int64)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        w = g["value"].to_numpy(np.float64) * np.exp(
+            (t - mt_us) / tau_us
+        )
+        code, users = pd.factorize(g["user_id"].to_numpy())
+        score = np.bincount(code, w)
+        n = np.bincount(code)
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "n_events": n.astype(np.int64),
+                "decay_score": np.round(score, 6),
+            }
+        )
+
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_DECAY_SCORE_USERS = """
+WITH m AS (SELECT max(ts) AS mt FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value * exp(
+         (epoch_us(ts) - epoch_us(m.mt)) / (7.0 * 86400 * 1000000))),
+         6) AS decay_score
+FROM events, m GROUP BY user_id
+"""
+
+
+REGISTRY.update(
+    {
+        "skyline_parts": (q_skyline_parts, SQL_SKYLINE_PARTS),
+        "gini_orders": (q_gini_orders, SQL_GINI_ORDERS),
+        "decay_score_users": (q_decay_score_users, SQL_DECAY_SCORE_USERS),
+    }
+)
