@@ -4903,3 +4903,52 @@ REGISTRY.update(
         "decay_score_users": (q_decay_score_users, SQL_DECAY_SCORE_USERS),
     }
 )
+
+
+def q_setsim_join(sf_dir: str):
+    """Prefix-filtered set-similarity SELF-JOIN (PPJoin): every doc
+    pair with token-set Jaccard >= 0.7 over the distinct first-24
+    whitespace tokens — the exact near-dup join the minhash/simhash
+    families approximate (stages/setsim.py documents the df-order
+    broadcast, the prefix-posting theorem, and the pair-bounded
+    verify). The DuckDB twin is the brute-force token co-occurrence
+    join: identical output, quadratic plan."""
+    from ..stages.setsim import setsim_self_join
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return setsim_self_join(
+        docs, id_col="doc_id", text_col="text",
+        threshold=0.7, max_tokens=24,
+    )
+
+
+SQL_SETSIM_JOIN = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(list_slice(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> ''),
+             1, 24)) AS tok
+    FROM documents
+  )
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS sim
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.id_a
+JOIN sz sb ON sb.doc_id = i.id_b
+WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.7
+"""
+
+
+REGISTRY.update(
+    {
+        "setsim_join": (q_setsim_join, SQL_SETSIM_JOIN),
+    }
+)
