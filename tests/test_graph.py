@@ -366,3 +366,36 @@ def test_harmonic_bounded_chain_exact():
         1 + 1 / 2 + 1 / 3, 6
     )
     assert 4 not in set(out["node"])  # sink reaches nothing
+
+
+def test_feature_propagate_exact_and_partition_invariant():
+    """h_{k+1}(v) = h_k(v) + sum of in-neighbour h_k; tiny graph with
+    hand-computed rounds, re-run at a different partitioning."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from theoremkb_ray.stages.graph import feature_propagate
+
+    # edges: 0->1, 1->2, 2->0, 0->2 ; feats x = node + 1
+    edges = pa.table(
+        {"src": pa.array([0, 1, 2, 0], pa.int64()),
+         "dst": pa.array([1, 2, 0, 2], pa.int64())}
+    )
+    feats = pa.table(
+        {"node": pa.array([0, 1, 2, 3], pa.int64()),
+         "x": pa.array([1, 2, 3, 7], pa.int64())}
+    )
+    # round 1: h1(0)=1+3=4, h1(1)=2+1=3, h1(2)=3+2+1=6, h1(3)=7 (no in)
+    # round 2: h2(0)=4+6=10, h2(1)=3+4=7, h2(2)=6+3+4=13, h2(3)=7
+    want = {0: (4, 10), 1: (3, 7), 2: (6, 13), 3: (7, 7)}
+    for parts in (1, 3):
+        out = feature_propagate(
+            rd.from_arrow(edges).repartition(parts),
+            rd.from_arrow(feats).repartition(parts),
+            rounds=2,
+        ).to_pandas()
+        got = {
+            int(r.node): (int(r.h1), int(r.h2))
+            for r in out.itertuples(False)
+        }
+        assert got == want, got

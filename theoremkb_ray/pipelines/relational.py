@@ -4952,3 +4952,90 @@ REGISTRY.update(
         "setsim_join": (q_setsim_join, SQL_SETSIM_JOIN),
     }
 )
+
+
+def q_feature_propagate(sf_dir: str):
+    """Two rounds of GNN-style integer message passing
+    (stages/graph.py feature_propagate) over the same ring+chord
+    digraph as ``pagerank``: h0 = c_custkey % 97 + 1,
+    h_{k+1}(v) = h_k(v) + sum of h_k over in-neighbours. Integer
+    aggregation makes the result exact under any partitioning; the
+    oracle is the unrolled two-round join+group SQL."""
+    from ..stages.graph import feature_propagate
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    n = cust.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ring_dst = (c + 1) % n
+        ch = c[c % 3 == 0]
+        ch_dst = (ch * 7 + 3) % n
+        keep = ch_dst != (ch + 1) % n
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([c, ch[keep]]), pa.int64()),
+                "dst": pa.array(
+                    np.concatenate([ring_dst, ch_dst[keep]]), pa.int64()
+                ),
+            }
+        )
+
+    def feats(b: pa.Table) -> pa.Table:
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(c, pa.int64()),
+                "x": pa.array(c % 97 + 1, pa.int64()),
+            }
+        )
+
+    out = feature_propagate(
+        cust.map_batches(edges, batch_format="pyarrow"),
+        cust.map_batches(feats, batch_format="pyarrow"),
+        rounds=2,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b["node"],
+                "h1": b["h1"],
+                "h2": b["h2"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FEATURE_PROPAGATE = """
+WITH cnt AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT c_custkey AS src,
+         (c_custkey + 1) % (SELECT n FROM cnt) AS dst
+  FROM customer
+  UNION
+  SELECT c_custkey AS src,
+         (c_custkey * 7 + 3) % (SELECT n FROM cnt) AS dst
+  FROM customer WHERE c_custkey % 3 = 0
+),
+f0 AS (SELECT c_custkey AS node, c_custkey % 97 + 1 AS h FROM customer),
+s1 AS (SELECT e.dst AS node, sum(f0.h) AS s
+       FROM e JOIN f0 ON f0.node = e.src GROUP BY e.dst),
+f1 AS (SELECT f0.node, f0.h + COALESCE(s1.s, 0) AS h
+       FROM f0 LEFT JOIN s1 USING (node)),
+s2 AS (SELECT e.dst AS node, sum(f1.h) AS s
+       FROM e JOIN f1 ON f1.node = e.src GROUP BY e.dst),
+f2 AS (SELECT f1.node, f1.h + COALESCE(s2.s, 0) AS h
+       FROM f1 LEFT JOIN s2 USING (node))
+SELECT f1.node AS c_custkey,
+       CAST(f1.h AS BIGINT) AS h1,
+       CAST(f2.h AS BIGINT) AS h2
+FROM f1 JOIN f2 USING (node)
+"""
+
+
+REGISTRY.update(
+    {
+        "feature_propagate": (q_feature_propagate, SQL_FEATURE_PROPAGATE),
+    }
+)

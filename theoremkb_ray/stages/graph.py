@@ -1180,3 +1180,121 @@ def harmonic_bounded(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------
+# Neighbor feature propagation (message passing)
+# --------------------------------------------------------------------
+
+
+def feature_propagate(
+    edges_ds,
+    feats_ds,
+    rounds: int = 2,
+    node_col: str = "node",
+    feat_col: str = "x",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+):
+    """GNN-style message passing over a directed edge Dataset:
+    ``h_0 = x``; ``h_{k+1}(v) = h_k(v) + sum_{(u->v)} h_k(u)``.
+
+    The GraphSAGE-sum aggregation shape (one hop of neighbourhood
+    context per round) with INTEGER features, so the result is exact
+    and independent of partitioning / summation order — what the
+    reference's per-paper context features (theorem counts seen by a
+    citing paper) look like when the corpus is a graph, and the
+    oracle-checkable core of learned graph featurization.
+
+    Scale shape per round: one hash-partitioned join (edges x current
+    features on ``src``) + per-batch partial sums per ``dst`` + one
+    small groupby, then a LEFT join back onto the feature Dataset
+    (nodes with no in-edges keep their value). Nothing is collected on
+    the driver; the feature vector lives as a Dataset like
+    :func:`pagerank_distributed`'s rank vector.
+
+    Returns Dataset(node, h1, ..., h{rounds}) with int64 columns.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join, strip_schema_metadata
+
+    edges = strip_schema_metadata(
+        edges_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "src": pc.cast(b[src_col], pa.int64()),
+                    "dst": pc.cast(b[dst_col], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    hist_cols: list[str] = []
+    cur = strip_schema_metadata(
+        feats_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pc.cast(b[node_col], pa.int64()),
+                    "h": pc.cast(b[feat_col], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    for k in range(1, rounds + 1):
+        msgs = hash_join(
+            edges,
+            cur.select_columns(["node", "h"]),
+            on=["src"],
+            right_on=["node"],
+            num_partitions=num_partitions,
+        )
+
+        def partial(b: pa.Table) -> pa.Table:
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            h = b["h"].to_numpy(zero_copy_only=False)
+            u, inv = np.unique(d, return_inverse=True)
+            s = np.zeros(len(u), np.int64)
+            np.add.at(s, inv, h)  # int64 adds: no float53 cap
+            return pa.table(
+                {
+                    "node": pa.array(u, pa.int64()),
+                    "insum": pa.array(s, pa.int64()),
+                }
+            )
+
+        sums = (
+            msgs.map_batches(partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("insum", alias_name="insum"))
+        )
+        joined = hash_join(
+            cur, sums, on=["node"], how="left",
+            num_partitions=num_partitions,
+        )
+        col = f"h{k}"
+        keep = ["node", "h"] + hist_cols
+
+        def step(b: pa.Table, _col=col, _keep=tuple(keep)) -> pa.Table:
+            h = b["h"].to_numpy(zero_copy_only=False)
+            ins = pc.fill_null(
+                pc.cast(b["insum"], pa.int64()), 0
+            ).to_numpy(zero_copy_only=False)
+            nxt = h + ins
+            cols = {c: b[c] for c in _keep}
+            cols["h"] = pa.array(nxt, pa.int64())
+            cols[_col] = pa.array(nxt, pa.int64())
+            cols["node"] = b["node"]
+            return pa.table(cols)
+
+        cur = joined.map_batches(step, batch_format="pyarrow")
+        hist_cols.append(col)
+        if k < rounds:
+            cur = cur.materialize()
+
+    return cur.select_columns(["node"] + hist_cols)
