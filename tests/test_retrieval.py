@@ -74,3 +74,44 @@ def test_bm25_no_matches():
     docs = ["alpha beta", "gamma delta"]
     out = bm25_topk(_ds(docs, blocks=1), ["absent"], k=5).to_pandas()
     assert len(out) == 0
+
+
+def test_rrf_fuse_hand_computed():
+    import pyarrow as pa
+
+    from theoremkb_ray.stages.retrieval import rrf_fuse
+
+    # system A ranks: 10 (r1), 20 (r2), 30 (r3)
+    a = pa.table(
+        {"doc_id": pa.array([10, 20, 30], pa.int64()),
+         "score": pa.array([3.0, 2.0, 1.0], pa.float64())}
+    )
+    # system B ranks: 20 (r1), 40 (r2)
+    b = pa.table(
+        {"doc_id": pa.array([20, 40], pa.int64()),
+         "score": pa.array([9.0, 8.0], pa.float64())}
+    )
+    out = rrf_fuse([a, b], k=10, c=60).to_pandas()
+    got = dict(zip(out["doc_id"], out["rrf"]))
+    assert got == {
+        10: round(1 / 61, 6),
+        20: round(1 / 62 + 1 / 61, 6),
+        30: round(1 / 63, 6),
+        40: round(1 / 62, 6),
+    }
+    # fused order: 20 first (two contributions)
+    assert out["doc_id"].iloc[0] == 20
+
+
+def test_rrf_tie_breaks_by_id_and_score_ties_by_id():
+    import pyarrow as pa
+
+    from theoremkb_ray.stages.retrieval import rrf_fuse
+
+    # equal scores inside a system -> rank by doc_id ascending
+    a = pa.table(
+        {"doc_id": pa.array([7, 3], pa.int64()),
+         "score": pa.array([1.0, 1.0], pa.float64())}
+    )
+    out = rrf_fuse([a], k=10).to_pandas()
+    assert list(out["doc_id"]) == [3, 7]  # 3 ranked 1st, equal-rrf tie -> id

@@ -5039,3 +5039,90 @@ REGISTRY.update(
         "feature_propagate": (q_feature_propagate, SQL_FEATURE_PROPAGATE),
     }
 )
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (stages/retrieval.py:rrf_fuse) of two
+    retrieval systems over the documents table — BM25 top-50 and
+    query-term-density top-50 for the same fixed query — fused as
+    rrf = 1/(60+rank_bm25) + 1/(60+rank_density), top-10. Both input
+    rankings are bounded (50 rows), so only top-K lists reach the
+    fuse; the oracle unrolls both rankers and the fusion in SQL."""
+    from ..stages.retrieval import bm25_topk, density_topk, rrf_fuse
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    bm = bm25_topk(docs, BM25_TERMS, k=50)
+    dn = density_topk(docs, BM25_TERMS, k=50)
+    return rrf_fuse([bm, dn], k=10)
+
+
+SQL_RRF_FUSION = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+  WHERE term <> '' GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok
+  WHERE term <> '' GROUP BY doc_id
+),
+q(term) AS (VALUES ('spark'), ('window'), ('hash'), ('merge')),
+df AS (
+  SELECT tf.term, CAST(count(*) AS DOUBLE) AS df
+  FROM tf JOIN q ON q.term = tf.term GROUP BY tf.term
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+),
+bm_scores AS (
+  SELECT tf.doc_id,
+         round(SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75
+                               + 0.75 * dl.dl / stats.avgdl))), 6) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+bm AS (
+  SELECT doc_id, score FROM bm_scores ORDER BY score DESC, doc_id LIMIT 50
+),
+bmr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bm
+),
+dn_scores AS (
+  SELECT tf.doc_id, round(SUM(tf.tf) / any_value(dl.dl), 6) AS score
+  FROM tf JOIN q ON q.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY tf.doc_id
+),
+dn AS (
+  SELECT doc_id, score FROM dn_scores ORDER BY score DESC, doc_id LIMIT 50
+),
+dnr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM dn
+),
+fused AS (
+  SELECT COALESCE(bmr.doc_id, dnr.doc_id) AS doc_id,
+         round(COALESCE(1.0 / (60 + bmr.r), 0)
+               + COALESCE(1.0 / (60 + dnr.r), 0), 6) AS rrf
+  FROM bmr FULL OUTER JOIN dnr ON bmr.doc_id = dnr.doc_id
+)
+SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+REGISTRY.update(
+    {
+        "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
+    }
+)

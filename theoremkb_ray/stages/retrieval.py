@@ -143,3 +143,87 @@ def bm25_topk(
         .sort(["score", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+def density_topk(
+    ds,
+    query_terms: list[str],
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """-> Dataset(doc_id, score): top-k by query-term DENSITY —
+    ``(sum of query-term tfs) / doc length``. The integer tf total is
+    divided ONCE, so the score is bit-identical under any batch
+    composition (unlike a per-term float sum). Rounded 6dp; ordered by
+    (score DESC, doc_id) like :func:`bm25_topk`."""
+    terms = list(query_terms)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl, tf = _term_counts(batch, text_col, terms)
+        total = tf.sum(axis=1)
+        matched = total > 0
+        s = np.round(
+            total[matched].astype(np.float64)
+            / np.maximum(dl[matched].astype(np.float64), 1.0),
+            6,
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[matched]
+        kk = min(k, len(s))
+        sel = (
+            np.argpartition(-s, kk - 1)[:kk] if kk else np.array([], int)
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[sel], pa.int64()),
+                "score": pa.array(s[sel], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score", id_col], descending=[True, False])
+        .limit(k)
+    )
+
+
+def rrf_fuse(rankings, k: int = 10, c: int = 60, id_col: str = "doc_id"):
+    """Reciprocal-rank fusion of bounded top-K rankings
+    (Cormack/Clarke/Buettcher): ``rrf(d) = sum_i 1/(c + rank_i(d))``
+    over the systems that ranked d, ranks 1-based in each system's
+    (score DESC, id ASC) order.
+
+    Each input is a SMALL Dataset/Table already truncated to its top-K
+    (the bounded output of :func:`bm25_topk` / :func:`density_topk` /
+    an ANN top-k) — K rows per system reach the driver, never the
+    corpus, so the fuse itself is O(systems * K). The fused terms add
+    in the order the rankings are given (float determinism: the SQL
+    twin coalesces in the same order). Returns a pyarrow Table
+    (doc_id, rrf) of the top-k by (rrf DESC, doc_id)."""
+    import pandas as pd
+
+    ranked: list[pd.DataFrame] = []
+    for r in rankings:
+        df = r.to_pandas() if hasattr(r, "to_pandas") else pd.DataFrame(r)
+        df = df.sort_values(
+            ["score", id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        ranked.append(df[[id_col, "rank"]])
+    ids = np.unique(np.concatenate([d[id_col].to_numpy() for d in ranked]))
+    rrf = np.zeros(len(ids), np.float64)
+    for d in ranked:
+        pos = np.searchsorted(ids, d[id_col].to_numpy())
+        contrib = np.zeros(len(ids), np.float64)
+        contrib[pos] = 1.0 / (c + d["rank"].to_numpy().astype(np.float64))
+        rrf = rrf + contrib  # fixed order: one system at a time
+    rrf = np.round(rrf, 6)
+    order = np.lexsort((ids, -rrf))[:k]
+    return pa.table(
+        {
+            id_col: pa.array(ids[order], pa.int64()),
+            "rrf": pa.array(rrf[order], pa.float64()),
+        }
+    )
