@@ -667,3 +667,55 @@ def test_decay_score_users_reference():
     assert len(got) == len(ref)
     for uid, s in ref.items():
         assert abs(got.loc[uid, "decay_score"] - s) <= 1e-4
+
+
+def test_ewma_matches_sequential_reference():
+    """Per-user EWMA: the vectorized weighted-dot closure must equal a
+    literal per-row recurrence at 6dp."""
+    from theoremkb_ray.pipelines.relational import q_ewma_users
+
+    got = (
+        _df(q_ewma_users(SF_DIR))
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    ).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    a = 0.25
+    rows = []
+    for uid, g in ev.groupby("user_id", sort=True):
+        e = None
+        for v in g["value"]:
+            e = v if e is None else a * v + (1 - a) * e
+        rows.append((uid, len(g), round(e, 6)))
+    want = pd.DataFrame(rows, columns=["user_id", "n_events", "ewma"])
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    np.testing.assert_allclose(
+        got["ewma"].to_numpy(), want["ewma"].to_numpy(), atol=2e-6
+    )
+
+
+def test_snapshot_diff_statuses():
+    """added keys exist only in B (%7==0 dropped from A but %5!=0);
+    removed only in A; changed are %3==0 price bumps present in both."""
+    from theoremkb_ray.pipelines.relational import q_snapshot_diff
+
+    got = _df(q_snapshot_diff(SF_DIR))
+    st = dict(zip(got["o_orderkey"], got["status"]))
+    orders = pd.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey"]
+    )["o_orderkey"].to_numpy()
+    for k in orders[:500]:
+        in_a = k % 7 != 0
+        in_b = k % 5 != 0
+        if in_a and in_b:
+            want = "changed" if k % 3 == 0 else None
+        elif in_b:
+            want = "added"
+        elif in_a:
+            want = "removed"
+        else:
+            want = None
+        assert st.get(int(k)) == want, (k, st.get(int(k)), want)

@@ -5126,3 +5126,171 @@ REGISTRY.update(
         "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
     }
 )
+
+
+def q_ewma_users(sf_dir: str):
+    """Per-user exponentially-weighted moving average of event values
+    (alpha = 0.25, events ordered by ts then event_id) — the
+    sequential streaming-feature shape (feature-store 'current EWMA'):
+    e_1 = v_1, e_i = a*v_i + (1-a)*e_{i-1}; one row per user with the
+    FINAL ewma and the event count. Users are bucketed by hash
+    (the `_by_user_bucket` exchange), and within a bucket the
+    recurrence closes in one vectorized weighted dot per user — the
+    weight of v_i in e_n is a*(1-a)^(n-i) (and (1-a)^(n-1) for v_1),
+    so old events underflow harmlessly instead of looping per row.
+    Oracle = per-user recursive CTE on row_number."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    a = 0.25
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        v = g["value"].to_numpy(np.float64)
+        change = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, len(u)))
+        # position from the END of each user's run: n - i
+        pos = np.arange(len(u), dtype=np.int64) - np.repeat(starts, lens)
+        from_end = np.repeat(lens, lens) - 1 - pos
+        w = a * np.power(1.0 - a, from_end.astype(np.float64))
+        # v_1's weight is (1-a)^(n-1), not a*(1-a)^(n-1)
+        first = np.repeat(starts, lens) == np.arange(len(u))
+        w[first] = np.power(
+            1.0 - a, (np.repeat(lens, lens) - 1)[first].astype(np.float64)
+        )
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        ewma = np.zeros(len(starts), np.float64)
+        np.add.at(ewma, seg, w * v)
+        return pd.DataFrame(
+            {
+                "user_id": u[starts],
+                "n_events": lens.astype(np.int64),
+                "ewma": np.round(ewma, 6),
+            }
+        )
+
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_EWMA_USERS = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+n AS (SELECT user_id, max(rn) AS n_events FROM ev GROUP BY user_id),
+r AS (
+  SELECT user_id, rn, value AS e FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT ev.user_id, ev.rn, 0.25 * ev.value + 0.75 * r.e
+  FROM ev JOIN r ON ev.user_id = r.user_id AND ev.rn = r.rn + 1
+)
+SELECT r.user_id, CAST(n.n_events AS BIGINT) AS n_events,
+       round(r.e, 6) AS ewma
+FROM r JOIN n ON n.user_id = r.user_id AND r.rn = n.n_events
+"""
+
+
+REGISTRY.update(
+    {
+        "ewma_users": (q_ewma_users, SQL_EWMA_USERS),
+    }
+)
+
+
+def q_snapshot_diff(sf_dir: str):
+    """CDC-style snapshot diff (added / removed / changed keys)
+    between two deterministic views of the orders table: snapshot A
+    drops o_orderkey % 7 == 0, snapshot B drops % 5 == 0 and bumps
+    o_totalprice by 10% for % 3 == 0. One distributed FULL OUTER hash
+    join (stages/joins.py) + a vectorized CASE — the delta pipeline's
+    (pipelines/delta.py) comparison shape as a standalone
+    oracle-checked operator. Source payloads are never null, so a
+    null payload marks the side the key is absent from; unchanged
+    rows are filtered out so output stays delta-sized."""
+    from ..stages.joins import hash_join
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def snap_a(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        keep = k % 7 != 0
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[keep], pa.int64()),
+                "price_a": pa.array(
+                    b["o_totalprice"].to_numpy(zero_copy_only=False)[keep],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    def snap_b(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        p = b["o_totalprice"].to_numpy(zero_copy_only=False).copy()
+        bump = k % 3 == 0
+        p[bump] = np.round(p[bump] * 1.1, 2)
+        keep = k % 5 != 0
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[keep], pa.int64()),
+                "price_b": pa.array(p[keep], pa.float64()),
+            }
+        )
+
+    a = orders.map_batches(snap_a, batch_format="pyarrow")
+    b = orders.map_batches(snap_b, batch_format="pyarrow")
+    j = hash_join(a, b, on=["o_orderkey"], how="full_outer")
+
+    def classify(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        pa_v = t["price_a"].to_numpy(zero_copy_only=False)
+        pb_v = t["price_b"].to_numpy(zero_copy_only=False)
+        a_null = pd.isna(pa_v)
+        b_null = pd.isna(pb_v)
+        changed = ~a_null & ~b_null & (pa_v != pb_v)
+        keep = a_null | b_null | changed
+        status = np.select(
+            [a_null[keep], b_null[keep]],
+            ["added", "removed"],
+            default="changed",
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    key[keep].astype(np.int64), pa.int64()
+                ),
+                "status": pa.array(status, pa.string()),
+            }
+        )
+
+    return j.map_batches(classify, batch_format="pyarrow")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH a AS (
+  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+  WHERE o_orderkey % 7 <> 0
+),
+b AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN round(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT CAST(COALESCE(a.k, b.k) AS BIGINT) AS o_orderkey,
+       CASE WHEN a.k IS NULL THEN 'added'
+            WHEN b.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.k = b.k
+WHERE a.k IS NULL OR b.k IS NULL OR a.p <> b.p
+"""
+
+
+REGISTRY.update(
+    {
+        "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    }
+)
