@@ -399,3 +399,38 @@ def test_feature_propagate_exact_and_partition_invariant():
             for r in out.itertuples(False)
         }
         assert got == want, got
+
+
+def test_personalized_pagerank_teleports_to_seeds():
+    """On a directed star 0->1..4 plus back-edges, PPR seeded at {0}
+    must (a) conserve total mass, (b) give 0 a much higher rank than
+    uniform PageRank does, (c) leave unreachable-from-seed nodes at
+    rank 0 when no path exists."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from theoremkb_ray.stages.graph import pagerank
+
+    # component A: 0 <-> 1, 0 <-> 2 ; component B: 3 <-> 4
+    edges = pa.table(
+        {
+            "src": pa.array([0, 1, 0, 2, 3, 4], pa.int64()),
+            "dst": pa.array([1, 0, 2, 0, 4, 3], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(edges)
+    out = pagerank(ds, iters=30, seeds=[0]).to_pandas()
+    r = dict(zip(out["node"], out["rank"]))
+    n = len(r)
+    # mass conservation: raw ranks sum to 1 -> scaled ranks sum to n
+    assert abs(sum(r.values()) - n) < 1e-3
+    # seed dominates its component
+    assert r[0] > r[1] > 0
+    assert abs(r[1] - r[2]) < 1e-9  # symmetric leaves
+    # disconnected component gets NO personalized mass
+    assert r[3] == 0.0 and r[4] == 0.0
+    # unknown seed raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(ds, iters=2, seeds=[99]).to_pandas()

@@ -4629,44 +4629,88 @@ def q_lift_pairs(sf_dir: str):
             m.groupby(["l_partkey_x", "l_partkey_y"], sort=False)
             .size()
             .reset_index(name="n12")
+        ).rename(columns={"l_partkey_x": "p1", "l_partkey_y": "p2"})
+        # part order-counts + the bucket's distinct-order total ride
+        # the SAME exchange as sentinel rows (p2 = -1 / p1 = -1):
+        # orders are bucket-disjoint so these partials are exact, and
+        # the part catalog is bounded so the finisher's driver-side
+        # collect of the sentinel slice is broadcast-sized
+        pc_ = (
+            g.groupby("l_partkey", sort=False)
+            .size()
+            .reset_index(name="n12")
+            .rename(columns={"l_partkey": "p1"})
         )
-        return out.rename(
-            columns={"l_partkey_x": "p1", "l_partkey_y": "p2"}
+        pc_["p2"] = np.int64(-1)
+        sent = pd.DataFrame(
+            {
+                "p1": np.array([-1], np.int64),
+                "p2": np.array([-1], np.int64),
+                "n12": np.array([g["l_orderkey"].nunique()], np.int64),
+            }
+        )
+        return pd.concat(
+            [out, pc_[["p1", "p2", "n12"]], sent], ignore_index=True
+        )
+
+    # pair-keyed reduction: pack (p1, p2) into ONE int64 and sum
+    # inside 64 coarse hash buckets with numpy — Ray's generic
+    # multi-key aggregate pays per-group overhead, and the pair key
+    # is nearly unique here (~1 row per group), which turns that
+    # overhead into the whole runtime (measured 135 s vs 3 s at
+    # sf0.1 / 1.2M pair rows)
+    def add_ppk(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import splitmix64
+
+        # +1 offset keeps the -1 sentinels non-negative so the
+        # shift/mask unpack is exact
+        packed = (
+            (b["p1"].to_numpy(zero_copy_only=False).astype(np.int64) + 1)
+            * (1 << 32)
+        ) + (b["p2"].to_numpy(zero_copy_only=False).astype(np.int64) + 1)
+        bk = (
+            splitmix64(packed.view(np.uint64))
+            % np.uint64(COARSE_USER_BUCKETS)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "ppk": pa.array(packed, pa.int64()),
+                "n12": pc.cast(b["n12"], pa.int64()),
+                "pb": pa.array(bk, pa.int64()),
+            }
+        )
+
+    def pair_sum(g: pd.DataFrame) -> pd.DataFrame:
+        keys, inv = np.unique(g["ppk"].to_numpy(), return_inverse=True)
+        tot = np.bincount(inv, weights=g["n12"].to_numpy(np.float64))
+        return pd.DataFrame(
+            {
+                "p1": (keys >> 32).astype(np.int64) - 1,
+                "p2": (keys & ((1 << 32) - 1)).astype(np.int64) - 1,
+                "pair_orders": tot.astype(np.int64),
+            }
         )
 
     pair_counts = (
         bucketed.map_groups(pair_partial, batch_format="pandas")
-        .groupby(["p1", "p2"])
-        .aggregate(Sum("n12", alias_name="pair_orders"))
+        .map_batches(add_ppk, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(pair_sum, batch_format="pandas")
     )
-    top = pair_counts.sort(
-        ["pair_orders", "p1", "p2"], descending=[True, False, False]
-    ).limit(15)
-
-    def part_partial(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
-        out = (
-            g.groupby("l_partkey", sort=False)
-            .size()
-            .reset_index(name="n_ord")
+    pair_counts = pair_counts.materialize()
+    top = (
+        pair_counts.filter(
+            expr="p2 >= 0"
         )
-        # sentinel: bucket-local distinct-order count (orders are
-        # bucket-disjoint, so the global sum is the exact total)
-        sent = pd.DataFrame(
-            {
-                "l_partkey": np.array([-1], np.int64),
-                "n_ord": np.array(
-                    [g["l_orderkey"].nunique()], np.int64
-                ),
-            }
-        )
-        return pd.concat([out, sent], ignore_index=True)
+        .sort(["pair_orders", "p1", "p2"], descending=[True, False, False])
+        .limit(15)
+    )
 
+    # sentinel slice -> (part, n_ord) table + distinct-order total
     parts = (
-        bucketed.map_groups(part_partial, batch_format="pandas")
-        .groupby("l_partkey")
-        .aggregate(Sum("n_ord", alias_name="n_ord"))
+        pair_counts.filter(expr="p2 < 0")
         .to_pandas()
+        .rename(columns={"p1": "l_partkey", "pair_orders": "n_ord"})
     )
     total = float(parts.loc[parts["l_partkey"] == -1, "n_ord"].iloc[0])
     parts = parts[parts["l_partkey"] != -1]
@@ -5292,5 +5336,211 @@ WHERE a.k IS NULL OR b.k IS NULL OR a.p <> b.p
 REGISTRY.update(
     {
         "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    }
+)
+
+
+def q_ppr_seeds(sf_dir: str):
+    """Personalized PageRank (stages/graph.py:pagerank with seeds):
+    teleport uniform over the seed set c_custkey % 100 == 0 instead
+    of all nodes — 'importance relative to THESE papers', the KG
+    recommendation shape. Same ring+chord digraph, 10 exact
+    iterations, recursive-CTE oracle with a CASE seed term."""
+    from ..stages.graph import pagerank
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    n = cust.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ring_dst = (c + 1) % n
+        ch = c[c % 3 == 0]
+        ch_dst = (ch * 7 + 3) % n
+        keep = ch_dst != (ch + 1) % n
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([c, ch[keep]]), pa.int64()),
+                "dst": pa.array(
+                    np.concatenate([ring_dst, ch_dst[keep]]), pa.int64()
+                ),
+            }
+        )
+
+    seeds = np.arange(0, n, 100, dtype=np.int64)
+    return pagerank(
+        cust.map_batches(edges, batch_format="pyarrow"),
+        damping=0.85,
+        iters=10,
+        seeds=seeds,
+    )
+
+
+SQL_PPR_SEEDS = """
+WITH RECURSIVE
+cnt AS (SELECT count(*) AS n FROM customer),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM customer
+       WHERE c_custkey % 100 = 0),
+e AS (
+  SELECT c_custkey AS src,
+         (c_custkey + 1) % (SELECT n FROM cnt) AS dst
+  FROM customer
+  UNION
+  SELECT c_custkey AS src,
+         (c_custkey * 7 + 3) % (SELECT n FROM cnt) AS dst
+  FROM customer WHERE c_custkey % 3 = 0
+),
+dg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
+pr(it, node, r) AS (
+  SELECT 0, c_custkey,
+         CASE WHEN c_custkey % 100 = 0
+              THEN CAST(1.0 AS DOUBLE) / (SELECT s FROM ns)
+              ELSE CAST(0.0 AS DOUBLE) END
+  FROM customer
+  UNION ALL
+  SELECT p.it + 1, e.dst,
+         CASE WHEN e.dst % 100 = 0
+              THEN CAST(0.15 AS DOUBLE) / (SELECT s FROM ns)
+              ELSE CAST(0.0 AS DOUBLE) END
+           + CAST(0.85 AS DOUBLE) * SUM(p.r / dg.d)
+  FROM pr p JOIN dg ON dg.src = p.node JOIN e ON e.src = p.node
+  WHERE p.it < 10
+  GROUP BY p.it + 1, e.dst
+)
+SELECT node, round(r * (SELECT n FROM cnt), 6) AS rank
+FROM pr WHERE it = 10
+"""
+
+
+REGISTRY.update(
+    {
+        "ppr_seeds": (q_ppr_seeds, SQL_PPR_SEEDS),
+    }
+)
+
+
+def q_winsorize_group(sf_dir: str):
+    """Winsorized robust statistics per group: exact p05/p95 of
+    l_extendedprice per l_returnflag (linear interpolation, the
+    quantiles_group contract), values clipped to [p05, p95], and the
+    winsorized mean — the outlier-robust normalization step a quality
+    pipeline applies before score blending. Per-group sort is one
+    numpy kernel under the quantiles_group task-size contract."""
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def per_grp(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["l_extendedprice"].to_numpy(np.float64))
+        lo = np.quantile(v, 0.05, method="linear")
+        hi = np.quantile(v, 0.95, method="linear")
+        w = np.clip(v, lo, hi)
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "p05": [np.round(lo, 4)],
+                "p95": [np.round(hi, 4)],
+                "win_mean": [np.round(w.mean(), 4)],
+            }
+        )
+
+    return ds.groupby("l_returnflag").map_groups(
+        per_grp, batch_format="pandas"
+    )
+
+
+SQL_WINSORIZE_GROUP = """
+WITH q AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       round(any_value(q.lo), 4) AS p05,
+       round(any_value(q.hi), 4) AS p95,
+       round(avg(CASE WHEN l.l_extendedprice < q.lo THEN q.lo
+                      WHEN l.l_extendedprice > q.hi THEN q.hi
+                      ELSE l.l_extendedprice END), 4) AS win_mean
+FROM lineitem l JOIN q ON q.l_returnflag = l.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+
+REGISTRY.update(
+    {
+        "winsorize_group": (q_winsorize_group, SQL_WINSORIZE_GROUP),
+    }
+)
+
+
+def q_global_rownum(sf_dir: str):
+    """Distributed zipWithIndex: a contiguous global row number over
+    events in (ts, event_id) order, without a single-task global
+    sort. Phase 1: one pass of per-batch counts per ORDERED time
+    bucket (6-hour windows — range buckets, so bucket order IS row
+    order); the bounded bucket->count table folds to an exclusive
+    prefix on the driver. Phase 2: per-bucket groups sort locally and
+    add their broadcast base. A corpus with a hot window would split
+    that window's bucket by sub-range — the documented partitioning
+    assumption of every ordered-scan operator here (see
+    stages/pack.py). Oracle = row_number() OVER (ORDER BY ts,
+    event_id) - 1."""
+    ds = _pq(sf_dir, "events", ["event_id", "ts"])
+    W = 6 * 3600 * 1_000_000  # 6h in microseconds
+
+    def add_wb(b: pa.Table) -> pa.Table:
+        t = b["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "ts": b["ts"],
+                "wb": pa.array(t // W, pa.int64()),
+            }
+        )
+
+    wb_ds = ds.map_batches(add_wb, batch_format="pyarrow").materialize()
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            b["wb"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"wb": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    cnt = (
+        wb_ds.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("wb")
+        .sum("c")
+        .to_pandas()
+        .sort_values("wb")
+    )
+    wbs = cnt["wb"].to_numpy(np.int64)
+    base = np.r_[0, np.cumsum(cnt["sum(c)"].to_numpy(np.int64))[:-1]]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        b0 = base[np.searchsorted(wbs, g["wb"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "rn": b0 + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return wb_ds.groupby("wb").map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_GLOBAL_ROWNUM = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(row_number() OVER (ORDER BY ts, event_id) - 1 AS BIGINT)
+         AS rn
+FROM events
+"""
+
+
+REGISTRY.update(
+    {
+        "global_rownum": (q_global_rownum, SQL_GLOBAL_ROWNUM),
     }
 )

@@ -71,9 +71,16 @@ def pagerank(
     iters: int = 10,
     src_col: str = "src",
     dst_col: str = "dst",
+    seeds=None,
 ):
     """-> Dataset(node, rank) — rank scaled by N (mean 1.0), so the
     6-dp precision contract keeps ~6 significant digits at any N.
+
+    ``seeds``: optional array of node ids for PERSONALIZED PageRank —
+    the teleport vector becomes uniform over the seed set instead of
+    uniform over all nodes (r_0 = 1/|S| on seeds, 0 elsewhere;
+    dangling mass also returns to the seeds). With ``seeds=None`` the
+    classic uniform teleport is unchanged.
 
     Multi-edges must be deduplicated upstream if the semantics call
     for it (the oracle graph is generated duplicate-free)."""
@@ -126,7 +133,23 @@ def pagerank(
     inv_deg = np.zeros(n)
     inv_deg[~dangling] = 1.0 / deg[~dangling]
 
-    ranks = np.full(n, 1.0 / n)
+    if seeds is not None:
+        seed_ids = np.unique(np.asarray(seeds, dtype=np.int64))
+        pos = np.searchsorted(nodes, seed_ids)
+        ok = (pos < n) & (nodes[np.minimum(pos, n - 1)] == seed_ids)
+        if not ok.all():
+            raise ValueError("personalization seeds not in the graph")
+        # the SQL twin writes the same division (1/|S|), so the seed
+        # weights are bit-identical on both sides
+        svec = np.zeros(n)
+        svec[pos] = 1.0 / len(seed_ids)
+        ranks = svec.copy()
+        teleport = np.zeros(n)
+        teleport[pos] = (1.0 - damping) / len(seed_ids)
+    else:
+        svec = np.full(n, 1.0 / n)
+        ranks = svec.copy()
+        teleport = np.full(n, (1.0 - damping) / n)
     for _ in range(iters):
         rod_ref = ray.put(ranks * inv_deg)  # rank/outdeg, 0 at dangling
 
@@ -153,8 +176,13 @@ def pagerank(
                 b["i"].to_numpy(zero_copy_only=False),
                 b["s"].to_numpy(zero_copy_only=False),
             )
-        dmass = float(ranks[dangling].sum()) / n
-        ranks = (1.0 - damping) / n + damping * (acc + dmass)
+        dmass = float(ranks[dangling].sum())
+        if seeds is None:
+            # identical arithmetic to the classic formulation (x/n,
+            # not x*(1/n)) so the existing oracle stays bit-stable
+            ranks = teleport + damping * (acc + dmass / n)
+        else:
+            ranks = teleport + damping * (acc + dmass * svec)
 
     return ray.data.from_arrow(
         pa.table(

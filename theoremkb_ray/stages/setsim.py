@@ -170,7 +170,26 @@ def _emit_postings(
     )
 
 
+_POP8 = np.array(
+    [bin(i).count("1") for i in range(256)], dtype=np.uint16
+)  #: byte-popcount LUT (numpy < 2.0 has no bitwise_count)
+
+
+def _popcount_rows(words: np.ndarray) -> np.ndarray:
+    """Row-wise popcount of a (n, B) uint64 matrix."""
+    by = words.view(np.uint8).reshape(len(words), -1)
+    return _POP8[by].sum(axis=1).astype(np.int64)
+
+
 def _pairs_in_group(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Candidate pairs from runs of equal prefix token, verified by
+    BITSET intersection over the group's token universe: every doc's
+    set becomes a (B,) uint64 mask (B = ceil(|group vocab| / 64)), so
+    a candidate verifies with one AND + popcount — fully vectorized
+    across all pairs. Degenerate corpora (tiny shared vocabulary, the
+    worst case for prefix filtering) produce millions of candidates
+    per token run; the packed-pair np.unique dedup + bitset verify
+    keeps that case out of Python loops entirely."""
     empty = pd.DataFrame(
         {
             "id_a": np.empty(0, np.int64),
@@ -190,53 +209,76 @@ def _pairs_in_group(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
     cand_b: list[np.ndarray] = []
     for s0, ln in zip(starts[runlens > 1], runlens[runlens > 1]):
         ii, jj = np.triu_indices(ln, k=1)
-        cand_a.append(s0 + ii)
-        cand_b.append(s0 + jj)
+        ia, ib = s0 + ii, s0 + jj
+        # Jaccard length filter, vectorized at generation time
+        na, nb = ns[ia], ns[ib]
+        keep = (np.minimum(na, nb) >= threshold * np.maximum(na, nb)) & (
+            ids[ia] != ids[ib]
+        )
+        cand_a.append(ia[keep])
+        cand_b.append(ib[keep])
     if not cand_a:
         return empty
     ia = np.concatenate(cand_a)
     ib = np.concatenate(cand_b)
-    # same doc can post the same token once only, but dedupe (a,b)
-    # candidates across runs of DIFFERENT tokens later; drop self pairs
-    keep = ids[ia] != ids[ib]
-    ia, ib = ia[keep], ib[keep]
-    # Jaccard length filter: min(n) >= t * max(n)
-    na, nb = ns[ia], ns[ib]
-    keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
-    ia, ib = ia[keep], ib[keep]
     if not len(ia):
         return empty
-    # canonical orientation + local pair dedup before the O(pair) verify
-    a_ids, b_ids = ids[ia], ids[ib]
+    # canonical orientation + vectorized pair dedup (a pair can recur
+    # under every shared prefix token)
+    lo_row = np.where(ids[ia] <= ids[ib], ia, ib)
+    hi_row = np.where(ids[ia] <= ids[ib], ib, ia)
+    # rows of the same doc id under different tokens are distinct row
+    # indices — dedupe by DOC-id pair via first-row representatives
+    # (row indices are group-local < 2**32, so the pack is exact and
+    # id magnitude never constrains it)
+    uid, first_row = np.unique(ids, return_index=True)
+    rep = first_row[np.searchsorted(uid, ids)]
+    packed = (rep[lo_row].astype(np.uint64) << np.uint64(32)) | rep[
+        hi_row
+    ].astype(np.uint64)
+    upacked = np.unique(packed)
+    ra = (upacked >> np.uint64(32)).astype(np.int64)
+    rb = (upacked & np.uint64(0xFFFFFFFF)).astype(np.int64)
+
+    # --- bitset verify over the group's token universe: build masks
+    # only for docs that appear in some candidate
+    need = np.unique(np.concatenate([ra, rb]))
+    toks_per = [np.asarray(sets[r]) for r in need]
+    vocab_g = (
+        np.unique(np.concatenate(toks_per))
+        if toks_per
+        else np.empty(0, np.int64)
+    )
+    B = max(1, (len(vocab_g) + 63) // 64)
+    masks = np.zeros((len(need), B), np.uint64)
+    for mi, tarr in enumerate(toks_per):
+        idx = np.searchsorted(vocab_g, tarr)
+        np.bitwise_or.at(
+            masks,
+            (np.full(len(idx), mi), idx >> 6),
+            np.uint64(1) << (idx & 63).astype(np.uint64),
+        )
+    pos_a = np.searchsorted(need, ra)
+    pos_b = np.searchsorted(need, rb)
+    inter = _popcount_rows(masks[pos_a] & masks[pos_b])
+    na = ns[ra].astype(np.int64)
+    nb = ns[rb].astype(np.int64)
+    union = na + nb - inter
+    ok = union > 0
+    sim = np.zeros(len(inter), np.float64)
+    sim[ok] = inter[ok] / union[ok]
+    keep = ok & (sim >= threshold)
+    if not keep.any():
+        return empty
+    a_ids = ids[ra[keep]]
+    b_ids = ids[rb[keep]]
     lo = np.minimum(a_ids, b_ids)
     hi = np.maximum(a_ids, b_ids)
-    seen: set[tuple[int, int]] = set()
-    out_a: list[int] = []
-    out_b: list[int] = []
-    out_s: list[float] = []
-    for k in range(len(ia)):
-        key = (int(lo[k]), int(hi[k]))
-        if key in seen:
-            continue
-        seen.add(key)
-        # int64 bit-views of the uint64 hashes: intersection only
-        # needs equality, and every per-doc set is distinct
-        sa = np.asarray(sets[ia[k]])
-        sb = np.asarray(sets[ib[k]])
-        c = len(np.intersect1d(sa, sb, assume_unique=True))
-        u = len(sa) + len(sb) - c
-        if u == 0:
-            continue
-        sim = c / u
-        if sim >= threshold:
-            out_a.append(key[0])
-            out_b.append(key[1])
-            out_s.append(round(sim, 6))
     return pd.DataFrame(
         {
-            "id_a": np.array(out_a, np.int64),
-            "id_b": np.array(out_b, np.int64),
-            "sim": np.array(out_s, np.float64),
+            "id_a": lo.astype(np.int64),
+            "id_b": hi.astype(np.int64),
+            "sim": np.round(sim[keep], 6),
         }
     )
 
