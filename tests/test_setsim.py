@@ -89,3 +89,47 @@ def test_duplicate_tokens_and_empty_docs():
         threshold=0.7,
     )
     assert got == {(0, 1): 1.0}
+
+
+def test_containment_join_directional():
+    import itertools
+
+    from theoremkb_ray.stages.setsim import containment_join
+    import pyarrow as pa
+    import ray.data as rd
+
+    texts = [
+        "a b c d e f g h i j",   # 0: superset
+        "a b c d",               # 1: fully contained in 0 (C=1.0)
+        "a b c x",               # 2: 3/4 = 0.75 in 0 -> below 0.8
+        "a b c d e",             # 3: contained in 0; contains 1? 4/4
+        "z y w v",               # 4: unrelated
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    out = containment_join(ds, threshold=0.8).to_pandas()
+    got = {
+        (a, b): c
+        for a, b, c in out[["id_a", "id_b", "containment"]].itertuples(
+            False
+        )
+    }
+    # brute reference
+    sets = [set(t.split()) for t in texts]
+    want = {}
+    for i, j in itertools.permutations(range(len(texts)), 2):
+        if not sets[i]:
+            continue
+        c = len(sets[i] & sets[j]) / len(sets[i])
+        if c >= 0.8:
+            want[(i, j)] = round(c, 6)
+    assert got == want, (got, want)
+    assert got[(1, 0)] == 1.0      # small inside big
+    assert (0, 1) not in got        # big not inside small
+    assert (2, 0) not in got        # 0.75 below threshold

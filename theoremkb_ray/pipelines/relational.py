@@ -5544,3 +5544,49 @@ REGISTRY.update(
         "global_rownum": (q_global_rownum, SQL_GLOBAL_ROWNUM),
     }
 )
+
+
+def q_containment_join(sf_dir: str):
+    """Asymmetric subset-duplicate detection
+    (stages/setsim.py:containment_join): ordered pairs where >= 80%
+    of doc a's distinct first-24-token set appears in doc b — the
+    boilerplate/quotation case Jaccard misses. Brute token
+    co-occurrence SQL twin."""
+    from ..stages.setsim import containment_join
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return containment_join(
+        docs, id_col="doc_id", text_col="text",
+        threshold=0.8, max_tokens=24,
+    )
+
+
+SQL_CONTAINMENT_JOIN = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(list_slice(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> ''),
+             1, 24)) AS tok
+    FROM documents
+  )
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.c AS DOUBLE) / sa.n, 6) AS containment
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.id_a
+WHERE CAST(i.c AS DOUBLE) / sa.n >= 0.8
+"""
+
+
+REGISTRY.update(
+    {
+        "containment_join": (q_containment_join, SQL_CONTAINMENT_JOIN),
+    }
+)

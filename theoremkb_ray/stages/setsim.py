@@ -149,7 +149,10 @@ def _emit_postings(
     pos_in_doc = np.arange(len(d_o), dtype=np.int64) - np.repeat(
         starts, lens
     )
-    p = lens - np.ceil(threshold * lens).astype(np.int64) + 1
+    # epsilon guards the float product at exact-integer boundaries
+    # (0.7*10 must ceil to 7, never 8): a too-LOW ceil only posts an
+    # extra token, a too-high one loses recall
+    p = lens - np.ceil(threshold * lens - 1e-9).astype(np.int64) + 1
     prefix = pos_in_doc < np.repeat(p, lens)
     # token-set list column (hash-sorted sets, as produced by
     # _doc_distinct_hashes before the rank re-sort)
@@ -212,9 +215,9 @@ def _pairs_in_group(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
         ia, ib = s0 + ii, s0 + jj
         # Jaccard length filter, vectorized at generation time
         na, nb = ns[ia], ns[ib]
-        keep = (np.minimum(na, nb) >= threshold * np.maximum(na, nb)) & (
-            ids[ia] != ids[ib]
-        )
+        keep = (
+            np.minimum(na, nb) >= threshold * np.maximum(na, nb) - 1e-9
+        ) & (ids[ia] != ids[ib])
         cand_a.append(ia[keep])
         cand_b.append(ib[keep])
     if not cand_a:
@@ -324,6 +327,236 @@ def setsim_self_join(
     def _dedup(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["id_a", "id_b"])[
             ["id_a", "id_b", "sim"]
+        ]
+
+    def _key(b: pa.Table) -> pa.Table:
+        k = (
+            b["id_a"].to_numpy(zero_copy_only=False) * 1315423911
+            + b["id_b"].to_numpy(zero_copy_only=False)
+        ) % coarse
+        return b.append_column("pk", pa.array(k, pa.int64()))
+
+    return (
+        pairs.map_batches(_key, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(_dedup, batch_format="pandas")
+    )
+
+
+def _containment_pairs_in_group(
+    g: pd.DataFrame, threshold: float
+) -> pd.DataFrame:
+    """Ordered candidate verification for :func:`containment_join`.
+
+    Rows carry ``kind``: 'q' rows are CONTAINED-side prefix postings
+    (rarest floor((1-t)*n)+1 tokens — if none of those hit the
+    container's set, containment < t, so recall is exact), 'x' rows
+    are container-side full postings. Candidates are q-row x x-row
+    products within a token run, direction known at generation; each
+    verifies with one bitset intersection."""
+    empty = pd.DataFrame(
+        {
+            "id_a": np.empty(0, np.int64),
+            "id_b": np.empty(0, np.int64),
+            "containment": np.empty(0, np.float64),
+        }
+    )
+    g = g.sort_values(["tok", "kind", "id"], kind="mergesort")
+    tok = g["tok"].to_numpy()
+    ids = g["id"].to_numpy()
+    ns = g["n"].to_numpy()
+    sets = g["toks"].to_numpy()
+    kind = g["kind"].to_numpy()
+    change = np.r_[True, tok[1:] != tok[:-1]]
+    starts = np.flatnonzero(change)
+    runlens = np.diff(np.append(starts, len(tok)))
+    cand_q: list[np.ndarray] = []
+    cand_x: list[np.ndarray] = []
+    for s0, ln in zip(starts, runlens):
+        rows = np.arange(s0, s0 + ln)
+        qr = rows[kind[rows] == "q"]
+        xr = rows[kind[rows] == "x"]
+        if not len(qr) or not len(xr):
+            continue
+        qq = np.repeat(qr, len(xr))
+        xx = np.tile(xr, len(qr))
+        keep = ids[qq] != ids[xx]
+        cand_q.append(qq[keep])
+        cand_x.append(xx[keep])
+    if not cand_q:
+        return empty
+    qa = np.concatenate(cand_q)
+    xb = np.concatenate(cand_x)
+    if not len(qa):
+        return empty
+    # dedupe ordered (contained, container) doc pairs via first-row
+    # representatives (per kind, so the mask build sees each doc once)
+    uid, first_row = np.unique(ids, return_index=True)
+    rep = first_row[np.searchsorted(uid, ids)]
+    packed = (rep[qa].astype(np.uint64) << np.uint64(32)) | rep[
+        xb
+    ].astype(np.uint64)
+    upacked, ui = np.unique(packed, return_index=True)
+    ra = qa[ui]
+    rb = xb[ui]
+
+    need = np.unique(np.concatenate([rep[ra], rep[rb]]))
+    toks_per = [np.asarray(sets[r]) for r in need]
+    vocab_g = (
+        np.unique(np.concatenate(toks_per))
+        if toks_per
+        else np.empty(0, np.int64)
+    )
+    B = max(1, (len(vocab_g) + 63) // 64)
+    masks = np.zeros((len(need), B), np.uint64)
+    for mi, tarr in enumerate(toks_per):
+        idx = np.searchsorted(vocab_g, tarr)
+        np.bitwise_or.at(
+            masks,
+            (np.full(len(idx), mi), idx >> 6),
+            np.uint64(1) << (idx & 63).astype(np.uint64),
+        )
+    pos_a = np.searchsorted(need, rep[ra])
+    pos_b = np.searchsorted(need, rep[rb])
+    inter = _popcount_rows(masks[pos_a] & masks[pos_b])
+    na = ns[ra].astype(np.float64)
+    cont = np.zeros(len(inter), np.float64)
+    okn = na > 0
+    cont[okn] = inter[okn] / na[okn]
+    keep = okn & (cont >= threshold)
+    if not keep.any():
+        return empty
+    return pd.DataFrame(
+        {
+            "id_a": ids[ra[keep]].astype(np.int64),
+            "id_b": ids[rb[keep]].astype(np.int64),
+            "containment": np.round(cont[keep], 6),
+        }
+    )
+
+
+def _emit_containment_postings(
+    b: pa.Table,
+    ref,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    max_tokens: int,
+    coarse: int,
+) -> pa.Table:
+    """Both posting kinds in one pass: 'q' = contained-side prefix
+    (rarest floor((1-t)*n)+1 tokens), 'x' = container-side full set.
+    The q token-set column carries the FULL set (verification needs
+    it), only the posted-token count shrinks."""
+    from ..state.broadcast import get_broadcast
+
+    vocab_h, vocab_rank = get_broadcast(ref)
+    ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    h, offs = _doc_distinct_hashes(b[text_col], max_tokens)
+    n_docs = len(offs) - 1
+    lens = np.diff(offs)
+    if len(h) == 0:
+        return pa.table(
+            {
+                "tok": pa.array([], pa.int64()),
+                "id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.string()),
+                "toks": pa.array([], pa.list_(pa.int64())),
+                "ck": pa.array([], pa.int64()),
+            }
+        )
+    d = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    pos = np.clip(np.searchsorted(vocab_h, h), 0, len(vocab_h) - 1)
+    rank = np.where(
+        vocab_h[pos] == h,
+        vocab_rank[pos],
+        np.int64(np.iinfo(np.int64).max // 2),
+    )
+    order = np.lexsort((h, rank, d))
+    h_o, d_o = h[order], d[order]
+    starts = offs[:-1]
+    pos_in_doc = np.arange(len(d_o), dtype=np.int64) - np.repeat(
+        starts, lens
+    )
+    # epsilon: (1-0.8)*5 computes 0.999... in floats; the prefix
+    # bound needs p > (1-t)*n EXACTLY, and a too-large p only costs
+    # an extra posting
+    p = np.floor((1.0 - threshold) * lens + 1e-9).astype(np.int64) + 1
+    prefix = pos_in_doc < np.repeat(p, lens)
+    sets = pa.ListArray.from_arrays(
+        pa.array(offs, pa.int32()), pa.array(h.view(np.int64), pa.int64())
+    )
+
+    def rows(sel_doc, tok, kind):
+        ck = (tok % np.uint64(coarse)).astype(np.int64)
+        return pa.table(
+            {
+                "tok": pa.array(tok.view(np.int64), pa.int64()),
+                "id": pa.array(ids[sel_doc], pa.int64()),
+                "n": pa.array(lens[sel_doc], pa.int64()),
+                "kind": pa.array(
+                    np.full(len(sel_doc), kind), pa.string()
+                ),
+                "toks": sets.take(pa.array(sel_doc, pa.int64())),
+                "ck": pa.array(ck, pa.int64()),
+            }
+        )
+
+    q = rows(d_o[prefix], h_o[prefix], "q")
+    x = rows(d_o, h_o, "x")
+    return pa.concat_tables([q, x])
+
+
+def containment_join(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_tokens: int = 24,
+    coarse: int = 64,
+):
+    """-> Dataset(id_a, id_b, containment): ORDERED pairs where doc
+    ``id_a``'s token set is >= ``threshold`` CONTAINED in ``id_b``'s —
+    the subset-duplicate / boilerplate-quotation detector (asymmetric
+    near-dup: a short doc embedded in a long one never clears Jaccard
+    but clears containment).
+
+    Same posting machinery as :func:`setsim_self_join`, with the
+    containment-specific prefix theorem: the CONTAINED side posts only
+    its floor((1-t)*n)+1 rarest tokens (if none hit the container's
+    set, more than (1-t)*n tokens are missing and containment < t),
+    while the CONTAINER side posts its full set — candidates are
+    q-prefix x x-full products per token run, direction known at
+    generation."""
+    import ray
+
+    df_tbl = token_df_table(
+        ds.select_columns([text_col]), text_col, max_tokens
+    )
+    toks = df_tbl["tok"].to_numpy().view(np.uint64)
+    dfs = df_tbl["df"].to_numpy()
+    order = np.argsort(toks, kind="mergesort")
+    vocab_h = toks[order]
+    rank_order = np.lexsort((vocab_h, dfs[order]))
+    vocab_rank = np.empty(len(vocab_h), np.int64)
+    vocab_rank[rank_order] = np.arange(len(vocab_h), dtype=np.int64)
+    ref = ray.put((vocab_h, vocab_rank))
+
+    postings = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: _emit_containment_postings(
+            b, ref, id_col, text_col, threshold, max_tokens, coarse
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = postings.groupby("ck").map_groups(
+        lambda g: _containment_pairs_in_group(g, threshold),
+        batch_format="pandas",
+    )
+
+    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[
+            ["id_a", "id_b", "containment"]
         ]
 
     def _key(b: pa.Table) -> pa.Table:
