@@ -1167,6 +1167,32 @@ def _dup_cluster_sizes(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _mmr_topk_docs(sf_dir: str):
+    """Maximal-marginal-relevance diverse top-10 over the embeddings
+    table (stages/similarity.py:mmr_topk) for a deterministic query
+    (mean of the 4 smallest vec_ids' embeddings). Greedy selection is
+    inherently sequential, so there is no SQL twin — the distributed
+    part (exact cosine top-`fetch` prefilter) IS oracle-checked via
+    `ann_topk`; pytest cross-checks the greedy step against a literal
+    reference loop (tests/test_similarity_mmr.py)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.stages.similarity import mmr_topk
+
+    emb = _rp(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
+    head = (
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(4)
+    )
+    qv = np.stack(head["embedding"].to_numpy()).mean(axis=0)
+    return mmr_topk(emb, qv, k=10, fetch=64, lam=0.7)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from theoremkb_ray.pipelines.relational import REGISTRY
 
@@ -1190,6 +1216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "winnow_fingerprint_docs": _winnow_fingerprint_docs,
             "simhash_ranked_docs": _simhash_ranked_docs,
             "ivf_topk": _ivf_topk,
+            "mmr_topk_docs": _mmr_topk_docs,
             "ivf_exact_topk": _ivf_exact_topk,
             "embedding_dups": _embedding_dups,
             "autoencoder_dups": _autoencoder_dups,

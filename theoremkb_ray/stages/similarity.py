@@ -320,3 +320,88 @@ def cosine_pairs(
         batch_size=4096,
         concurrency=(1, 8),
     )
+
+
+def mmr_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    fetch: int = 64,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """Maximal-marginal-relevance diverse top-k (Carbonell/Goldstein):
+    greedily pick argmax of ``lam * cos(q, d) - (1 - lam) * max cos(d,
+    chosen)`` — the diversity-aware sampling step of an eval-set or
+    few-shot-pool builder, where plain top-k returns k near-copies.
+
+    Two stages: an exact distributed cosine top-``fetch`` prefilter
+    (:func:`brute_topk`, per-batch partial top-k, only ``fetch``
+    (id, vector) rows reach the driver), then the inherently
+    sequential k-step greedy runs on the bounded candidate matrix —
+    each step is one vectorized (fetch,) update, never a corpus scan.
+    Returns a pyarrow Table (rank, vec_id, relevance, mmr) in
+    selection order; ties break to the smallest vec_id."""
+    import pandas as pd
+
+    q = np.asarray(query, dtype=np.float32).reshape(1, -1)
+    cand = (
+        brute_topk(ds, q, k=fetch, id_col=id_col, col=col)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    ids = cand[id_col].to_numpy()
+    # re-fetch candidate vectors via one filtered scan (bounded ids)
+    id_set = set(int(i) for i in ids)
+
+    def grab(b: pa.Table) -> pa.Table:
+        m = np.isin(
+            b[id_col].to_numpy(zero_copy_only=False), list(id_set)
+        )
+        return b.filter(pa.array(m))
+
+    vec_tbl = (
+        ds.map_batches(grab, batch_format="pyarrow")
+        .to_pandas()
+        .set_index(id_col)
+    )
+    V = _normalize(
+        np.stack(
+            [np.asarray(vec_tbl.loc[int(i), col]) for i in ids]
+        ).astype(np.float64)
+    )
+    qn = _normalize(q.astype(np.float64))[0]
+    rel = V @ qn
+    n = len(ids)
+    kk = min(k, n)
+    chosen: list[int] = []
+    max_sim = np.full(n, -np.inf)
+    picked = np.zeros(n, bool)
+    mmr_scores: list[float] = []
+    for _ in range(kk):
+        if chosen:
+            score = lam * rel - (1.0 - lam) * max_sim
+        else:
+            score = lam * rel
+        score = np.where(picked, -np.inf, score)
+        # deterministic tie-break: highest score, then smallest id
+        best = np.lexsort((ids, -score))[0]
+        chosen.append(best)
+        mmr_scores.append(float(score[best]))
+        picked[best] = True
+        max_sim = np.maximum(max_sim, V @ V[best])
+    return pa.table(
+        {
+            "rank": pa.array(
+                np.arange(1, kk + 1, dtype=np.int64), pa.int64()
+            ),
+            id_col: pa.array(
+                ids[chosen].astype(np.int64), pa.int64()
+            ),
+            "relevance": pa.array(
+                np.round(rel[chosen], 6), pa.float64()
+            ),
+            "mmr": pa.array(np.round(mmr_scores, 6), pa.float64()),
+        }
+    )
