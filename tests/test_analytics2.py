@@ -1,0 +1,205 @@
+"""Round-3 additions: global rank/ntile, A/B z-test, Welch t-test,
+hourly anomaly z, embedding covariance, char-level substring dedup.
+Each test runs the production query body over a small in-memory
+Dataset (the _pq monkeypatch pattern) and checks against a literal
+driver-side reference computation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+import theoremkb_ray.pipelines.relational as rel
+
+
+def _run(qfn, tables: dict, n_blocks: int = 3):
+    """Run a REGISTRY query over in-memory tables, split into several
+    blocks so partial/exchange paths are actually exercised."""
+    dss = {
+        name: rd.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False)
+        ).repartition(n_blocks)
+        for name, df in tables.items()
+    }
+    orig = rel._pq
+
+    def fake_pq(sf_dir, table, columns=None):
+        ds = dss[table]
+        return ds.select_columns(columns) if columns else ds
+
+    try:
+        rel._pq = fake_pq
+        out = qfn("unused")
+    finally:
+        rel._pq = orig
+    if isinstance(out, pd.DataFrame):
+        return out
+    return out.to_pandas()
+
+
+def test_rank_global_orders_vs_literal():
+    rng = np.random.default_rng(7)
+    n = 137
+    # deliberate ties: quantized prices
+    price = np.round(rng.uniform(100, 5000, n), -1)
+    orders = pd.DataFrame(
+        {"o_orderkey": np.arange(n, dtype=np.int64), "o_totalprice": price}
+    )
+    got = (
+        _run(rel.q_rank_global_orders, {"orders": orders})
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    # literal reference
+    order = np.lexsort((orders["o_orderkey"], price))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    sp = np.sort(price)
+    cume = np.searchsorted(sp, price, side="right") / n
+    q10, r10 = divmod(n, 10)
+    split = (q10 + 1) * r10
+    decile = (
+        np.where(rank < split, rank // (q10 + 1), r10 + (rank - split) // q10)
+        + 1
+    )
+    assert np.allclose(got["cume"].to_numpy(), np.round(cume, 6))
+    assert got["decile"].tolist() == decile.tolist()
+    # every decile holds floor/ceil(n/10) rows
+    sizes = got["decile"].value_counts()
+    assert set(sizes.unique()) <= {q10, q10 + 1}
+
+
+def test_ab_test_events_vs_literal():
+    rng = np.random.default_rng(3)
+    rows = []
+    for u in range(40):
+        # cohort 0 heavier purchasers
+        lam = 20 if u % 2 == 0 else 12
+        k = rng.poisson(lam)
+        rows += [(u, "purchase")] * k + [(u, "click")] * 3
+    ev = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    ev["user_id"] = ev["user_id"].astype(np.int64)
+    got = _run(rel.q_ab_test_events, {"events": ev})
+    pu = ev[ev.event_type == "purchase"].groupby("user_id").size()
+    conv = (pu.reindex(range(40), fill_value=0) >= 15).astype(int)
+    grp = np.arange(40) % 2
+    n_a, k_a = int((grp == 0).sum()), int(conv[grp == 0].sum())
+    n_b, k_b = int((grp == 1).sum()), int(conv[grp == 1].sum())
+    p = (k_a + k_b) / (n_a + n_b)
+    z = (k_a / n_a - k_b / n_b) / np.sqrt(
+        p * (1 - p) * (1 / n_a + 1 / n_b)
+    )
+    assert got["n_a"].iloc[0] == n_a and got["n_b"].iloc[0] == n_b
+    assert got["conv_a"].iloc[0] == k_a and got["conv_b"].iloc[0] == k_b
+    assert abs(got["z"].iloc[0] - round(float(z), 6)) < 1e-9
+
+
+def test_welch_ttest_vs_literal():
+    rng = np.random.default_rng(11)
+    nc = 30
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(nc, dtype=np.int64),
+            "c_mktsegment": np.where(
+                np.arange(nc) % 3 == 0, "BUILDING",
+                np.where(np.arange(nc) % 3 == 1, "MACHINERY", "OTHER"),
+            ),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_custkey": rng.integers(0, nc, 400).astype(np.int64),
+            "o_totalprice": rng.normal(1000, 200, 400),
+        }
+    )
+    got = _run(
+        rel.q_welch_ttest_segments, {"customer": cust, "orders": orders}
+    )
+    j = orders.merge(
+        cust, left_on="o_custkey", right_on="c_custkey", how="inner"
+    )
+    a = j.loc[j.c_mktsegment == "BUILDING", "o_totalprice"].to_numpy()
+    b = j.loc[j.c_mktsegment == "MACHINERY", "o_totalprice"].to_numpy()
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    sea, seb = va / len(a), vb / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(sea + seb)
+    df = (sea + seb) ** 2 / (
+        sea**2 / (len(a) - 1) + seb**2 / (len(b) - 1)
+    )
+    assert got["n_a"].iloc[0] == len(a) and got["n_b"].iloc[0] == len(b)
+    assert abs(got["t"].iloc[0] - t) < 1e-4
+    assert abs(got["df"].iloc[0] - df) < 0.05
+
+
+def test_anomaly_hours_flags_planted_spike():
+    base = pd.Timestamp("2025-01-01")
+    rows = []
+    for h in range(48):
+        n = 100 if h != 20 else 400  # planted spike
+        rows += [(base + pd.Timedelta(hours=h, seconds=s % 3600),)
+                 for s in range(n)]
+    ev = pd.DataFrame(rows, columns=["ts"])
+    got = _run(rel.q_anomaly_hours, {"events": ev})
+    assert len(got) == 1
+    assert got["hb"].iloc[0] == base + pd.Timedelta(hours=20)
+    assert got["n"].iloc[0] == 400
+    cnts = np.array([100] * 48, dtype=float)
+    cnts[20] = 400
+    z = (400 - cnts.mean()) / cnts.std(ddof=1)
+    assert abs(got["z"].iloc[0] - round(float(z), 6)) < 1e-9
+
+
+def test_cov_embeddings_vs_numpy():
+    rng = np.random.default_rng(5)
+    n, dim = 200, 16
+    M = rng.normal(size=(n, dim)).astype(np.float32)
+    emb = pd.DataFrame({"embedding": [row for row in M]})
+    got = _run(rel.q_cov_embeddings, {"embeddings": emb})
+    C = np.cov(M[:, :8].astype(np.float64), rowvar=False, ddof=1)
+    assert len(got) == 36
+    for _, r in got.iterrows():
+        assert abs(r["cov"] - C[int(r["i"]), int(r["j"])]) < 1e-5
+
+
+def test_substr_dedup_vs_brute():
+    shared = "x" * 10 + "the quick brown fox jumps over the lazy dog"
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "A unique preamble here. " + shared,
+                shared + " And a unique tail follows this text.",
+                "completely different content with no overlap at all"
+                " and then some more words to pad it out beyond forty",
+                "short",  # < 40 chars: no windows, absent from output
+            ],
+        }
+    )
+    got = (
+        _run(rel.q_substr_dedup_docs, {"documents": docs})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # brute force
+    W = 40
+    grams = {}
+    for d, t in zip(docs.doc_id, docs.text):
+        for i in range(len(t) - W + 1):
+            grams.setdefault(t[i : i + W], set()).add(d)
+    exp = {}
+    for d, t in zip(docs.doc_id, docs.text):
+        wins = [t[i : i + W] for i in range(len(t) - W + 1)]
+        if not wins:
+            continue
+        dup = sum(1 for g in wins if len(grams[g]) >= 2)
+        exp[d] = (len(wins), dup)
+    assert got["doc_id"].tolist() == sorted(exp)
+    for _, r in got.iterrows():
+        n, dup = exp[r["doc_id"]]
+        assert r["n_windows"] == n
+        assert r["n_dup_windows"] == dup
+        assert abs(r["dup_ratio"] - round(dup / n, 6)) < 1e-9
+    # the two docs sharing a 54-char run actually overlap
+    assert got.loc[got.doc_id == 0, "n_dup_windows"].iloc[0] > 0

@@ -5590,3 +5590,681 @@ REGISTRY.update(
         "containment_join": (q_containment_join, SQL_CONTAINMENT_JOIN),
     }
 )
+
+
+def q_rank_global_orders(sf_dir: str):
+    """Exact GLOBAL percentile rank (cume_dist) and decile bucket
+    (NTILE(10)) for every order by o_totalprice — feature
+    discretization / percentile normalization without a single-task
+    global sort. The global_rownum machinery generalized from time
+    buckets to VALUE-range buckets: pass 1 streams per-batch counts
+    per 1024-wide price bucket (bucket order IS value order; the
+    bucket table is bounded by the value range, not the row count) and
+    folds an exclusive prefix on the driver; pass 2 exchanges rows by
+    bucket, each bucket sorts locally and adds its broadcast base.
+    Equal values share a bucket by construction, so tie groups never
+    straddle tasks and cume_dist's count(<= v) is exact. NTILE uses
+    the (value, key) total order, matching the oracle's ORDER BY. The
+    materialize pins only the two projected columns (key + price),
+    reused by both passes."""
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    W = 1024.0
+
+    def add_vb(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_totalprice": pa.array(v, pa.float64()),
+                "vb": pa.array(np.floor(v / W).astype(np.int64), pa.int64()),
+            }
+        )
+
+    vb_ds = ds.map_batches(add_vb, batch_format="pyarrow").materialize()
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            b["vb"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"vb": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    cnt = (
+        vb_ds.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("vb")
+        .sum("c")
+        .to_pandas()
+        .sort_values("vb")
+    )
+    vbs = cnt["vb"].to_numpy(np.int64)
+    sizes = cnt["sum(c)"].to_numpy(np.int64)
+    base = np.r_[0, np.cumsum(sizes)[:-1]]
+    N = int(sizes.sum())
+    q10, r10 = divmod(N, 10)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], kind="mergesort"
+        )
+        b0 = int(base[np.searchsorted(vbs, int(g["vb"].iloc[0]))])
+        v = g["o_totalprice"].to_numpy(np.float64)
+        rank = b0 + np.arange(len(g), dtype=np.int64)  # 0-based, tiebroken
+        cume = (b0 + np.searchsorted(v, v, side="right")) / N
+        if q10 == 0:
+            decile = rank + 1
+        else:
+            split = (q10 + 1) * r10
+            decile = np.where(
+                rank < split,
+                rank // (q10 + 1),
+                r10 + (rank - split) // q10,
+            ) + 1
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+                "cume": np.round(cume, 6),
+                "decile": decile.astype(np.int64),
+            }
+        )
+
+    return vb_ds.groupby("vb").map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_RANK_GLOBAL_ORDERS = """
+SELECT o_orderkey,
+       round(cume_dist() OVER (ORDER BY o_totalprice), 6) AS cume,
+       CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+         AS decile
+FROM orders
+"""
+
+
+REGISTRY.update(
+    {
+        "rank_global_orders": (q_rank_global_orders, SQL_RANK_GLOBAL_ORDERS),
+    }
+)
+
+
+def q_ab_test_events(sf_dir: str):
+    """Two-proportion z-test between deterministic user cohorts
+    (user_id % 2): did cohort A convert (>= 15 'purchase' events — a
+    per-user intensity threshold that stays meaningful at every scale
+    because per-user event counts are scale-invariant in this corpus)
+    at a different rate than cohort B? The experiment-analysis
+    primitive of an event pipeline. Per-batch per-user purchase-count
+    partials shrink the exchange to one row per (batch, user); a
+    user-keyed sum folds them; the 2-row cohort table finishes on the
+    driver with the pooled z formula written EXACTLY as the oracle's
+    SQL expression tree so the float64 ops match ulp-for-ulp."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+    THRESH = 15
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        isp = (
+            pc.equal(b["event_type"], "purchase")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        us, inv = np.unique(u, return_inverse=True)
+        return pa.table(
+            {
+                "user_id": pa.array(us, pa.int64()),
+                "np": pa.array(
+                    np.bincount(inv, weights=isp).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    per_user = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("np", alias_name="np"))
+    )
+
+    def cohort_partial(b: pa.Table) -> pa.Table:
+        grp = (
+            b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 2
+        )
+        conv = (
+            b["np"].to_numpy(zero_copy_only=False).astype(np.int64)
+            >= THRESH
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "grp": pa.array([0, 1], pa.int64()),
+                "n": pa.array(
+                    [int((grp == 0).sum()), int((grp == 1).sum())],
+                    pa.int64(),
+                ),
+                "k": pa.array(
+                    [int(conv[grp == 0].sum()), int(conv[grp == 1].sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    c = (
+        per_user.map_batches(cohort_partial, batch_format="pyarrow")
+        .groupby("grp")
+        .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"))
+        .to_pandas()
+        .set_index("grp")
+    )
+    n_a, k_a = int(c.loc[0, "n"]), int(c.loc[0, "k"])
+    n_b, k_b = int(c.loc[1, "n"]), int(c.loc[1, "k"])
+    rate_a = k_a / float(n_a)
+    rate_b = k_b / float(n_b)
+    p = (k_a + k_b) / float(n_a + n_b)
+    z = (rate_a - rate_b) / np.sqrt(
+        p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b)
+    )
+    return pd.DataFrame(
+        {
+            "n_a": [n_a],
+            "conv_a": [k_a],
+            "rate_a": [round(rate_a, 6)],
+            "n_b": [n_b],
+            "conv_b": [k_b],
+            "rate_b": [round(rate_b, 6)],
+            "z": [round(float(z), 6)],
+        }
+    )
+
+
+SQL_AB_TEST_EVENTS = """
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) >= 15
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT user_id % 2 AS grp, count(*) AS n,
+         CAST(sum(conv) AS BIGINT) AS k
+  FROM u GROUP BY 1
+),
+w AS (
+  SELECT max(CASE WHEN grp = 0 THEN n END) AS n_a,
+         max(CASE WHEN grp = 0 THEN k END) AS conv_a,
+         max(CASE WHEN grp = 1 THEN n END) AS n_b,
+         max(CASE WHEN grp = 1 THEN k END) AS conv_b
+  FROM c
+)
+SELECT n_a, conv_a, round(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       n_b, conv_b, round(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       round((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+             / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+FROM w
+"""
+
+
+REGISTRY.update(
+    {
+        "ab_test_events": (q_ab_test_events, SQL_AB_TEST_EVENTS),
+    }
+)
+
+
+def q_welch_ttest_segments(sf_dir: str):
+    """Welch's unequal-variance t-test of o_totalprice between orders
+    from BUILDING vs MACHINERY customers — the significance-testing
+    primitive over a dimension join. The segment map rides the
+    broadcast join (auto-routing to the hash join when the dimension
+    outgrows the broadcast cap); moments use the corr_agg two-pass
+    shape: grouped means first (tiny, broadcast), then per-block
+    centered-square partials folded by one tiny groupby. var_samp =
+    sxx/(n-1) matches SQL's to well below the rounding margin
+    (corr_agg argument). t and the Welch–Satterthwaite df finish on
+    the driver from the 2-row moment table."""
+    cust = (
+        _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda b: b.filter(
+                pc.is_in(
+                    b["c_mktsegment"],
+                    value_set=pa.array(["BUILDING", "MACHINERY"]),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    j = broadcast_join(
+        ds, cust, on=["o_custkey"], right_on=["c_custkey"], how="inner"
+    )
+    means = (
+        j.groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n"), Mean("o_totalprice", alias_name="m")
+        )
+        .to_pandas()
+        .set_index("c_mktsegment")
+    )
+    mu = {seg: float(means.loc[seg, "m"]) for seg in means.index}
+
+    def sq_partial(b: pa.Table) -> pa.Table:
+        seg = b["c_mktsegment"].to_numpy(zero_copy_only=False)
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        codes, uniq = pd.factorize(seg)
+        d = v - np.array([mu[s] for s in uniq])[codes]
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(uniq),
+                "sxx": pa.array(np.bincount(codes, d * d)),
+            }
+        )
+
+    sq = (
+        j.map_batches(sq_partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("sxx", alias_name="sxx"))
+        .to_pandas()
+        .set_index("c_mktsegment")
+    )
+    n_a = int(means.loc["BUILDING", "n"])
+    n_b = int(means.loc["MACHINERY", "n"])
+    m_a, m_b = mu["BUILDING"], mu["MACHINERY"]
+    v_a = float(sq.loc["BUILDING", "sxx"]) / (n_a - 1)
+    v_b = float(sq.loc["MACHINERY", "sxx"]) / (n_b - 1)
+    se_a, se_b = v_a / n_a, v_b / n_b
+    t = (m_a - m_b) / np.sqrt(se_a + se_b)
+    df = (se_a + se_b) ** 2 / (
+        se_a**2 / (n_a - 1) + se_b**2 / (n_b - 1)
+    )
+    return pd.DataFrame(
+        {
+            "n_a": [n_a],
+            "n_b": [n_b],
+            "mean_a": [round(m_a, 4)],
+            "mean_b": [round(m_b, 4)],
+            "t": [round(float(t), 6)],
+            "df": [round(float(df), 2)],
+        }
+    )
+
+
+SQL_WELCH_TTEST_SEGMENTS = """
+WITH j AS (
+  SELECT c.c_mktsegment AS seg, o.o_totalprice AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+s AS (
+  SELECT seg, count(*) AS n, avg(v) AS m, var_samp(v) AS s2
+  FROM j GROUP BY seg
+),
+w AS (
+  SELECT max(CASE WHEN seg = 'BUILDING' THEN n END) AS n_a,
+         max(CASE WHEN seg = 'MACHINERY' THEN n END) AS n_b,
+         max(CASE WHEN seg = 'BUILDING' THEN m END) AS m_a,
+         max(CASE WHEN seg = 'MACHINERY' THEN m END) AS m_b,
+         max(CASE WHEN seg = 'BUILDING' THEN s2 END) AS v_a,
+         max(CASE WHEN seg = 'MACHINERY' THEN s2 END) AS v_b
+  FROM s
+)
+SELECT n_a, n_b, round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS t,
+       round(pow(v_a / n_a + v_b / n_b, 2)
+             / (pow(v_a / n_a, 2) / (n_a - 1)
+                + pow(v_b / n_b, 2) / (n_b - 1)), 2) AS df
+FROM w
+"""
+
+
+REGISTRY.update(
+    {
+        "welch_ttest_segments": (
+            q_welch_ttest_segments,
+            SQL_WELCH_TTEST_SEGMENTS,
+        ),
+    }
+)
+
+
+def q_anomaly_hours(sf_dir: str):
+    """Hourly traffic anomaly detection: z-score of each hour's event
+    count against the corpus-wide hourly mean/std (sample std), flag
+    hours with |z| > 2 — the monitoring primitive of a streaming
+    pipeline, run as a batch diagnostic. Per-batch hour-bucket count
+    partials shrink the exchange; the hour table is bounded by the
+    TIME SPAN, not the row count, so the driver finish is
+    scale-safe. Both sides compare the ROUNDED z against the
+    threshold, so boundary floats cannot diverge."""
+    ds = _pq(sf_dir, "events", ["ts"])
+    H = 3600 * 1_000_000
+
+    def hour_partial(b: pa.Table) -> pa.Table:
+        t = (
+            b["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        u, c = np.unique(t // H, return_counts=True)
+        return pa.table(
+            {"hb": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    h = (
+        ds.map_batches(hour_partial, batch_format="pyarrow")
+        .groupby("hb")
+        .sum("c")
+        .to_pandas()
+    )
+    n = h["sum(c)"].to_numpy(np.float64)
+    m = n.mean()
+    sd = np.sqrt(((n - m) ** 2).sum() / (len(n) - 1))
+    z = np.round((n - m) / sd, 6)
+    keep = np.abs(z) > 2
+    return pd.DataFrame(
+        {
+            "hb": (h["hb"].to_numpy(np.int64)[keep] * H).astype(
+                "datetime64[us]"
+            ),
+            "n": n[keep].astype(np.int64),
+            "z": z[keep],
+        }
+    )
+
+
+SQL_ANOMALY_HOURS = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hb, count(*) AS n
+  FROM events GROUP BY 1
+),
+s AS (SELECT avg(n) AS m, stddev_samp(n) AS sd FROM h)
+SELECT h.hb, h.n, round((h.n - s.m) / s.sd, 6) AS z
+FROM h, s
+WHERE abs(round((h.n - s.m) / s.sd, 6)) > 2
+"""
+
+
+REGISTRY.update(
+    {
+        "anomaly_hours": (q_anomaly_hours, SQL_ANOMALY_HOURS),
+    }
+)
+
+
+def q_cov_embeddings(sf_dir: str):
+    """Distributed covariance matrix of the first 8 embedding
+    dimensions — the one-pass-shaped statistics kernel behind PCA /
+    whitening over an embedding column. Two-pass centered form for
+    float stability (the corr_agg shape lifted to a matrix): pass 1
+    folds per-batch dimension sums to global means (D-row table,
+    broadcast); pass 2 emits the 36 upper-triangle centered-product
+    partials per batch and folds them with one tiny groupby.
+    cov = sxy/(n-1) = SQL covar_samp to well below the 6 dp margin.
+    Output is the (i, j, cov) upper triangle."""
+    ds = _pq(sf_dir, "embeddings", ["embedding"])
+    D = 8
+
+    def mat(b: pa.Table) -> np.ndarray:
+        arr = b["embedding"].combine_chunks()
+        # flatten() respects slice offsets, unlike .values
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        dim = len(flat) // len(arr)
+        return flat.reshape(len(arr), dim)[:, :D]
+
+    def sum_partial(b: pa.Table) -> pa.Table:
+        M = mat(b)
+        return pa.table(
+            {
+                "k": pa.array(np.arange(D, dtype=np.int64), pa.int64()),
+                "s": pa.array(M.sum(axis=0), pa.float64()),
+                "n": pa.array(
+                    np.full(D, M.shape[0], dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    sums = (
+        ds.map_batches(sum_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("k")
+    )
+    n = int(sums["n"].iloc[0])
+    mean = (sums["s"].to_numpy(np.float64) / n).copy()
+
+    iu, ju = np.triu_indices(D)
+    codes = iu * D + ju
+
+    def prod_partial(b: pa.Table) -> pa.Table:
+        Mc = mat(b) - mean
+        G = Mc.T @ Mc
+        return pa.table(
+            {
+                "code": pa.array(codes, pa.int64()),
+                "sxy": pa.array(G[iu, ju], pa.float64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prod_partial, batch_format="pyarrow")
+        .groupby("code")
+        .aggregate(Sum("sxy", alias_name="sxy"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        code = b["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "i": pa.array(code // D, pa.int64()),
+                "j": pa.array(code % D, pa.int64()),
+                "cov": pa.array(np.round(sxy / (n - 1), 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_COV_EMBEDDINGS = """
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       round(covar_samp(embedding[CAST(i + 1 AS INT)],
+                        embedding[CAST(j + 1 AS INT)]), 6) AS cov
+FROM embeddings,
+     unnest(generate_series(0, 7)) AS t(i),
+     unnest(generate_series(0, 7)) AS u(j)
+WHERE i <= j
+GROUP BY i, j
+"""
+
+
+REGISTRY.update(
+    {
+        "cov_embeddings": (q_cov_embeddings, SQL_COV_EMBEDDINGS),
+    }
+)
+
+
+def q_substr_dedup_docs(sf_dir: str):
+    """Character-level exact substring-duplication profile: for every
+    document, how many of its 40-char stride-1 windows also occur in
+    at least one OTHER document — the character-granularity sibling of
+    block_dedup_docs (the "dedup training data at the substring level"
+    pass; block boundaries can hide duplicates that a stride-1 window
+    cannot). Engine: zero-copy Arrow string buffers -> one flat uint8
+    array per batch, windows hashed with a vectorized polynomial dot
+    over a sliding view (wraparound uint64; no per-row loop, no string
+    rebuilding), per-(window, doc) partials deduped in-batch, ONE
+    coarse hash-keyed exchange marks windows whose distinct-doc count
+    >= 2, and a doc-keyed groupby folds per-doc totals. The oracle
+    keys window STRINGS (the decontaminate / block_dedup hash-vs-
+    string equivalence argument). Docs shorter than 40 chars have no
+    windows and are absent from BOTH sides."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    W = 40
+    NB = 64
+    P = np.uint64(1099511628211)
+    pw = np.ones(W, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(W - 2, -1, -1):
+            pw[k] = pw[k + 1] * P
+
+    def window_rows(b: pa.Table) -> pa.Table:
+        a = b["text"].combine_chunks()
+        odt = np.int64 if pa.types.is_large_string(a.type) else np.int32
+        off = np.frombuffer(a.buffers()[1], dtype=odt)[
+            a.offset : a.offset + len(a) + 1
+        ].astype(np.int64)
+        dat = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+        flat = dat[off[0] : off[-1]]
+        off = off - off[0]
+        doc = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = np.diff(off)
+        d = np.repeat(np.arange(len(doc), dtype=np.int64), lengths)
+        F = len(flat)
+        empty = pa.table(
+            {
+                "gh": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "bk": pa.array([], pa.int64()),
+            }
+        )
+        if F < W:
+            return empty
+        sw = np.lib.stride_tricks.sliding_window_view(flat, W)
+        with np.errstate(over="ignore"):
+            h = (sw.astype(np.uint64) * pw).sum(axis=1)
+        valid = d[: F - W + 1] == d[W - 1 :]
+        if not valid.any():
+            return empty
+        gh = h[valid].view(np.int64)
+        wdoc = doc[d[: F - W + 1][valid]]
+        order = np.lexsort((wdoc, gh))
+        gh, wdoc = gh[order], wdoc[order]
+        first = np.empty(len(gh), dtype=bool)
+        first[0] = True
+        np.logical_or(
+            gh[1:] != gh[:-1], wdoc[1:] != wdoc[:-1], out=first[1:]
+        )
+        idx = np.flatnonzero(first)
+        cnt = np.diff(np.append(idx, len(gh)))
+        gh, wdoc = gh[idx], wdoc[idx]
+        return pa.table(
+            {
+                "gh": pa.array(gh, pa.int64()),
+                "doc_id": pa.array(wdoc, pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "bk": pa.array(
+                    gh.view(np.uint64) % np.uint64(NB), pa.int64()
+                ),
+            }
+        )
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        gh = g["gh"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        cnt = g["cnt"].to_numpy()
+        order = np.lexsort((doc, gh))
+        gh, doc, cnt = gh[order], doc[order], cnt[order]
+        m = len(gh)
+        newg = np.empty(m, dtype=bool)
+        newg[0] = True
+        np.not_equal(gh[1:], gh[:-1], out=newg[1:])
+        newd = np.empty(m, dtype=bool)  # new (gh, doc) run
+        newd[0] = True
+        np.logical_or(
+            newg[1:], doc[1:] != doc[:-1], out=newd[1:]
+        )
+        gid = np.cumsum(newg) - 1
+        ndocs = np.bincount(gid[newd])  # distinct docs per gram
+        dup = ndocs[gid] >= 2
+        u, inv = np.unique(doc, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "doc_id": u,
+                "n_windows": np.bincount(inv, weights=cnt).astype(
+                    np.int64
+                ),
+                "n_dup_windows": np.bincount(
+                    inv, weights=cnt * dup
+                ).astype(np.int64),
+            }
+        )
+
+    def ratio(b: pa.Table) -> pa.Table:
+        n = b["n_windows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = (
+            b["n_dup_windows"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_windows": pa.array(n, pa.int64()),
+                "n_dup_windows": pa.array(dup, pa.int64()),
+                "dup_ratio": pa.array(
+                    np.round(dup / np.maximum(n, 1), 6), pa.float64()
+                ),
+            }
+        )
+
+    from ..state.spool import spooled_group_map
+
+    # disk-spool keyed exchange (the repo's fast path for bucketed
+    # group maps; mark_dups relies only on gh co-location, so hot
+    # coarse buckets may be re-split on the fine key)
+    marked = spooled_group_map(
+        ds.map_batches(window_rows, batch_format="pyarrow"),
+        "bk",
+        mark_dups,
+        batch_format="pandas",
+        fine_col="gh",
+    )
+    return (
+        marked.groupby("doc_id")
+        .aggregate(
+            _Sum("n_windows", alias_name="n_windows"),
+            _Sum("n_dup_windows", alias_name="n_dup_windows"),
+        )
+        .map_batches(ratio, batch_format="pyarrow")
+    )
+
+
+SQL_SUBSTR_DEDUP_DOCS = """
+WITH g AS (
+  SELECT doc_id, substring(text, CAST(i AS INT), 40) AS gram
+  FROM documents,
+       unnest(generate_series(1, length(text) - 39)) AS t(i)
+),
+m AS (
+  SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+)
+SELECT g.doc_id, count(*) AS n_windows,
+       CAST(sum(CASE WHEN m.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       round(sum(CASE WHEN m.nd >= 2 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+FROM g JOIN m ON g.gram = m.gram
+GROUP BY g.doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "substr_dedup_docs": (q_substr_dedup_docs, SQL_SUBSTR_DEDUP_DOCS),
+    }
+)
