@@ -203,3 +203,104 @@ def test_substr_dedup_vs_brute():
         assert abs(r["dup_ratio"] - round(dup / n, 6)) < 1e-9
     # the two docs sharing a 54-char run actually overlap
     assert got.loc[got.doc_id == 0, "n_dup_windows"].iloc[0] > 0
+
+
+def test_hard_negatives_vs_brute():
+    rng = np.random.default_rng(9)
+    n, dim = 60, 8
+    M = rng.normal(size=(n, dim)).astype(np.float32)
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row for row in M],
+            "label": (np.arange(n) % 4).astype(np.int32),
+        }
+    )
+    got = (
+        _run(rel.q_hard_negatives, {"embeddings": emb})
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = M.astype(np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    S = X @ X.T
+    lab = np.arange(n) % 4
+    S[lab[:, None] == lab[None, :]] = -np.inf
+    exp = S.argmax(axis=1)
+    assert got["neg_id"].tolist() == exp.tolist()
+    # the mined negative never shares the anchor's label
+    assert (lab[got["neg_id"].to_numpy()] != lab).all()
+
+
+def test_mixture_sample_quotas_and_determinism():
+    rng = np.random.default_rng(2)
+    langs = np.array(["en"] * 100 + ["de"] * 50 + ["fr"] * 30
+                     + ["es"] * 15 + ["zh"] * 5)
+    rng.shuffle(langs)
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(len(langs), dtype=np.int64), "lang": langs}
+    )
+    got1 = _run(rel.q_mixture_sample_docs, {"documents": docs})
+    got2 = _run(rel.q_mixture_sample_docs, {"documents": docs}, n_blocks=7)
+    # identical membership under different partitioning
+    assert sorted(got1["doc_id"]) == sorted(got2["doc_id"])
+    budget = int(rel.MIXTURE_BUDGET * len(langs))
+    sizes = got1.groupby("lang").size()
+    for lang, w in rel.MIXTURE_WEIGHTS.items():
+        n_lang = int((langs == lang).sum())
+        assert sizes.get(lang, 0) == min(n_lang, int(budget * w))
+
+
+def test_burst_users_vs_literal_window():
+    base = pd.Timestamp("2025-03-01")
+    rows = []
+    # u1: 5 events within one 23h window, then a gap
+    for h in [0, 1, 2, 3, 22, 50]:
+        rows.append((1, base + pd.Timedelta(hours=h)))
+    # u2: evenly spread, never more than 1 per window
+    for d in range(4):
+        rows.append((2, base + pd.Timedelta(days=2 * d)))
+    # u3: duplicate timestamps (RANGE peers) — all 3 count together
+    for _ in range(3):
+        rows.append((3, base))
+    ev = pd.DataFrame(rows, columns=["user_id", "ts"])
+    ev["user_id"] = ev["user_id"].astype(np.int64)
+    got = (
+        _run(rel.q_burst_users, {"events": ev})
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got["user_id"].tolist() == [1, 2, 3]
+    assert got["max_burst"].tolist() == [5, 1, 3]
+
+
+def test_curation_decision_flags():
+    long_keep = (
+        "A perfectly reasonable document with plenty of alphabetic "
+        "content that easily clears every configured threshold set "
+        "because it keeps going well past the minimum length bar."
+    )
+    dup_prefix = "z" * 100 + " first version tail"
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                long_keep,
+                dup_prefix,
+                dup_prefix + " but a different continuation here",
+                "1234567890 " * 13,  # long enough, but low alpha
+            ],
+        }
+    )
+    got = (
+        _run(rel.q_curation_decision_docs, {"documents": docs})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["keep"].tolist() == [True, False, False, False]
+    assert got["prefix_dup"].tolist() == [False, False, True, False]
+    # doc1 fails only because it is short / low alpha, not as the dup
+    assert bool(got.loc[1, "too_short"]) or bool(got.loc[1, "low_alpha"])
+    assert bool(got.loc[3, "low_alpha"]) and not bool(
+        got.loc[3, "too_short"]
+    )

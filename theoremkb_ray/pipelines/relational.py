@@ -6268,3 +6268,323 @@ REGISTRY.update(
         "substr_dedup_docs": (q_substr_dedup_docs, SQL_SUBSTR_DEDUP_DOCS),
     }
 )
+
+
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: for every
+    embedding, the most-cosine-similar embedding with a DIFFERENT
+    label (rank-1 under the ann_topk ordering contract: float64
+    cosine DESC, vec_id ASC — ranks only cross the oracle, never
+    floats). Engine: the full (id, label, L2-normalized matrix) side
+    is broadcast once via ray.put and read zero-copy per task; each
+    batch computes one matmul against it, masks same-label columns,
+    and takes a vectorized argmax (matrix sorted by vec_id, so
+    argmax's first-hit rule IS the vec_id tie-break). Scale path at
+    an unbounded corpus = the IVF-bucketed variant
+    (stages/similarity.py), same contract."""
+    import ray
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    side = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    ids = side["vec_id"].to_numpy(np.int64)
+    labels = side["label"].to_numpy(np.int64)
+    M = np.stack(
+        [np.asarray(v, np.float64) for v in side["embedding"]]
+    )
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ref = ray.put((ids, labels, M))
+
+    def fn(b: pa.Table) -> pa.Table:
+        rids, rlabels, RM = ray.get(ref)
+        arr = b["embedding"].combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        X = flat.reshape(len(arr), -1)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        S = X @ RM.T
+        bl = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        S[bl[:, None] == rlabels[None, :]] = -np.inf
+        best = S.argmax(axis=1)
+        return pa.table(
+            {
+                "vec_id": pc.cast(b["vec_id"], pa.int64()),
+                "neg_id": pa.array(rids[best], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_HARD_NEGATIVES = """
+SELECT vec_id, neg_id FROM (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neg_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) DESC,
+                    b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.label <> b.label)
+WHERE rn = 1
+"""
+
+
+REGISTRY.update(
+    {
+        "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    }
+)
+
+
+#: data-mixture target weights per language (mixture_sample_docs)
+MIXTURE_WEIGHTS = {
+    "en": 0.5,
+    "de": 0.2,
+    "fr": 0.15,
+    "es": 0.1,
+    "zh": 0.05,
+}
+MIXTURE_BUDGET = 0.4  # fraction of the corpus the mixture may keep
+
+
+def q_mixture_sample_docs(sf_dir: str):
+    """Training-data mixture construction: deterministic per-language
+    quota sampling toward a target mix (50/20/15/10/5 over a budget of
+    40% of the corpus), selection = the k smallest key_rank64 hash
+    ranks per language — membership is a pure function of
+    (doc_id, seed), identical under any partitioning, and the DuckDB
+    twin recomputes the splitmix chain bit-for-bit. Quotas come from
+    one tiny lang-count groupby (capped at the language's row count);
+    per-language selection runs inside lang groups under the
+    quantiles_group task-size contract. At an unbounded corpus the
+    scale path is the train_test_split hash-THRESHOLD rule (quota as
+    a fraction, no per-group sort) — same determinism, approximate
+    quota."""
+    from ..functions.hashing import key_rank64
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang"])
+    counts = (
+        ds.groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
+    )
+    total = int(counts["n"].sum())
+    budget = int(MIXTURE_BUDGET * total)
+    quota = {
+        lang: min(
+            int(counts.loc[counts["lang"] == lang, "n"].iloc[0]),
+            int(budget * w),
+        )
+        for lang, w in MIXTURE_WEIGHTS.items()
+        if (counts["lang"] == lang).any()
+    }
+
+    def add_rank(b: pa.Table) -> pa.Table:
+        r = key_rank64(
+            b["doc_id"].to_numpy(zero_copy_only=False), seed=13
+        )
+        return b.append_column(
+            "x", pa.array(r.astype(np.uint64), pa.uint64())
+        )
+
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        k = quota.get(g["lang"].iloc[0], 0)
+        g = g.sort_values(["x", "doc_id"], kind="mergesort").head(k)
+        return g[["doc_id", "lang"]]
+
+    return (
+        ds.map_batches(add_rank, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(per_lang, batch_format="pandas")
+    )
+
+
+def _mixture_sql() -> str:
+    # quotas must be data-dependent (lang counts), expressed in SQL
+    from __ray_entry__ import _key_rank_sql  # lazy: avoids cycle at import
+
+    weights = ", ".join(
+        f"('{k}', {v})" for k, v in MIXTURE_WEIGHTS.items()
+    )
+    return f"""
+WITH {_key_rank_sql('documents', 'doc_id', 'doc_id, lang', 13)},
+w(lang, wt) AS (VALUES {weights}),
+q AS (
+  SELECT c.lang,
+         least(c.n,
+               CAST(floor(CAST(floor((SELECT count(*) FROM documents)
+                                     * {MIXTURE_BUDGET}) AS BIGINT)
+                          * w.wt) AS BIGINT)) AS k
+  FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang) c
+  JOIN w ON w.lang = c.lang
+),
+nums AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY x, doc_id) AS rn
+  FROM r
+)
+SELECT nums.doc_id, nums.lang
+FROM nums JOIN q ON q.lang = nums.lang
+WHERE nums.rn <= q.k
+"""
+
+
+def q_burst_users(sf_dir: str):
+    """Sliding-window rate detection (bot / abuse screening): each
+    user's MAX event count in any 23-hour trailing window, exact
+    RANGE-frame semantics (window [t-23h, t], ts peers included).
+    Per-user work is fully vectorized inside coarse user-hash groups:
+    rows sort by (user, ts), each user's timestamps are shifted into
+    DISJOINT ranges separated by > the window span (prefix-sum of
+    spans), after which ONE global searchsorted pair answers every
+    per-user window query; per-user max via maximum.reduceat. No
+    per-user Python loop, one exchange."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+    W = 23 * 3600 * 1_000_000  # 23h in us
+    GAP = W + 1_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        m = len(u)
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        np.not_equal(u[1:], u[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        # per-user span -> disjoint offset so windows never cross users
+        seg_id = np.cumsum(new) - 1
+        seg_min = t[starts]
+        rel = t - seg_min[seg_id]  # >= 0, sorted within segment
+        spans = np.zeros(len(starts), dtype=np.int64)
+        ends = np.r_[starts[1:], m] - 1
+        spans = rel[ends]
+        offs = np.r_[0, np.cumsum(spans[:-1] + GAP)]
+        tt = rel + offs[seg_id]  # globally sorted, segments disjoint
+        lo = np.searchsorted(tt, tt - W, side="left")
+        hi = np.searchsorted(tt, tt, side="right")
+        cnt = hi - lo
+        mx = np.maximum.reduceat(cnt, starts)
+        return pd.DataFrame(
+            {"user_id": u[starts], "max_burst": mx.astype(np.int64)}
+        )
+
+    return _by_user_bucket(ds).map_groups(
+        per_bucket, batch_format="pandas"
+    )
+
+
+SQL_BURST_USERS = """
+WITH w AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 23 HOURS PRECEDING
+                     AND CURRENT ROW) AS c
+  FROM events
+)
+SELECT user_id, max(c) AS max_burst FROM w GROUP BY user_id
+"""
+
+
+def q_curation_decision_docs(sf_dir: str):
+    """The composed end-to-end curation decision (the SQL-expressible
+    core of a C4-style keep/drop pass): per document, three boolean
+    flags — prefix_dup (normalized first-100-char prefix shared with
+    an earlier doc, keep-first), too_short (< 120 chars), low_alpha
+    (alpha ratio < 0.80, floor-quantized like `quality`) — and
+    keep = none of them. Per-row flags compute in the SAME pass that
+    keys the prefix exchange (one shuffle total); the oracle compares
+    prefix STRINGS (hash-vs-string equivalence). The dup rule matches
+    prefix_dup_docs' normalization so the two queries compose."""
+    from ..functions.hashing import hash_strings
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    NB = 64
+
+    def flags(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t), r"\s+", " "
+            )
+        )
+        prefix = pc.utf8_slice_codeunits(norm, 0, 100)
+        ph = hash_strings(prefix.to_numpy(zero_copy_only=False))
+        n_chars = pc.utf8_length(t)
+        n_alpha = pc.utf8_length(
+            pc.replace_substring_regex(t, r"[^A-Za-z]", "")
+        )
+        nc = pc.max_element_wise(n_chars, 1)
+        ratio = pc.divide(
+            pc.cast(n_alpha, pa.float64()), pc.cast(nc, pa.float64())
+        )
+        ar = pc.divide(pc.floor(pc.multiply(ratio, 1e6)), 1e6)
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "ph": pa.array(ph.view(np.int64), pa.int64()),
+                "too_short": pc.less(n_chars, 120),
+                "low_alpha": pc.less(ar, 0.80),
+                "bk": pa.array(
+                    (ph % np.uint64(NB)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        ph = g["ph"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        order = np.lexsort((doc, ph))
+        ph, doc = ph[order], doc[order]
+        new = np.empty(len(ph), dtype=bool)
+        new[0] = True
+        np.not_equal(ph[1:], ph[:-1], out=new[1:])
+        keep_doc = doc[new][np.cumsum(new) - 1]
+        dup = doc != keep_doc
+        out = g.iloc[order][["doc_id", "too_short", "low_alpha"]].copy()
+        out["prefix_dup"] = dup
+        out["keep"] = ~(
+            dup
+            | out["too_short"].to_numpy()
+            | out["low_alpha"].to_numpy()
+        )
+        return out[
+            ["doc_id", "prefix_dup", "too_short", "low_alpha", "keep"]
+        ]
+
+    return (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(mark, batch_format="pandas")
+    )
+
+
+SQL_CURATION_DECISION_DOCS = r"""
+WITH k AS (
+  SELECT doc_id,
+         substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                   1, 100) AS key,
+         length(text) < 120 AS too_short,
+         floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               * 1.0 / greatest(length(text), 1) * 1000000) / 1000000
+           < 0.80 AS low_alpha
+  FROM documents
+),
+m AS (SELECT key, min(doc_id) AS keep_doc FROM k GROUP BY key)
+SELECT k.doc_id, k.doc_id <> m.keep_doc AS prefix_dup,
+       k.too_short, k.low_alpha,
+       NOT (k.doc_id <> m.keep_doc OR k.too_short OR k.low_alpha)
+         AS keep
+FROM k JOIN m ON k.key = m.key
+"""
+
+
+REGISTRY.update(
+    {
+        "mixture_sample_docs": (q_mixture_sample_docs, _mixture_sql()),
+        "burst_users": (q_burst_users, SQL_BURST_USERS),
+        "curation_decision_docs": (
+            q_curation_decision_docs,
+            SQL_CURATION_DECISION_DOCS,
+        ),
+    }
+)
