@@ -304,3 +304,68 @@ def test_curation_decision_flags():
     assert bool(got.loc[3, "low_alpha"]) and not bool(
         got.loc[3, "too_short"]
     )
+
+
+def test_pca_projection_vs_numpy_and_partition_invariance():
+    rng = np.random.default_rng(21)
+    n, dim = 300, 12
+    # anisotropic cloud so the top components are well separated
+    A = rng.normal(size=(dim, dim))
+    M = (rng.normal(size=(n, dim)) @ (A * np.linspace(3, 0.1, dim))).astype(
+        np.float32
+    )
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row for row in M],
+        }
+    )
+    got = (
+        _run(rel.q_pca_project_embeddings, {"embeddings": emb})
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    got2 = (
+        _run(rel.q_pca_project_embeddings, {"embeddings": emb}, n_blocks=9)
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # numpy reference PCA
+    X = M.astype(np.float64)
+    Xc = X - X.mean(axis=0)
+    C = np.cov(Xc, rowvar=False, ddof=1)
+    w, V = np.linalg.eigh(C)
+    top = V[:, ::-1][:, :2].copy()
+    for c in range(2):
+        j = np.argmax(np.abs(top[:, c]))
+        if top[j, c] < 0:
+            top[:, c] = -top[:, c]
+    P = Xc @ top
+    assert np.allclose(got["pc1"].to_numpy(), P[:, 0], atol=1e-4)
+    assert np.allclose(got["pc2"].to_numpy(), P[:, 1], atol=1e-4)
+    # identical output under different partitioning
+    assert np.allclose(got["pc1"].to_numpy(), got2["pc1"].to_numpy())
+    assert np.allclose(got["pc2"].to_numpy(), got2["pc2"].to_numpy())
+    # pc1 captures the most variance
+    assert got["pc1"].var() > got["pc2"].var()
+
+
+def test_shrunk_means_pull_small_groups_to_prior():
+    orders = pd.DataFrame(
+        {
+            "o_custkey": np.int64([1] * 40 + [2] * 2),
+            "o_totalprice": [200000.0] * 40 + [200000.0] * 2,
+        }
+    )
+    got = (
+        _run(rel.q_shrunk_means_customers, {"orders": orders})
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+    # both customers have the same raw mean; the 2-order customer is
+    # pulled much closer to the prior 150000
+    big = got.loc[0, "shrunk_mean"]
+    small = got.loc[1, "shrunk_mean"]
+    assert big > small
+    assert abs(big - (40 * 200000 + 10 * 150000) / 50) < 1e-4
+    assert abs(small - (2 * 200000 + 10 * 150000) / 12) < 1e-4

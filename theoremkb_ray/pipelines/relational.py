@@ -5608,7 +5608,8 @@ def q_rank_global_orders(sf_dir: str):
     materialize pins only the two projected columns (key + price),
     reused by both passes."""
     ds = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    W = 1024.0
+    W = 8192.0  # ~64 buckets over the price range: per-group task
+    # overhead stays negligible while buckets remain value-ordered
 
     def add_vb(b: pa.Table) -> pa.Table:
         v = b["o_totalprice"].to_numpy(zero_copy_only=False).astype(
@@ -6585,6 +6586,166 @@ REGISTRY.update(
         "curation_decision_docs": (
             q_curation_decision_docs,
             SQL_CURATION_DECISION_DOCS,
+        ),
+    }
+)
+
+
+def q_pca_project_embeddings(sf_dir: str):
+    """Distributed PCA projection (the whitening / dimensionality-
+    reduction step in front of clustering and SemDedup): full 64-dim
+    covariance via the cov_embeddings two-pass centered machinery
+    (upper-triangle partials, ONE tiny groupby), eigendecomposition of
+    the 64x64 matrix on the driver (trivially small), then a third
+    streaming pass projects every row onto the top-2 components.
+    Sign-fixed (largest-|entry| positive) so results are deterministic
+    under any partitioning. NO SQL ORACLE: eigendecomposition is not
+    SQL-expressible; tests/test_analytics2.py checks the projection
+    against numpy PCA directly and asserts partition invariance."""
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def mat(b: pa.Table) -> np.ndarray:
+        arr = b["embedding"].combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        return flat.reshape(len(arr), -1)
+
+    def sum_partial(b: pa.Table) -> pa.Table:
+        M = mat(b)
+        D = M.shape[1]
+        return pa.table(
+            {
+                "k": pa.array(np.arange(D, dtype=np.int64), pa.int64()),
+                "s": pa.array(M.sum(axis=0), pa.float64()),
+                "n": pa.array(
+                    np.full(D, M.shape[0], dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    sums = (
+        ds.map_batches(sum_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("k")
+    )
+    D = len(sums)
+    n = int(sums["n"].iloc[0])
+    mean = (sums["s"].to_numpy(np.float64) / n).copy()
+    iu, ju = np.triu_indices(D)
+    codes = iu * D + ju
+
+    def prod_partial(b: pa.Table) -> pa.Table:
+        Mc = mat(b) - mean
+        G = Mc.T @ Mc
+        return pa.table(
+            {
+                "code": pa.array(codes, pa.int64()),
+                "sxy": pa.array(G[iu, ju], pa.float64()),
+            }
+        )
+
+    tri = (
+        ds.map_batches(prod_partial, batch_format="pyarrow")
+        .groupby("code")
+        .aggregate(Sum("sxy", alias_name="sxy"))
+        .to_pandas()
+    )
+    cov = np.zeros((D, D))
+    ci = tri["code"].to_numpy(np.int64)
+    cov[ci // D, ci % D] = tri["sxy"].to_numpy(np.float64)
+    cov = (cov + cov.T - np.diag(np.diag(cov))) / (n - 1)
+    w, V = np.linalg.eigh(cov)
+    top = V[:, ::-1][:, :2].copy()  # eigh returns ascending
+    for c in range(2):
+        j = np.argmax(np.abs(top[:, c]))
+        if top[j, c] < 0:
+            top[:, c] = -top[:, c]
+
+    def project(b: pa.Table) -> pa.Table:
+        P = (mat(b) - mean) @ top
+        return pa.table(
+            {
+                "vec_id": pc.cast(b["vec_id"], pa.int64()),
+                "pc1": pa.array(np.round(P[:, 0], 6), pa.float64()),
+                "pc2": pa.array(np.round(P[:, 1], 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_shrunk_means_customers(sf_dir: str):
+    """Empirical-Bayes shrinkage of per-customer mean order value
+    toward a fixed prior (mu0=150000, k=10 pseudo-observations) — the
+    reliability-weighted scoring rule for sparse groups (a customer
+    with 2 orders shouldn't outrank one with 40 on raw means).
+    Per-batch per-customer partials carry EXACT integer cents
+    (rint(price*100) as int64), so both engines fold bit-identical
+    sums under any partitioning/association — the float division
+    happens once per customer, from identical operands."""
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    K, MU0 = 10, 150000.0
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        u, inv = np.unique(c, return_inverse=True)
+        return pa.table(
+            {
+                "o_custkey": pa.array(u, pa.int64()),
+                "s": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64),
+                    pa.int64(),
+                ),
+                "n": pa.array(np.bincount(inv), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nn = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        shrunk = (s / 100.0 + K * MU0) / (nn + K)
+        # floor-quantize: round() half rules differ between numpy
+        # (half-even) and DuckDB (half-away) and integer-cent ratios
+        # DO land on exact .00005 boundaries
+        sq = np.floor(shrunk * 1e4) / 1e4
+        return pa.table(
+            {
+                "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "n": pc.cast(b["n"], pa.int64()),
+                "shrunk_mean": pa.array(sq, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SHRUNK_MEANS_CUSTOMERS = """
+SELECT o_custkey, count(*) AS n,
+       floor((sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0
+              + 10 * 150000.0) / (count(*) + 10) * 10000) / 10000
+         AS shrunk_mean
+FROM orders GROUP BY o_custkey
+"""
+
+
+REGISTRY.update(
+    {
+        "pca_project_embeddings": (q_pca_project_embeddings, None),
+        "shrunk_means_customers": (
+            q_shrunk_means_customers,
+            SQL_SHRUNK_MEANS_CUSTOMERS,
         ),
     }
 )
