@@ -369,3 +369,133 @@ def test_shrunk_means_pull_small_groups_to_prior():
     assert big > small
     assert abs(big - (40 * 200000 + 10 * 150000) / 50) < 1e-4
     assert abs(small - (2 * 200000 + 10 * 150000) / 12) < 1e-4
+
+
+def test_q5_revenue_vs_pandas():
+    rng = np.random.default_rng(31)
+    region = pd.DataFrame(
+        {"r_regionkey": np.int32([0, 1]), "r_name": ["ASIA", "EUROPE"]}
+    )
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": np.int32(range(4)),
+            "n_name": ["JAPAN", "CHINA", "FRANCE", "INDIA"],
+            "n_regionkey": np.int32([0, 0, 1, 0]),
+        }
+    )
+    nc = 40
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(nc, dtype=np.int64),
+            "c_nationkey": np.int32(rng.integers(0, 4, nc)),
+        }
+    )
+    ns = 20
+    supp = pd.DataFrame(
+        {
+            "s_suppkey": np.arange(ns, dtype=np.int64),
+            "s_nationkey": np.int32(rng.integers(0, 4, ns)),
+        }
+    )
+    no = 300
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(no, dtype=np.int64),
+            "o_custkey": rng.integers(0, nc, no).astype(np.int64),
+            "o_orderdate": pd.Timestamp("1994-06-01")
+            + pd.to_timedelta(rng.integers(0, 1500, no), unit="D"),
+        }
+    )
+    nl = 900
+    li = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, no, nl).astype(np.int64),
+            "l_suppkey": rng.integers(0, ns, nl).astype(np.int64),
+            "l_extendedprice": np.round(rng.uniform(100, 9000, nl), 2),
+            "l_discount": np.round(rng.integers(0, 11, nl) / 100.0, 2),
+        }
+    )
+    got = (
+        _run(
+            rel.q_q5_revenue,
+            {
+                "region": region,
+                "nation": nation,
+                "customer": cust,
+                "supplier": supp,
+                "orders": orders,
+                "lineitem": li,
+            },
+        )
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    # literal pandas reference
+    j = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    j = j[
+        (j.r_name == "ASIA")
+        & (j.c_nationkey == j.s_nationkey)
+        & (j.o_orderdate >= pd.Timestamp("1995-01-01"))
+        & (j.o_orderdate < pd.Timestamp("1997-01-01"))
+    ]
+    j["rev"] = j.l_extendedprice * (1 - j.l_discount)
+    exp = j.groupby("n_name")["rev"].sum()
+    assert got["n_name"].tolist() == sorted(exp.index)
+    for _, r in got.iterrows():
+        assert abs(r["revenue"] - exp[r["n_name"]]) < 0.02
+
+
+def test_rep_ngram_vs_brute():
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": [
+                "a b c a b c a b d",  # 'a b c' twice -> repeated grams
+                "x y z w v u t s",  # all distinct
+                "q q q q q",  # single gram repeated 3x
+            ],
+        }
+    )
+    got = (
+        _run(rel.q_rep_ngram_docs, {"documents": docs})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = []
+    for t in docs.text:
+        toks = t.split()
+        grams = [tuple(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        from collections import Counter
+
+        c = Counter(grams)
+        dup = sum(n for n in c.values() if n > 1)
+        exp.append((len(grams), dup / len(grams)))
+    for i, (n, ratio) in enumerate(exp):
+        assert got.loc[i, "n_grams"] == n
+        assert abs(got.loc[i, "rep_ratio"] - ratio) < 2e-6
+
+
+def test_top_paths_strict_adjacency():
+    base = pd.Timestamp("2025-02-01")
+    rows = []
+    # u1 emits a>b>c twice (contiguous), u2 emits a>x>c (breaks a>b>c)
+    for rep in range(2):
+        for i, e in enumerate(["a", "b", "c"]):
+            rows.append((1, base + pd.Timedelta(minutes=rep * 10 + i), e))
+    for i, e in enumerate(["a", "x", "c"]):
+        rows.append((2, base + pd.Timedelta(minutes=i), e))
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    ev["user_id"] = ev["user_id"].astype(np.int64)
+    ev["event_id"] = np.arange(len(ev), dtype=np.int64)
+    got = _run(rel.q_top_paths_users, {"events": ev})
+    top = got.iloc[0]
+    assert top["path"] == "a>b>c"
+    assert top["n"] == 2
+    # no cross-user trigram leaked
+    assert not any(">a>x" in p and p.startswith("c") for p in got["path"])

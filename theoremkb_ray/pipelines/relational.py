@@ -6749,3 +6749,290 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_q5_revenue(sf_dir: str):
+    """The TPC-H Q5 shape — local-supplier revenue per nation inside
+    one region and a two-year window: lineitem |x| orders (both FACT
+    sized: one distributed hash exchange) with customer / supplier /
+    nation / region folded in as broadcast dimension lookups
+    (broadcast_join auto-routes an oversized side to the hash join).
+    Revenue folds as EXACT integer micro-units —
+    cents(price) * (100 - bp(discount)) — so partial sums are
+    bit-identical under any partitioning and the single float divide
+    happens on identical operands in both engines."""
+    from ..stages.joins import hash_join
+
+    # dimension chain (tiny): nations of the ASIA region, names
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = nation.merge(
+        region[region["r_name"] == "ASIA"],
+        left_on="n_regionkey",
+        right_on="r_regionkey",
+    )
+    nat_keys = np.sort(asia["n_nationkey"].to_numpy(np.int64))
+    nat_names = asia.set_index("n_nationkey")["n_name"]
+    name_of = dict(nat_names)
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    ck = np.sort(cust["c_custkey"].to_numpy(np.int64))
+    cn = cust.set_index("c_custkey")["c_nationkey"].loc[ck].to_numpy(np.int64)
+    supp = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    sn = supp.set_index("s_suppkey")["s_nationkey"].loc[sk].to_numpy(np.int64)
+
+    lo = np.datetime64("1995-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01", "us").astype(np.int64)
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def date_filter(b: pa.Table) -> pa.Table:
+        t = (
+            b["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        keep = (t >= lo) & (t < hi)
+        return b.filter(pa.array(keep)).select(["o_orderkey", "o_custkey"])
+
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    j = hash_join(
+        li,
+        orders.map_batches(date_filter, batch_format="pyarrow"),
+        on=["l_orderkey"],
+        right_on=["o_orderkey"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ckey = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        skey = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c_nat = cn[np.searchsorted(ck, ckey)]
+        s_nat = sn[np.searchsorted(sk, skey)]
+        keep = (c_nat == s_nat) & np.isin(c_nat, nat_keys)
+        if not keep.any():
+            return pa.table(
+                {
+                    "n_nationkey": pa.array([], pa.int64()),
+                    "rev_micro": pa.array([], pa.int64()),
+                }
+            )
+        cents = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        bp = np.rint(
+            b["l_discount"].to_numpy(zero_copy_only=False)[keep] * 100.0
+        ).astype(np.int64)
+        nat = c_nat[keep]
+        u, inv = np.unique(nat, return_inverse=True)
+        return pa.table(
+            {
+                "n_nationkey": pa.array(u, pa.int64()),
+                "rev_micro": pa.array(
+                    np.bincount(inv, weights=cents * (100 - bp)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(Sum("rev_micro", alias_name="rev_micro"))
+        .to_pandas()
+    )
+    agg["n_name"] = agg["n_nationkey"].map(name_of)
+    agg["revenue"] = np.round(
+        agg["rev_micro"].to_numpy(np.float64) / 10000.0, 2
+    )
+    return agg[["n_name", "revenue"]]
+
+
+SQL_Q5_REVENUE = """
+SELECT n_name,
+       round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100.0) AS BIGINT)))
+             / 10000.0, 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= DATE '1995-01-01'
+  AND o_orderdate <  DATE '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_rep_ngram_docs(sf_dir: str):
+    """Intra-document repetition (the Gopher 'rep-3gram' quality
+    rule): per document, the fraction of word-3-gram INSTANCES whose
+    gram occurs more than once within the SAME document. Pure per-row
+    computation — flat siphash token stream, FNV 3-gram fold, one
+    in-batch sort per doc segment — no exchange at all. The oracle
+    re-derives grams as STRINGS (hash-vs-string equivalence). Docs
+    with < 3 tokens have no grams and are absent from both sides.
+    Ratio floor-quantized (half-rule divergence guard)."""
+    from ..functions.hashing import flat_token_hashes_arrow
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    FNV = np.uint64(0x100000001B3)
+    MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def fn(b: pa.Table) -> pa.Table:
+        th, starts = flat_token_hashes_arrow(b["text"])
+        doc = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = np.diff(starts)
+        F = len(th)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_grams": pa.array([], pa.int64()),
+                "rep_ratio": pa.array([], pa.float64()),
+            }
+        )
+        if F < 3:
+            return empty
+        d = np.repeat(np.arange(len(doc), dtype=np.int64), lengths)
+        with np.errstate(over="ignore"):
+            g = ((th[:-2] * FNV + th[1:-1]) & MASK) * FNV + th[2:]
+            g &= MASK
+        valid = d[:-2] == d[2:]
+        if not valid.any():
+            return empty
+        g = g[valid]
+        gd = d[:-2][valid]
+        order = np.lexsort((g.view(np.int64), gd))
+        g, gd = g[order], gd[order]
+        m = len(g)
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        np.logical_or(
+            gd[1:] != gd[:-1], g[1:] != g[:-1], out=new[1:]
+        )
+        gid = np.cumsum(new) - 1
+        run = np.bincount(gid)  # instances per (doc, gram)
+        dup_inst = run[gid] > 1  # this instance's gram repeats in-doc
+        u, inv = np.unique(gd, return_inverse=True)
+        total = np.bincount(inv)
+        dup = np.bincount(inv, weights=dup_inst).astype(np.int64)
+        ratio = np.floor(dup / total * 1e6) / 1e6
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[u], pa.int64()),
+                "n_grams": pa.array(total, pa.int64()),
+                "rep_ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_REP_NGRAM_DOCS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+           || ' ' || toks[CAST(i + 2 AS INT)] AS gram
+  FROM tok, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+  WHERE len(toks) >= 3
+),
+r AS (
+  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       floor(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c)
+             * 1000000) / 1000000 AS rep_ratio
+FROM r GROUP BY doc_id
+"""
+
+
+def q_top_paths_users(sf_dir: str):
+    """Path mining: the global top-10 strict-adjacency event-type
+    trigram paths (the generalization of sequence_triples' fixed
+    funnel). Trigrams extract vectorized inside coarse user-hash
+    groups; the path vocabulary is bounded (|types|^3), so only a
+    tiny (path, count) table shuffles. Tie-break: count DESC, path
+    ASC — identical in both engines."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        if len(u) < 3:
+            return pd.DataFrame({"path": [], "n": []})
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        if not same.any():
+            return pd.DataFrame({"path": [], "n": []})
+        codes, uniq = pd.factorize(et)
+        k = len(uniq)
+        tri = (
+            codes[:-2][same] * k * k
+            + codes[1:-1][same] * k
+            + codes[2:][same]
+        )
+        cnt = np.bincount(tri)
+        nz = np.flatnonzero(cnt)
+        path = [
+            f"{uniq[c // (k * k)]}>{uniq[(c // k) % k]}>{uniq[c % k]}"
+            for c in nz
+        ]  # bounded: |types|^3 strings, not per-row work
+        return pd.DataFrame({"path": path, "n": cnt[nz].astype(np.int64)})
+
+    agg = (
+        _by_user_bucket(ds)
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("path")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    agg = agg.sort_values(
+        ["n", "path"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    return agg.reset_index(drop=True)
+
+
+SQL_TOP_PATHS_USERS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3,
+         lead(user_id) OVER w AS u2,
+         lead(user_id, 2) OVER w AS u3
+  FROM events
+  WINDOW w AS (ORDER BY user_id, ts, event_id)
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS path,
+       count(*) AS n
+FROM s
+WHERE user_id = u2 AND user_id = u3
+GROUP BY 1
+ORDER BY n DESC, path ASC
+LIMIT 10
+"""
+
+
+REGISTRY.update(
+    {
+        "q5_revenue": (q_q5_revenue, SQL_Q5_REVENUE),
+        "rep_ngram_docs": (q_rep_ngram_docs, SQL_REP_NGRAM_DOCS),
+        "top_paths_users": (q_top_paths_users, SQL_TOP_PATHS_USERS),
+    }
+)
