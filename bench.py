@@ -210,6 +210,22 @@ def run_bench() -> dict:
     extras["kg_docs_per_sec"] = round(n_docs / kg_sec, 1)
 
     if ONLY != "kg":
+        # fresh Ray session for the per-query sweep: the flagship
+        # leaves the object store fragmented (28M triples of spilled /
+        # freed objects) which inflated individual query timings by
+        # 2-3x vs the same query in a clean session — the sweep should
+        # measure the queries, not the flagship's wake
+        ray.shutdown()
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+            object_store_memory=store,
+        )
+        DataContext.get_current().enable_progress_bars = False
+
         # ---------------- relational suite over the sf tables --------
         from theoremkb_ray.pipelines.relational import REGISTRY
 

@@ -499,3 +499,83 @@ def test_top_paths_strict_adjacency():
     assert top["n"] == 2
     # no cross-user trigram leaked
     assert not any(">a>x" in p and p.startswith("c") for p in got["path"])
+
+
+def test_join_size_estimate_vs_pandas():
+    rng = np.random.default_rng(17)
+    orders = pd.DataFrame(
+        {"o_orderkey": rng.integers(0, 50, 120).astype(np.int64)}
+    )
+    li = pd.DataFrame(
+        {"l_orderkey": rng.integers(20, 80, 300).astype(np.int64)}
+    )
+    got = _run(
+        rel.q_join_size_estimate, {"orders": orders, "lineitem": li}
+    )
+    merged = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    overlap = len(
+        set(orders.o_orderkey.unique()) & set(li.l_orderkey.unique())
+    )
+    assert got["join_rows"].iloc[0] == len(merged)
+    assert got["overlap_keys"].iloc[0] == overlap
+
+
+def test_tail_latency_p95_vs_numpy():
+    rng = np.random.default_rng(23)
+    base = pd.Timestamp("2025-04-01")
+    rows = []
+    for u in range(6):
+        n = int(rng.integers(2, 30))
+        offs = np.sort(rng.integers(0, 10_000_000, n))
+        for o in offs:
+            rows.append((u, base + pd.Timedelta(seconds=int(o))))
+    rows.append((99, base))  # single event: no gaps, absent
+    ev = pd.DataFrame(rows, columns=["user_id", "ts"])
+    ev["user_id"] = ev["user_id"].astype(np.int64)
+    ev["event_id"] = np.arange(len(ev), dtype=np.int64)
+    got = (
+        _run(rel.q_tail_latency_users, {"events": ev})
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert 99 not in set(got["user_id"])
+    for u in range(6):
+        sub = ev[ev.user_id == u].sort_values("ts")
+        gaps = np.diff(sub["ts"].to_numpy("datetime64[us]").astype(np.int64)) / 1e6
+        exp = np.quantile(gaps, 0.95, method="linear")
+        row = got[got.user_id == u].iloc[0]
+        assert row["n_gaps"] == len(gaps)
+        assert abs(row["p95_gap_s"] - exp) < 1e-3
+
+
+def test_cusum_vs_literal_recurrence():
+    rng = np.random.default_rng(29)
+    base = pd.Timestamp("2025-05-01")
+    rows = []
+    for u in range(5):
+        n = int(rng.integers(3, 40))
+        for i in range(n):
+            rows.append(
+                (
+                    u,
+                    base + pd.Timedelta(minutes=i),
+                    float(np.round(rng.uniform(0, 150), 2)),
+                )
+            )
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    ev["user_id"] = ev["user_id"].astype(np.int64)
+    ev["event_id"] = np.arange(len(ev), dtype=np.int64)
+    got = (
+        _run(rel.q_cusum_users, {"events": ev})
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for u in range(5):
+        sub = ev[ev.user_id == u].sort_values(["ts", "event_id"])
+        s, mx = 0.0, 0.0
+        for v in sub["value"]:
+            s = max(0.0, s + v - 60.0)
+            mx = max(mx, s)
+        row = got[got.user_id == u].iloc[0]
+        assert row["n_events"] == len(sub)
+        assert abs(row["max_cusum"] - mx) < 1e-6

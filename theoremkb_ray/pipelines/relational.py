@@ -5034,10 +5034,14 @@ def q_feature_propagate(sf_dir: str):
             }
         )
 
+    # num_partitions sized to the (tiny) node space: the default
+    # shuffle width spins up far more join partitions than rows
+    # warrant and the 4 joins pay that overhead four times
     out = feature_propagate(
         cust.map_batches(edges, batch_format="pyarrow"),
         cust.map_batches(feats, batch_format="pyarrow"),
         rounds=2,
+        num_partitions=8,
     )
     return out.map_batches(
         lambda b: pa.table(
@@ -7034,5 +7038,225 @@ REGISTRY.update(
         "q5_revenue": (q_q5_revenue, SQL_Q5_REVENUE),
         "rep_ngram_docs": (q_rep_ngram_docs, SQL_REP_NGRAM_DOCS),
         "top_paths_users": (q_top_paths_users, SQL_TOP_PATHS_USERS),
+    }
+)
+
+
+def q_join_size_estimate(sf_dir: str):
+    """Join-cardinality statistics (the optimizer primitive behind
+    broadcast-vs-shuffle planning): EXACT |orders |x| lineitem| on
+    orderkey plus the distinct overlapping key count, computed from
+    per-key count sketches — per-batch per-key count partials on each
+    side, one groupby per side, a distributed hash join of the two
+    COUNT TABLES (key-space sized, not row sized), and an integer
+    product-sum fold. All-integer arithmetic: bit-exact under any
+    partitioning."""
+    from ..stages.joins import hash_join
+
+    def counts(table: str, key: str):
+        ds = _pq(sf_dir, table, [key])
+
+        def partial(b: pa.Table) -> pa.Table:
+            k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            u, c = np.unique(k, return_counts=True)
+            return pa.table(
+                {"k": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())}
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("k")
+            .sum("c")
+            .map_batches(
+                lambda b: b.rename_columns(["k", "c"]),
+                batch_format="pyarrow",
+            )
+        )
+
+    a = counts("orders", "o_orderkey")
+    b = counts("lineitem", "l_orderkey").map_batches(
+        lambda t: t.rename_columns(["k", "c2"]), batch_format="pyarrow"
+    )
+    j = hash_join(a, b, on=["k"])
+
+    def prod_partial(t: pa.Table) -> pa.Table:
+        c1 = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = t["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "join_rows": pa.array([int((c1 * c2).sum())], pa.int64()),
+                "overlap_keys": pa.array([len(c1)], pa.int64()),
+            }
+        )
+
+    out = (
+        j.map_batches(prod_partial, batch_format="pyarrow")
+        .aggregate(
+            Sum("join_rows", alias_name="join_rows"),
+            Sum("overlap_keys", alias_name="overlap_keys"),
+        )
+    )
+    return pd.DataFrame(
+        {
+            "join_rows": [int(out["join_rows"])],
+            "overlap_keys": [int(out["overlap_keys"])],
+        }
+    )
+
+
+SQL_JOIN_SIZE_ESTIMATE = """
+SELECT CAST(sum(a.n * b.n) AS BIGINT) AS join_rows,
+       count(*) AS overlap_keys
+FROM (SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY 1) a
+JOIN (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1) b
+  USING (k)
+"""
+
+
+def q_tail_latency_users(sf_dir: str):
+    """Per-user p95 inter-event gap in seconds (the streaming-SLA /
+    engagement-cadence metric): gaps derive from the ORDERED per-user
+    event stream (ts, event_id), then an exact linear-interpolation
+    quantile per user — the quantiles_group contract applied to a
+    SEQUENTIALLY DERIVED column. Gap seconds are integer-microsecond
+    differences divided by 1e6 once, so both engines interpolate
+    identical doubles. Users with < 2 events have no gaps and are
+    absent from both sides."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return pd.DataFrame(
+                {"user_id": [], "n_gaps": [], "p95_gap_s": []}
+            )
+        gu = u[1:][same]
+        gap = ((t[1:] - t[:-1])[same]) / 1e6
+        starts = np.r_[0, np.flatnonzero(gu[1:] != gu[:-1]) + 1]
+        lens = np.diff(np.append(starts, len(gu)))
+        # vectorized per-user linear-interpolation quantile (numpy's
+        # 'linear' formula applied across ALL users at once): gaps are
+        # already grouped by user, sort within user, index the 95th
+        # rank per segment — no per-user loop
+        order = np.lexsort((gap, gu))
+        gs = gap[order]
+        h = (lens - 1) * 0.95
+        f = np.floor(h).astype(np.int64)
+        frac = h - f
+        lo = gs[starts + f]
+        hi = gs[starts + np.minimum(f + 1, lens - 1)]
+        p95 = lo + frac * (hi - lo)
+        # floor-quantize: microsecond-exact gaps interpolated at
+        # frac=.25/.75 DO land on exact .00005 boundaries where the
+        # two engines' round() half-rules diverge
+        return pd.DataFrame(
+            {
+                "user_id": gu[starts],
+                "n_gaps": lens.astype(np.int64),
+                "p95_gap_s": np.floor(p95 * 1e4) / 1e4,
+            }
+        )
+
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_TAIL_LATENCY_USERS = """
+WITH g AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id),
+                   ts) / 1000000.0 AS gap_s
+  FROM events
+)
+SELECT user_id, count(gap_s) AS n_gaps,
+       floor(quantile_cont(gap_s, 0.95) * 10000) / 10000 AS p95_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def q_cusum_users(sf_dir: str):
+    """CUSUM drift detection per user (the sequential
+    change-point-monitoring primitive): S_i = max(0, S_{i-1} +
+    value_i - 60) over the (ts, event_id)-ordered stream; one row per
+    user with max(S). The nonlinear recurrence closes WITHOUT a
+    per-row loop via the prefix identity S_i = P_i - min(0,
+    running_min(P_i)) (P = prefix sums of value - 60); per-user
+    segment isolation uses a staircase offset (earlier segments
+    shifted far ABOVE later ones so their minima never leak
+    forward). Oracle = per-user recursive CTE of the literal
+    recurrence — algebraically identical, float-different only at
+    ~1e-13 against a 1e-6 rounding grid."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    K = 60.0
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        # EXACT integer cents: value has 2 decimals, so prefix sums,
+        # staircase offsets and running minima are all int64 — zero
+        # precision loss (a float staircase would erode P's low bits
+        # once offsets dwarf the values)
+        d = np.rint(g["value"].to_numpy(np.float64) * 100.0).astype(
+            np.int64
+        ) - np.int64(K * 100)
+        change = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, len(u)))
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        # per-segment prefix sums: global cumsum minus the cumsum just
+        # before each segment start
+        cs = np.cumsum(d)
+        base = np.r_[np.int64(0), cs[starts[1:] - 1]]
+        P = cs - base[seg]
+        # staircase: earlier segments pushed far above later ones so a
+        # running min never crosses a segment boundary (int64 bound:
+        # n_segments * (sum|d| + 1) must fit — ~2^63 headroom)
+        BIG = np.int64(np.abs(d).sum() + 1)
+        stair = (np.int64(len(starts)) - seg) * BIG
+        runmin = np.minimum.accumulate(P + stair) - stair
+        S = P - np.minimum(np.int64(0), runmin)
+        mx = np.maximum.reduceat(S, starts)
+        return pd.DataFrame(
+            {
+                "user_id": u[starts],
+                "n_events": lens.astype(np.int64),
+                "max_cusum": np.round(mx / 100.0, 6),
+            }
+        )
+
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_CUSUM_USERS = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+n AS (SELECT user_id, max(rn) AS n_events FROM ev GROUP BY user_id),
+r AS (
+  SELECT user_id, rn, greatest(0, value - 60) AS s FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT ev.user_id, ev.rn, greatest(0, r.s + ev.value - 60)
+  FROM ev JOIN r ON ev.user_id = r.user_id AND ev.rn = r.rn + 1
+)
+SELECT r.user_id, CAST(any_value(n.n_events) AS BIGINT) AS n_events,
+       round(max(r.s), 6) AS max_cusum
+FROM r JOIN n ON n.user_id = r.user_id
+GROUP BY r.user_id
+"""
+
+
+REGISTRY.update(
+    {
+        "join_size_estimate": (q_join_size_estimate, SQL_JOIN_SIZE_ESTIMATE),
+        "tail_latency_users": (q_tail_latency_users, SQL_TAIL_LATENCY_USERS),
+        "cusum_users": (q_cusum_users, SQL_CUSUM_USERS),
     }
 )
