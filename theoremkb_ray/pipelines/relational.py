@@ -7260,3 +7260,472 @@ REGISTRY.update(
         "cusum_users": (q_cusum_users, SQL_CUSUM_USERS),
     }
 )
+
+# ------------------------------------------------- sixth-session batch
+
+
+def q_q3_shipping(sf_dir: str):
+    """The TPC-H Q3 shape — unshipped-order revenue for one market
+    segment: a BUILDING-segment customer-key broadcast prunes orders
+    at the scan, the surviving orders hash-exchange against the
+    date-filtered lineitem fact (the only shuffle), and revenue folds
+    as EXACT integer micro-units (cents x (100 - discount-bp)) keyed
+    by orderkey, so partials are bit-identical under any partitioning.
+    Top-10 by revenue with orderkey tiebreak."""
+    from ..stages.joins import hash_join
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def cust_keys(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["c_mktsegment"], "BUILDING")
+        return b.filter(keep).select(["c_custkey"])
+
+    ckeys = np.sort(
+        cust.map_batches(cust_keys, batch_format="pyarrow")
+        .to_pandas()["c_custkey"]
+        .to_numpy(np.int64)
+    )
+
+    cut = np.datetime64("1998-06-01", "us").astype(np.int64)
+
+    orders = _pq(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def ord_filter(b: pa.Table) -> pa.Table:
+        t = (
+            b["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        ok = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ckeys, ok)
+        pos[pos == len(ckeys)] = 0
+        keep = (t < cut) & (ckeys[pos] == ok)
+        b = b.filter(pa.array(keep)).select(["o_orderkey"])
+        # carry the (orderkey-determined) date as int64 micros so it
+        # rides the join and the final groupby — no second orders scan
+        return b.append_column("o_odate_us", pa.array(t[keep], pa.int64()))
+
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def li_filter(b: pa.Table) -> pa.Table:
+        t = (
+            b["l_shipdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        b = b.filter(pa.array(t > cut))
+        cents = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        bp = np.rint(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(u, pa.int64()),
+                "rev_micro": pa.array(
+                    np.bincount(inv, weights=cents * (100 - bp)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    j = hash_join(
+        li.map_batches(li_filter, batch_format="pyarrow"),
+        orders.map_batches(ord_filter, batch_format="pyarrow"),
+        on=["l_orderkey"],
+        right_on=["o_orderkey"],
+    )
+    agg = (
+        j.groupby(["l_orderkey", "o_odate_us"])
+        .aggregate(Sum("rev_micro", alias_name="rev_micro"))
+        .to_pandas()
+    )
+    agg["revenue"] = np.round(
+        agg["rev_micro"].to_numpy(np.float64) / 10000.0, 2
+    )
+    top = agg.sort_values(
+        ["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    top = top.assign(
+        o_odate=pd.to_datetime(
+            top["o_odate_us"].to_numpy(np.int64), unit="us"
+        ).strftime("%Y-%m-%d")
+    )
+    return top[["l_orderkey", "o_odate", "revenue"]].reset_index(drop=True)
+
+
+SQL_Q3_SHIPPING = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_odate,
+       round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100.0) AS BIGINT)))
+             / 10000.0, 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_above_avg_orders(sf_dir: str):
+    """The decorrelated correlated-subquery shape — orders strictly
+    above their customer's average order value: ONE grouped partial
+    (custkey, n, sum-cents) replaces the per-row subquery, broadcast
+    back over the fact scan (auto-routing to the hash join if the key
+    table outgrows the broadcast budget). The predicate cross-
+    multiplies integers (cents * n > sum_cents) so no division ever
+    happens — bit-exact under any partitioning."""
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        return pa.table(
+            {
+                "o_custkey": pa.array(u, pa.int64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "sc": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    stats = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n"), Sum("sc", alias_name="sc"))
+        .to_pandas()
+    )
+    sk = stats["o_custkey"].to_numpy(np.int64)
+    order_k = np.argsort(sk, kind="stable")
+    sk = sk[order_k]
+    sn = stats["n"].to_numpy(np.int64)[order_k]
+    ssc = stats["sc"].to_numpy(np.int64)[order_k]
+    import ray
+
+    ref = ray.put((sk, sn, ssc))
+
+    from ..state.broadcast import get_broadcast
+
+    class AboveAvg:
+        def __init__(self, model_ref) -> None:
+            self.sk, self.sn, self.ssc = get_broadcast(model_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = b["o_custkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            cents = np.rint(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            pos = np.searchsorted(self.sk, k)
+            keep = cents * self.sn[pos] > self.ssc[pos]
+            return b.filter(pa.array(keep))
+
+    return orders.map_batches(
+        AboveAvg,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+SQL_ABOVE_AVG_ORDERS = """
+WITH s AS (
+  SELECT o_custkey AS k, count(*) AS n,
+         sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS sc
+  FROM orders GROUP BY 1)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders JOIN s ON o_custkey = s.k
+WHERE CAST(round(o_totalprice * 100.0) AS BIGINT) * s.n > s.sc
+"""
+
+
+def q_target_encode_events(sf_dir: str):
+    """Leave-one-out target encoding (the categorical-feature ML
+    primitive): every event's type encoded as the mean event value of
+    all OTHER events of the same type — (sum - self)/(n - 1). Group
+    partials fold as integer cents (one grouped exchange over ~5
+    keys), broadcast back over the scan; both engines divide the same
+    two integers so the doubles agree to the last bit."""
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        et = b["event_type"]
+        u = pc.unique(et)
+        idx = pc.index_in(et, u).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": u,
+                "n": pa.array(
+                    np.bincount(idx, minlength=len(u)).astype(np.int64)
+                ),
+                "sc": pa.array(
+                    np.bincount(idx, weights=cents, minlength=len(u)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sc", alias_name="sc"))
+        .to_pandas()
+        .sort_values("event_type", kind="mergesort")
+    )
+    types = stats["event_type"].tolist()
+    n_of = dict(zip(types, stats["n"].to_numpy(np.int64)))
+    sc_of = dict(zip(types, stats["sc"].to_numpy(np.int64)))
+    import ray
+
+    ref = ray.put((n_of, sc_of))
+
+    from ..state.broadcast import get_broadcast
+
+    class Encode:
+        def __init__(self, model_ref) -> None:
+            self.n_of, self.sc_of = get_broadcast(model_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            et = b["event_type"]
+            u = pc.unique(et)
+            idx = pc.index_in(et, u).to_numpy(zero_copy_only=False)
+            n = np.array([self.n_of[t.as_py()] for t in u], np.int64)[idx]
+            sc = np.array([self.sc_of[t.as_py()] for t in u], np.int64)[idx]
+            cents = np.rint(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            loo = (sc - cents) / (n - 1) / 100.0
+            # floor-quantize: LOO means hit exact .0000005 boundaries
+            # (denominators like n-1=1600 give terminating binary
+            # fractions) where round() half-rules diverge
+            return pa.table(
+                {
+                    "event_id": b["event_id"],
+                    "event_type": et,
+                    "loo_enc": pa.array(
+                        np.floor(loo * 1e6) / 1e6, pa.float64()
+                    ),
+                }
+            )
+
+    return ds.map_batches(
+        Encode,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+SQL_TARGET_ENCODE_EVENTS = """
+WITH s AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(round(value * 100.0) AS BIGINT)) AS sc
+  FROM events GROUP BY 1)
+SELECT event_id, e.event_type,
+       floor((s.sc - CAST(round(e.value * 100.0) AS BIGINT))
+             / (s.n - 1) / 100.0 * 1000000.0) / 1000000.0 AS loo_enc
+FROM events e JOIN s ON e.event_type = s.event_type
+"""
+
+
+def q_rolling_median_users(sf_dir: str):
+    """Exact rolling median per user (ROWS 4 PRECEDING .. CURRENT over
+    the (ts, event_id)-ordered stream): windows materialize as a
+    (n, 5) shifted-column matrix with int64-max sentinels past segment
+    starts, one vectorized row sort, and the two middle ranks picked
+    per actual window width — no per-row loop, no per-user loop.
+    Arithmetic stays integer cents until ONE division identical to the
+    oracle's, so both engines round the same double."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    W = 5
+    SENT = np.int64(2**62)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        cents = np.rint(g["value"].to_numpy(np.float64) * 100.0).astype(
+            np.int64
+        )
+        n = len(u)
+        change = np.r_[True, u[1:] != u[:-1]]
+        seg_start = np.maximum.accumulate(
+            np.where(change, np.arange(n), -1)
+        )
+        offset = np.arange(n) - seg_start  # position within user
+        win = np.full((n, W), SENT, np.int64)
+        for d in range(W):
+            valid = offset >= d
+            win[valid, d] = cents[np.flatnonzero(valid) - d]
+        win.sort(axis=1)
+        w = np.minimum(offset + 1, W)
+        rows = np.arange(n)
+        a = win[rows, (w - 1) // 2]
+        b = win[rows, w // 2]
+        med = (a + b) / 2.0 / 100.0
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "user_id": u,
+                "roll_med": np.round(med, 4),
+            }
+        )
+
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_ROLLING_MEDIAN_USERS = """
+SELECT event_id, user_id,
+       round(median(CAST(round(value * 100.0) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             / 100.0, 4) AS roll_med
+FROM events
+"""
+
+
+def q_knn_vote_embeddings(sf_dir: str):
+    """k-NN label vote (the embedding-space classifier / label-noise
+    audit): every vector classified by the majority label of its 5
+    cosine-nearest OTHER vectors. The whole (id, vec, label) side
+    broadcasts once (ray.put); each batch scores with ONE float64
+    matmul against the normalized matrix, kills the self column, and
+    takes the arg-top-5 under the ann_topk ordering contract
+    (similarity DESC, vec_id ASC). Vote ties break toward the
+    smallest label — integer logic, hash-stable."""
+    import ray
+
+    from ..state.broadcast import get_broadcast
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    allv = ds.to_pandas().sort_values("vec_id")
+    ids = allv["vec_id"].to_numpy(np.int64)
+    labels = allv["label"].to_numpy(np.int64)
+    M = np.stack([np.asarray(v, np.float64) for v in allv["embedding"]])
+    Mn = M / np.maximum(
+        np.linalg.norm(M, axis=1, keepdims=True), 1e-300
+    )
+    ref = ray.put((ids, labels, Mn))
+    K = 5
+
+    class Vote:
+        def __init__(self, model_ref) -> None:
+            self.ids, self.labels, self.Mn = get_broadcast(model_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            q = np.stack(
+                [
+                    np.asarray(v, np.float64)
+                    for v in b["embedding"].to_pylist()
+                ]
+            )
+            qn = q / np.maximum(
+                np.linalg.norm(q, axis=1, keepdims=True), 1e-300
+            )
+            sim = qn @ self.Mn.T  # (nq, N)
+            qid = b["vec_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            self_col = np.searchsorted(self.ids, qid)
+            rows = np.arange(len(qid))
+            sim[rows, self_col] = -np.inf
+            # top-K under (sim DESC, vec_id ASC): lexsort on the
+            # candidate axis; ids are pre-sorted so a stable sort on
+            # -sim preserves the id tiebreak
+            top = np.argsort(-sim, axis=1, kind="stable")[:, :K]
+            votes = self.labels[top]  # (nq, K)
+            nl = int(self.labels.max()) + 1
+            counts = np.zeros((len(qid), nl), np.int64)
+            np.add.at(counts, (rows[:, None], votes), 1)
+            # majority, ties -> smallest label (argmax picks first max)
+            pred = counts.argmax(axis=1).astype(np.int64)
+            true = b["label"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "vec_id": pa.array(qid),
+                    "pred_label": pa.array(pred),
+                    "label": pa.array(true),
+                    "correct": pa.array(pred == true),
+                }
+            )
+
+    return ds.map_batches(
+        Vote,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=512,
+    )
+
+
+SQL_KNN_VOTE_EMBEDDINGS = """
+WITH nn AS (
+  SELECT q.vec_id AS vec_id, v.label AS vlabel,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                           v.embedding::DOUBLE[]) DESC,
+                    v.vec_id) AS rank
+  FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id),
+vote AS (
+  SELECT vec_id, vlabel, count(*) AS c FROM nn
+  WHERE rank <= 5 GROUP BY vec_id, vlabel),
+best AS (
+  SELECT vec_id, vlabel AS pred_label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c DESC, vlabel) AS rn
+  FROM vote)
+SELECT b.vec_id, CAST(b.pred_label AS BIGINT) AS pred_label,
+       CAST(e.label AS BIGINT) AS label,
+       b.pred_label = e.label AS correct
+FROM best b JOIN embeddings e ON b.vec_id = e.vec_id
+WHERE b.rn = 1
+"""
+
+
+REGISTRY.update(
+    {
+        "q3_shipping": (q_q3_shipping, SQL_Q3_SHIPPING),
+        "above_avg_orders": (q_above_avg_orders, SQL_ABOVE_AVG_ORDERS),
+        "target_encode_events": (
+            q_target_encode_events,
+            SQL_TARGET_ENCODE_EVENTS,
+        ),
+        "rolling_median_users": (
+            q_rolling_median_users,
+            SQL_ROLLING_MEDIAN_USERS,
+        ),
+        "knn_vote_embeddings": (
+            q_knn_vote_embeddings,
+            SQL_KNN_VOTE_EMBEDDINGS,
+        ),
+    }
+)
