@@ -7729,3 +7729,266 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_distinct_users_daily(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT) — daily active users per event
+    type. The classic two-phase distinct: batches pre-dedup their
+    (type, day, user) triples so the ONE exchange carries only unique
+    observations per block, then the grouped finalizer counts unique
+    users per (type, day) with a vectorized diff over the sorted
+    column — the exact-distinct sibling of approx_distinct_users'
+    HLL."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts", "user_id"])
+    DAY = np.int64(86_400_000_000)
+
+    def triple(b: pa.Table) -> pa.Table:
+        t = (
+            b["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        out = pa.table(
+            {
+                "event_type": b["event_type"],
+                "day_us": pa.array((t // DAY) * DAY, pa.int64()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+            }
+        )
+        # in-batch dedup cuts the exchange to unique triples per block
+        return out.group_by(
+            ["event_type", "day_us", "user_id"]
+        ).aggregate([])
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.sort(g["user_id"].to_numpy(np.int64))
+        n = 1 + int((u[1:] != u[:-1]).sum()) if len(u) else 0
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "day": pd.to_datetime(
+                    [g["day_us"].iloc[0]], unit="us"
+                ).strftime("%Y-%m-%d"),
+                "n_users": [n],
+            }
+        )
+
+    return (
+        ds.map_batches(triple, batch_format="pyarrow")
+        .groupby(["event_type", "day_us"])
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+SQL_DISTINCT_USERS_DAILY = """
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_event_concat_users(sf_dir: str):
+    """Ordered string aggregation — each user's first-20-event type
+    path as ONE comma-joined string (the session-trace export shape).
+    Per bucket: one mergesort, per-user offsets clipped to 20, an
+    Arrow ListArray built directly on those offsets, and
+    pc.binary_join — the string reduction never drops to a Python
+    per-user loop."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    CAP = 20
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        lens = np.diff(np.append(starts, len(u)))
+        take = np.minimum(lens, CAP)
+        # gather the first-CAP row indices per user without a loop
+        idx = np.repeat(starts, take) + (
+            np.arange(take.sum()) - np.repeat(np.cumsum(take) - take, take)
+        )
+        vals = pa.array(
+            g["event_type"].to_numpy()[idx].astype(object), pa.string()
+        )
+        offsets = pa.array(
+            np.r_[0, np.cumsum(take)].astype(np.int32), pa.int32()
+        )
+        lists = pa.ListArray.from_arrays(offsets, vals)
+        path = pc.binary_join(lists, ",")
+        return pd.DataFrame(
+            {
+                "user_id": u[starts],
+                "n_events": lens.astype(np.int64),
+                "path": path.to_pandas(),
+            }
+        )
+
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_EVENT_CONCAT_USERS = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events)
+SELECT user_id, any_value(n_events) AS n_events,
+       string_agg(event_type, ',' ORDER BY rn) AS path
+FROM r WHERE rn <= 20 GROUP BY user_id
+"""
+
+
+def q_weighted_median_parts(sf_dir: str):
+    """Weighted median per group (the robust-statistics order
+    statistic): smallest retail price v per brand with
+    2 * cumweight(<= v) >= total weight, weights = p_size. Batches
+    pre-aggregate (brand, cents) -> sum(weight) so the ONE exchange
+    carries the distinct-value histogram, not rows; the finalizer is
+    a sorted cumsum + searchsorted. All-integer comparisons — no
+    float enters until the final /100."""
+    ds = _pq(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        out = pa.table(
+            {
+                "p_brand": b["p_brand"],
+                "cents": pa.array(cents, pa.int64()),
+                "wt": pc.cast(b["p_size"], pa.int64()),
+            }
+        )
+        return out.group_by(["p_brand", "cents"]).aggregate([("wt", "sum")])
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["cents"].to_numpy(np.int64), kind="stable")
+        cents = g["cents"].to_numpy(np.int64)[order]
+        wt = g["wt_sum"].to_numpy(np.int64)[order]
+        cw = np.cumsum(wt)
+        tot = int(cw[-1])
+        i = int(np.searchsorted(2 * cw, tot))
+        return pd.DataFrame(
+            {
+                "p_brand": [g["p_brand"].iloc[0]],
+                "wmedian": [round(cents[i] / 100.0, 2)],
+                "total_wt": [tot],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+SQL_WEIGHTED_MEDIAN_PARTS = """
+WITH c AS (
+  SELECT p_brand, CAST(round(p_retailprice * 100.0) AS BIGINT) AS cents,
+         sum(CAST(p_size AS BIGINT)) AS wt
+  FROM part GROUP BY 1, 2),
+cum AS (
+  SELECT p_brand, cents,
+         sum(wt) OVER (PARTITION BY p_brand ORDER BY cents) AS cw,
+         sum(wt) OVER (PARTITION BY p_brand) AS tot
+  FROM c)
+SELECT p_brand,
+       round(min(cents) FILTER (WHERE 2 * cw >= tot) / 100.0, 2)
+         AS wmedian,
+       CAST(any_value(tot) AS BIGINT) AS total_wt
+FROM cum GROUP BY p_brand
+"""
+
+
+def q_fill_forward_users(sf_dir: str):
+    """Time-series gap fill (the resample / state-at-boundary shape):
+    each user's value forward-filled onto an hourly grid from their
+    first full hour boundary to their last. Per bucket the grids of
+    ALL users flatten into one array (repeat + cumsum, no per-user
+    loop) and ONE staircase-offset searchsorted maps every grid point
+    to its user's latest event at-or-before it — the distributed
+    as-of-join kernel reused for resampling. Carried value stays
+    integer cents until the final /100."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    HOUR = np.int64(3_600_000_000)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        cents = np.rint(g["value"].to_numpy(np.float64) * 100.0).astype(
+            np.int64
+        )
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        ends = np.append(starts[1:], len(u)) - 1
+        h0 = (t[starts] // HOUR + 1) * HOUR  # first boundary >= min ts
+        h1 = (t[ends] // HOUR) * HOUR  # last boundary <= max ts
+        n = np.maximum((h1 - h0) // HOUR + 1, 0).astype(np.int64)
+        if int(n.sum()) == 0:
+            return pd.DataFrame(
+                {"user_id": [], "hour": [], "value": []}
+            )
+        seg = np.repeat(np.arange(len(starts)), n)
+        local = np.arange(int(n.sum())) - np.repeat(
+            np.cumsum(n) - n, n
+        )
+        grid = h0[seg] + local * HOUR
+        # staircase offsets isolate users inside ONE searchsorted
+        span = np.int64(t.max() - t.min() + 2) + HOUR
+        uid_rank = np.cumsum(np.r_[False, u[1:] != u[:-1]])
+        key_ev = t - t.min() + uid_rank * span
+        key_gr = grid - t.min() + seg * span
+        idx = np.searchsorted(key_ev, key_gr, side="right") - 1
+        return pd.DataFrame(
+            {
+                "user_id": u[starts][seg],
+                "hour": pd.to_datetime(grid, unit="us").strftime(
+                    "%Y-%m-%d %H:00"
+                ),
+                "value": np.round(cents[idx] / 100.0, 2),
+            }
+        )
+
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_FILL_FORWARD_USERS = """
+WITH b AS (
+  SELECT user_id,
+         date_trunc('hour', min(ts)) + INTERVAL 1 HOUR AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM b WHERE h0 <= h1),
+r AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT g.user_id, strftime(g.h, '%Y-%m-%d %H:00') AS hour,
+       round(max_by(CAST(round(r.value * 100.0) AS BIGINT), r.rn)
+             / 100.0, 2) AS value
+FROM grid g JOIN r ON r.user_id = g.user_id AND r.ts <= g.h
+GROUP BY g.user_id, g.h
+"""
+
+
+REGISTRY.update(
+    {
+        "distinct_users_daily": (
+            q_distinct_users_daily,
+            SQL_DISTINCT_USERS_DAILY,
+        ),
+        "event_concat_users": (q_event_concat_users, SQL_EVENT_CONCAT_USERS),
+        "weighted_median_parts": (
+            q_weighted_median_parts,
+            SQL_WEIGHTED_MEDIAN_PARTS,
+        ),
+        "fill_forward_users": (q_fill_forward_users, SQL_FILL_FORWARD_USERS),
+    }
+)
