@@ -959,6 +959,26 @@ def _tdigest_docs(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _bpe_tokenize_docs(sf_dir: str):
+    """Distributed BPE tokenizer (stages/bpe.py): word-frequency
+    histogram as ONE vocabulary-bounded exchange, driver-side merge
+    training over the bounded histogram (Sennrich-style, deterministic
+    tie-break), actor-pool encode with a persistent per-actor word
+    cache. Returns per-doc (doc_id, n_words, n_tokens). Not
+    SQL-expressible (iterative merges) — covered by tests/test_bpe.py
+    incl. a literal re-implementation cross-check and a
+    partitioning-invariance assertion."""
+    import ray.data as rd
+
+    from theoremkb_ray.stages.bpe import bpe_tokenize
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out, _merges = bpe_tokenize(ds, num_merges=120)
+    return out
+
+
 def _corpus_build(sf_dir: str):
     """The composed LLM corpus-build pipeline
     (pipelines/corpus_build.py): quality -> language -> exact dedup ->
@@ -1253,6 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ivfpq_topk_docs": _ivfpq_topk_docs,
             "tdigest_docs": _tdigest_docs,
             "corpus_build": _corpus_build,
+            "bpe_tokenize_docs": _bpe_tokenize_docs,
         }
     )
     return out

@@ -7992,3 +7992,150 @@ REGISTRY.update(
         "fill_forward_users": (q_fill_forward_users, SQL_FILL_FORWARD_USERS),
     }
 )
+
+
+def q_twap_users(sf_dir: str):
+    """Time-weighted average value per user (the TWAP / state-integral
+    metric): each value weighted by how long it was the user's latest
+    observation. Per bucket ONE mergesort gives the ordered stream;
+    the integral folds as int64 cents x microsecond products (bounded
+    by max-cents x total-span, no overflow), and the single division
+    happens on identical integers in both engines. Single-event users
+    have no holding period and are absent from both sides."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        cents = np.rint(g["value"].to_numpy(np.float64) * 100.0).astype(
+            np.int64
+        )
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return pd.DataFrame({"user_id": [], "twap": []})
+        gu = u[:-1][same]
+        dt = (t[1:] - t[:-1])[same]
+        wv = cents[:-1][same] * dt
+        starts = np.r_[0, np.flatnonzero(gu[1:] != gu[:-1]) + 1]
+        num = np.add.reduceat(wv, starts)
+        den = np.add.reduceat(dt, starts)
+        twap = num / den / 100.0
+        return pd.DataFrame(
+            {
+                "user_id": gu[starts],
+                "twap": np.floor(twap * 1e6) / 1e6,
+            }
+        )
+
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_TWAP_USERS = """
+WITH g AS (
+  SELECT user_id,
+         CAST(round(value * 100.0) AS BIGINT) AS cents,
+         date_diff('microsecond', ts,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)) AS dt
+  FROM events)
+SELECT user_id,
+       floor(sum(cents * dt) / sum(dt) / 100.0 * 1000000.0)
+         / 1000000.0 AS twap
+FROM g WHERE dt IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_time_to_convert(sf_dir: str):
+    """Conversion latency (the funnel-timing metric): per user, the
+    seconds from their FIRST signup to their first purchase at or
+    after it. One ordered pass per bucket; both timestamps stay int64
+    micros and the /1e6 happens on identical operands. Users without
+    a signup, or without a purchase after it, are absent from both
+    sides."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        seg = np.cumsum(np.r_[False, u[1:] != u[:-1]])
+        BIG = np.int64(2**62)
+        # first signup per user: min over masked staircase
+        ts_sig = np.where(et == "signup", t, BIG)
+        t0 = np.minimum.reduceat(ts_sig, starts)
+        # first purchase at/after the signup
+        ts_pur = np.where(
+            (et == "purchase") & (t >= t0[seg]), t, BIG
+        )
+        t1 = np.minimum.reduceat(ts_pur, starts)
+        ok = (t0 < BIG) & (t1 < BIG)
+        return pd.DataFrame(
+            {
+                "user_id": u[starts][ok],
+                "convert_s": (t1[ok] - t0[ok]) / 1e6,
+            }
+        )
+
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_TIME_TO_CONVERT = """
+WITH s AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+  GROUP BY 1)
+SELECT s.user_id,
+       date_diff('microsecond', s.t0, p.t1) / 1000000.0 AS convert_s
+FROM s JOIN p ON s.user_id = p.user_id
+"""
+
+
+def q_k_anonymity_docs(sf_dir: str):
+    """k-anonymity audit (the privacy sibling of PII redaction): every
+    (lang, source) quasi-identifier combination whose group is smaller
+    than k = 8 — rows a release would have to suppress or generalize.
+    Per-batch partial counts fold over ONE tiny exchange (the
+    quasi-identifier domain, not the corpus)."""
+    ds = _pq(sf_dir, "documents", ["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["lang", "source"]).aggregate([([], "count_all")])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()  # bounded by the QI domain, not the corpus
+    )
+    # finish driver-side so an all-pass audit still has a stable
+    # (lang, source, n) schema — an empty filtered BLOCK loses it
+    out = out[out["n"] < 8]
+    return pd.DataFrame(
+        {
+            "lang": out["lang"].astype(str),
+            "source": out["source"].astype(str),
+            "n": out["n"].astype(np.int64),
+        }
+    )
+
+
+SQL_K_ANONYMITY_DOCS = """
+SELECT lang, source, count(*) AS n
+FROM documents GROUP BY 1, 2 HAVING count(*) < 8
+"""
+
+
+REGISTRY.update(
+    {
+        "twap_users": (q_twap_users, SQL_TWAP_USERS),
+        "time_to_convert": (q_time_to_convert, SQL_TIME_TO_CONVERT),
+        "k_anonymity_docs": (q_k_anonymity_docs, SQL_K_ANONYMITY_DOCS),
+    }
+)
