@@ -434,3 +434,41 @@ def test_personalized_pagerank_teleports_to_seeds():
 
     with _pytest.raises(ValueError):
         pagerank(ds, iters=2, seeds=[99]).to_pandas()
+
+
+def test_harmonic_plans_agree(ray_session):
+    """Broadcast-CSR BFS and the distributed frontier-join plan must
+    produce identical centralities."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from theoremkb_ray.stages.graph import harmonic_bounded
+
+    rng = np.random.RandomState(5)
+    n = 120
+    src = rng.randint(0, n, 500)
+    dst = (src + rng.randint(1, 9, 500)) % n
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+    ).repartition(4)
+    fast = (
+        harmonic_bounded(ds, max_hops=3, plan="broadcast")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    slow = (
+        harmonic_bounded(ds, max_hops=3, plan="distributed")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0

@@ -133,3 +133,44 @@ def test_containment_join_directional():
     assert got[(1, 0)] == 1.0      # small inside big
     assert (0, 1) not in got        # big not inside small
     assert (2, 0) not in got        # 0.75 below threshold
+
+
+def test_containment_plans_agree():
+    """The small-vocab bitmask plan and the posting plan must produce
+    identical pairs; pin each via the gating knobs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from theoremkb_ray.stages.setsim import containment_join
+
+    rng = np.random.RandomState(11)
+    vocab = [f"t{i}" for i in range(20)]  # <= 64 distinct tokens
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(3, 12)))
+        for _ in range(80)
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(5)
+    fast = (
+        containment_join(ds, threshold=0.8)  # bitmask (vocab <= 64)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    slow = (
+        containment_join(ds, threshold=0.8, small_vocab_docs=0)  # postings
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0

@@ -508,6 +508,129 @@ def _emit_containment_postings(
     return pa.concat_tables([q, x])
 
 
+# 16-bit popcount lookup (numpy 1.x has no bitwise_count)
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    x = x.view(np.uint64)
+    m = np.uint64(0xFFFF)
+    return (
+        _POP16[(x & m).astype(np.int64)].astype(np.int64)
+        + _POP16[((x >> np.uint64(16)) & m).astype(np.int64)]
+        + _POP16[((x >> np.uint64(32)) & m).astype(np.int64)]
+        + _POP16[((x >> np.uint64(48)) & m).astype(np.int64)]
+    )
+
+
+def _containment_bitmask(
+    ds,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    max_tokens: int,
+    vocab_h: np.ndarray,
+):
+    """Small-vocabulary fast plan for :func:`containment_join`: with a
+    GLOBAL vocabulary of <= 64 distinct tokens every doc's set is one
+    uint64 bitmask, so candidate generation collapses — the posting
+    plan's prefix filter degenerates here (rare tokens aren't rare:
+    measured 60M candidates vs 25M total ordered pairs at 5k docs).
+    One bounded (id, mask, n) table broadcasts; each batch verifies
+    against ALL masks with chunked uint64 AND + popcount (the same
+    broadcast-matmul shape as brute-force ANN). Quadratic work is
+    inherent at this vocabulary (the OUTPUT is near-quadratic); the
+    caller gates this plan on a doc-count budget."""
+    import ray
+    import ray.data as rd
+
+    from ..state.broadcast import get_broadcast
+
+    def mask_batch(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h, offs = _doc_distinct_hashes(b[text_col], max_tokens)
+        bit = np.searchsorted(vocab_h, h).astype(np.uint64)
+        d = np.repeat(
+            np.arange(len(offs) - 1, dtype=np.int64), np.diff(offs)
+        )
+        masks = np.zeros(len(ids), np.uint64)
+        np.bitwise_or.at(masks, d, np.uint64(1) << bit)
+        n = np.diff(offs)
+        keep = n > 0
+        return pa.table(
+            {
+                "id": pa.array(ids[keep], pa.int64()),
+                "mask": pa.array(masks[keep].view(np.int64), pa.int64()),
+                "n": pa.array(n[keep], pa.int64()),
+            }
+        )
+
+    tbl = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(mask_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("id", kind="mergesort")
+    )
+    all_ids = tbl["id"].to_numpy(np.int64)
+    all_masks = tbl["mask"].to_numpy(np.int64).view(np.uint64)
+    ref = ray.put((all_ids, all_masks))
+
+    class Verify:
+        def __init__(self, model_ref) -> None:
+            self.ids, self.masks = get_broadcast(model_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            qa_id = b["id"].to_numpy(zero_copy_only=False)
+            qa_mask = (
+                b["mask"].to_numpy(zero_copy_only=False).view(np.uint64)
+            )
+            qa_n = b["n"].to_numpy(zero_copy_only=False)
+            out_a, out_b, out_c = [], [], []
+            CH = 32_768  # bound the (batch x chunk) AND matrix
+            for lo in range(0, len(self.masks), CH):
+                mb = self.masks[lo : lo + CH]
+                inter = _popcount64(qa_mask[:, None] & mb[None, :])
+                cont = inter / qa_n[:, None]
+                hit = (cont >= threshold) & (
+                    qa_id[:, None] != self.ids[lo : lo + CH][None, :]
+                )
+                ai, bi = np.nonzero(hit)
+                out_a.append(qa_id[ai])
+                out_b.append(self.ids[lo : lo + CH][bi])
+                out_c.append(np.round(cont[ai, bi], 6))
+            return pa.table(
+                {
+                    "id_a": pa.array(
+                        np.concatenate(out_a) if out_a else [], pa.int64()
+                    ),
+                    "id_b": pa.array(
+                        np.concatenate(out_b) if out_b else [], pa.int64()
+                    ),
+                    "containment": pa.array(
+                        np.concatenate(out_c) if out_c else [],
+                        pa.float64(),
+                    ),
+                }
+            )
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(all_ids, pa.int64()),
+                "mask": pa.array(all_masks.view(np.int64), pa.int64()),
+                "n": pa.array(tbl["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+    ).repartition(max(1, len(all_ids) // 2048))
+    return docs.map_batches(
+        Verify,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=1024,
+    )
+
+
 def containment_join(
     ds,
     id_col: str = "doc_id",
@@ -515,6 +638,7 @@ def containment_join(
     threshold: float = 0.8,
     max_tokens: int = 24,
     coarse: int = 64,
+    small_vocab_docs: int = 150_000,
 ):
     """-> Dataset(id_a, id_b, containment): ORDERED pairs where doc
     ``id_a``'s token set is >= ``threshold`` CONTAINED in ``id_b``'s —
@@ -534,6 +658,15 @@ def containment_join(
     df_tbl = token_df_table(
         ds.select_columns([text_col]), text_col, max_tokens
     )
+    if len(df_tbl) <= 64 and ds.count() <= small_vocab_docs:
+        # <= 64 distinct tokens globally: the prefix filter degenerates
+        # (candidates exceed all-pairs) — switch to the uint64 bitmask
+        # plan. Gated on doc count: the work (and the OUTPUT) is
+        # near-quadratic at this vocabulary on any plan.
+        vocab_sorted = np.sort(df_tbl["tok"].to_numpy().view(np.uint64))
+        return _containment_bitmask(
+            ds, id_col, text_col, threshold, max_tokens, vocab_sorted
+        )
     toks = df_tbl["tok"].to_numpy().view(np.uint64)
     dfs = df_tbl["df"].to_numpy()
     order = np.argsort(toks, kind="mergesort")
