@@ -7045,52 +7045,68 @@ REGISTRY.update(
 def q_join_size_estimate(sf_dir: str):
     """Join-cardinality statistics (the optimizer primitive behind
     broadcast-vs-shuffle planning): EXACT |orders |x| lineitem| on
-    orderkey plus the distinct overlapping key count, computed from
-    per-key count sketches — per-batch per-key count partials on each
-    side, one groupby per side, a distributed hash join of the two
-    COUNT TABLES (key-space sized, not row sized), and an integer
-    product-sum fold. All-integer arithmetic: bit-exact under any
-    partitioning."""
-    from ..stages.joins import hash_join
+    orderkey plus the distinct overlapping key count. Both sides
+    pre-reduce to per-batch (key, count) partials tagged by side, and
+    ONE coarse-bucketed exchange (key-hash % 64) co-locates each key's
+    partials from both sides — the per-bucket combine folds counts
+    with np.unique sums, intersects the two key sets by searchsorted,
+    and emits a 2-int partial. Replaces the previous plan's two
+    150k-key groupbys + a count-table hash join (three exchanges,
+    measured 7.8 s) with one 64-group exchange. All-integer: bit-exact
+    under any partitioning."""
+    from ..functions.hashing import splitmix64
 
-    def counts(table: str, key: str):
+    def counts(table: str, key: str, side: int):
         ds = _pq(sf_dir, table, [key])
 
         def partial(b: pa.Table) -> pa.Table:
             k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
             u, c = np.unique(k, return_counts=True)
+            bk = (
+                splitmix64(u.astype(np.uint64))
+                % np.uint64(COARSE_USER_BUCKETS)
+            ).astype(np.int64)
             return pa.table(
-                {"k": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())}
+                {
+                    "bucket": pa.array(bk, pa.int64()),
+                    "k": pa.array(u, pa.int64()),
+                    "c": pa.array(c.astype(np.int64), pa.int64()),
+                    "side": pa.array(
+                        np.full(len(u), side, np.int8), pa.int8()
+                    ),
+                }
             )
 
-        return (
-            ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("k")
-            .sum("c")
-            .map_batches(
-                lambda b: b.rename_columns(["k", "c"]),
-                batch_format="pyarrow",
-            )
-        )
+        return ds.map_batches(partial, batch_format="pyarrow")
 
-    a = counts("orders", "o_orderkey")
-    b = counts("lineitem", "l_orderkey").map_batches(
-        lambda t: t.rename_columns(["k", "c2"]), batch_format="pyarrow"
+    both = counts("orders", "o_orderkey", 0).union(
+        counts("lineitem", "l_orderkey", 1)
     )
-    j = hash_join(a, b, on=["k"])
 
-    def prod_partial(t: pa.Table) -> pa.Table:
-        c1 = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c2 = t["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        s = g["side"].to_numpy(np.int8)
+        def fold(mask):
+            u, inv = np.unique(k[mask], return_inverse=True)
+            return u, np.bincount(inv, weights=c[mask]).astype(np.int64)
+        ka, ca = fold(s == 0)
+        kb, cb = fold(s == 1)
+        if len(ka) == 0 or len(kb) == 0:
+            return pd.DataFrame({"join_rows": [0], "overlap_keys": [0]})
+        pos = np.searchsorted(ka, kb)
+        pos_c = np.minimum(pos, len(ka) - 1)
+        hit = (ka[pos_c] == kb) & (pos < len(ka))
+        return pd.DataFrame(
             {
-                "join_rows": pa.array([int((c1 * c2).sum())], pa.int64()),
-                "overlap_keys": pa.array([len(c1)], pa.int64()),
+                "join_rows": [int((ca[pos_c[hit]] * cb[hit]).sum())],
+                "overlap_keys": [int(hit.sum())],
             }
         )
 
     out = (
-        j.map_batches(prod_partial, batch_format="pyarrow")
+        both.groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
         .aggregate(
             Sum("join_rows", alias_name="join_rows"),
             Sum("overlap_keys", alias_name="overlap_keys"),

@@ -883,6 +883,34 @@ def substring_dup_counts(
 # ------------------------------------------- exact word-n-gram dedup
 
 
+def _ngram_size_partial(t: pa.Table) -> pa.Table:
+    """Per-batch fold of the spool's per-doc gram-size contribution
+    rows (b IS NULL) into (hash(a), sum w) partials — output bounded
+    by the batch's distinct docs, so the driver-side final fold pulls
+    doc-bounded partials, never (doc, gram) rows."""
+    from ..functions.hashing import hash_strings
+
+    t = t.filter(pc.is_null(t["b"]))
+    if len(t) == 0:
+        return pa.table(
+            {
+                "ah": pa.array([], pa.uint64()),
+                "w": pa.array([], pa.int64()),
+            }
+        )
+    h = hash_strings(t["a"].to_numpy(zero_copy_only=False))
+    w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+    u, inv = np.unique(h, return_inverse=True)
+    return pa.table(
+        {
+            "ah": pa.array(u, pa.uint64()),
+            "w": pa.array(
+                np.bincount(inv, weights=w).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
 def exact_ngram_dup_edges(
     ds,
     col: str = "text",
@@ -1023,7 +1051,82 @@ def exact_ngram_dup_edges(
         fine_col="gram",
     )
     # rows is already materialized (spooled_group_map pins its result),
-    # so the two consumers below never recompute the exchange
+    # so the consumers below never recompute the exchange.
+    #
+    # Finish plan is size-adaptive. The per-doc gram-size table is
+    # doc-bounded; when its per-batch partials fold small enough to
+    # broadcast (sorted id-hash + count arrays, never a Python dict),
+    # the Jaccard finish needs ONE pair-bucketed exchange and zero
+    # joins — measured 10.3 s -> ~2 s at sf0.1 vs the general plan
+    # (two string-keyed groupbys + two distributed hash joins), which
+    # remains the fallback when the doc table outgrows the budget.
+    from ..functions.hashing import hash_strings
+
+    size_parts = rows.map_batches(
+        lambda t: _ngram_size_partial(t), batch_format="pyarrow"
+    ).to_pandas()
+    # driver fold of per-batch partials: bounded by docs-with-grams
+    sh = size_parts["ah"].to_numpy(np.uint64)
+    sw = size_parts["w"].to_numpy(np.int64)
+    uh, inv = np.unique(sh, return_inverse=True)
+    un = np.bincount(inv, weights=sw).astype(np.int64)
+
+    SIZE_BROADCAST_BUDGET = 48 << 20  # bytes of (hash, count) arrays
+    if uh.nbytes + un.nbytes <= SIZE_BROADCAST_BUDGET:
+        import ray
+
+        from ..state.broadcast import get_broadcast
+
+        ref = ray.put((uh, un))
+
+        def add_pk(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["b"]))
+            ha = hash_strings(t["a"].to_numpy(zero_copy_only=False))
+            hb = hash_strings(t["b"].to_numpy(zero_copy_only=False))
+            pk = ((ha * np.uint64(0x9E3779B97F4A7C15)) ^ hb) % np.uint64(
+                coarse
+            )
+            return t.append_column(
+                "pk", pa.array(pk.astype(np.int64), pa.int64())
+            )
+
+        def pair_finish(g: pd.DataFrame) -> pd.DataFrame:
+            uh_, un_ = get_broadcast(ref)  # process-cached fetch
+            c = (
+                g.groupby(["a", "b"], sort=False)["w"].sum().reset_index()
+            )
+            ha = hash_strings(c["a"].to_numpy())
+            hb = hash_strings(c["b"].to_numpy())
+            na = un_[np.searchsorted(uh_, ha)].astype(np.float64)
+            nb = un_[np.searchsorted(uh_, hb)].astype(np.float64)
+            it = c["w"].to_numpy(np.int64).astype(np.float64)
+            j = it / (na + nb - it)
+            keep = j >= threshold
+            return pd.DataFrame(
+                {
+                    "a": c["a"].to_numpy()[keep],
+                    "b": c["b"].to_numpy()[keep],
+                    "jaccard": j[keep],
+                }
+            )
+
+        pairs_ds = rows.map_batches(
+            add_pk, batch_format="pyarrow"
+        ).materialize()
+        if pairs_ds.count() == 0:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "a": pa.array([], pa.string()),
+                        "b": pa.array([], pa.string()),
+                        "jaccard": pa.array([], pa.float64()),
+                    }
+                )
+            )
+        return pairs_ds.groupby("pk").map_groups(
+            pair_finish, batch_format="pandas"
+        )
+
     sizes = (
         rows.map_batches(
             lambda t: t.filter(pc.is_null(t["b"])).drop_columns(["b"]),
