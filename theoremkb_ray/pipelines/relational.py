@@ -8155,3 +8155,200 @@ REGISTRY.update(
         "k_anonymity_docs": (q_k_anonymity_docs, SQL_K_ANONYMITY_DOCS),
     }
 )
+
+
+def q_bounce_rate_users(sf_dir: str):
+    """Sessionized bounce rate per user (the engagement-quality
+    metric): sessions split on > 30 min inactivity gaps, a bounce is
+    a single-event session. Session boundaries derive from ONE
+    ordered pass per bucket (gap mask + cumsum — the session_window
+    kernel re-used for a per-user ratio); bounce_rate divides the two
+    integers identically in both engines."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+    GAP = np.int64(30 * 60 * 1_000_000)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        new_sess = np.r_[
+            True, (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > GAP)
+        ]
+        sess = np.cumsum(new_sess) - 1
+        sess_len = np.bincount(sess)
+        sess_user = u[np.flatnonzero(new_sess)]
+        order = np.argsort(sess_user, kind="stable")
+        su = sess_user[order]
+        sl = sess_len[order]
+        starts = np.r_[0, np.flatnonzero(su[1:] != su[:-1]) + 1]
+        n_sessions = np.diff(np.append(starts, len(su)))
+        bounces = np.add.reduceat((sl == 1).astype(np.int64), starts)
+        return pd.DataFrame(
+            {
+                "user_id": su[starts],
+                "n_sessions": n_sessions.astype(np.int64),
+                "bounces": bounces,
+                # floor-quantize: session ratios like 1/64 terminate
+                # with a trailing 5 at the 6th decimal
+                "bounce_rate": np.floor(bounces / n_sessions * 1e6)
+                / 1e6,
+            }
+        )
+
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_BOUNCE_RATE_USERS = """
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN date_diff('microsecond',
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts) > 1800000000
+                   OR lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM m),
+agg AS (
+  SELECT user_id, sess_id, count(*) AS len
+  FROM s GROUP BY user_id, sess_id)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS bounces,
+       floor(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 1000000.0) / 1000000.0
+         AS bounce_rate
+FROM agg GROUP BY user_id
+"""
+
+
+def q_revenue_share_nations(sf_dir: str):
+    """Share-of-total (the contribution-analysis shape): each nation's
+    per-customer account-balance total as a fraction of the global
+    total. One grouped integer-cent fold; the global total derives
+    from the SAME partials (no second scan); both engines divide the
+    same two integers."""
+    cust = _pq(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            b["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(u, pa.int64()),
+                "sc": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("sc", alias_name="sc"))
+        .to_pandas()  # bounded by the nation domain
+    )
+    tot = int(agg["sc"].sum())
+    agg["share"] = np.floor(
+        agg["sc"].to_numpy(np.int64) / tot * 1e6
+    ) / 1e6
+    agg["balance"] = np.round(agg["sc"].to_numpy(np.int64) / 100.0, 2)
+    return agg[["c_nationkey", "balance", "share"]]
+
+
+SQL_REVENUE_SHARE_NATIONS = """
+WITH s AS (
+  SELECT c_nationkey,
+         sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS sc
+  FROM customer GROUP BY 1)
+SELECT c_nationkey,
+       round(sc / 100.0, 2) AS balance,
+       floor(sc / (SELECT sum(sc) FROM s) * 1000000.0) / 1000000.0
+         AS share
+FROM s
+"""
+
+
+def q_attribution_last_touch(sf_dir: str):
+    """Last-touch attribution (the marketing-analytics as-of shape):
+    every purchase credited to the user's most recent PRIOR
+    click-or-view. Per bucket: one mergesort, then a staircase-offset
+    searchsorted maps each purchase to the latest earlier touch — the
+    as-of kernel with a side filter, no per-user loop. Ties at equal
+    ts resolve to the larger event_id (the sort order's last row),
+    matching the oracle's max_by over (ts, rn). Purchases with no
+    prior touch are absent from both sides."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        eid = g["event_id"].to_numpy(np.int64)
+        uid_rank = np.cumsum(np.r_[False, u[1:] != u[:-1]])
+        span = np.int64(t.max() - t.min() + 2)
+        key = (t - t.min()) + uid_rank * span
+        touch = (et == "click") | (et == "view")
+        buy = et == "purchase"
+        tk = key[touch]
+        # strictly earlier: searchsorted left on (key) of purchases
+        pos = np.searchsorted(tk, key[buy], side="left") - 1
+        ok = pos >= 0
+        # the candidate must belong to the same user segment
+        same = np.zeros(ok.sum(), bool)
+        cand = pos[ok]
+        same = uid_rank[np.flatnonzero(touch)][cand] == uid_rank[buy][ok]
+        rows = np.flatnonzero(buy)[ok][same]
+        src = np.flatnonzero(touch)[cand[same]]
+        return pd.DataFrame(
+            {
+                "purchase_id": eid[rows],
+                "user_id": u[rows],
+                "touch_id": eid[src],
+                "touch_type": et[src],
+            }
+        )
+
+    return _by_user_bucket(ds).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_ATTRIBUTION_LAST_TOUCH = """
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type IN ('click', 'view')),
+p AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'purchase')
+SELECT p.event_id AS purchase_id, p.user_id,
+       max_by(t.event_id, t.rn) AS touch_id,
+       max_by(t.event_type, t.rn) AS touch_type
+FROM p JOIN t ON t.user_id = p.user_id AND t.ts < p.ts
+GROUP BY p.event_id, p.user_id
+"""
+
+
+REGISTRY.update(
+    {
+        "bounce_rate_users": (q_bounce_rate_users, SQL_BOUNCE_RATE_USERS),
+        "revenue_share_nations": (
+            q_revenue_share_nations,
+            SQL_REVENUE_SHARE_NATIONS,
+        ),
+        "attribution_last_touch": (
+            q_attribution_last_touch,
+            SQL_ATTRIBUTION_LAST_TOUCH,
+        ),
+    }
+)
