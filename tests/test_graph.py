@@ -472,3 +472,44 @@ def test_harmonic_plans_agree(ray_session):
     )
     pd.testing.assert_frame_equal(fast, slow)
     assert len(fast) > 0
+
+
+def test_feature_propagate_plans_agree(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from theoremkb_ray.stages.graph import feature_propagate
+
+    rng = np.random.RandomState(9)
+    n = 60
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(rng.randint(0, n, 300), pa.int64()),
+                "dst": pa.array(rng.randint(0, n, 300), pa.int64()),
+            }
+        )
+    ).repartition(4)
+    feats = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(np.arange(n), pa.int64()),
+                "x": pa.array(rng.randint(0, 5, n), pa.int64()),
+            }
+        )
+    ).repartition(3)
+    fast = (
+        feature_propagate(edges, feats, rounds=2, plan="broadcast")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    slow = (
+        feature_propagate(edges, feats, rounds=2, plan="distributed")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, slow)

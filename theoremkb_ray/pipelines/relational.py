@@ -8352,3 +8352,209 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_substr_remove_docs(sf_dir: str):
+    """Duplicated-substring REMOVAL accounting (the Lee et al.
+    dedup-training-data pass, one step past substr_dedup_docs'
+    profile): per document, the number of characters covered by at
+    least one 40-char window that also occurs in ANOTHER document —
+    i.e. how much text a substring-level dedup would cut. Two passes
+    over the same zero-copy window-hash kernel: pass A is the
+    substr_dedup exchange marking cross-doc-duplicated window hashes
+    (distinct-doc count >= 2), whose MARKED SUBSET broadcasts as one
+    sorted uint64 array (bounded by actual duplication volume, not the
+    corpus; a corpus where most windows are duplicated has bigger
+    problems than this broadcast); pass B re-hashes windows per batch,
+    flags members by searchsorted, and folds interval coverage with a
+    diff-array cumsum — no per-row loop anywhere. Docs shorter than
+    the window are absent from both sides."""
+    import ray
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..state.broadcast import get_broadcast
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    W = 40
+    NB = 64
+    P = np.uint64(1099511628211)
+    pw = np.ones(W, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(W - 2, -1, -1):
+            pw[k] = pw[k + 1] * P
+
+    def windows(b: pa.Table):
+        """(window hash, owning doc ordinal, start offset in doc,
+        per-doc char lengths) — zero-copy over the Arrow buffers."""
+        a = b["text"].combine_chunks()
+        odt = np.int64 if pa.types.is_large_string(a.type) else np.int32
+        off = np.frombuffer(a.buffers()[1], dtype=odt)[
+            a.offset : a.offset + len(a) + 1
+        ].astype(np.int64)
+        dat = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+        flat = dat[off[0] : off[-1]]
+        off = off - off[0]
+        lengths = np.diff(off)
+        d = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        F = len(flat)
+        if F < W:
+            return None
+        sw = np.lib.stride_tricks.sliding_window_view(flat, W)
+        with np.errstate(over="ignore"):
+            h = (sw.astype(np.uint64) * pw).sum(axis=1)
+        valid = d[: F - W + 1] == d[W - 1 :]
+        if not valid.any():
+            return None
+        vi = np.flatnonzero(valid)
+        return (
+            h[valid],
+            d[vi],
+            vi - off[d[vi]],
+            lengths,
+        )
+
+    def pass_a(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gh": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "bk": pa.array([], pa.int64()),
+            }
+        )
+        w = windows(b)
+        if w is None:
+            return empty
+        h, wd, _starts, _lens = w
+        doc = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gh = h.view(np.int64)
+        wdoc = doc[wd]
+        order = np.lexsort((wdoc, gh))
+        gh, wdoc = gh[order], wdoc[order]
+        first = np.r_[True, (gh[1:] != gh[:-1]) | (wdoc[1:] != wdoc[:-1])]
+        gh, wdoc = gh[first], wdoc[first]
+        return pa.table(
+            {
+                "gh": pa.array(gh, pa.int64()),
+                "doc_id": pa.array(wdoc, pa.int64()),
+                "bk": pa.array(
+                    gh.view(np.uint64) % np.uint64(NB), pa.int64()
+                ),
+            }
+        )
+
+    def dup_ghs(g: pd.DataFrame) -> pd.DataFrame:
+        gh = np.sort(g["gh"].to_numpy(np.int64))
+        starts = np.r_[0, np.flatnonzero(gh[1:] != gh[:-1]) + 1]
+        n = np.diff(np.append(starts, len(gh)))
+        return pd.DataFrame({"gh": gh[starts][n >= 2]})
+
+    marked = (
+        ds.map_batches(pass_a, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(dup_ghs, batch_format="pandas")
+        .to_pandas()  # bounded by duplicated-window volume
+    )
+    dup_sorted = np.sort(marked["gh"].to_numpy(np.int64).view(np.uint64))
+    ref = ray.put(dup_sorted)
+
+    class Coverage:
+        def __init__(self, model_ref) -> None:
+            self.dup = get_broadcast(model_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            doc = b["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            w = windows(b)
+            empty = pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "dup_chars": pa.array([], pa.int64()),
+                    "kept_chars": pa.array([], pa.int64()),
+                }
+            )
+            if w is None:
+                return empty
+            h, wd, st, lens = w
+            pos = np.searchsorted(self.dup, h)
+            pos_c = np.minimum(pos, max(len(self.dup) - 1, 0))
+            hit = (
+                (len(self.dup) > 0)
+                & (pos < len(self.dup))
+                & (self.dup[pos_c] == h)
+            )
+            keep_docs = lens >= W
+            if not hit.any():
+                return pa.table(
+                    {
+                        "doc_id": pa.array(doc[keep_docs], pa.int64()),
+                        "n_chars": pa.array(lens[keep_docs], pa.int64()),
+                        "dup_chars": pa.array(
+                            np.zeros(int(keep_docs.sum()), np.int64)
+                        ),
+                        "kept_chars": pa.array(lens[keep_docs], pa.int64()),
+                    }
+                )
+            # diff-array interval union per doc over a flat axis:
+            # doc d owns [base[d], base[d]+len) in the flat space
+            base = np.r_[0, np.cumsum(lens)]
+            s = base[wd[hit]] + st[hit]
+            e = s + W  # cover [s, s+W)
+            diff = np.zeros(int(base[-1]) + 1, np.int64)
+            np.add.at(diff, s, 1)
+            np.add.at(diff, e, -1)
+            covered = (np.cumsum(diff[:-1]) > 0).astype(np.int64)
+            cum = np.r_[0, np.cumsum(covered)]
+            dup_chars = cum[base[1:]] - cum[base[:-1]]
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc[keep_docs], pa.int64()),
+                    "n_chars": pa.array(lens[keep_docs], pa.int64()),
+                    "dup_chars": pa.array(
+                        dup_chars[keep_docs], pa.int64()
+                    ),
+                    "kept_chars": pa.array(
+                        (lens - dup_chars)[keep_docs], pa.int64()
+                    ),
+                }
+            )
+
+    return ds.map_batches(
+        Coverage,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=256,
+    )
+
+
+SQL_SUBSTR_REMOVE_DOCS = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) >= 40),
+w AS (
+  SELECT doc_id, s, substr(text, s, 40) AS g
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(1, n - 39)) AS s)),
+dupg AS (
+  SELECT g FROM w GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT w.doc_id, w.s + k.k AS p
+  FROM w JOIN dupg USING (g),
+       LATERAL (SELECT unnest(generate_series(0, 39)) AS k) k),
+c AS (
+  SELECT doc_id, count(*) AS dup_chars FROM cov GROUP BY doc_id)
+SELECT d.doc_id, d.n AS n_chars,
+       coalesce(c.dup_chars, 0) AS dup_chars,
+       d.n - coalesce(c.dup_chars, 0) AS kept_chars
+FROM d LEFT JOIN c USING (doc_id)
+"""
+
+
+REGISTRY.update(
+    {
+        "substr_remove_docs": (q_substr_remove_docs, SQL_SUBSTR_REMOVE_DOCS),
+    }
+)
