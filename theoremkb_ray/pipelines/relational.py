@@ -8558,3 +8558,111 @@ REGISTRY.update(
         "substr_remove_docs": (q_substr_remove_docs, SQL_SUBSTR_REMOVE_DOCS),
     }
 )
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM segmentation (the classic user-value composite): per user
+    Recency (last event), Frequency (event count), Monetary (value
+    sum), each scored NTILE(4) under a deterministic
+    (metric DESC, user_id) total order, composed as 100r+10f+m.
+    The metric table derives from ONE grouped integer fold (per-batch
+    partials: last-ts max, count, cent sum); the NTILE step runs on
+    that USER-BOUNDED table driver-side — the documented gate; at a
+    user population beyond driver reach the rank step is
+    rank_global_orders' value-bucket machinery per metric (3 bucketed
+    exchanges + joins), which this query deliberately avoids at bench
+    scale. Integer metrics end to end: ties and tiles are exact."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "value"])
+    from ray.data.aggregate import Max
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = (
+            b["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        cents = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        last = np.full(len(uu), np.int64(-(2**62)))
+        np.maximum.at(last, inv, t)
+        return pa.table(
+            {
+                "user_id": pa.array(uu, pa.int64()),
+                "last_ts": pa.array(last, pa.int64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "sc": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("last_ts", alias_name="last_ts"),
+            Sum("n", alias_name="n"),
+            Sum("sc", alias_name="sc"),
+        )
+        .to_pandas()  # user-bounded (see docstring gate)
+    )
+    uid = agg["user_id"].to_numpy(np.int64)
+    N = len(uid)
+
+    def ntile4(metric: np.ndarray) -> np.ndarray:
+        # rank under (metric DESC, user_id ASC), then NTILE(4)
+        order = np.lexsort((uid, -metric))
+        rank = np.empty(N, np.int64)
+        rank[order] = np.arange(N)
+        q, r = divmod(N, 4)
+        if q == 0:
+            return rank + 1
+        split = (q + 1) * r
+        return (
+            np.where(rank < split, rank // (q + 1), r + (rank - split) // q)
+            + 1
+        )
+
+    r = ntile4(agg["last_ts"].to_numpy(np.int64))
+    f = ntile4(agg["n"].to_numpy(np.int64))
+    m = ntile4(agg["sc"].to_numpy(np.int64))
+    return pd.DataFrame(
+        {
+            "user_id": uid,
+            "r_score": r,
+            "f_score": f,
+            "m_score": m,
+            "rfm": 100 * r + 10 * f + m,
+        }
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH u AS (
+  SELECT user_id, max(ts) AS last_ts, count(*) AS n,
+         sum(CAST(round(value * 100.0) AS BIGINT)) AS sc
+  FROM events GROUP BY 1),
+s AS (
+  SELECT user_id,
+         CAST(ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS BIGINT)
+           AS r_score,
+         CAST(ntile(4) OVER (ORDER BY n DESC, user_id) AS BIGINT)
+           AS f_score,
+         CAST(ntile(4) OVER (ORDER BY sc DESC, user_id) AS BIGINT)
+           AS m_score
+  FROM u)
+SELECT user_id, r_score, f_score, m_score,
+       100 * r_score + 10 * f_score + m_score AS rfm
+FROM s
+"""
+
+
+REGISTRY.update(
+    {
+        "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
+    }
+)
