@@ -23,6 +23,8 @@ import subprocess
 import sys
 import time
 
+from theoremkb_ray.state.spool import SCRATCH_ENV
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 ONLY = os.environ.get("GRAFT_BENCH_ONLY", "")
@@ -62,6 +64,18 @@ def _kg_corpus_dir(sf: float) -> str:
 
 def run_bench() -> dict:
     import ray
+
+    # Spool scratch on tmpfs when the bench box has one: the keyed
+    # exchanges (canonicalization band table, sink partition spool)
+    # are DISK-bound on this VM's ~120 MB/s root disk (measured
+    # 87-119 s sink vs 46-48 s on tmpfs), and that IO is
+    # parallelism-independent — it capped the 8->32 CPU scaling ratio
+    # at 0.62. A real cluster puts scratch on local NVMe or shared
+    # fast storage; tmpfs is the single-node stand-in. Library default
+    # stays /tmp (tmpfs can ENOSPC on unbounded spools); the bench
+    # corpus is bounded.
+    if SCRATCH_ENV not in os.environ and os.path.isdir("/dev/shm"):
+        os.environ[SCRATCH_ENV] = "/dev/shm/tkb_scratch"
 
     # object store sized to ~55% of RAM: Ray's local default (~43%)
     # spills at the 2.2M-doc stress point (results pin + bands + emit
@@ -328,6 +342,7 @@ def run_bench() -> dict:
             "media_search",
             "kmeans_docs",
             "semdedup_docs",
+            "bpe_tokenize_docs",
         ):
             t0 = time.perf_counter()
             res = qmap[name](SF_DIR)

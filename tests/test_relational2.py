@@ -719,3 +719,32 @@ def test_snapshot_diff_statuses():
         else:
             want = None
         assert st.get(int(k)) == want, (k, st.get(int(k)), want)
+
+
+def test_above_avg_orders_join_fallback_matches_broadcast():
+    """budget=0 must route through the distributed hash join and
+    produce the identical row set; both plans match an independent
+    pandas reference of the integer cross-multiplied predicate."""
+    import theoremkb_ray.pipelines.relational as R
+
+    fast = (
+        _df(R.q_above_avg_orders(SF_DIR))
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    slow = (
+        _df(R.q_above_avg_orders(SF_DIR, broadcast_budget_rows=0))
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    pd.testing.assert_frame_equal(fast[cols], slow[cols])
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=cols)
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    g = orders.assign(c=cents).groupby("o_custkey")["c"]
+    n = g.transform("size")
+    sc = g.transform("sum")
+    want = orders[cents * n > sc].sort_values("o_orderkey").reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(fast[cols], want)

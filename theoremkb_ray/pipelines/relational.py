@@ -7400,14 +7400,16 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 """
 
 
-def q_above_avg_orders(sf_dir: str):
+def q_above_avg_orders(sf_dir: str, broadcast_budget_rows: int = 4_000_000):
     """The decorrelated correlated-subquery shape — orders strictly
     above their customer's average order value: ONE grouped partial
-    (custkey, n, sum-cents) replaces the per-row subquery, broadcast
-    back over the fact scan (auto-routing to the hash join if the key
-    table outgrows the broadcast budget). The predicate cross-
-    multiplies integers (cents * n > sum_cents) so no division ever
-    happens — bit-exact under any partitioning."""
+    (custkey, n, sum-cents) replaces the per-row subquery; the
+    customer-bounded stat table broadcasts as sorted int64 arrays
+    when it fits the budget, else the filter routes through the
+    distributed hash join (same rows either way — pinned by
+    tests/test_relational2.py with budget=0). The predicate
+    cross-multiplies integers (cents * n > sum_cents) so no division
+    ever happens — bit-exact under any partitioning."""
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -7427,12 +7429,31 @@ def q_above_avg_orders(sf_dir: str):
             }
         )
 
-    stats = (
+    stats_ds = (
         orders.map_batches(partial, batch_format="pyarrow")
         .groupby("o_custkey")
         .aggregate(Sum("n", alias_name="n"), Sum("sc", alias_name="sc"))
-        .to_pandas()
+        .materialize()  # customer-bounded; count + read from one pass
     )
+    if stats_ds.count() > broadcast_budget_rows:
+        # key table outgrew the broadcast budget: distributed hash
+        # join of the fact scan against the stat table, same predicate
+        from ..stages.joins import hash_join
+
+        j = hash_join(orders, stats_ds, on=["o_custkey"])
+
+        def flt(b: pa.Table) -> pa.Table:
+            cents = np.rint(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            n = b["n"].to_numpy(zero_copy_only=False)
+            sc = b["sc"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(cents * n > sc)).select(
+                ["o_orderkey", "o_custkey", "o_totalprice"]
+            )
+
+        return j.map_batches(flt, batch_format="pyarrow")
+    stats = stats_ds.to_pandas()
     sk = stats["o_custkey"].to_numpy(np.int64)
     order_k = np.argsort(sk, kind="stable")
     sk = sk[order_k]
@@ -7634,7 +7655,11 @@ def q_knn_vote_embeddings(sf_dir: str):
     matmul against the normalized matrix, kills the self column, and
     takes the arg-top-5 under the ann_topk ordering contract
     (similarity DESC, vec_id ASC). Vote ties break toward the
-    smallest label — integer logic, hash-stable."""
+    smallest label — integer logic, hash-stable. Scale note: brute
+    kNN is inherently index-broadcast (the query side streams; the
+    index is the whole table) — beyond broadcast reach the scale plan
+    is the IVF/PQ family (stages/similarity.py, stages/pq.py), same
+    ordering contract."""
     import ray
 
     from ..state.broadcast import get_broadcast
