@@ -8691,3 +8691,468 @@ REGISTRY.update(
         "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
     }
 )
+
+
+# ------------------------------------------------ classic decision-support
+
+
+def q_q18_large_orders(sf_dir: str):
+    """The TPC-H Q18 shape — large-volume orders (grouped HAVING
+    filter feeding a multi-way join). One grouped integer fold over
+    lineitem (quantities are integral by spec; round-cast per batch so
+    partials are bit-identical under any partitioning), a HAVING
+    prune that leaves an output-bounded survivor set, then two
+    hash-partitioned joins (orders, customer) — both sides stay
+    distributed, nothing reaches the driver. Reference analog: the
+    grouped tallies + joins of extract_graph.py's result/citation
+    rollups."""
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.rint(
+            b["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        uu, inv = np.unique(k, return_inverse=True)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(uu, pa.int64()),
+                "total_qty": pa.array(
+                    np.bincount(inv, weights=q).astype(np.int64)
+                ),
+            }
+        )
+
+    big = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("total_qty", alias_name="total_qty"))
+        .filter(expr="total_qty > 300")
+        .materialize()  # survivor-bounded by the HAVING prune
+    )
+    orders = _pq(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    if big.count() <= 4_000_000:
+        # survivor set fits the broadcast budget: filter the orders
+        # scan in place (zero exchange; broadcast_join itself falls
+        # back to the hash plan past MAX_BROADCAST_BYTES)
+        joined = broadcast_join(orders, big.to_pandas(), on=["o_orderkey"])
+    else:  # pragma: no cover - adversarial survivor volume
+        joined = hash_join(big, orders, on=["o_orderkey"])
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = hash_join(joined, cust, on=["o_custkey"], right_on=["c_custkey"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        d = (
+            b["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(str)
+        )
+        return pa.table(
+            {
+                "c_name": b["c_name"],
+                # Dataset.join keeps the LEFT key column name
+                "c_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_orderdate": pa.array(d, pa.string()),
+                "o_totalprice": b["o_totalprice"],
+                "total_qty": pc.cast(b["total_qty"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_Q18_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o   ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+def q_q22_wealthy_inactive(sf_dir: str):
+    """The TPC-H Q22 shape — global-average subquery + NOT EXISTS
+    anti-join. Customers whose balance strictly exceeds the average
+    positive balance AND who never placed a 1-URGENT order, tallied
+    per nation. The average is ONE (sum_cents, n) scalar fold
+    (cents = round(bal*100), exact int64); the comparison is
+    cross-multiplied integers (bal_cents * n > sum_cents) so no
+    division exists on either side; the NOT EXISTS runs as a
+    hash-partitioned anti-join against the deduped urgent-customer
+    keys — distributed end to end, no driver key set."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.rint(
+            b["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+                "bal_cents": pa.array(c, pa.int64()),
+            }
+        )
+
+    cb = cust.map_batches(cents, batch_format="pyarrow")
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        c = b["bal_cents"].to_numpy(zero_copy_only=False)
+        m = c > 0
+        return pa.table(
+            {
+                "s": pa.array([int(c[m].sum())], pa.int64()),
+                "n": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    tot = (
+        cb.map_batches(pos_partial, batch_format="pyarrow")
+        .sum(["s", "n"])
+    )
+    s_pos, n_pos = int(tot["sum(s)"]), int(tot["sum(n)"])
+
+    def rich_filter(b: pa.Table) -> pa.Table:
+        c = b["bal_cents"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(c * n_pos > s_pos))
+
+    rich = cb.map_batches(rich_filter, batch_format="pyarrow")
+
+    urgent = _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    )
+
+    def dedup_keys(b: pa.Table) -> pa.Table:
+        u = np.unique(
+            b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table({"c_custkey": pa.array(u, pa.int64())})
+
+    urgent_keys = urgent.map_batches(dedup_keys, batch_format="pyarrow")
+    inactive = hash_join(rich, urgent_keys, on=["c_custkey"], how="anti")
+
+    def per_nation(b: pa.Table) -> pa.Table:
+        k = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["bal_cents"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(k, return_inverse=True)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(uu, pa.int64()),
+                "n_cust": pa.array(np.bincount(inv).astype(np.int64)),
+                "sc": pa.array(np.bincount(inv, weights=c).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        inactive.map_batches(per_nation, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("n_cust", alias_name="n_cust"), Sum("sc", alias_name="sc")
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        sc = b["sc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+                "n_cust": pc.cast(b["n_cust"], pa.int64()),
+                "total_bal": pa.array(
+                    np.round(sc / 100.0, 2), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_Q22_WEALTHY_INACTIVE = """
+WITH cb AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal_cents
+  FROM customer),
+avgpos AS (
+  SELECT sum(bal_cents) AS s, count(*) AS n FROM cb WHERE bal_cents > 0)
+SELECT c_nationkey, count(*) AS n_cust,
+       round(sum(bal_cents) / 100.0, 2) AS total_bal
+FROM cb
+WHERE bal_cents * (SELECT n FROM avgpos) > (SELECT s FROM avgpos)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = cb.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
+def q_q16_part_variety(sf_dir: str):
+    """The TPC-H Q16 shape — supplier variety per part class with an
+    excluded-supplier anti-join and a grouped COUNT(DISTINCT).
+    Distinct (part, supp) pairs come from in-batch dedup before ONE
+    exchange (lineitem plays partsupp); negative-balance suppliers
+    are removed by a hash-partitioned anti-join; the per-(brand,
+    size) distinct-supplier count re-dedups (brand, size, supp) in
+    batch and counts uniques per group with a sorted-diff — the same
+    two-phase exact-distinct plan as distinct_users_daily."""
+    li = _pq(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pair_dedup(b: pa.Table) -> pa.Table:
+        # in-batch dedup only: cross-batch duplicate pairs are harmless
+        # because the final count is DISTINCT-based; no global pair
+        # exchange is needed.
+        return b.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+    pairs = li.map_batches(pair_dedup, batch_format="pyarrow")
+    bad = _pq(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).filter(
+        expr="s_acctbal < 0"
+    )
+    ok = hash_join(
+        pairs, bad, on=["l_suppkey"], right_on=["s_suppkey"], how="anti"
+    )
+    part = _pq(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    dims = hash_join(ok, part, on=["l_partkey"], right_on=["p_partkey"])
+
+    def triple_dedup(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "p_brand": b["p_brand"],
+                "p_size": pc.cast(b["p_size"], pa.int64()),
+                "l_suppkey": pc.cast(b["l_suppkey"], pa.int64()),
+            }
+        )
+        return t.group_by(["p_brand", "p_size", "l_suppkey"]).aggregate([])
+
+    def count_unique(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.sort(g["l_suppkey"].to_numpy(np.int64))
+        n = 1 + int((u[1:] != u[:-1]).sum()) if len(u) else 0
+        return pd.DataFrame(
+            {
+                "p_brand": [g["p_brand"].iloc[0]],
+                "p_size": [int(g["p_size"].iloc[0])],
+                "supplier_cnt": [n],
+            }
+        )
+
+    return (
+        dims.map_batches(triple_dedup, batch_format="pyarrow")
+        .groupby(["p_brand", "p_size"])
+        .map_groups(count_unique, batch_format="pandas")
+    )
+
+
+SQL_Q16_PART_VARIETY = """
+SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
+REGISTRY.update(
+    {
+        "q18_large_orders": (q_q18_large_orders, SQL_Q18_LARGE_ORDERS),
+        "q22_wealthy_inactive": (
+            q_q22_wealthy_inactive,
+            SQL_Q22_WEALTHY_INACTIVE,
+        ),
+        "q16_part_variety": (q_q16_part_variety, SQL_Q16_PART_VARIETY),
+    }
+)
+
+
+# ----------------------------------------- mode / SCD2 / seasonal baseline
+
+
+def q_mode_event_users(sf_dir: str):
+    """Grouped MODE with deterministic tie-break (the categorical
+    summary-statistic shape): each user's most frequent event type,
+    ties resolved to the lexicographically smallest type. Two-phase
+    counts (in-batch (user, type) tallies, ONE grouped sum) so the
+    exchange carries count partials, never raw events; the per-user
+    argmax runs in a user-bounded map_groups finalizer."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["user_id", "event_type"]).aggregate(
+            [("user_id", "count")]
+        ).rename_columns(["user_id", "event_type", "cnt"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["n", "event_type"], ascending=[False, True], kind="mergesort"
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "mode_type": [g["event_type"].iloc[0]],
+                "n": [int(g["n"].iloc[0])],
+            }
+        )
+
+    return counts.groupby("user_id").map_groups(pick, batch_format="pandas")
+
+
+SQL_MODE_EVENT_USERS = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT user_id, event_type AS mode_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c)
+SELECT user_id, mode_type, n FROM r WHERE rn = 1
+"""
+
+
+def q_scd2_users(sf_dir: str):
+    """Slowly-changing-dimension (type-2) interval build — the
+    temporal-table construction shape: each user's event-type stream
+    collapses into validity intervals [valid_from, valid_to) at every
+    type CHANGE, the open interval marked with an empty valid_to.
+    Per-user groups are user-bounded; inside each group the change
+    mask, interval starts and leads are pure numpy over the
+    (ts, event_id)-ordered stream — the deterministic total order
+    both sides share."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g["event_id"].to_numpy(np.int64), g["ts"].to_numpy().astype("datetime64[us]"))
+        )
+        ts = g["ts"].to_numpy().astype("datetime64[us]")[order]
+        typ = g["event_type"].to_numpy()[order]
+        start = np.ones(len(typ), bool)
+        start[1:] = typ[1:] != typ[:-1]
+        s_ts = ts[start]
+        s_typ = typ[start]
+        vfrom = pd.Series(s_ts).dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        vto = np.roll(vfrom.to_numpy(), -1)
+        vto[-1] = ""
+        return pd.DataFrame(
+            {
+                "user_id": np.full(len(s_ts), int(g["user_id"].iloc[0])),
+                "event_type": s_typ,
+                "valid_from": vfrom.to_numpy(),
+                "valid_to": vto,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(intervals, batch_format="pandas")
+
+
+SQL_SCD2_USERS = """
+WITH o AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER w AS prev_type
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_type, ts
+  FROM o WHERE prev_type IS NULL OR event_type <> prev_type),
+iv AS (
+  SELECT user_id, event_type,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+         coalesce(strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                           '%Y-%m-%d %H:%M:%S.%f'), '') AS valid_to
+  FROM s)
+SELECT * FROM iv
+"""
+
+
+def q_seasonal_mae_events(sf_dir: str):
+    """Seasonal-naive forecast evaluation (the time-series baseline
+    shape): predict each hour's event count by the count 24 h
+    earlier and report, per event type, the number of scoreable hours
+    and the integer sum of absolute errors. Hourly counts fold as
+    in-batch partials through ONE grouped sum; the lag-24h match is a
+    vectorized searchsorted inside a per-type finalizer whose group
+    is bounded by the DISTINCT-HOUR count (time-range/3600), not the
+    row count — hours stay small even at 100 TB. Output is all-int,
+    so the hash compare is exact; MAE = sum_abs_err / n_hours is
+    derivable."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+    HOUR = np.int64(3_600_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = (
+            b["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        hr = (t // HOUR) * HOUR
+        tb = pa.table({"event_type": b["event_type"], "hour_us": pa.array(hr)})
+        return tb.group_by(["event_type", "hour_us"]).aggregate(
+            [("hour_us", "count")]
+        ).rename_columns(["event_type", "hour_us", "cnt"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour_us"])
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["hour_us"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        order = np.argsort(h, kind="stable")
+        h, n = h[order], n[order]
+        base = h - np.int64(24) * HOUR
+        pos = np.searchsorted(h, base)
+        ok = (pos < len(h)) & (h[np.minimum(pos, len(h) - 1)] == base)
+        err = np.abs(n[ok] - n[pos[ok]])
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_hours": [int(ok.sum())],
+                "sum_abs_err": [int(err.sum())],
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(
+        score, batch_format="pandas"
+    )
+
+
+SQL_SEASONAL_MAE_EVENTS = """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT a.event_type, count(*) AS n_hours,
+       CAST(sum(abs(a.n - b.n)) AS BIGINT) AS sum_abs_err
+FROM c a JOIN c b
+  ON b.event_type = a.event_type AND a.h = b.h + INTERVAL 24 HOUR
+GROUP BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "mode_event_users": (q_mode_event_users, SQL_MODE_EVENT_USERS),
+        "scd2_users": (q_scd2_users, SQL_SCD2_USERS),
+        "seasonal_mae_events": (
+            q_seasonal_mae_events,
+            SQL_SEASONAL_MAE_EVENTS,
+        ),
+    }
+)
