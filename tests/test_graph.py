@@ -513,3 +513,110 @@ def test_feature_propagate_plans_agree(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(fast, slow)
+
+
+# ------------------------------------------ HITS / label propagation
+
+
+def _local_hits(E: np.ndarray, rounds: int = 1):
+    nodes = np.unique(E)
+    src = np.searchsorted(nodes, E[:, 0])
+    dst = np.searchsorted(nodes, E[:, 1])
+    h = np.ones(len(nodes), np.int64)
+    for _ in range(rounds):
+        a = np.bincount(dst, weights=h[src], minlength=len(nodes)).astype(
+            np.int64
+        )
+        h = np.bincount(src, weights=a[dst], minlength=len(nodes)).astype(
+            np.int64
+        )
+    a = np.bincount(dst, weights=h[src], minlength=len(nodes)).astype(
+        np.int64
+    )
+    return nodes, h, a
+
+
+def test_hits_matches_local_reference():
+    from theoremkb_ray.stages.graph import hits
+
+    rng = np.random.RandomState(5)
+    E = rng.randint(0, 40, size=(300, 2)).astype(np.int64)
+    got = (
+        hits(_edges_ds(E), rounds=2)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    nodes, h, a = _local_hits(E, rounds=2)
+    assert (got["node"].to_numpy() == nodes).all()
+    assert (got["hub"].to_numpy() == h).all()
+    assert (got["auth"].to_numpy() == a).all()
+
+
+def test_hits_budget_gate_raises():
+    from theoremkb_ray.stages.graph import hits
+
+    E = np.array([[0, 1], [1, 2], [2, 0]], np.int64)
+    with pytest.raises(ValueError, match="broadcast_budget_rows"):
+        hits(_edges_ds(E, blocks=1), broadcast_budget_rows=2)
+
+
+def _local_label_prop(E: np.ndarray, rounds: int = 3):
+    # undirected, deduped, no self loops; synchronous mode updates
+    und = set()
+    for s, d in E:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    adj: dict[int, list[int]] = {}
+    for s, d in und:
+        adj.setdefault(int(s), []).append(int(d))
+        adj.setdefault(int(d), []).append(int(s))
+    nodes = sorted(adj)
+    lab = {v: v for v in nodes}
+    for _ in range(rounds):
+        nxt = {}
+        for v in nodes:
+            cnt: dict[int, int] = {}
+            for u in adj[v]:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            nxt[v] = best
+        lab = nxt
+    return nodes, [lab[v] for v in nodes]
+
+
+def test_label_propagation_matches_local_and_plans_agree():
+    from theoremkb_ray.stages.graph import label_propagation
+
+    rng = np.random.RandomState(9)
+    # two planted cliques of 12 + a single bridge edge
+    A = np.array(
+        [(i, j) for i in range(12) for j in range(i + 1, 12)], np.int64
+    )
+    B = A + 100
+    E = np.vstack([A, B, [[5, 105]]])
+    # shuffle + duplicate some edges, add reversed copies
+    E = np.vstack([E, E[rng.permutation(len(E))[:20]][:, ::-1]])
+
+    got_b = (
+        label_propagation(_edges_ds(E), rounds=3, plan="broadcast")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    got_d = (
+        label_propagation(_edges_ds(E), rounds=3, plan="distributed")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    nodes, lab = _local_label_prop(E, rounds=3)
+    assert got_b["node"].tolist() == nodes
+    assert got_b["label"].tolist() == lab
+    # plan agreement: broadcast and distributed produce identical labels
+    assert got_d["node"].tolist() == got_b["node"].tolist()
+    assert got_d["label"].tolist() == got_b["label"].tolist()
+    # planted communities recovered: each clique converges to one label
+    df = got_b.set_index("node")["label"]
+    assert df.loc[list(range(12))].nunique() == 1
+    assert df.loc[list(range(100, 112))].nunique() == 1

@@ -9156,3 +9156,148 @@ REGISTRY.update(
         ),
     }
 )
+
+
+# ------------------------------------------- HITS / label propagation
+
+
+def _ring_chord_edges(cust, n: int):
+    """The pagerank ring+chord digraph over the customer keys (shared
+    by pagerank / feature_propagate / hits so the oracles reuse one
+    edge CTE)."""
+
+    def edges(b: pa.Table) -> pa.Table:
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ring_dst = (c + 1) % n
+        ch = c[c % 3 == 0]
+        ch_dst = (ch * 7 + 3) % n
+        keep = ch_dst != (ch + 1) % n
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([c, ch[keep]]), pa.int64()),
+                "dst": pa.array(
+                    np.concatenate([ring_dst, ch_dst[keep]]), pa.int64()
+                ),
+            }
+        )
+
+    return cust.map_batches(edges, batch_format="pyarrow")
+
+
+def q_hits_scores(sf_dir: str):
+    """HITS hubs/authorities (stages/graph.py:hits) over the pagerank
+    ring+chord digraph — exact UNNORMALIZED integer power iteration
+    (hub = h1, auth = a2), so the oracle is three unrolled join+group
+    CTEs and the value hash is bit-exact."""
+    from ..stages.graph import hits
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    n = cust.count()
+    return hits(_ring_chord_edges(cust, n), rounds=1)
+
+
+SQL_HITS_SCORES = """
+WITH cnt AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT c_custkey AS src,
+         (c_custkey + 1) % (SELECT n FROM cnt) AS dst
+  FROM customer
+  UNION
+  SELECT c_custkey AS src,
+         (c_custkey * 7 + 3) % (SELECT n FROM cnt) AS dst
+  FROM customer WHERE c_custkey % 3 = 0
+),
+a1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS a FROM e GROUP BY 1),
+h1 AS (SELECT e.src AS node, CAST(sum(a1.a) AS BIGINT) AS h
+       FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+a2 AS (SELECT e.dst AS node, CAST(sum(h1.h) AS BIGINT) AS a
+       FROM e JOIN h1 ON h1.node = e.src GROUP BY 1)
+SELECT c.c_custkey AS node,
+       coalesce(h1.h, 0) AS hub, coalesce(a2.a, 0) AS auth
+FROM customer c
+LEFT JOIN h1 ON h1.node = c.c_custkey
+LEFT JOIN a2 ON a2.node = c.c_custkey
+"""
+
+
+def q_label_prop_communities(sf_dir: str):
+    """Community detection by synchronous label propagation
+    (stages/graph.py:label_propagation) over a planted-community
+    graph on the customer keys: eight stride-8 residue rings
+    (``c -> c+8``, wrapping to the class minimum) plus sparse bridges
+    (``c -> c+1`` for ``c % 101 == 0``). Three deterministic rounds
+    (neighbour-label mode, ties to the smallest label) — the oracle
+    unrolls the rounds as mode-per-node CTEs."""
+    from ..stages.graph import label_propagation
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    n = cust.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ring = np.where(c + 8 < n, c + 8, c % 8)
+        br = c[c % 101 == 0]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([c, br]), pa.int64()),
+                "dst": pa.array(
+                    np.concatenate([ring, (br + 1) % n]), pa.int64()
+                ),
+            }
+        )
+
+    return label_propagation(
+        cust.map_batches(edges, batch_format="pyarrow"), rounds=3
+    )
+
+
+SQL_LABEL_PROP_COMMUNITIES = """
+WITH cnt AS (SELECT count(*) AS n FROM customer),
+ed AS (
+  SELECT c_custkey AS src,
+         CASE WHEN c_custkey + 8 < (SELECT n FROM cnt)
+              THEN c_custkey + 8 ELSE c_custkey % 8 END AS dst
+  FROM customer
+  UNION
+  SELECT c_custkey AS src, (c_custkey + 1) % (SELECT n FROM cnt) AS dst
+  FROM customer WHERE c_custkey % 101 = 0),
+eu AS (
+  SELECT src, dst FROM ed WHERE src <> dst
+  UNION
+  SELECT dst, src FROM ed WHERE src <> dst),
+l0 AS (SELECT c_custkey AS node, CAST(c_custkey AS BIGINT) AS label
+       FROM customer),
+c1 AS (SELECT e.src AS node, l.label, count(*) AS cnt
+       FROM eu e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2),
+l1 AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY cnt DESC, label) AS rn
+         FROM c1) WHERE rn = 1),
+c2 AS (SELECT e.src AS node, l.label, count(*) AS cnt
+       FROM eu e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2),
+l2 AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY cnt DESC, label) AS rn
+         FROM c2) WHERE rn = 1),
+c3 AS (SELECT e.src AS node, l.label, count(*) AS cnt
+       FROM eu e JOIN l2 l ON l.node = e.dst GROUP BY 1, 2),
+l3 AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY cnt DESC, label) AS rn
+         FROM c3) WHERE rn = 1)
+SELECT node, label FROM l3
+"""
+
+
+REGISTRY.update(
+    {
+        "hits_scores": (q_hits_scores, SQL_HITS_SCORES),
+        "label_prop_communities": (
+            q_label_prop_communities,
+            SQL_LABEL_PROP_COMMUNITIES,
+        ),
+    }
+)

@@ -1530,3 +1530,347 @@ def feature_propagate(
             cur = cur.materialize()
 
     return cur.select_columns(["node"] + hist_cols)
+
+
+# --------------------------------------------------------------------
+# HITS hubs/authorities and label-propagation communities
+# --------------------------------------------------------------------
+
+
+def _edge_gather_sum(
+    edges, nodes: np.ndarray, vec: np.ndarray, gather_col: str, emit_col: str
+) -> np.ndarray:
+    """One broadcast-state half-round: for every edge, read the score
+    of its ``gather_col`` endpoint from the broadcast (nodes, vec)
+    pair, sum per ``emit_col`` endpoint (in-batch partials -> ONE
+    64-bucket exchange -> node-bounded driver scatter). Exact int64
+    arithmetic: independent of partitioning."""
+    import pandas as pd
+    import ray
+    import ray.data as rd  # noqa: F401
+
+    from ..functions.hashing import splitmix64
+    from ..state.broadcast import get_broadcast
+
+    NB = 64
+    ref = ray.put((nodes, vec))
+
+    def partial(b: pa.Table, _ref=ref) -> pa.Table:
+        nodes_, vec_ = get_broadcast(_ref)
+        g = b[gather_col].to_numpy(zero_copy_only=False)
+        e = b[emit_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nodes_, g)
+        posc = np.minimum(pos, len(nodes_) - 1)
+        m = (pos < len(nodes_)) & (nodes_[posc] == g)
+        u, inv = np.unique(e[m], return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, vec_[posc[m]])
+        bk = (splitmix64(u.astype(np.uint64)) % np.uint64(NB)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "bk": pa.array(bk, pa.int64()),
+                "node": pa.array(u, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["node"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        u, inv = np.unique(n, return_inverse=True)
+        return pd.DataFrame(
+            {"node": u, "s": np.bincount(inv, weights=s).astype(np.int64)}
+        )
+
+    sums = (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # node-bounded
+    )
+    out = np.zeros(len(nodes), np.int64)
+    pos = np.searchsorted(nodes, sums["node"].to_numpy(np.int64))
+    out[pos] = sums["s"].to_numpy(np.int64)
+    return out
+
+
+def hits(
+    edges_ds,
+    rounds: int = 1,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    broadcast_budget_rows: int = 2_000_000,
+):
+    """HITS hubs/authorities (Kleinberg) with EXACT integer scores —
+    the unnormalized power iteration: ``h_0 = 1``;
+    ``a_{k+1}(v) = sum_{(u->v)} h_k(u)``;
+    ``h_{k+1}(u) = sum_{(u->v)} a_{k+1}(v)``; after ``rounds`` full
+    updates one extra authority half-round. Skipping the usual L2
+    normalization keeps every value an int64 (ordering is unchanged —
+    normalization is a positive scalar per iteration), so the result
+    is bit-exact under any partitioning and SQL-expressible as
+    unrolled join+group CTEs.
+
+    Scale shape: the node score vector is node-bounded driver state
+    under ``broadcast_budget_rows`` (the pagerank-degrees pattern);
+    each half-round is ONE edge scan + ONE 64-bucket exchange via
+    :func:`_edge_gather_sum`. Beyond the budget use
+    :func:`feature_propagate`-style Dataset state (hash_join per
+    half-round) — the budget raise is a deliberate loud gate, not a
+    silent fallback, because unnormalized scores overflow int64 long
+    before the node table outgrows a 256-node cluster's driver.
+
+    Returns Dataset(node, hub, auth): hub = h_rounds,
+    auth = a_{rounds+1}.
+    """
+    import ray.data as rd
+
+    from .joins import strip_schema_metadata
+
+    edges = strip_schema_metadata(
+        edges_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "src": pc.cast(b[src_col], pa.int64()),
+                    "dst": pc.cast(b[dst_col], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    nodes = _collect_unique(edges, ["src", "dst"])
+    if len(nodes) > broadcast_budget_rows:
+        raise ValueError(
+            f"hits: {len(nodes)} nodes exceed broadcast_budget_rows="
+            f"{broadcast_budget_rows}; raise the budget explicitly or "
+            "pre-partition the graph — unnormalized HITS overflows "
+            "int64 before driver state becomes the binding constraint"
+        )
+    h = np.ones(len(nodes), np.int64)
+    a = np.zeros(len(nodes), np.int64)
+    for _ in range(rounds):
+        a = _edge_gather_sum(edges, nodes, h, "src", "dst")
+        h = _edge_gather_sum(edges, nodes, a, "dst", "src")
+    a = _edge_gather_sum(edges, nodes, h, "src", "dst")
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "hub": pa.array(h, pa.int64()),
+                "auth": pa.array(a, pa.int64()),
+            }
+        )
+    ).repartition(max(1, len(nodes) // 8192))
+
+
+def label_propagation(
+    edges_ds,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    broadcast_budget_rows: int = 2_000_000,
+    plan: str = "auto",
+):
+    """Synchronous label propagation (community detection): labels
+    start as the node id; each round every node adopts the most
+    frequent label among its UNDIRECTED neighbours, ties broken to
+    the SMALLEST label — fully deterministic, so the unrolled
+    mode-per-node rounds are SQL-expressible (row_number over count
+    DESC, label ASC).
+
+    Input edges are treated as undirected: both directions are
+    emitted and globally deduped ONCE (in-batch dedup on the packed
+    (min,max) key + one exchange), then the deduped edge Dataset is
+    pinned and replayed every round.
+
+    Scale shape per round (broadcast plan, node table within budget):
+    ONE edge scan emitting per-batch (node, label) count partials +
+    ONE 64-bucket exchange whose fold resolves the per-node argmax —
+    all (node, label) pairs for a node land in the same bucket, so
+    the argmax is exact. Beyond the budget (``plan="distributed"``)
+    each round is an edges x labels hash_join + grouped count + a
+    per-node map_groups argmax — three exchanges, nothing on the
+    driver.
+
+    Returns Dataset(node, label) after ``rounds`` rounds.
+    """
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import splitmix64
+    from ..state.broadcast import get_broadcast
+    from .joins import hash_join, strip_schema_metadata
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        s = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d  # self loops contribute nothing to neighbour modes
+        s, d = s[m], d[m]
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        packed = (lo.astype(np.uint64) << np.uint64(32)) | hi.astype(
+            np.uint64
+        )
+        u = np.unique(packed)
+        return pa.table({"packed": pa.array(u.view(np.int64), pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    uniq = (
+        strip_schema_metadata(edges_ds)
+        .map_batches(symmetrize, batch_format="pyarrow")
+        .groupby("packed")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["packed"])
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        p = b["packed"].to_numpy(zero_copy_only=False).view(np.uint64)
+        lo = (p >> np.uint64(32)).astype(np.int64)
+        hi = (p & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([lo, hi]), pa.int64()),
+                "dst": pa.array(np.concatenate([hi, lo]), pa.int64()),
+            }
+        )
+
+    edges = uniq.map_batches(unpack, batch_format="pyarrow").materialize()
+    nodes = _collect_unique(edges, ["src"])
+    if plan == "auto":
+        plan = (
+            "broadcast"
+            if len(nodes) <= broadcast_budget_rows
+            else "distributed"
+        )
+
+    if plan == "broadcast":
+        labels = nodes.copy()
+        NB = 64
+        for _ in range(rounds):
+            ref = ray.put((nodes, labels))
+
+            def partial(b: pa.Table, _ref=ref) -> pa.Table:
+                nodes_, lab_ = get_broadcast(_ref)
+                s = b["src"].to_numpy(zero_copy_only=False)
+                d = b["dst"].to_numpy(zero_copy_only=False)
+                # neighbour label of edge (src <- dst's label)
+                pos = np.searchsorted(nodes_, d)
+                nl = lab_[pos]
+                key = np.stack([s, nl], axis=1)
+                u, cnt = np.unique(key, axis=0, return_counts=True)
+                bk = (
+                    splitmix64(u[:, 0].astype(np.uint64)) % np.uint64(NB)
+                ).astype(np.int64)
+                return pa.table(
+                    {
+                        "bk": pa.array(bk, pa.int64()),
+                        "node": pa.array(u[:, 0], pa.int64()),
+                        "lab": pa.array(u[:, 1], pa.int64()),
+                        "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                    }
+                )
+
+            def fold(g: pd.DataFrame) -> pd.DataFrame:
+                n = g["node"].to_numpy(np.int64)
+                lb = g["lab"].to_numpy(np.int64)
+                c = g["cnt"].to_numpy(np.int64)
+                # merge split partials, then per-node argmax
+                # (count DESC, label ASC)
+                key = np.stack([n, lb], axis=1)
+                u, inv = np.unique(key, axis=0, return_inverse=True)
+                cs = np.bincount(inv, weights=c).astype(np.int64)
+                order = np.lexsort((u[:, 1], -cs, u[:, 0]))
+                su, slb, scs = u[order, 0], u[order, 1], cs[order]
+                first = np.ones(len(su), bool)
+                first[1:] = su[1:] != su[:-1]
+                return pd.DataFrame(
+                    {"node": su[first], "lab": slb[first]}
+                )
+
+            best = (
+                edges.map_batches(partial, batch_format="pyarrow")
+                .groupby("bk")
+                .map_groups(fold, batch_format="pandas")
+                .to_pandas()  # node-bounded
+            )
+            nxt = labels.copy()
+            pos = np.searchsorted(nodes, best["node"].to_numpy(np.int64))
+            nxt[pos] = best["lab"].to_numpy(np.int64)
+            labels = nxt
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "label": pa.array(labels, pa.int64()),
+                }
+            )
+        ).repartition(max(1, len(nodes) // 8192))
+
+    # distributed plan: Dataset label state, three exchanges per round
+    cur = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "label": pa.array(nodes, pa.int64()),
+            }
+        )
+    )
+    for _ in range(rounds):
+        msgs = hash_join(
+            edges, cur, on=["dst"], right_on=["node"]
+        )  # (src, dst, label-of-dst)
+
+        def cpartial(b: pa.Table) -> pa.Table:
+            s = b["src"].to_numpy(zero_copy_only=False)
+            lb = b["label"].to_numpy(zero_copy_only=False)
+            key = np.stack([s, lb], axis=1)
+            u, cnt = np.unique(key, axis=0, return_counts=True)
+            return pa.table(
+                {
+                    "node": pa.array(u[:, 0], pa.int64()),
+                    "lab": pa.array(u[:, 1], pa.int64()),
+                    "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+
+        from ray.data.aggregate import Sum
+
+        counts = (
+            msgs.map_batches(cpartial, batch_format="pyarrow")
+            .groupby(["node", "lab"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        )
+
+        def argmax(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(
+                ["cnt", "lab"], ascending=[False, True], kind="mergesort"
+            )
+            return pd.DataFrame(
+                {
+                    "node": [int(g["node"].iloc[0])],
+                    "label": [int(g["lab"].iloc[0])],
+                }
+            )
+
+        nxt = counts.groupby("node").map_groups(
+            argmax, batch_format="pandas"
+        )
+        # isolated nodes keep their initial label (= node id); none
+        # exist after symmetrize+unpack, but keep the fill for safety
+        joined = hash_join(
+            cur.select_columns(["node"]), nxt, on=["node"], how="left"
+        )
+
+        def fill(b: pa.Table) -> pa.Table:
+            lab = pc.coalesce(
+                pc.cast(b["label"], pa.int64()), pc.cast(b["node"], pa.int64())
+            )
+            return pa.table({"node": b["node"], "label": lab})
+
+        cur = joined.map_batches(fill, batch_format="pyarrow").materialize()
+    return cur
