@@ -223,3 +223,136 @@ def test_seasonal_mae_vs_literal():
         assert got.loc[typ, "sum_abs_err"] == int(
             (m.n_x - m.n_y).abs().sum()
         )
+
+
+def test_cdc_chunks_vs_literal_brute():
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "bb", "see", "dd", "echo", "fox", "gg", "hotel"]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(5, 40)))
+        for _ in range(25)
+    ]
+    # plant one exact shared run so cross-doc dups exist
+    texts[3] = texts[7] = "alpha bb see dd echo fox gg hotel alpha bb"
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(25, dtype=np.int64), "text": texts}
+    )
+    got = (
+        _run(rel.q_cdc_chunks_docs, {"documents": docs})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def chunks(t):
+        out, cur = [], []
+        for w in t.split(" "):
+            cur.append(w)
+            if (31 * len(w) + ord(w[0])) % 8 == 0:
+                out.append(tuple(cur))
+                cur = []
+        if cur:
+            out.append(tuple(cur))
+        return [
+            (
+                len(c),
+                sum(
+                    (i + 1)
+                    * (len(w) * 1000003 + ord(w[0]) * 31 + ord(w[-1]))
+                    for i, w in enumerate(c)
+                ),
+            )
+            for c in out
+        ]
+
+    per_doc = {d: chunks(t) for d, t in zip(docs.doc_id, docs.text)}
+    owners: dict = {}
+    for d, cs in per_doc.items():
+        for key in set(cs):
+            owners.setdefault(key, set()).add(d)
+    for _, row in got.iterrows():
+        cs = per_doc[row.doc_id]
+        assert row.n_chunks == len(cs)
+        assert row.n_dup_chunks == sum(
+            1 for key in cs if len(owners[key]) > 1
+        )
+    # the planted pair actually produced cross-doc duplicates
+    assert got.set_index("doc_id").loc[3, "n_dup_chunks"] > 0
+
+
+def test_abandoned_clicks_vs_literal():
+    ts0 = pd.Timestamp("2024-02-01")
+    rows = [
+        # user 1: click then purchase 30 min later -> converted
+        (1, ts0, "click"),
+        (1, ts0 + pd.Timedelta(minutes=30), "purchase"),
+        # user 1: click with purchase 2h later -> abandoned
+        (1, ts0 + pd.Timedelta(hours=5), "click"),
+        (1, ts0 + pd.Timedelta(hours=7), "purchase"),
+        # user 2: click, purchase at EXACTLY +1h -> converted (<=)
+        (2, ts0, "click"),
+        (2, ts0 + pd.Timedelta(hours=1), "purchase"),
+        # user 2: click, purchase at same instant -> NOT within (t, t+1h]
+        (2, ts0 + pd.Timedelta(days=1), "click"),
+        (2, ts0 + pd.Timedelta(days=1), "purchase"),
+        # user 3: click, no purchase at all
+        (3, ts0 + pd.Timedelta(days=1, hours=2), "click"),
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    got = (
+        _run(rel.q_abandoned_clicks, {"events": ev})
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert got.day.tolist() == ["2024-02-01", "2024-02-02"]
+    assert got.n_clicks.tolist() == [3, 2]
+    assert got.n_abandoned.tolist() == [1, 2]
+
+
+def test_fk_orphans_detects_planted():
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 99, 99, 98],  # 98,99 orphaned
+            "l_partkey": [10, 11, 10, 11, 10, 11],
+            "l_suppkey": [5, 5, 6, 6, 5, 6],
+        }
+    )
+    orders = pd.DataFrame(
+        {"o_orderkey": [1, 2, 3], "o_custkey": [7, 7, 777]}  # 777 orphan
+    )
+    part = pd.DataFrame({"p_partkey": [10, 11]})
+    supp = pd.DataFrame({"s_suppkey": [5, 6]})
+    cust = pd.DataFrame({"c_custkey": [7], "c_nationkey": [0]})
+    nation = pd.DataFrame({"n_nationkey": [0]})
+    got = _run(
+        rel.q_fk_orphans,
+        {
+            "lineitem": li,
+            "orders": orders,
+            "part": part,
+            "supplier": supp,
+            "customer": cust,
+            "nation": nation,
+        },
+    ).set_index("relation")
+    r = got.loc["lineitem.l_orderkey->orders"]
+    assert (r.n_rows, r.n_orphan_rows, r.n_orphan_keys) == (6, 3, 2)
+    r = got.loc["orders.o_custkey->customer"]
+    assert (r.n_rows, r.n_orphan_rows, r.n_orphan_keys) == (3, 1, 1)
+    assert got.loc["lineitem.l_partkey->part"].n_orphan_rows == 0
+    assert got.loc["customer.c_nationkey->nation"].n_orphan_rows == 0
+
+
+def test_unpivot_nation_stats_shape():
+    cust = pd.DataFrame(
+        {
+            "c_nationkey": np.array([0, 0, 1], np.int32),
+            "c_acctbal": [10.0, -2.5, 7.25],
+        }
+    )
+    got = _run(rel.q_unpivot_nation_stats, {"customer": cust})
+    g = got.set_index(["c_nationkey", "metric"])["value"]
+    assert g.loc[(0, "n_cust")] == 2
+    assert g.loc[(0, "bal_cents")] == 750
+    assert g.loc[(0, "n_neg")] == 1
+    assert g.loc[(1, "bal_cents")] == 725
+    assert len(got) == 6

@@ -9301,3 +9301,434 @@ REGISTRY.update(
         ),
     }
 )
+
+
+# ---------------------------------- CDC chunking / funnel / audits / melt
+
+
+def q_cdc_chunks_docs(sf_dir: str):
+    """Content-defined chunking dedup profile (the storage-dedup /
+    training-data chunking shape, Muthitacharoen et al. LBFS): every
+    document splits at CONTENT-defined word boundaries — a word ends
+    a chunk when ``(31*len(w) + ord(w[0])) % 8 == 0`` — so an
+    insertion reshuffles only nearby chunks, never the whole doc.
+    Chunk identity is the exact integer signature
+    ``(n_words, sum(rank_in_chunk * g2(word)))`` with
+    ``g2 = len*1000003 + ord(first)*31 + ord(last)`` (ASCII tokens,
+    matching the synthetic corpus and the SQL twin's unicode()).
+    Everything is vectorized over the flattened Arrow word buffer —
+    no strings ride the exchange: per-batch (doc, nw, sig, cnt)
+    partials go through ONE coarse sig-bucket exchange whose fold
+    marks cross-doc duplicate chunks, then ONE per-doc sum. Output:
+    (doc_id, n_chunks, n_dup_chunks)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    from ..functions.hashing import splitmix64
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = b["text"].combine_chunks()
+        words = pc.split_pattern(words, " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        loff = (
+            words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        counts = np.diff(loff)
+        va = words.values
+        odt = np.int64 if pa.types.is_large_string(va.type) else np.int32
+        soff = np.frombuffer(va.buffers()[1], dtype=odt)[
+            va.offset : va.offset + len(va) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(va.buffers()[2], np.uint8)
+        so = soff[loff[0] : loff[-1] + 1]
+        wlen = np.diff(so)
+        first = data[so[:-1]].astype(np.int64)
+        last = data[so[1:] - 1].astype(np.int64)
+        gw = 31 * wlen + first
+        g2 = wlen * np.int64(1000003) + first * 31 + last
+        bnd = (gw % 8 == 0).astype(np.int64)
+        ndocs = len(counts)
+        nw = int(counts.sum())
+        starts = np.zeros(ndocs, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        # chunk id = boundaries strictly before the word, per doc
+        bshift = np.empty(nw, np.int64)
+        bshift[0] = 0
+        bshift[1:] = bnd[:-1]
+        bshift[starts] = 0
+        cs = np.cumsum(bshift)
+        cid = cs - np.repeat(cs[starts], counts)
+        doc_idx = np.repeat(np.arange(ndocs), counts)
+        new_chunk = np.ones(nw, bool)
+        new_chunk[1:] = (doc_idx[1:] != doc_idx[:-1]) | (
+            cid[1:] != cid[:-1]
+        )
+        cpos = np.flatnonzero(new_chunk)
+        cidx = np.cumsum(new_chunk) - 1
+        rn = np.arange(nw, dtype=np.int64) - cpos[cidx] + 1
+        sig = np.add.reduceat(rn * g2, cpos)
+        cw = np.diff(np.append(cpos, nw)).astype(np.int64)
+        cdoc = (
+            b["doc_id"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)[doc_idx[cpos]]
+        )
+        # in-batch instance counts per (doc, nw, sig)
+        key = np.stack([cdoc, cw, sig], axis=1)
+        u, cnt = np.unique(key, axis=0, return_counts=True)
+        bk = (
+            splitmix64(u[:, 2].astype(np.uint64)) % np.uint64(64)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bk": pa.array(bk, pa.int64()),
+                "doc_id": pa.array(u[:, 0], pa.int64()),
+                "nw": pa.array(u[:, 1], pa.int64()),
+                "sig": pa.array(u[:, 2], pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        nwv = g["nw"].to_numpy(np.int64)
+        sg = g["sig"].to_numpy(np.int64)
+        dc = g["doc_id"].to_numpy(np.int64)
+        cnt = g["cnt"].to_numpy(np.int64)
+        key = np.stack([nwv, sg], axis=1)
+        u, inv = np.unique(key, axis=0, return_inverse=True)
+        ndocs = np.zeros(len(u), np.int64)
+        np.add.at(ndocs, inv, 1)  # rows are already (doc,key)-unique
+        dup = ndocs[inv] > 1
+        du, dinv = np.unique(dc, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "doc_id": du,
+                "n_chunks": np.bincount(dinv, weights=cnt).astype(np.int64),
+                "n_dup_chunks": np.bincount(
+                    dinv, weights=np.where(dup, cnt, 0)
+                ).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(mark_dups, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_chunks", alias_name="n_chunks"),
+            Sum("n_dup_chunks", alias_name="n_dup_chunks"),
+        )
+    )
+
+
+SQL_CDC_CHUNKS_DOCS = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM documents),
+g AS (
+  SELECT doc_id, pos,
+         CASE WHEN (31 * length(word) + unicode(word)) % 8 = 0
+              THEN 1 ELSE 0 END AS bnd,
+         length(word) * 1000003 + unicode(word) * 31
+           + unicode(right(word, 1)) AS g2
+  FROM w),
+c AS (
+  SELECT doc_id, pos, g2,
+         coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cid
+  FROM g),
+r AS (
+  SELECT doc_id, cid, g2,
+         row_number() OVER (PARTITION BY doc_id, cid ORDER BY pos) AS rn
+  FROM c),
+ch AS (
+  SELECT doc_id, cid, CAST(count(*) AS BIGINT) AS nw,
+         CAST(sum(rn * g2) AS BIGINT) AS sig
+  FROM r GROUP BY 1, 2),
+dup AS (
+  SELECT nw, sig FROM ch GROUP BY nw, sig
+  HAVING count(DISTINCT doc_id) > 1)
+SELECT ch.doc_id, count(*) AS n_chunks,
+       CAST(count(dup.sig) AS BIGINT) AS n_dup_chunks
+FROM ch LEFT JOIN dup ON dup.nw = ch.nw AND dup.sig = ch.sig
+GROUP BY 1
+"""
+
+
+def q_abandoned_clicks(sf_dir: str):
+    """Abandonment funnel (the conversion-window NOT-EXISTS shape):
+    per calendar day, how many clicks had NO purchase by the same
+    user within the following hour. Per-user groups sort once; the
+    window probe is TWO searchsorted calls over the user's purchase
+    timestamps (no per-click loop); per-group (day, n, n_abandoned)
+    partials fold through ONE grouped sum."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
+    HOUR = np.int64(3_600_000_000)
+    DAY = np.int64(86_400_000_000)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        typ = g["event_type"].to_numpy()
+        ct = np.sort(t[typ == "click"])
+        pt = np.sort(t[typ == "purchase"])
+        if len(ct) == 0:
+            return pd.DataFrame(
+                {"day_us": [], "n": [], "nab": []}
+            ).astype(np.int64)
+        lo = np.searchsorted(pt, ct, side="right")
+        hi = np.searchsorted(pt, ct + HOUR, side="right")
+        ab = (hi == lo).astype(np.int64)
+        day = (ct // DAY) * DAY
+        u, inv = np.unique(day, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "day_us": u,
+                "n": np.bincount(inv).astype(np.int64),
+                "nab": np.bincount(inv, weights=ab).astype(np.int64),
+            }
+        )
+
+    agg = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby("day_us")
+        .aggregate(
+            Sum("n", alias_name="n_clicks"),
+            Sum("nab", alias_name="n_abandoned"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        d = pd.to_datetime(
+            b["day_us"].to_numpy(zero_copy_only=False), unit="us"
+        ).strftime("%Y-%m-%d")
+        return pa.table(
+            {
+                "day": pa.array(d, pa.string()),
+                "n_clicks": pc.cast(b["n_clicks"], pa.int64()),
+                "n_abandoned": pc.cast(b["n_abandoned"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ABANDONED_CLICKS = """
+WITH cl AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+pu AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT strftime(date_trunc('day', cl.ts), '%Y-%m-%d') AS day,
+       count(*) AS n_clicks,
+       CAST(count(*) FILTER (NOT EXISTS (
+           SELECT 1 FROM pu
+           WHERE pu.user_id = cl.user_id
+             AND pu.ts > cl.ts
+             AND pu.ts <= cl.ts + INTERVAL 1 HOUR)) AS BIGINT)
+         AS n_abandoned
+FROM cl GROUP BY 1
+"""
+
+
+def q_fk_orphans(sf_dir: str):
+    """Referential-integrity audit (the data-quality / expectations
+    shape): for every declared FK relationship, count child rows and
+    child rows whose key has no parent — plus how many DISTINCT keys
+    are orphaned. Each relation is one in-batch (fk, cnt) fold, ONE
+    grouped sum (the exchange carries per-key counts, never rows),
+    and a distributed anti-join of the key table against the parent
+    scan; the 5-row report assembles on the driver."""
+    rels = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+    ]
+    rows = []
+    for name, child, fk, parent, pk in rels:
+        ch = _pq(sf_dir, child, [fk])
+
+        def fold(b: pa.Table, _fk=fk) -> pa.Table:
+            v = b[_fk].to_numpy(zero_copy_only=False).astype(np.int64)
+            u, cnt = np.unique(v, return_counts=True)
+            return pa.table(
+                {
+                    "k": pa.array(u, pa.int64()),
+                    "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+
+        # block-level (k, cnt) partials only — no global pre-groupby;
+        # the anti join exchanges partials (blocks x block-unique keys)
+        # and only the orphan SURVIVORS (normally empty) get grouped
+        # for the distinct-key count
+        keys = ch.map_batches(fold, batch_format="pyarrow").materialize()
+        n_rows = int(keys.sum("cnt"))
+        par = _pq(sf_dir, parent, [pk]).map_batches(
+            lambda b, _pk=pk: pa.table(
+                {"k": pc.cast(b[_pk], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        orphans = (
+            hash_join(keys, par, on=["k"], how="anti")
+            .groupby("k")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        )
+
+        def ostats(b: pa.Table) -> pa.Table:
+            c = b["cnt"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "nk": pa.array([b.num_rows], pa.int64()),
+                    "nr": pa.array([int(c.sum())], pa.int64()),
+                }
+            )
+
+        tot = orphans.map_batches(ostats, batch_format="pyarrow").sum(
+            ["nk", "nr"]
+        )
+        nk = tot.get("sum(nk)") if tot else None
+        nr = tot.get("sum(nr)") if tot else None
+        n_orphan_keys = int(nk) if nk is not None else 0
+        n_orphan_rows = int(nr) if nr is not None else 0
+        rows.append((name, n_rows, n_orphan_rows, n_orphan_keys))
+    return pd.DataFrame(
+        rows,
+        columns=["relation", "n_rows", "n_orphan_rows", "n_orphan_keys"],
+    )
+
+
+SQL_FK_ORPHANS = """
+SELECT 'lineitem.l_orderkey->orders' AS relation,
+       (SELECT count(*) FROM lineitem) AS n_rows,
+       (SELECT count(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+         AS n_orphan_rows,
+       (SELECT count(DISTINCT l_orderkey) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+         AS n_orphan_keys
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem
+        WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+       (SELECT count(DISTINCT l_partkey) FROM lineitem
+        WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+       (SELECT count(DISTINCT l_suppkey) FROM lineitem
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+       (SELECT count(DISTINCT o_custkey) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       (SELECT count(*) FROM customer),
+       (SELECT count(*) FROM customer
+        WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+       (SELECT count(DISTINCT c_nationkey) FROM customer
+        WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+"""
+
+
+def q_unpivot_nation_stats(sf_dir: str):
+    """UNPIVOT/melt (the wide-to-long reshape, inverse of
+    pivot_events): ONE grouped integer fold computes three per-nation
+    metrics (customer count, total balance in cents, negative-balance
+    count), then each grouped row melts into three (nation, metric,
+    value) rows — a vectorized repeat/tile, no exchange after the
+    fold."""
+    cust = _pq(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            b["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(u, pa.int64()),
+                "n_cust": pa.array(np.bincount(inv).astype(np.int64)),
+                "bal_cents": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64)
+                ),
+                "n_neg": pa.array(
+                    np.bincount(inv, weights=(cents < 0)).astype(np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("n_cust", alias_name="n_cust"),
+            Sum("bal_cents", alias_name="bal_cents"),
+            Sum("n_neg", alias_name="n_neg"),
+        )
+    )
+
+    METRICS = ("bal_cents", "n_cust", "n_neg")
+
+    def melt(b: pa.Table) -> pa.Table:
+        k = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = np.stack(
+            [b[m].to_numpy(zero_copy_only=False) for m in METRICS], axis=1
+        )
+        return pa.table(
+            {
+                "c_nationkey": pa.array(np.repeat(k, len(METRICS))),
+                "metric": pa.array(
+                    np.tile(np.array(METRICS), len(k)), pa.string()
+                ),
+                "value": pa.array(vals.reshape(-1), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(melt, batch_format="pyarrow")
+
+
+SQL_UNPIVOT_NATION_STATS = """
+WITH s AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         count(*) AS n_cust,
+         CAST(sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+           AS bal_cents,
+         CAST(count(*) FILTER (round(c_acctbal * 100.0) < 0) AS BIGINT)
+           AS n_neg
+  FROM customer GROUP BY 1)
+SELECT c_nationkey, 'bal_cents' AS metric, bal_cents AS value FROM s
+UNION ALL
+SELECT c_nationkey, 'n_cust', n_cust FROM s
+UNION ALL
+SELECT c_nationkey, 'n_neg', n_neg FROM s
+"""
+
+
+REGISTRY.update(
+    {
+        "cdc_chunks_docs": (q_cdc_chunks_docs, SQL_CDC_CHUNKS_DOCS),
+        "abandoned_clicks": (q_abandoned_clicks, SQL_ABANDONED_CLICKS),
+        "fk_orphans": (q_fk_orphans, SQL_FK_ORPHANS),
+        "unpivot_nation_stats": (
+            q_unpivot_nation_stats,
+            SQL_UNPIVOT_NATION_STATS,
+        ),
+    }
+)
