@@ -356,3 +356,269 @@ def test_unpivot_nation_stats_shape():
     assert g.loc[(0, "n_neg")] == 1
     assert g.loc[(1, "bal_cents")] == 725
     assert len(got) == 6
+
+
+def test_benford_orders_digits():
+    orders = pd.DataFrame(
+        {"o_totalprice": [1.00, 19.99, 250.10, 2500.00, 0.05, 999.99]}
+    )
+    got = _run(rel.q_benford_orders, {"orders": orders}).set_index(
+        "digit"
+    )["n"]
+    # cents: 100, 1999, 25010, 250000, 5, 99999 -> digits 1,1,2,2,5,9
+    assert got.loc[1] == 2 and got.loc[2] == 2
+    assert got.loc[5] == 1 and got.loc[9] == 1
+    assert got.sum() == 6
+
+
+def test_top2_gap_vs_literal():
+    rng = np.random.default_rng(12)
+    part = pd.DataFrame(
+        {
+            "p_brand": rng.choice(["A", "B", "C"], 50),
+            "p_retailprice": np.round(rng.uniform(1, 100, 50), 2),
+        }
+    )
+    got = _run(rel.q_top2_gap_parts, {"part": part}).set_index("p_brand")
+    for b, g in part.groupby("p_brand"):
+        c = np.sort(np.rint(g.p_retailprice * 100).astype(np.int64))[::-1]
+        assert got.loc[b, "gap_cents"] == c[0] - c[1]
+
+
+def test_cohort_ltv_vs_literal():
+    ts0 = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "ts": [
+                ts0,                              # u1 first: cohort 0
+                ts0 + pd.Timedelta(days=12),      # u1 purchase age 1
+                ts0 + pd.Timedelta(days=25),      # u1 purchase age 2
+                ts0 + pd.Timedelta(days=11),      # u2 first: cohort 1
+                ts0 + pd.Timedelta(days=15),      # u2 purchase age 0
+                ts0 + pd.Timedelta(days=21),      # u3 first+purchase age 0
+            ],
+            "event_type": [
+                "view", "purchase", "purchase",
+                "view", "purchase", "purchase",
+            ],
+            "value": [0.0, 10.0, 5.5, 0.0, 2.25, 4.0],
+        }
+    )
+    got = _run(rel.q_cohort_ltv_users, {"events": ev}).set_index(
+        ["cohort", "age"]
+    )
+    # cohorts are ABSOLUTE 10-day buckets of epoch time (matching the
+    # SQL oracle), so anchor expectations at ts0's bucket
+    c0 = ts0.value // 1000 // (10 * 86_400_000_000)
+    assert got.loc[(c0, 1), "cents"] == 1000
+    assert got.loc[(c0, 2), "cents"] == 550
+    assert got.loc[(c0 + 1, 0), "cents"] == 225
+    assert got.loc[(c0 + 2, 0), "cents"] == 400
+    assert int(got["n_purch"].sum()) == 4
+
+
+def test_churn_weekly_vs_literal():
+    ts0 = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2, 3, 1],
+            "ts": [
+                ts0,                          # w2817? absolute weeks
+                ts0 + pd.Timedelta(days=7),   # u1 active w, w+1 -> retained
+                ts0,                          # u2 active w only -> churned
+                ts0 + pd.Timedelta(days=15),  # u2 active w+2
+                ts0 + pd.Timedelta(days=7),   # u3 active w+1 only
+                ts0 + pd.Timedelta(days=1),   # dup week for u1
+            ],
+        }
+    )
+    got = _run(rel.q_churn_weekly_users, {"events": ev})
+    got = got.sort_values("week").reset_index(drop=True)
+    # weeks: w0={1,2}, w1={1,3}, w2={2}
+    assert got.n_active.tolist() == [2, 2, 1]
+    assert got.n_retained.tolist() == [1, 0, 0]
+    assert got.n_churned.tolist() == [1, 2, 1]
+
+
+def test_dedup_events_window_lag_semantics():
+    ts0 = pd.Timestamp("2024-03-01")
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2],
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": [
+                ts0,
+                ts0 + pd.Timedelta(seconds=3),   # dup (3s after prev)
+                ts0 + pd.Timedelta(seconds=6),   # kept under LAG (3s gap
+                                                 # from e2, but >=5s? no:
+                                                 # 3s -> dup under lag)
+                ts0 + pd.Timedelta(seconds=12),  # kept (6s after e3)
+                ts0 + pd.Timedelta(seconds=1),
+            ],
+            "event_type": ["click", "click", "click", "click", "click"],
+        }
+    )
+    got = _run(rel.q_dedup_events_window, {"events": ev}).set_index(
+        "event_type"
+    )
+    # lag semantics: e2 dup (3s), e3 dup (3s after e2), e4 kept (6s)
+    # user1 keeps e1+e4 = 2; user2 keeps 1
+    assert got.loc["click", "n_kept"] == 3
+
+
+def test_wau_users_vs_literal():
+    rng = np.random.default_rng(13)
+    n = 600
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 30, n).astype(np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 40 * 86400, n), unit="s"),
+        }
+    )
+    got = _run(rel.q_wau_users, {"events": ev}).set_index("day")
+    ud = ev.assign(day=ev.ts.dt.floor("D")).drop_duplicates(
+        ["user_id", "day"]
+    )
+    for day, g in ud.groupby("day"):
+        win = ud[(ud.day >= day - pd.Timedelta(days=6)) & (ud.day <= day)]
+        key = day.strftime("%Y-%m-%d")
+        assert got.loc[key, "n_dau"] == g.user_id.nunique()
+        assert got.loc[key, "n_wau"] == win.user_id.nunique()
+
+
+def test_merge_upsert_vs_literal():
+    rng = np.random.default_rng(14)
+    n = 200
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_custkey": rng.integers(0, 40, n).astype(np.int64),
+            "o_orderstatus": rng.choice(["O", "F", "P"], n),
+            "o_totalprice": np.round(rng.uniform(10, 900, n), 2),
+        }
+    )
+    got = _run(rel.q_merge_upsert_orders, {"orders": orders})
+    # literal merge
+    df = orders.assign(
+        cents=np.rint(orders.o_totalprice * 100).astype(np.int64)
+    )
+    upd = df.o_custkey % 7 == 0
+    dele = (df.o_orderkey % 13 == 0) & ~upd
+    ins = df.o_orderkey % 97 == 0
+    out = df[~dele].copy()
+    out.loc[upd[~dele].index[upd[~dele]], "cents"] += 100
+    inserted = df[ins].assign(o_orderstatus="N")
+    final = pd.concat([out, inserted])
+    want = final.groupby("o_orderstatus").agg(
+        cents=("cents", "sum"), n=("cents", "size")
+    )
+    got = got.set_index("o_orderstatus")
+    for st in want.index:
+        assert got.loc[st, "cents"] == want.loc[st, "cents"], st
+        assert got.loc[st, "n"] == want.loc[st, "n"], st
+    assert len(got) == len(want)
+
+
+def test_zorder_interleave_exact():
+    from theoremkb_ray.pipelines.relational import _morton_spread
+
+    # spread then interleave a few known values
+    assert _morton_spread(np.array([0b101], np.uint64))[0] == 0b10001
+    assert _morton_spread(np.array([0xFFFFFFFF], np.uint64))[
+        0
+    ] == 0x5555555555555555
+    x = np.array([3], np.uint64)
+    y = np.array([1], np.uint64)
+    z = (_morton_spread(x) << np.uint64(1)) | _morton_spread(y)
+    assert z[0] == 0b1011  # x bits at odd positions, y at even
+
+
+def test_zorder_orders_locality():
+    rng = np.random.default_rng(15)
+    n = 300
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_custkey": rng.integers(0, 64, n).astype(np.int64),
+            "o_orderdate": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 64, n), unit="D"),
+        }
+    )
+    got = _run(rel.q_zorder_orders, {"orders": orders})
+    assert len(got) == 50
+    # zkeys are sorted and match a literal recompute
+    from theoremkb_ray.pipelines.relational import _morton_spread as ms
+
+    ck = orders.o_custkey.to_numpy(np.uint64)
+    d = (
+        orders.o_orderdate.to_numpy()
+        .astype("datetime64[us]")
+        .astype(np.int64)
+        // 86_400_000_000
+    ).astype(np.uint64)
+    z = ((ms(ck) << np.uint64(1)) | ms(d)).astype(np.int64)
+    order = np.lexsort((orders.o_orderkey.to_numpy(), z))[:50]
+    assert got.zkey.tolist() == sorted(z[order].tolist())
+    assert got.o_orderkey.tolist() == orders.o_orderkey.to_numpy()[
+        order
+    ].tolist()
+
+
+def test_streaks_users_islands():
+    ts0 = pd.Timestamp("2024-01-01")
+    days = {
+        1: [0, 1, 2, 5, 6, 9],   # runs 3,2,1 -> longest 3, islands 3
+        2: [4],                  # longest 1, islands 1
+        3: [0, 2, 4, 6],         # all singletons -> 1, 4
+    }
+    rows = [
+        (u, ts0 + pd.Timedelta(days=d, hours=h))
+        for u, ds_ in days.items()
+        for d in ds_
+        for h in (1, 13)  # two events per active day: dedup matters
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "ts"])
+    got = _run(rel.q_streaks_users, {"events": ev}).set_index("user_id")
+    assert got.loc[1].tolist() == [3, 3]
+    assert got.loc[2].tolist() == [1, 1]
+    assert got.loc[3].tolist() == [1, 4]
+
+
+def test_mix_shift_vs_literal():
+    rng = np.random.default_rng(16)
+    n = 400
+    orders = pd.DataFrame(
+        {
+            "o_custkey": rng.integers(0, 50, n).astype(np.int64),
+            "o_orderdate": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 200, n), unit="D"),
+        }
+    )
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(50, dtype=np.int64),
+            "c_mktsegment": rng.choice(["AUTO", "HOUSE", "MACH"], 50),
+        }
+    )
+    got = _run(
+        rel.q_mix_shift_segments, {"orders": orders, "customer": cust}
+    ).set_index("c_mktsegment")
+    t = orders.o_orderdate.astype("int64")  # ns
+    mid_us = (t.min() // 1000 + t.max() // 1000) // 2
+    half = (t // 1000 >= mid_us).astype(int)
+    seg = orders.o_custkey.map(cust.set_index("c_custkey").c_mktsegment)
+    df = pd.DataFrame({"seg": seg, "half": half})
+    cnt = df.groupby(["seg", "half"]).size()
+    tot = df.groupby("half").size()
+    for s in got.index:
+        n0 = int(cnt.get((s, 0), 0))
+        n1 = int(cnt.get((s, 1), 0))
+        assert got.loc[s, "n_first"] == n0
+        assert got.loc[s, "n_second"] == n1
+        assert got.loc[s, "share_bp_first"] == n0 * 10000 // tot[0]
+        assert got.loc[s, "shift_bp"] == (
+            n1 * 10000 // tot[1] - n0 * 10000 // tot[0]
+        )
+    assert int(got.n_first.sum() + got.n_second.sum()) == n
