@@ -10652,3 +10652,838 @@ REGISTRY.update(
         ),
     }
 )
+
+
+# ------------------------------------------------- TPC-H shapes (cont.)
+
+
+def _micro_rev(b: pa.Table, mask=None) -> np.ndarray:
+    """Exact integer micro-unit revenue — cents(price)*(100-bp) —
+    the house contract for bit-identical partial sums under any
+    partitioning (one float divide at the very end, same operands
+    both engines)."""
+    p = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+    d = b["l_discount"].to_numpy(zero_copy_only=False)
+    if mask is not None:
+        p, d = p[mask], d[mask]
+    cents = np.rint(p * 100.0).astype(np.int64)
+    bp = np.rint(d * 100.0).astype(np.int64)
+    return cents * (100 - bp)
+
+
+def q_q7_volume(sf_dir: str):
+    """The TPC-H Q7 shape — shipping volume between one nation PAIR
+    by year. The supplier-nation filter applies BEFORE the fact-fact
+    exchange (s_nation is derivable from l_suppkey via a broadcast
+    lookup, so ~23/25ths of lineitem never enters the join); the
+    customer side resolves after. ONE distributed hash exchange
+    (lineitem |x| orders); nations/customers/suppliers ride as sorted
+    numpy lookup arrays. Group key packs (s_nat, c_nat, year) into one
+    int64 so the final aggregate is a single-column Sum."""
+    from ..stages.joins import hash_join
+
+    NA, NB = 1, 2  # NATION_1 <-> NATION_2, both directions
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    ck = np.sort(cust["c_custkey"].to_numpy(np.int64))
+    cn = cust.set_index("c_custkey")["c_nationkey"].loc[ck].to_numpy(np.int64)
+    supp = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    sn = supp.set_index("s_suppkey")["s_nationkey"].loc[sk].to_numpy(np.int64)
+
+    lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1998-01-01", "us").astype(np.int64)
+
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = (
+            b["l_shipdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        s_nat = sn[np.searchsorted(sk, b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64))]
+        keep = (t >= lo) & (t < hi) & ((s_nat == NA) | (s_nat == NB))
+        year = (
+            t[keep].astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    b["l_orderkey"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+                ),
+                "s_nat": pa.array(s_nat[keep]),
+                "year": pa.array(year),
+                "rev_micro": pa.array(_micro_rev(b, keep)),
+            }
+        )
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = hash_join(
+        li.map_batches(pre, batch_format="pyarrow"),
+        orders,
+        on=["l_orderkey"],
+        right_on=["o_orderkey"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        c_nat = cn[np.searchsorted(ck, b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64))]
+        s_nat = b["s_nat"].to_numpy(zero_copy_only=False)
+        keep = ((s_nat == NA) & (c_nat == NB)) | ((s_nat == NB) & (c_nat == NA))
+        if not keep.any():
+            return pa.table(
+                {"pack": pa.array([], pa.int64()), "rev_micro": pa.array([], pa.int64())}
+            )
+        pack = (
+            (s_nat[keep] << 40) | (c_nat[keep] << 20) | b["year"].to_numpy(zero_copy_only=False)[keep]
+        )
+        rev = b["rev_micro"].to_numpy(zero_copy_only=False)[keep]
+        u, inv = np.unique(pack, return_inverse=True)
+        return pa.table(
+            {
+                "pack": pa.array(u, pa.int64()),
+                "rev_micro": pa.array(
+                    np.bincount(inv, weights=rev).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("pack")
+        .aggregate(Sum("rev_micro", alias_name="rev_micro"))
+        .to_pandas()
+    )
+    pack = agg["pack"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "supp_nation": [name_of[k] for k in (pack >> 40)],
+            "cust_nation": [name_of[k] for k in ((pack >> 20) & 0xFFFFF)],
+            "l_year": pack & 0xFFFFF,
+            "revenue": np.round(agg["rev_micro"].to_numpy(np.float64) / 10000.0, 2),
+        }
+    )
+    return out
+
+
+SQL_Q7_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT)))
+             / 10000.0, 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_q9_profit(sf_dir: str):
+    """The TPC-H Q9 shape — profit by supplier nation and ship year
+    for one part brand. No partsupp table in this corpus, so supply
+    cost is modeled as half retail (50 * qty * cents(p_retailprice)
+    in the same 1e-4-dollar micro-units as the revenue term — the
+    SQL twin states the identical formula). Brand-filtered partkeys
+    + retail cents + supplier nations all broadcast as sorted-array
+    lookups: ZERO distributed exchange before the tiny packed-key
+    aggregate (year from l_shipdate, no orders join needed)."""
+    part = _pq(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"]
+    ).to_pandas()
+    part = part[part["p_brand"] == "Brand#13"]
+    pk = np.sort(part["p_partkey"].to_numpy(np.int64))
+    retail_cents = (
+        np.rint(
+            part.set_index("p_partkey")["p_retailprice"].loc[pk].to_numpy() * 100.0
+        ).astype(np.int64)
+    )
+    supp = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    sn = supp.set_index("s_suppkey")["s_nationkey"].loc[sk].to_numpy(np.int64)
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        [
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(pk, key)
+        pos_c = np.minimum(pos, len(pk) - 1) if len(pk) else pos
+        keep = len(pk) > 0 and (pk[pos_c] == key)
+        if not np.any(keep):
+            return pa.table(
+                {"pack": pa.array([], pa.int64()), "amt_micro": pa.array([], pa.int64())}
+            )
+        rev = _micro_rev(b, keep)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        cost = 50 * qty * retail_cents[pos_c[keep]]
+        s_nat = sn[
+            np.searchsorted(
+                sk, b["l_suppkey"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+            )
+        ]
+        year = (
+            b["l_shipdate"].to_numpy(zero_copy_only=False)[keep]
+            .astype("datetime64[us]")
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        pack = (s_nat << 20) | year
+        u, inv = np.unique(pack, return_inverse=True)
+        return pa.table(
+            {
+                "pack": pa.array(u, pa.int64()),
+                "amt_micro": pa.array(
+                    np.bincount(inv, weights=rev - cost).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("pack")
+        .aggregate(Sum("amt_micro", alias_name="amt_micro"))
+        .to_pandas()
+    )
+    pack = agg["pack"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "nation": [name_of[k] for k in (pack >> 20)],
+            "o_year": pack & 0xFFFFF,
+            "profit": np.round(agg["amt_micro"].to_numpy(np.float64) / 10000.0, 2),
+        }
+    )
+
+
+SQL_Q9_PROFIT = """
+SELECT n_name AS nation, year(l_shipdate) AS o_year,
+       round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT))
+                 - 50 * CAST(l_quantity AS BIGINT)
+                      * CAST(round(p_retailprice*100) AS BIGINT))
+             / 10000.0, 2) AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_brand = 'Brand#13'
+GROUP BY 1, 2
+"""
+
+
+def q_q10_returns(sf_dir: str):
+    """The TPC-H Q10 shape — top-20 customers by returned-item
+    revenue in a 6-month order window. Returnflag + order-date
+    filters apply before the single fact-fact hash exchange; the
+    per-customer Sum is customer-bounded, so the top-20 selection
+    sorts the integer micro totals (rev DESC, custkey ASC — fully
+    deterministic, no float ties) and only then attaches names via
+    dimension lookups."""
+    from ..stages.joins import hash_join
+
+    lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1996-07-01", "us").astype(np.int64)
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilt(b: pa.Table) -> pa.Table:
+        t = (
+            b["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        keep = (t >= lo) & (t < hi)
+        return b.filter(pa.array(keep)).select(["o_orderkey", "o_custkey"])
+
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def lfilt(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["l_returnflag"], "R")
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev_micro": pa.array(_micro_rev(b), pa.int64()),
+            }
+        )
+
+    j = hash_join(
+        li.map_batches(lfilt, batch_format="pyarrow"),
+        orders.map_batches(ofilt, batch_format="pyarrow"),
+        on=["l_orderkey"],
+        right_on=["o_orderkey"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cust = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = b["rev_micro"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(cust, return_inverse=True)
+        return pa.table(
+            {
+                "c_custkey": pa.array(u, pa.int64()),
+                "rev_micro": pa.array(
+                    np.bincount(inv, weights=rev).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("rev_micro", alias_name="rev_micro"))
+        .to_pandas()
+    )
+    agg = agg.sort_values(
+        ["rev_micro", "c_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    cust = _pq(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]
+    ).to_pandas()
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = agg.merge(cust, on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out["revenue"] = np.round(out["rev_micro"].to_numpy(np.float64) / 10000.0, 2)
+    return out[["c_custkey", "c_name", "n_name", "revenue"]]
+
+
+SQL_Q10_RETURNS = """
+WITH r AS (
+  SELECT o_custkey AS c_custkey,
+         sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate <  DATE '1996-07-01'
+  GROUP BY 1)
+SELECT c.c_custkey, c.c_name, n.n_name, round(rev / 10000.0, 2) AS revenue
+FROM r
+JOIN customer c USING (c_custkey)
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY rev DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+def q_q13_custdist(sf_dir: str):
+    """The TPC-H Q13 shape — the customer order-count distribution
+    INCLUDING the zero bucket (the classic left-join-then-histogram
+    two-phase aggregate). Per-custkey counts are one exchange over
+    per-batch partials; the histogram of counts is count-bounded
+    (tiny); the zero bucket is total customers minus distinct
+    buyers — no row-level left join materializes anywhere."""
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["o_orderpriority"], "4-NOT SPECIFIED")
+        cust = b.filter(keep)["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, cnt = np.unique(cust, return_counts=True)
+        return pa.table(
+            {"c_custkey": pa.array(u, pa.int64()), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    counts = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+
+    def hist(b: pa.Table) -> pa.Table:
+        c = b["c_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, cnt = np.unique(c, return_counts=True)
+        return pa.table(
+            {"c_count": pa.array(u, pa.int64()), "custdist": pa.array(cnt.astype(np.int64))}
+        )
+
+    agg = (
+        counts.map_batches(hist, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .to_pandas()
+    )
+    n_cust = _pq(sf_dir, "customer", ["c_custkey"]).count()
+    zero = n_cust - int(agg["custdist"].sum())
+    if zero > 0:
+        agg = pd.concat(
+            [agg, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    return agg[["c_count", "custdist"]]
+
+
+SQL_Q13_CUSTDIST = """
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM c_orders GROUP BY c_count
+"""
+
+
+def q_q14_promo(sf_dir: str):
+    """The TPC-H Q14 shape — promo revenue share for one ship month.
+    The part-type flag is a broadcast bitmask over sorted partkeys;
+    ONE scan folds (promo_micro, total_micro) integer partials and
+    the share is integer basis points (10000*promo // total) so both
+    engines divide identical integers."""
+    part = _pq(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    pk = np.sort(part["p_partkey"].to_numpy(np.int64))
+    is_promo = (
+        part.set_index("p_partkey")["p_type"].loc[pk].to_numpy() == "PROMO"
+    )
+    lo = np.datetime64("1996-03-01", "us").astype(np.int64)
+    hi = np.datetime64("1996-04-01", "us").astype(np.int64)
+
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = (
+            b["l_shipdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        keep = (t >= lo) & (t < hi)
+        rev = _micro_rev(b, keep)
+        promo = is_promo[
+            np.searchsorted(
+                pk, b["l_partkey"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+            )
+        ]
+        return pa.table(
+            {
+                "promo_micro": pa.array([int(rev[promo].sum())], pa.int64()),
+                "total_micro": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    agg = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    promo, total = int(agg["promo_micro"].sum()), int(agg["total_micro"].sum())
+    return pd.DataFrame(
+        {
+            "promo_revenue": [round(promo / 10000.0, 2)],
+            "total_revenue": [round(total / 10000.0, 2)],
+            "promo_bp": [promo * 10000 // total],
+        }
+    )
+
+
+SQL_Q14_PROMO = """
+SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                           * (100 - CAST(round(l_discount*100) AS BIGINT))
+                      ELSE 0 END) / 10000.0, 2) AS promo_revenue,
+       round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT)))
+             / 10000.0, 2) AS total_revenue,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                          * (100 - CAST(round(l_discount*100) AS BIGINT))
+                     ELSE 0 END) * 10000
+            // sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT)))
+            AS BIGINT) AS promo_bp
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+"""
+
+
+def q_q15_top_supplier(sf_dir: str):
+    """The TPC-H Q15 shape — the supplier(s) achieving the maximum
+    quarterly revenue (max-of-aggregate then equality filter). The
+    per-supplier fold is supplier-bounded after ONE exchange; the max
+    and the equality test happen on exact integer micros, so the
+    'ties all returned' semantics is deterministic."""
+    lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1996-04-01", "us").astype(np.int64)
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = (
+            b["l_shipdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        keep = (t >= lo) & (t < hi)
+        supp = b["l_suppkey"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        rev = _micro_rev(b, keep)
+        u, inv = np.unique(supp, return_inverse=True)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(u, pa.int64()),
+                "rev_micro": pa.array(
+                    np.bincount(inv, weights=rev).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("rev_micro", alias_name="rev_micro"))
+        .to_pandas()
+    )
+    top = agg[agg["rev_micro"] == agg["rev_micro"].max()]
+    supp = _pq(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = top.merge(supp, on="s_suppkey")
+    out["total_revenue"] = np.round(
+        out["rev_micro"].to_numpy(np.float64) / 10000.0, 2
+    )
+    return out[["s_suppkey", "s_name", "total_revenue"]]
+
+
+SQL_Q15_TOP_SUPPLIER = """
+WITH r AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, round(rev / 10000.0, 2) AS total_revenue
+FROM supplier JOIN r ON s_suppkey = l_suppkey
+WHERE rev = (SELECT max(rev) FROM r)
+"""
+
+
+def q_q17_small_qty(sf_dir: str):
+    """The TPC-H Q17 shape — revenue from small-quantity orders of
+    one brand's small parts, where 'small quantity' is relative to
+    the part's own average (the classic correlated scalar subquery,
+    decorrelated into two passes over the brand-filtered fact). The
+    comparison qty < 0.2 * avg is done in integers
+    (5 * qty * count < sum_qty) so no division happens before the
+    final /7.0; the per-part aggregate is bounded by the filtered
+    part count and broadcasts back as sorted arrays."""
+    part = _pq(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    part = part[(part["p_brand"] == "Brand#23") & (part["p_size"] <= 10)]
+    pk = np.sort(part["p_partkey"].to_numpy(np.int64))
+
+    li = _pq(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def member(b: pa.Table) -> pa.Table:
+        key = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(pk, key)
+        posc = np.minimum(pos, max(len(pk) - 1, 0))
+        keep = (pk[posc] == key) if len(pk) else np.zeros(len(key), bool)
+        return b.filter(pa.array(keep))
+
+    filtered = li.map_batches(member, batch_format="pyarrow")
+
+    def qpartial(b: pa.Table) -> pa.Table:
+        key = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "l_partkey": pa.array(u, pa.int64()),
+                "s": pa.array(np.bincount(inv, weights=qty).astype(np.int64)),
+                "c": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    ag = (
+        filtered.map_batches(qpartial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    apk = np.sort(ag["l_partkey"].to_numpy(np.int64))
+    order = np.argsort(ag["l_partkey"].to_numpy(np.int64), kind="stable")
+    asum = ag["s"].to_numpy(np.int64)[order]
+    acnt = ag["c"].to_numpy(np.int64)[order]
+
+    def cents_partial(b: pa.Table) -> pa.Table:
+        key = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(apk, key)
+        keep = 5 * qty * acnt[pos] < asum[pos]
+        cents = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep] * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "cents": pa.array([int(cents.sum())], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    agg2 = filtered.map_batches(cents_partial, batch_format="pyarrow").to_pandas()
+    total_cents, nrows = int(agg2["cents"].sum()), int(agg2["n"].sum())
+    avg_yearly = round(total_cents / 700.0, 2) if nrows else None
+    return pd.DataFrame({"avg_yearly": [avg_yearly]})
+
+
+SQL_Q17_SMALL_QTY = """
+WITH pk AS (SELECT p_partkey FROM part
+            WHERE p_brand = 'Brand#23' AND p_size <= 10),
+ag AS (SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS s, count(*) AS c
+       FROM lineitem JOIN pk ON p_partkey = l_partkey GROUP BY 1)
+SELECT round(sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 700.0, 2)
+         AS avg_yearly
+FROM lineitem JOIN ag ON ag.l_partkey = lineitem.l_partkey
+WHERE 5 * CAST(l_quantity AS BIGINT) * c < s
+"""
+
+
+def q_q19_disjunct(sf_dir: str):
+    """The TPC-H Q19 shape — revenue under a three-arm disjunctive
+    brand/size/quantity predicate. Part attributes (brand arm id,
+    size) broadcast as sorted arrays; the whole disjunction is one
+    vectorized boolean expression per batch, one-row integer
+    partials, ZERO exchange."""
+    part = _pq(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    pk = np.sort(part["p_partkey"].to_numpy(np.int64))
+    idx = part.set_index("p_partkey").loc[pk]
+    brand = idx["p_brand"].to_numpy()
+    size = idx["p_size"].to_numpy(np.int64)
+    arm = np.zeros(len(pk), np.int8)
+    arm[(brand == "Brand#12") & (size >= 1) & (size <= 5)] = 1
+    arm[(brand == "Brand#23") & (size >= 1) & (size <= 10)] = 2
+    arm[(brand == "Brand#15") & (size >= 1) & (size <= 15)] = 3
+
+    li = _pq(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        a = arm[
+            np.searchsorted(
+                pk, b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        ]
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (
+            ((a == 1) & (qty >= 1) & (qty <= 11))
+            | ((a == 2) & (qty >= 10) & (qty <= 20))
+            | ((a == 3) & (qty >= 20) & (qty <= 30))
+        )
+        return pa.table(
+            {"rev_micro": pa.array([int(_micro_rev(b, keep).sum())], pa.int64())}
+        )
+
+    total = int(
+        li.map_batches(partial, batch_format="pyarrow").to_pandas()["rev_micro"].sum()
+    )
+    return pd.DataFrame({"revenue": [round(total / 10000.0, 2)]})
+
+
+SQL_Q19_DISJUNCT = """
+SELECT round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT)))
+             / 10000.0, 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+REGISTRY.update(
+    {
+        "q7_volume": (q_q7_volume, SQL_Q7_VOLUME),
+        "q9_profit": (q_q9_profit, SQL_Q9_PROFIT),
+        "q10_returns": (q_q10_returns, SQL_Q10_RETURNS),
+        "q13_custdist": (q_q13_custdist, SQL_Q13_CUSTDIST),
+        "q14_promo": (q_q14_promo, SQL_Q14_PROMO),
+        "q15_top_supplier": (q_q15_top_supplier, SQL_Q15_TOP_SUPPLIER),
+        "q17_small_qty": (q_q17_small_qty, SQL_Q17_SMALL_QTY),
+        "q19_disjunct": (q_q19_disjunct, SQL_Q19_DISJUNCT),
+    }
+)
+
+
+# ------------------------------------------- streaming-state shapes (cont.)
+
+
+def q_cume_distinct_users(sf_dir: str):
+    """Running COUNT(DISTINCT) — for every user's active hour, how
+    many distinct event types the user has seen up to and including
+    that hour (the classic cumulative-cardinality window, which SQL
+    windows cannot express directly; the oracle uses the
+    first-occurrence + inequality-join decomposition). Per-batch
+    distinct (user, hour, type) triples shrink the exchange to the
+    active-cell count; ONE user-bucketed exchange; per bucket the
+    count is a packed-key double searchsorted — no per-user loop.
+    Hour numbers rebased from epoch stay < 2^21, so (user << 21 | hr)
+    packs collision-free for user ids < 2^42."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
+    HOUR_US = 3_600_000_000
+
+    def pre(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hr = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        ) // HOUR_US
+        t = b["event_type"].to_numpy(zero_copy_only=False)
+        tu, tcode = np.unique(t, return_inverse=True)
+        df = pd.DataFrame(
+            {"user_id": u, "hr": hr, "event_type": tu[tcode]}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "hr", "event_type"])
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "hr": pd.Series(dtype="str"),
+                    "n_types": pd.Series(dtype="int64"),
+                }
+            )
+        u = g["user_id"].to_numpy(np.int64)
+        hr = g["hr"].to_numpy(np.int64)
+        base = hr.min()
+        hr0 = hr - base
+        assert hr0.max() < (1 << 21), "hour span exceeds pack width"
+        # first hour per (user, type)
+        ft = g.groupby(["user_id", "event_type"], sort=False)["hr"].min()
+        fu = ft.index.get_level_values(0).to_numpy(np.int64)
+        fh = ft.to_numpy(np.int64) - base
+        fpack = np.sort((fu << 21) | fh)
+        # active cells (user, hour)
+        cells = pd.DataFrame({"u": u, "h": hr0}).drop_duplicates()
+        cu = cells["u"].to_numpy(np.int64)
+        chh = cells["h"].to_numpy(np.int64)
+        n = np.searchsorted(fpack, (cu << 21) | chh, side="right") - np.searchsorted(
+            fpack, cu << 21, side="left"
+        )
+        hrs = ((chh + base) * HOUR_US).astype("datetime64[us]")
+        return pd.DataFrame(
+            {
+                "user_id": cu,
+                "hr": pd.Series(hrs).dt.strftime("%Y-%m-%d %H"),
+                "n_types": n.astype(np.int64),
+            }
+        )
+
+    return _by_user_bucket(
+        ds.map_batches(pre, batch_format="pyarrow")
+    ).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_CUME_DISTINCT_USERS = """
+WITH d AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr
+           FROM events),
+f AS (SELECT user_id, event_type, min(date_trunc('hour', ts)) AS fhr
+      FROM events GROUP BY 1, 2)
+SELECT d.user_id, strftime(d.hr, '%Y-%m-%d %H') AS hr,
+       count(*) AS n_types
+FROM d JOIN f ON f.user_id = d.user_id AND f.fhr <= d.hr
+GROUP BY 1, 2
+"""
+
+
+def q_interarrival_events(sf_dir: str):
+    """Exact inter-arrival-time order statistics per event type: the
+    gap from each event to the SAME user's next event (any type),
+    attributed to the earlier event's type; per type the exact
+    discrete p50/p90 (element at floor(q*(n-1)) of the sorted gaps —
+    no interpolation, so int64 microseconds stay exact end to end).
+    Exchange 1 buckets by user (gaps need per-user order); exchange 2
+    groups the 5 types, each group one numpy sort (the documented
+    quantiles_group task-size contract)."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(u) < 2:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="str"),
+                    "gap_us": pd.Series(dtype="int64"),
+                }
+            )
+        same = u[1:] == u[:-1]
+        gap = (t[1:] - t[:-1])[same]
+        et = g["event_type"].to_numpy()[:-1][same]
+        return pd.DataFrame({"event_type": et, "gap_us": gap})
+
+    gds = _by_user_bucket(ds).map_groups(gaps, batch_format="pandas")
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["gap_us"].to_numpy(np.int64))
+        n = len(v)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [n],
+                "p50_us": [int(v[(n - 1) // 2])],
+                "p90_us": [int(v[((n - 1) * 9) // 10])],
+            }
+        )
+
+    return gds.groupby("event_type").map_groups(stats, batch_format="pandas")
+
+
+SQL_INTERARRIVAL_EVENTS = """
+WITH s AS (
+  SELECT event_type,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id))
+           - epoch_us(ts) AS gap
+  FROM events),
+g AS (SELECT event_type, gap FROM s WHERE gap IS NOT NULL),
+r AS (SELECT event_type, gap,
+             row_number() OVER (PARTITION BY event_type ORDER BY gap) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM g)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(max(CASE WHEN rn - 1 = (n - 1) // 2 THEN gap END) AS BIGINT)
+         AS p50_us,
+       CAST(max(CASE WHEN rn - 1 = ((n - 1) * 9) // 10 THEN gap END)
+            AS BIGINT) AS p90_us
+FROM r GROUP BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "cume_distinct_users": (q_cume_distinct_users, SQL_CUME_DISTINCT_USERS),
+        "interarrival_events": (q_interarrival_events, SQL_INTERARRIVAL_EVENTS),
+    }
+)
