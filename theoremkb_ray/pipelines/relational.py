@@ -11487,3 +11487,288 @@ REGISTRY.update(
         "interarrival_events": (q_interarrival_events, SQL_INTERARRIVAL_EVENTS),
     }
 )
+
+
+# ------------------------------------------------- regression / graph (cont.)
+
+
+def q_ols_multi_lineitem(sf_dir: str):
+    """Multi-feature OLS via distributed normal equations — fit
+    price_cents ~ quantity + discount_bp over the whole fact with
+    ONE pass of 9 integer moment partials (n, Sx1, Sx2, Sx11, Sx12,
+    Sx22, Sy, Sx1y, Sx2y — all exact int64, bit-identical under any
+    partitioning), then the 3x3 Cramer solve on the driver. The SQL
+    twin states the IDENTICAL closed-form expression tree over the
+    same integer sums cast to DOUBLE, so every IEEE operation matches
+    1:1 (products of the raw sums overflow int64, hence the
+    float64-after-summation contract on both sides)."""
+    li = _pq(sf_dir, "lineitem", ["l_quantity", "l_discount", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x1 = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x2 = np.rint(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        y = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x1)], pa.int64()),
+                "s1": pa.array([int(x1.sum())], pa.int64()),
+                "s2": pa.array([int(x2.sum())], pa.int64()),
+                "s11": pa.array([int((x1 * x1).sum())], pa.int64()),
+                "s12": pa.array([int((x1 * x2).sum())], pa.int64()),
+                "s22": pa.array([int((x2 * x2).sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "s1y": pa.array([int((x1 * y).sum())], pa.int64()),
+                "s2y": pa.array([int((x2 * y).sum())], pa.int64()),
+            }
+        )
+
+    m = li.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n, s1, s2 = float(m["n"]), float(m["s1"]), float(m["s2"])
+    s11, s12, s22 = float(m["s11"]), float(m["s12"]), float(m["s22"])
+    sy, s1y, s2y = float(m["sy"]), float(m["s1y"]), float(m["s2y"])
+    # Cramer's rule on [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] — the SQL
+    # twin repeats these exact expressions term for term.
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    return pd.DataFrame(
+        {
+            "beta0_cents": [round(det0 / det, 6)],
+            "beta_qty": [round(det1 / det, 6)],
+            "beta_bp": [round(det2 / det, 6)],
+        }
+    )
+
+
+SQL_OLS_MULTI_LINEITEM = """
+WITH m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+         CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE) AS s2,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s11,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE) AS s12,
+         CAST(sum(CAST(round(l_discount*100) AS BIGINT)
+                  * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE) AS s22,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+           AS s1y,
+         CAST(sum(CAST(round(l_discount*100) AS BIGINT)
+                  * CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+           AS s2y
+  FROM lineitem)
+SELECT round((sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+              + s2*(s1y*s12 - s11*s2y))
+             / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                + s2*(s1*s12 - s11*s2)), 6) AS beta0_cents,
+       round((n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+              + s2*(s1*s2y - s1y*s2))
+             / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                + s2*(s1*s12 - s11*s2)), 6) AS beta_qty,
+       round((n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+              + sy*(s1*s12 - s11*s2))
+             / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                + s2*(s1*s12 - s11*s2)), 6) AS beta_bp
+FROM m
+"""
+
+
+def _ring_chord_edges(sf_dir: str):
+    """The deterministic ring+chord digraph on customer keys shared
+    by the pagerank/bfs/kcore family (see q_pagerank docstring)."""
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    n = cust.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ring_dst = (c + 1) % n
+        ch = c[c % 3 == 0]
+        ch_dst = (ch * 7 + 3) % n
+        keep = ch_dst != (ch + 1) % n
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([c, ch[keep]]), pa.int64()),
+                "dst": pa.array(
+                    np.concatenate([ring_dst, ch_dst[keep]]), pa.int64()
+                ),
+            }
+        )
+
+    return cust.map_batches(edges, batch_format="pyarrow"), n
+
+
+def q_reciprocal_edges(sf_dir: str):
+    """Edge reciprocity of the house digraph — the fraction of
+    directed edges whose reverse edge also exists (a standard
+    social-graph health metric). Each edge lands in the bucket of its
+    UNORDERED pair key, so both directions of a pair always meet in
+    the same group after ONE coarse exchange; within a bucket a
+    packed-uint64 sort + run-length scan marks pairs seen in both
+    orientations. Integer basis points — no float anywhere."""
+    from ..functions.hashing import splitmix64
+
+    eds, _n = _ring_chord_edges(sf_dir)
+    B = 64
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        pairk = (lo << np.uint64(32)) | hi
+        bucket = (splitmix64(pairk) % np.uint64(B)).astype(np.int64)
+        fwd = (s <= d).astype(np.uint64)  # orientation bit
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "pairk": pa.array(pairk.astype(np.int64)),
+                "fwd": pa.array(fwd.astype(np.int64)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pk = g["pairk"].to_numpy(np.int64)
+        fw = g["fwd"].to_numpy(np.int64)
+        order = np.argsort(pk, kind="mergesort")
+        pk, fw = pk[order], fw[order]
+        brk = np.empty(len(pk), dtype=bool)
+        if len(pk):
+            brk[0] = True
+            brk[1:] = pk[1:] != pk[:-1]
+        grp = np.cumsum(brk) - 1
+        both = np.zeros(grp[-1] + 1 if len(pk) else 0, np.int64)
+        has_f = np.zeros_like(both)
+        has_b = np.zeros_like(both)
+        np.maximum.at(has_f, grp, fw)
+        np.maximum.at(has_b, grp, 1 - fw)
+        both = has_f & has_b
+        n_edges = len(pk)
+        n_recip = int(np.bincount(grp)[both.astype(bool)].sum()) if len(pk) else 0
+        return pd.DataFrame({"n_edges": [n_edges], "n_recip": [n_recip]})
+
+    parts = (
+        eds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    n_edges = int(parts["n_edges"].sum())
+    n_recip = int(parts["n_recip"].sum())
+    return pd.DataFrame(
+        {
+            "n_edges": [n_edges],
+            "n_reciprocal": [n_recip],
+            "recip_bp": [n_recip * 10000 // n_edges],
+        }
+    )
+
+
+SQL_RECIPROCAL_EDGES = """
+WITH nn AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT c_custkey AS src, (c_custkey + 1) % (SELECT n FROM nn) AS dst
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, (7 * c_custkey + 3) % (SELECT n FROM nn)
+  FROM customer
+  WHERE c_custkey % 3 = 0
+    AND (7 * c_custkey + 3) % (SELECT n FROM nn)
+        <> (c_custkey + 1) % (SELECT n FROM nn)
+),
+r AS (
+  SELECT count(*) AS n_recip
+  FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+)
+SELECT (SELECT count(*) FROM e) AS n_edges,
+       (SELECT n_recip FROM r) AS n_reciprocal,
+       CAST((SELECT n_recip FROM r) * 10000
+            // (SELECT count(*) FROM e) AS BIGINT) AS recip_bp
+"""
+
+
+def q_indegree_hist(sf_dir: str):
+    """In-degree distribution of the house digraph (the two-phase
+    count-then-histogram shape over graph edges — q13's pattern on a
+    graph): per-dst counts after ONE exchange of per-batch partials,
+    then a count-bounded histogram. All nodes have the ring in-edge,
+    so the zero bucket is structurally empty and both engines omit
+    it."""
+    eds, _n = _ring_chord_edges(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, cnt = np.unique(d, return_counts=True)
+        return pa.table(
+            {"dst": pa.array(u, pa.int64()), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    counts = (
+        eds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dst")
+        .aggregate(Sum("n", alias_name="indeg"))
+    )
+
+    def hist(b: pa.Table) -> pa.Table:
+        c = b["indeg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, cnt = np.unique(c, return_counts=True)
+        return pa.table(
+            {
+                "indeg": pa.array(u, pa.int64()),
+                "n_nodes": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        counts.map_batches(hist, batch_format="pyarrow")
+        .groupby("indeg")
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"))
+    )
+
+
+SQL_INDEGREE_HIST = """
+WITH nn AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT c_custkey AS src, (c_custkey + 1) % (SELECT n FROM nn) AS dst
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, (7 * c_custkey + 3) % (SELECT n FROM nn)
+  FROM customer
+  WHERE c_custkey % 3 = 0
+    AND (7 * c_custkey + 3) % (SELECT n FROM nn)
+        <> (c_custkey + 1) % (SELECT n FROM nn)
+),
+d AS (SELECT dst, count(*) AS indeg FROM e GROUP BY dst)
+SELECT indeg, count(*) AS n_nodes FROM d GROUP BY indeg
+"""
+
+
+REGISTRY.update(
+    {
+        "ols_multi_lineitem": (q_ols_multi_lineitem, SQL_OLS_MULTI_LINEITEM),
+        "reciprocal_edges": (q_reciprocal_edges, SQL_RECIPROCAL_EDGES),
+        "indegree_hist": (q_indegree_hist, SQL_INDEGREE_HIST),
+    }
+)
