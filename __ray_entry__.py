@@ -118,6 +118,29 @@ def _kg_triples_canonical(sf_dir: str):
     )
 
 
+def _kg_cocitation(sf_dir: str):
+    """Co-citation pairs over the flagship triple store (results that
+    cite the same external entity, weighted by shared citations — the
+    related-result recommendation network). Runs on the SYNTH corpus
+    triples (model scoring upstream, so no SQL twin); exactness vs a
+    brute-force reference incl. the hot-object cap is pinned in
+    tests/test_kgquery.py."""
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.pipelines.kg import triples_dataset
+    from theoremkb_ray.sources.corpus import read_corpus
+    from theoremkb_ray.stages.kgquery import cocitation_pairs
+
+    sdir = _synth_dir(200)
+    links = pq.read_table(f"{sdir}/links.parquet")
+    triples = triples_dataset(
+        read_corpus(f"{sdir}/corpus.parquet"),
+        links_tbl=links,
+        segmenter="crf",
+    )
+    return cocitation_pairs(triples)
+
+
 def _kg_results(sf_dir: str):
     """Extracted theorem/proof results table (CRF scoring over the
     synth corpus — model inference has no SQL twin; line-level P/R is
@@ -1223,6 +1246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         {
             "kg_triples": _kg_triples,
             "kg_triples_canonical": _kg_triples_canonical,
+            "kg_cocitation": _kg_cocitation,
             "kg_results": _kg_results,
             "docs_segment": _docs_segment,
             "minhash_dedup_docs": _minhash_dedup_docs,

@@ -1,0 +1,116 @@
+"""Triple-store query operators: pattern filter, two-hop, co-citation."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from theoremkb_ray.stages.kgquery import (
+    cocitation_pairs,
+    triple_pattern,
+    two_hop,
+)
+
+
+def _store(rows, parallelism=1):
+    tbl = pa.table(
+        {
+            "subject": pa.array([r[0] for r in rows], pa.string()),
+            "predicate": pa.array([r[1] for r in rows], pa.string()),
+            "object": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    if parallelism > 1:
+        ds = ds.repartition(parallelism)
+    return ds
+
+
+TRIPLES = [
+    ("org/a/thm1", "cites", "org/x"),
+    ("org/a/thm1", "cites", "org/y"),
+    ("org/a/thm2", "cites", "org/x"),
+    ("org/b/thm1", "cites", "org/x"),
+    ("org/b/thm1", "cites", "org/y"),
+    ("org/b/thm2", "cites", "org/z"),
+    ("org/a/thm1", "proved_by", "org/a/prf1"),
+    ("org/a/prf1", "states", "org/a"),
+    ("org/b/thm2", "proved_by", "org/b/prf2"),
+]
+
+
+def _brute_cocite(rows, predicate="cites"):
+    by_obj: dict[str, set] = {}
+    for s, p, o in rows:
+        if p == predicate:
+            by_obj.setdefault(o, set()).add(s)
+    out: dict[tuple, int] = {}
+    for subs in by_obj.values():
+        for a, b in itertools.combinations(sorted(subs), 2):
+            out[(a, b)] = out.get((a, b), 0) + 1
+    return out
+
+
+def test_triple_pattern_filters():
+    ds = _store(TRIPLES)
+    assert triple_pattern(ds, predicate="cites").count() == 6
+    assert triple_pattern(ds, subject="org/a/thm1").count() == 3
+    assert (
+        triple_pattern(ds, subject_prefix="org/b/", predicate="cites").count()
+        == 3
+    )
+    got = triple_pattern(ds, predicate="cites", obj="org/y").to_pandas()
+    assert sorted(got["subject"]) == ["org/a/thm1", "org/b/thm1"]
+
+
+def test_two_hop_paths():
+    # S -proved_by-> X -states-> O
+    got = two_hop(_store(TRIPLES, parallelism=3), "proved_by", "states")
+    df = got.to_pandas().sort_values(["subject"]).reset_index(drop=True)
+    assert df["subject"].tolist() == ["org/a/thm1"]
+    assert df["mid"].tolist() == ["org/a/prf1"]
+    assert df["object"].tolist() == ["org/a"]
+
+
+def test_cocitation_matches_bruteforce_any_partitioning():
+    want = _brute_cocite(TRIPLES)
+    for par in (1, 2, 5):
+        got = cocitation_pairs(_store(TRIPLES, parallelism=par)).to_pandas()
+        got_map = {
+            (a, b): int(n)
+            for a, b, n in zip(got["subj_a"], got["subj_b"], got["n_shared"])
+        }
+        assert got_map == want
+
+
+def test_cocitation_randomized_vs_bruteforce():
+    rng = np.random.default_rng(7)
+    subs = [f"org/r{i}/thm{j}" for i in range(6) for j in range(4)]
+    objs = [f"ext/e{i}" for i in range(10)]
+    rows = []
+    for s in subs:
+        for o in rng.choice(objs, size=rng.integers(0, 5), replace=False):
+            rows.append((s, "cites", str(o)))
+    rows = sorted(set(rows))
+    want = _brute_cocite(rows)
+    got = cocitation_pairs(_store(rows, parallelism=4)).to_pandas()
+    got_map = {
+        (a, b): int(n)
+        for a, b, n in zip(got["subj_a"], got["subj_b"], got["n_shared"])
+    }
+    assert got_map == want
+
+
+def test_cocitation_hot_object_cap_truncates_deterministically():
+    # one hub object cited by 10 subjects, cap at 4 -> C(4,2)=6 pairs
+    rows = [(f"org/s{i:02d}/t", "cites", "ext/hub") for i in range(10)]
+    got = cocitation_pairs(_store(rows, parallelism=3), max_fanout=4)
+    df = got.to_pandas()
+    assert len(df) == 6
+    kept = sorted(set(df["subj_a"]) | set(df["subj_b"]))
+    # lexicographically first 4 subjects survive the cap
+    assert kept == [f"org/s{i:02d}/t" for i in range(4)]

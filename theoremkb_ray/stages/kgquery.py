@@ -1,0 +1,257 @@
+"""Query operators over the materialized triple store.
+
+The reference explores its extracted theorem graph with ad-hoc pandas
+over the exported CSVs (`Styling/tools/theoremdb/extract_graph.py`
+save_graph + notebook joins); here the same questions are first-class
+distributed operators over the triple Dataset:
+
+- ``triple_pattern``  — the (s?, p?, o?) point/prefix filter every
+  triple store needs (SPARQL's single BGP), pure per-batch Arrow.
+- ``two_hop``         — S -p1-> X -p2-> O via ONE mid-node-bucketed
+  exchange (never a full shuffle join of the store against itself).
+- ``cocitation_pairs``— pairs of subjects citing the same object,
+  weighted by how many objects they share: the co-citation network
+  used for related-result recommendations. Pair generation happens
+  inside the mid-node group with a documented hot-object cap, the
+  same skew-defense contract as the canonicalizer's LSH buckets
+  (stages/canonicalize.py star-edge cap).
+
+Scale notes: both exchanges are keyed on the JOIN NODE (object / mid
+node), so a hot entity (a paper every repo cites) is the skew risk —
+``max_fanout`` bounds the quadratic blowup per object and truncation
+is LOGGED, never silent (the crash-loud lesson from the reference's
+silent chunk skips, Styling/src/cli.py:228-229).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+logger = logging.getLogger(__name__)
+
+_COCITE_BUCKETS = 64
+
+
+def triple_pattern(
+    triples,
+    subject: str | None = None,
+    predicate: str | None = None,
+    obj: str | None = None,
+    subject_prefix: str | None = None,
+    object_prefix: str | None = None,
+):
+    """Filter the triple Dataset on any combination of exact
+    subject / predicate / object and subject/object prefixes (the
+    repo-scoped lookup: prefix ``org/name/``). Stateless per-batch
+    Arrow kernels — no exchange, predicate pushdown stays in the
+    scan."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        keep = None
+
+        def conj(m):
+            nonlocal keep
+            keep = m if keep is None else pc.and_(keep, m)
+
+        if subject is not None:
+            conj(pc.equal(b["subject"], subject))
+        if predicate is not None:
+            conj(pc.equal(b["predicate"], predicate))
+        if obj is not None:
+            conj(pc.equal(b["object"], obj))
+        if subject_prefix is not None:
+            conj(pc.starts_with(b["subject"], subject_prefix))
+        if object_prefix is not None:
+            conj(pc.starts_with(b["object"], object_prefix))
+        return b if keep is None else b.filter(keep)
+
+    return triples.map_batches(fn, batch_format="pyarrow")
+
+
+def _bucket_on(col: str, nbuckets: int):
+    from ..functions.hashing import hash_strings
+
+    def fn(b: pa.Table) -> pa.Table:
+        h = hash_strings(b[col].to_numpy(zero_copy_only=False))
+        return b.append_column(
+            "bucket",
+            pa.array((h % np.uint64(nbuckets)).astype(np.int64)),
+        )
+
+    return fn
+
+
+def two_hop(triples, pred1: str, pred2: str, nbuckets: int = _COCITE_BUCKETS):
+    """S -pred1-> X -pred2-> O. Both legs are pre-filtered per batch
+    (only pred1/pred2 rows reach the exchange), tagged by side, and
+    co-located by hash(mid node) in ONE exchange; the per-group join
+    is a sorted-merge on the mid node. Output (subject, mid, object),
+    distinct within group by construction of the input store (triples
+    are unique)."""
+    legs = triples.map_batches(
+        _two_hop_pre(pred1, pred2), batch_format="pyarrow"
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "subject": pd.Series(dtype="object"),
+                    "mid": pd.Series(dtype="object"),
+                    "object": pd.Series(dtype="object"),
+                }
+            )
+        out = left.merge(right, on="mid")
+        return pd.DataFrame(
+            {
+                "subject": out["node_x"],
+                "mid": out["mid"],
+                "object": out["node_y"],
+            }
+        )
+
+    return (
+        legs.groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def _two_hop_pre(pred1: str, pred2: str, nbuckets: int = _COCITE_BUCKETS):
+    from ..functions.hashing import hash_strings
+
+    def fn(b: pa.Table) -> pa.Table:
+        m1 = pc.equal(b["predicate"], pred1)
+        m2 = pc.equal(b["predicate"], pred2)
+        l1 = b.filter(m1)  # mid = object
+        l2 = b.filter(m2)  # mid = subject
+        mid = pa.concat_arrays(
+            [l1["object"].combine_chunks(), l2["subject"].combine_chunks()]
+        )
+        node = pa.concat_arrays(
+            [l1["subject"].combine_chunks(), l2["object"].combine_chunks()]
+        )
+        side = np.concatenate(
+            [np.zeros(len(l1), np.int64), np.ones(len(l2), np.int64)]
+        )
+        h = hash_strings(mid.to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (h % np.uint64(nbuckets)).astype(np.int64)
+                ),
+                "mid": mid,
+                "node": node,
+                "side": pa.array(side),
+            }
+        )
+
+    return fn
+
+
+def cocitation_pairs(
+    triples,
+    predicate: str = "cites",
+    max_fanout: int = 1024,
+    nbuckets: int = _COCITE_BUCKETS,
+):
+    """Pairs of subjects that cite the same object, weighted by the
+    number of shared objects (co-citation strength). One exchange
+    keyed on the cited object generates within-group pairs; a second,
+    pair-keyed exchange folds the counts. Objects cited by more than
+    ``max_fanout`` subjects are truncated to the lexicographically
+    first ``max_fanout`` (deterministic under any partitioning) with
+    a WARNING — the quadratic guard for hub entities.
+
+    Returns a Dataset (subj_a, subj_b, n_shared) with subj_a <
+    subj_b."""
+    cites = triple_pattern(triples, predicate=predicate)
+
+    def pre(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash_strings
+
+        h = hash_strings(b["object"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (h % np.uint64(nbuckets)).astype(np.int64)
+                ),
+                "object": b["object"],
+                "subject": b["subject"],
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["object", "subject"]).sort_values(
+            ["object", "subject"], kind="mergesort"
+        )
+        obj = g["object"].to_numpy()
+        sub = g["subject"].to_numpy()
+        n = len(obj)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "subj_a": pd.Series(dtype="object"),
+                    "subj_b": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = obj[1:] != obj[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            if k > max_fanout:
+                logger.warning(
+                    "cocitation: object %r fanout %d > cap %d — "
+                    "truncating to first %d subjects",
+                    obj[s],
+                    k,
+                    max_fanout,
+                    max_fanout,
+                )
+                e = s + max_fanout
+                k = max_fanout
+            ii, jj = np.triu_indices(k, 1)
+            a_parts.append(sub[s:e][ii])
+            b_parts.append(sub[s:e][jj])
+        if not a_parts:
+            return pd.DataFrame(
+                {
+                    "subj_a": pd.Series(dtype="object"),
+                    "subj_b": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        aa = np.concatenate(a_parts)
+        bb = np.concatenate(b_parts)
+        df = (
+            pd.DataFrame({"subj_a": aa, "subj_b": bb})
+            .groupby(["subj_a", "subj_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return df
+
+    pairs = (
+        cites.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    from ray.data.aggregate import Sum
+
+    return (
+        pairs.groupby(["subj_a", "subj_b"])
+        .aggregate(Sum("n", alias_name="n_shared"))
+    )
