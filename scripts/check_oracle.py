@@ -46,7 +46,7 @@ def to_pandas(obj):
     return obj.to_pandas()  # ray Dataset
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
@@ -77,6 +77,8 @@ def main(sf_dir: str) -> int:
 
     failures = 0
     for name, fn in queries.items():
+        if only and name not in only:
+            continue
         sql = oracles.get(name)
         try:
             got = normalize(to_pandas(fn(sf_dir)))
@@ -114,4 +116,4 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    raise SystemExit(main(sf))
+    raise SystemExit(main(sf, only=set(sys.argv[2:]) or None))
