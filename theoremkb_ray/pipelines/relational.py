@@ -12230,3 +12230,241 @@ REGISTRY.update(
         "q21_waiting": (q_q21_waiting, SQL_Q21_WAITING),
     }
 )
+
+
+# ------------------------------------------------ model-eval / graph stats
+
+
+def q_auc_events(sf_dir: str):
+    """ROC-AUC of `value` as a score for predicting purchase events —
+    the Mann-Whitney closed form over the score HISTOGRAM, not the
+    row set: scores quantize exactly to cents, per-batch partial
+    (cents -> pos/neg counts) fold through ONE bounded exchange
+    (vocabulary = distinct prices, not rows), and the tie-aware
+    rank-sum
+        num = sum_v pos_v * (2 * neg_below_v + neg_v)
+    accumulates in exact int64 on the sorted histogram. AUC =
+    num / (2*P*N) is the single float division, identical operands in
+    both engines (ties count 1/2 via the 2x scaling)."""
+    ev = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        is_pos = (
+            b["event_type"].to_numpy(zero_copy_only=False) == "purchase"
+        ).astype(np.int64)
+        u, inv = np.unique(cents, return_inverse=True)
+        return pa.table(
+            {
+                "c": pa.array(u, pa.int64()),
+                "pos": pa.array(np.bincount(inv, weights=is_pos).astype(np.int64)),
+                "neg": pa.array(
+                    np.bincount(inv, weights=1 - is_pos).astype(np.int64)
+                ),
+            }
+        )
+
+    h = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(Sum("pos", alias_name="pos"), Sum("neg", alias_name="neg"))
+        .to_pandas()
+        .sort_values("c", kind="mergesort")
+    )
+    pos = h["pos"].to_numpy(np.int64)
+    neg = h["neg"].to_numpy(np.int64)
+    cumneg = np.concatenate([[0], np.cumsum(neg)[:-1]])
+    num = int((pos * (2 * cumneg + neg)).sum())
+    P, N = int(pos.sum()), int(neg.sum())
+    return pd.DataFrame({"auc": [round(num / (2 * P * N), 6)]})
+
+
+SQL_AUC_EVENTS = """
+WITH h AS (
+  SELECT CAST(round(value*100) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS neg
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT pos, neg,
+         CAST(COALESCE(sum(neg) OVER
+              (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) AS cumneg
+  FROM h
+)
+SELECT round(CAST(sum(pos * (2*cumneg + neg)) AS BIGINT)
+             / (2.0 * (SELECT sum(pos) FROM h) * (SELECT sum(neg) FROM h)),
+             6) AS auc
+FROM w
+"""
+
+
+def q_assortativity_edges(sf_dir: str):
+    """Out-in degree assortativity of the house ring+chord digraph —
+    the Pearson correlation, over directed edges, of the source's
+    out-degree with the target's in-degree (positive: hubs link to
+    hubs). Degrees fold via two grouped counts (node-bounded),
+    broadcast as sorted arrays; ONE edge scan then folds the six
+    Pearson sums as exact int64 partials, and the only float math is
+    the final r on identical operands."""
+    eds, _n = _ring_chord_edges(sf_dir)
+    eds = eds.materialize()
+    od = eds.groupby("src").aggregate(Count(alias_name="d")).to_pandas()
+    idg = eds.groupby("dst").aggregate(Count(alias_name="d")).to_pandas()
+    ok_ = np.sort(od["src"].to_numpy(np.int64))
+    odeg = od.set_index("src")["d"].loc[ok_].to_numpy(np.int64)
+    ik = np.sort(idg["dst"].to_numpy(np.int64))
+    ideg = idg.set_index("dst")["d"].loc[ik].to_numpy(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dx = odeg[np.searchsorted(ok_, s)]
+        dy = ideg[np.searchsorted(ik, d)]
+        return pa.table(
+            {
+                "m": pa.array([len(s)], pa.int64()),
+                "sx": pa.array([int(dx.sum())], pa.int64()),
+                "sy": pa.array([int(dy.sum())], pa.int64()),
+                "sxx": pa.array([int((dx * dx).sum())], pa.int64()),
+                "syy": pa.array([int((dy * dy).sum())], pa.int64()),
+                "sxy": pa.array([int((dx * dy).sum())], pa.int64()),
+            }
+        )
+
+    t = eds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    m, sx, sy = int(t["m"]), int(t["sx"]), int(t["sy"])
+    sxx, syy, sxy = int(t["sxx"]), int(t["syy"]), int(t["sxy"])
+    import math
+
+    r = (m * sxy - sx * sy) / math.sqrt(
+        float(m * sxx - sx * sx) * float(m * syy - sy * sy)
+    )
+    return pd.DataFrame({"assortativity": [round(r, 6)]})
+
+
+SQL_ASSORTATIVITY_EDGES = """
+WITH nn AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT c_custkey AS src, (c_custkey + 1) % (SELECT n FROM nn) AS dst
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, (7 * c_custkey + 3) % (SELECT n FROM nn)
+  FROM customer
+  WHERE c_custkey % 3 = 0
+    AND (7 * c_custkey + 3) % (SELECT n FROM nn)
+        <> (c_custkey + 1) % (SELECT n FROM nn)
+),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+idg AS (SELECT dst, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY dst),
+j AS (SELECT od.d AS dx, idg.d AS dy
+      FROM e JOIN od ON e.src = od.src JOIN idg ON e.dst = idg.dst),
+s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx*dx) AS BIGINT) AS sxx,
+             CAST(sum(dy*dy) AS BIGINT) AS syy,
+             CAST(sum(dx*dy) AS BIGINT) AS sxy
+      FROM j)
+SELECT round((m*sxy - sx*sy)
+             / sqrt((m*sxx - sx*sx) * 1.0 * (m*syy - sy*sy)), 6)
+         AS assortativity
+FROM s
+"""
+
+
+def q_acf_hours(sf_dir: str):
+    """Sample autocorrelation of the hourly event-count series at lags
+    1..24 (the seasonality fingerprint behind the anomaly/seasonal
+    queries). The DISTRIBUTED part is the count fold: per-batch
+    (hour -> n) partials through one hour-bounded exchange; the
+    zero-filled grid (calendar hours between min and max — bounded by
+    time span, not data volume) then yields, per lag, the six Pearson
+    sums in exact int64, floats only in the final r per lag with
+    identical operands in both engines."""
+    ev = _pq(sf_dir, "events", ["ts"])
+    HOUR = 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = (
+            b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ).astype(np.int64) // HOUR
+        u, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {"h": pa.array(u, pa.int64()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    hc = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    h = hc["h"].to_numpy(np.int64)
+    lo, hi = int(h.min()), int(h.max())
+    c = np.zeros(hi - lo + 1, np.int64)
+    c[h - lo] = hc["n"].to_numpy(np.int64)
+    import math
+
+    out = []
+    for lag in range(1, 25):
+        x, y = c[:-lag], c[lag:]
+        m = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x * x).sum())
+        syy = int((y * y).sum())
+        sxy = int((x * y).sum())
+        r = (m * sxy - sx * sy) / math.sqrt(
+            float(m * sxx - sx * sx) * float(m * syy - sy * sy)
+        )
+        out.append((lag, round(r, 6)))
+    return pd.DataFrame(out, columns=["lag", "acf"])
+
+
+SQL_ACF_HOURS = """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+bt AS (
+  SELECT CAST(epoch(h - (SELECT min(h) FROM b)) AS BIGINT) // 3600 AS t, c
+  FROM b
+),
+grid AS (
+  SELECT COALESCE(bt.c, 0) AS c, gs.t
+  FROM (SELECT unnest(generate_series(
+          0,
+          (SELECT CAST(epoch(max(h) - min(h)) AS BIGINT) // 3600 FROM b)))
+          AS t) gs
+  LEFT JOIN bt ON bt.t = gs.t
+),
+l AS (
+  SELECT k.lag, a.c AS x, y.c AS y
+  FROM grid a
+  JOIN (SELECT unnest(generate_series(1, 24)) AS lag) k ON TRUE
+  JOIN grid y ON y.t = a.t + k.lag
+),
+s AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+         CAST(sum(x*y) AS BIGINT) AS sxy
+  FROM l GROUP BY lag
+)
+SELECT lag, round((m*sxy - sx*sy)
+                  / sqrt((m*sxx - sx*sx) * 1.0 * (m*syy - sy*sy)), 6) AS acf
+FROM s
+"""
+
+
+REGISTRY.update(
+    {
+        "auc_events": (q_auc_events, SQL_AUC_EVENTS),
+        "assortativity_edges": (q_assortativity_edges, SQL_ASSORTATIVITY_EDGES),
+        "acf_hours": (q_acf_hours, SQL_ACF_HOURS),
+    }
+)
