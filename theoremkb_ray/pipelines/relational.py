@@ -12468,3 +12468,411 @@ REGISTRY.update(
         "acf_hours": (q_acf_hours, SQL_ACF_HOURS),
     }
 )
+
+
+def q_nb_classify_docs(sf_dir: str):
+    """Multinomial naive-Bayes language classifier over the documents
+    table (train + resubstitution-classify in one pipeline — the
+    distributed analog of the reference's NLP classifiers,
+    NLP/transformers_tkb.ipynb). EXACT-parity trick: every log-prob
+    is quantized to integer MICROLOG units (round(ln(p)*1e6)) at the
+    model level, so per-doc scores are integer sums — bit-identical
+    under any partitioning/summation order — and the argmax (ties ->
+    lexicographically first language) is deterministic in both
+    engines. Model pass: per-batch (token, lang) count partials
+    through ONE vocabulary-bounded exchange; the micro matrix (V x L
+    int64) broadcasts; scoring is one scan with a searchsorted lookup
+    + segment sums. math.log (libm) on the driver matches DuckDB's
+    ln ulp-for-ulp; numpy's SIMD log does NOT and is avoided."""
+    import math
+
+    from ..functions.hashing import flat_tokens_arrow
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        flat, starts = flat_tokens_arrow(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        dl = np.repeat(
+            b["lang"].to_numpy(zero_copy_only=False), np.diff(starts)
+        )
+        g = (
+            pd.DataFrame({"t": toks, "lang": dl})
+            .groupby(["t", "lang"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    model = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["t", "lang"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    ndl = (
+        docs.groupby("lang").aggregate(Count(alias_name="nd")).to_pandas()
+    )
+
+    langs_sorted = np.sort(ndl["lang"].to_numpy())
+    L = len(langs_sorted)
+    vocab = np.sort(model["t"].unique())
+    V = len(vocab)
+    tot = model.groupby("lang")["c"].sum()
+    tot_arr = tot.loc[langs_sorted].to_numpy(np.int64)
+
+    micro = np.empty((V, L), np.int64)
+    for j in range(L):
+        micro[:, j] = round(math.log(1.0 / (tot_arr[j] + V)) * 1e6)
+    li = {l: j for j, l in enumerate(langs_sorted)}
+    ti = np.searchsorted(vocab, model["t"].to_numpy())
+    for t_idx, lang, c in zip(ti, model["lang"], model["c"].to_numpy(np.int64)):
+        micro[t_idx, li[lang]] = round(
+            math.log((c + 1.0) / (tot_arr[li[lang]] + V)) * 1e6
+        )
+    n_docs = int(ndl["nd"].sum())
+    prior = np.array(
+        [
+            round(math.log(int(nd) * 1.0 / n_docs) * 1e6)
+            for nd in ndl.set_index("lang")["nd"].loc[langs_sorted]
+        ],
+        np.int64,
+    )
+    import ray
+
+    ref = ray.put((vocab, micro, prior, langs_sorted))
+
+    def score(b: pa.Table) -> pa.Table:
+        vocab_, micro_, prior_, langs_ = ray.get(ref)
+        flat, starts = flat_tokens_arrow(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        counts = np.diff(starts)
+        nd = len(counts)
+        scores = np.tile(prior_, (nd, 1))
+        if len(toks):
+            idx = np.searchsorted(vocab_, toks)
+            d_idx = np.repeat(np.arange(nd, dtype=np.int64), counts)
+            np.add.at(scores, d_idx, micro_[idx, :])
+        pred = np.argmax(scores, axis=1)  # ties -> first = lang asc
+        return pa.table(
+            {"doc_id": b["doc_id"], "pred_lang": pa.array(langs_[pred])}
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+SQL_NB_CLASSIFY_DOCS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            t -> t <> '')) AS t
+  FROM documents
+),
+langs AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd
+          FROM documents GROUP BY 1),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+model AS (
+  SELECT tok.t, d.lang, CAST(count(*) AS BIGINT) AS c
+  FROM tok JOIN documents d USING (doc_id)
+  GROUP BY tok.t, d.lang
+),
+tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM model GROUP BY lang),
+vocab AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tok),
+tokscore AS (
+  SELECT tok.doc_id, lt.lang,
+         CAST(sum(COALESCE(
+             CAST(round(ln((m.c + 1.0) / (lt.tot + vocab.v)) * 1000000)
+                  AS BIGINT),
+             CAST(round(ln(1.0 / (lt.tot + vocab.v)) * 1000000) AS BIGINT)
+         )) AS BIGINT) AS s
+  FROM tok
+  CROSS JOIN tot lt
+  CROSS JOIN vocab
+  LEFT JOIN model m ON m.t = tok.t AND m.lang = lt.lang
+  GROUP BY tok.doc_id, lt.lang
+),
+scored AS (
+  SELECT d.doc_id, lg.lang,
+         COALESCE(ts.s, 0)
+           + CAST(round(ln(lg.nd * 1.0 / (SELECT n FROM n_tot)) * 1000000)
+                  AS BIGINT) AS score
+  FROM documents d
+  CROSS JOIN langs lg
+  LEFT JOIN tokscore ts
+    ON ts.doc_id = d.doc_id AND ts.lang = lg.lang
+)
+SELECT doc_id, lang AS pred_lang
+FROM (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+REGISTRY.update(
+    {"nb_classify_docs": (q_nb_classify_docs, SQL_NB_CLASSIFY_DOCS)}
+)
+
+
+# ------------------------------------------- streaming / profiling (cont.)
+
+
+def q_late_arrivals(sf_dir: str):
+    """Watermark late-data accounting — the streaming-ingest health
+    metric: processing events in ARRIVAL order (event_id), the
+    watermark is the running max event-time seen so far; an event is
+    LATE if its own timestamp is more than 10 minutes behind the
+    watermark at arrival. Same two-phase ordered-scan plan as
+    global_rownum: per-arrival-range partials (max ts per event_id
+    range bucket) fold to an exclusive prefix max on the driver
+    (bucket-bounded), then per-bucket groups resolve lateness with a
+    local shifted cummax against the broadcast incoming watermark —
+    the fact stream is never globally sorted in one task."""
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "event_type"])
+    W = 1000  # arrival-range bucket width (contiguous event_id ranges)
+    LATE_US = 10 * 60 * 1_000_000
+
+    def pre(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = (
+            b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "wb": pa.array(eid // W, pa.int64()),
+                "event_id": pa.array(eid),
+                "t": pa.array(t),
+                "event_type": b["event_type"],
+            }
+        )
+
+    pds = ds.map_batches(pre, batch_format="pyarrow").materialize()
+
+    def mx_partial(b: pa.Table) -> pa.Table:
+        wb = b["wb"].to_numpy(zero_copy_only=False)
+        t = b["t"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(wb, return_inverse=True)
+        mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, t)
+        return pa.table(
+            {"wb": pa.array(u, pa.int64()), "mx": pa.array(mx, pa.int64())}
+        )
+
+    mx = (
+        pds.map_batches(mx_partial, batch_format="pyarrow")
+        .groupby("wb")
+        .max("mx")
+        .to_pandas()
+        .sort_values("wb")
+    )
+    wbs = mx["wb"].to_numpy(np.int64)
+    # exclusive prefix max: the watermark ENTERING each bucket
+    run = np.maximum.accumulate(mx["max(mx)"].to_numpy(np.int64))
+    base = np.r_[np.iinfo(np.int64).min, run[:-1]]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="mergesort")
+        t = g["t"].to_numpy(np.int64)
+        b0 = int(base[np.searchsorted(wbs, int(g["wb"].iloc[0]))])
+        cm = np.maximum.accumulate(t)
+        wm = np.r_[b0, np.maximum(cm[:-1], b0)]
+        late = (wm != np.iinfo(np.int64).min) & (t < wm - LATE_US)
+        df = pd.DataFrame({"event_type": g["event_type"], "late": late})
+        out = (
+            df.groupby("event_type", sort=False)
+            .agg(n_total=("late", "size"), n_late=("late", "sum"))
+            .reset_index()
+        )
+        out["n_late"] = out["n_late"].astype(np.int64)
+        return out
+
+    part = (
+        pds.groupby("wb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_total", alias_name="n_total"),
+            Sum("n_late", alias_name="n_late"),
+        )
+    )
+    return part
+
+
+SQL_LATE_ARRIVALS = """
+WITH w AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN wm IS NOT NULL
+                      AND ts < wm - INTERVAL 10 MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM w GROUP BY event_type
+"""
+
+
+def q_entropy_users(sf_dir: str):
+    """Per-user behavioral entropy (Shannon entropy of the user's
+    event-type mix — the engagement-diversity curation feature).
+    Integer-exact end to end via the microlog contract: per-batch
+    (user, type) count partials fold through one exchange; within
+    hash(user)-bucketed groups the per-type terms c*round(ln(c/n)*1e6)
+    accumulate as int64 (math.log per DISTINCT (user,type) row — libm,
+    matching DuckDB's ln ulp-for-ulp, never numpy's SIMD log), and the
+    single float division happens on identical operands."""
+    import math
+
+    from ..functions.hashing import splitmix64
+
+    ev = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+                    "event_type": b["event_type"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ev.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    B = 64
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash_strings
+
+        h = hash_strings(
+            b["user_id"].to_numpy(zero_copy_only=False).astype("U")
+        )
+        return b.append_column(
+            "bucket", pa.array((h % np.uint64(B)).astype(np.int64))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("user_id", kind="mergesort")
+        n = g.groupby("user_id", sort=False)["c"].transform("sum").to_numpy(
+            np.int64
+        )
+        c = g["c"].to_numpy(np.int64)
+        micro = np.fromiter(
+            (round(math.log(ci / ni) * 1e6) for ci, ni in zip(c, n)),
+            np.int64,
+            len(c),
+        )
+        term = c * micro
+        out = pd.DataFrame(
+            {"user_id": g["user_id"], "n": n, "term": term}
+        ).groupby(["user_id", "n"], sort=False)["term"].sum().reset_index()
+        # floor-quantize: -term/(n*1e6) can land EXACTLY on a
+        # .0000005 boundary (term, n are exact ints), where numpy's
+        # half-even and DuckDB's half-away disagree
+        x = -out["term"] / (out["n"] * 1_000_000.0)
+        out["entropy"] = np.floor(x * 1e6) / 1e6
+        return out[["user_id", "entropy"]]
+
+    return (
+        counts.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+SQL_ENTROPY_USERS = """
+WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+n AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1)
+SELECT c.user_id,
+       floor((-sum(c.c * CAST(round(ln(c.c * 1.0 / n.n) * 1000000)
+                              AS BIGINT))
+              / (n.n * 1000000.0)) * 1000000) / 1000000 AS entropy
+FROM c JOIN n USING (user_id)
+GROUP BY c.user_id, n.n
+"""
+
+
+def q_cube_agg(sf_dir: str):
+    """CUBE(status, priority) over orders — all four grouping sets
+    (both, each alone, grand total) with the 'ALL' sentinel, in ONE
+    scan: each batch emits partial rows for every grouping set, one
+    grouped fold finishes. Rounds out the GROUPING SETS family
+    (rollup_grouping covers ROLLUP). Money folds as exact cents."""
+    ds = _pq(
+        sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        st = b["o_orderstatus"].to_numpy(zero_copy_only=False)
+        pr = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        alls = np.full(len(st), "ALL", dtype=object)
+        frames = []
+        for s_col, p_col in ((st, pr), (st, alls), (alls, pr), (alls, alls)):
+            df = pd.DataFrame(
+                {"o_orderstatus": s_col, "o_orderpriority": p_col, "cents": cents}
+            )
+            g = df.groupby(
+                ["o_orderstatus", "o_orderpriority"], sort=False
+            ).agg(n=("cents", "size"), cents=("cents", "sum"))
+            frames.append(g.reset_index())
+        return pa.Table.from_pandas(
+            pd.concat(frames, ignore_index=True), preserve_index=False
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        total = (
+            b["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+            / 100.0
+        )
+        return pa.table(
+            {
+                "o_orderstatus": b["o_orderstatus"],
+                "o_orderpriority": b["o_orderpriority"],
+                "n": b["n"],
+                "total_price": pa.array(np.round(total, 2)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CUBE_AGG = """
+SELECT COALESCE(o_orderstatus, 'ALL')   AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(count(*) AS BIGINT)         AS n,
+       round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             / 100.0, 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+REGISTRY.update(
+    {
+        "late_arrivals": (q_late_arrivals, SQL_LATE_ARRIVALS),
+        "entropy_users": (q_entropy_users, SQL_ENTROPY_USERS),
+        "cube_agg": (q_cube_agg, SQL_CUBE_AGG),
+    }
+)
