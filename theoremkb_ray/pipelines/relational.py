@@ -12876,3 +12876,277 @@ REGISTRY.update(
         "cube_agg": (q_cube_agg, SQL_CUBE_AGG),
     }
 )
+
+
+# ------------------------------------------------ text / concentration
+
+
+def q_stopwords_corpus(sf_dir: str):
+    """Corpus-driven stopword detection — tokens whose DOCUMENT
+    frequency is >= half the corpus (the list every retrieval/quality
+    stage wants precomputed). Per-batch per-doc DISTINCT tokens fold
+    as (token, df) partials through ONE vocabulary-bounded exchange;
+    the threshold is the integer comparison 2*df >= N (no division).
+    Output ordered by (df DESC, token) — deterministic."""
+    from ..functions.hashing import flat_tokens_arrow
+
+    docs = _pq(sf_dir, "documents", ["text"])
+    n_docs = docs.count()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        flat, starts = flat_tokens_arrow(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        d = np.repeat(np.arange(len(starts) - 1), np.diff(starts))
+        df = pd.DataFrame({"t": toks, "d": d}).drop_duplicates()
+        g = df.groupby("t", sort=False).size().reset_index(name="df")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("t")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    def thresh(b: pa.Table) -> pa.Table:
+        df = b["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(2 * df >= n_docs)).rename_columns(
+            ["token", "df"]
+        )
+
+    return (
+        counts.map_batches(thresh, batch_format="pyarrow")
+        .sort(["df", "token"], descending=[True, False])
+    )
+
+
+SQL_STOPWORDS_CORPUS = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            t -> t <> '')) AS t
+  FROM documents
+),
+dfc AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS df
+        FROM tok GROUP BY 1)
+SELECT token, df FROM dfc
+WHERE 2 * df >= (SELECT count(*) FROM documents)
+ORDER BY df DESC, token
+"""
+
+
+def q_lexical_diversity_docs(sf_dir: str):
+    """Per-document lexical diversity: type-token ratio and hapax
+    ratio (the vocabulary-richness curation features). Pure per-row
+    Arrow+numpy — ZERO exchange; counts are exact ints and both
+    ratios floor-quantize after a division on identical operands."""
+    from ..functions.hashing import flat_tokens_arrow
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        flat, starts = flat_tokens_arrow(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        nd = len(starts) - 1
+        n_tok = np.diff(starts)
+        n_typ = np.zeros(nd, np.int64)
+        n_hap = np.zeros(nd, np.int64)
+        if len(toks):
+            d = np.repeat(np.arange(nd, dtype=np.int64), n_tok)
+            tc = (
+                pd.DataFrame({"d": d, "t": toks})
+                .groupby(["d", "t"], sort=False)
+                .size()
+                .reset_index(name="c")
+            )
+            dd = tc["d"].to_numpy(np.int64)
+            cc = tc["c"].to_numpy(np.int64)
+            np.add.at(n_typ, dd, 1)
+            np.add.at(n_hap, dd, (cc == 1).astype(np.int64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ttr = np.floor(np.where(n_tok > 0, n_typ / n_tok, 0.0) * 1e6) / 1e6
+            hapax = (
+                np.floor(np.where(n_typ > 0, n_hap / n_typ, 0.0) * 1e6) / 1e6
+            )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_types": pa.array(n_typ, pa.int64()),
+                "ttr": pa.array(ttr),
+                "hapax_ratio": pa.array(hapax),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_LEXICAL_DIVERSITY_DOCS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            t -> t <> '')) AS t
+  FROM documents
+),
+tc AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+       FROM tok GROUP BY 1, 2),
+st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS n_types,
+              CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_hapax
+       FROM tc GROUP BY 1)
+SELECT doc_id, n_tokens, n_types,
+       floor(n_types * 1.0 / n_tokens * 1000000) / 1000000 AS ttr,
+       floor(n_hapax * 1.0 / n_types * 1000000) / 1000000 AS hapax_ratio
+FROM st
+"""
+
+
+def q_pareto_users(sf_dir: str):
+    """Revenue concentration — the smallest number of users covering
+    >= 80% of purchase revenue (the whale-curve metric). The
+    distributed part is the per-user cent fold (ONE exchange,
+    user-bounded output); the ordered 80% scan then runs on that
+    bounded table with the integer test 5*cum >= 4*total — no float
+    anywhere in the decision. Beyond a driver-sized user table the
+    scan becomes the value-bucketed ordered-prefix plan
+    (rank_global_orders) — documented, not needed at house scale.
+    Output: (n_users, covered_cents, total_cents), all exact ints."""
+    ev = _pq(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def cents_partial(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["event_type"], "purchase")
+        t = b.filter(m)
+        cents = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(u, return_inverse=True)
+        return pa.table(
+            {
+                "user_id": pa.array(uu),
+                "cents": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64)
+                ),
+            }
+        )
+
+    per_user = (
+        ev.map_batches(cents_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+        .sort_values(["cents", "user_id"], ascending=[False, True],
+                     kind="mergesort")
+    )
+    cents = per_user["cents"].to_numpy(np.int64)
+    total = int(cents.sum())
+    cum = np.cumsum(cents)
+    k = int(np.searchsorted(5 * cum, 4 * total, side="left")) + 1
+    return pd.DataFrame(
+        {
+            "n_users": [k],
+            "covered_cents": [int(cum[k - 1])],
+            "total_cents": [total],
+        }
+    )
+
+
+SQL_PARETO_USERS = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+o AS (
+  SELECT cents,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, user_id) AS BIGINT)
+           AS cum,
+         row_number() OVER (ORDER BY cents DESC, user_id) AS rn
+  FROM pu
+),
+t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM pu)
+SELECT CAST(min(rn) AS BIGINT) AS n_users,
+       CAST(min_by(cum, rn) AS BIGINT) AS covered_cents,
+       (SELECT total FROM t) AS total_cents
+FROM o WHERE 5 * cum >= 4 * (SELECT total FROM t)
+"""
+
+
+def q_vocab_coverage_docs(sf_dir: str):
+    """Tokenizer-vocabulary coverage — what fraction of the corpus'
+    token OCCURRENCES the top-1000 tokens capture (the go/no-go
+    number before fixing a tokenizer vocab). One vocabulary-bounded
+    count exchange; top-k by (count DESC, token) on the bounded
+    table; integer sums with one floor-quantized division."""
+    from ..functions.hashing import flat_tokens_arrow
+
+    docs = _pq(sf_dir, "documents", ["text"])
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        flat, _starts = flat_tokens_arrow(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        u, c = np.unique(toks, return_counts=True)
+        return pa.table(
+            {"t": pa.array(u), "c": pa.array(c.astype(np.int64))}
+        )
+
+    counts = (
+        docs.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("t")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    top = (
+        counts.sort(["c", "t"], descending=[True, False])
+        .limit(1000)
+        .to_pandas()
+    )
+    covered = int(top["c"].sum())
+
+    def tot_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c": pa.array(
+                    [int(b["c"].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                )
+            }
+        )
+
+    total = int(
+        counts.map_batches(tot_partial, batch_format="pyarrow")
+        .to_pandas()["c"]
+        .sum()
+    )
+    cov = np.floor(covered / total * 1e6) / 1e6
+    return pd.DataFrame(
+        {"covered": [covered], "total": [total], "coverage": [cov]}
+    )
+
+
+SQL_VOCAB_COVERAGE_DOCS = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            t -> t <> '')) AS t
+  FROM documents
+),
+c AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+top AS (SELECT c FROM c ORDER BY c DESC, t LIMIT 1000),
+s AS (SELECT CAST(sum(c) AS BIGINT) AS covered FROM top),
+tt AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c)
+SELECT s.covered AS covered, tt.total AS total,
+       floor(s.covered * 1.0 / tt.total * 1000000) / 1000000 AS coverage
+FROM s, tt
+"""
+
+
+REGISTRY.update(
+    {
+        "stopwords_corpus": (q_stopwords_corpus, SQL_STOPWORDS_CORPUS),
+        "lexical_diversity_docs": (
+            q_lexical_diversity_docs,
+            SQL_LEXICAL_DIVERSITY_DOCS,
+        ),
+        "pareto_users": (q_pareto_users, SQL_PARETO_USERS),
+        "vocab_coverage_docs": (q_vocab_coverage_docs, SQL_VOCAB_COVERAGE_DOCS),
+    }
+)
