@@ -13150,3 +13150,259 @@ REGISTRY.update(
         "vocab_coverage_docs": (q_vocab_coverage_docs, SQL_VOCAB_COVERAGE_DOCS),
     }
 )
+
+
+# ------------------------------------------- calibration / shares / dedup
+
+
+def q_calibration_bins(sf_dir: str):
+    """Score-calibration curve — events ranked globally by
+    (value, event_id), cut into 10 equal rank bins (bin =
+    rank*10 // N, stated identically in the SQL), purchase rate per
+    bin. Global ranking uses the range-bucketed ordered-scan plan
+    (per-value-range counts fold to an exclusive prefix, local sort
+    adds the base) — same contract as global_rownum, keyed on the
+    score instead of time. Rates floor-quantize after one division
+    on identical integer operands."""
+    ev = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+    W = 5000  # cents per range bucket (value domain is bounded)
+
+    def pre(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "wb": pa.array(cents // W, pa.int64()),
+                "cents": pa.array(cents),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "is_pos": pa.array(
+                    (
+                        b["event_type"].to_numpy(zero_copy_only=False)
+                        == "purchase"
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    pds = ev.map_batches(pre, batch_format="pyarrow").materialize()
+    n_total = pds.count()
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            b["wb"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"wb": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    cnt = (
+        pds.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("wb")
+        .sum("c")
+        .to_pandas()
+        .sort_values("wb")
+    )
+    wbs = cnt["wb"].to_numpy(np.int64)
+    base = np.r_[0, np.cumsum(cnt["sum(c)"].to_numpy(np.int64))[:-1]]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cents", "event_id"], kind="mergesort")
+        b0 = int(base[np.searchsorted(wbs, int(g["wb"].iloc[0]))])
+        rank = b0 + np.arange(len(g), dtype=np.int64)
+        bin_ = rank * 10 // n_total
+        pos = g["is_pos"].to_numpy(np.int64)
+        u, inv = np.unique(bin_, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "bin": u,
+                "n": np.bincount(inv).astype(np.int64),
+                "purchases": np.bincount(inv, weights=pos).astype(np.int64),
+            }
+        )
+
+    agg = (
+        pds.groupby("wb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("bin")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("purchases", alias_name="purchases")
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b["purchases"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rate = np.floor(p / n * 1e6) / 1e6
+        return b.append_column("rate", pa.array(rate))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CALIBRATION_BINS = """
+WITH r AS (
+  SELECT event_type,
+         row_number() OVER (ORDER BY CAST(round(value*100) AS BIGINT),
+                            event_id) - 1 AS rn
+  FROM events
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+SELECT CAST(rn * 10 // (SELECT n FROM n) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS purchases,
+       floor(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             * 1.0 / count(*) * 1000000) / 1000000 AS rate
+FROM r GROUP BY 1
+"""
+
+
+def q_share_hierarchy_nations(sf_dir: str):
+    """Percent-of-parent at two hierarchy levels in one scan — each
+    nation's order revenue as a share of its region, and each
+    region's share of the grand total (the drill-down decomposition
+    every rollup report needs). One pass over orders with the
+    customer->nation map broadcast; the 25-nation fold finishes on
+    the driver. Cents exact; shares floor-quantized, identical
+    operands both engines."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    ck = np.sort(cust["c_custkey"].to_numpy(np.int64))
+    cn = cust.set_index("c_custkey")["c_nationkey"].loc[ck].to_numpy(np.int64)
+    nation = _pq(
+        sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    region = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nat = cn[np.searchsorted(ck, key)]
+        cents = np.rint(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        u, inv = np.unique(nat, return_inverse=True)
+        return pa.table(
+            {
+                "n_nationkey": pa.array(u, pa.int64()),
+                "cents": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64)
+                ),
+            }
+        )
+
+    nat_cents = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(Sum("cents", alias_name="nation_cents"))
+        .to_pandas()
+    )
+    df = nat_cents.merge(nation, on="n_nationkey").merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    reg = df.groupby("r_name")["nation_cents"].sum().rename("region_cents")
+    df = df.join(reg, on="r_name")
+    total = int(df["nation_cents"].sum())
+    df["share_in_region"] = (
+        np.floor(df["nation_cents"] / df["region_cents"] * 1e6) / 1e6
+    )
+    df["region_share"] = (
+        np.floor(df["region_cents"] / total * 1e6) / 1e6
+    )
+    out = df[
+        ["r_name", "n_name", "nation_cents", "share_in_region", "region_share"]
+    ].copy()
+    out["nation_cents"] = out["nation_cents"].astype(np.int64)
+    return out
+
+
+SQL_SHARE_HIERARCHY_NATIONS = """
+WITH j AS (
+  SELECT n_name, r_name, CAST(round(o_totalprice*100) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation   ON n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+),
+nat AS (SELECT r_name, n_name, CAST(sum(cents) AS BIGINT) AS nation_cents
+        FROM j GROUP BY 1, 2),
+reg AS (SELECT r_name, CAST(sum(nation_cents) AS BIGINT) AS region_cents
+        FROM nat GROUP BY 1),
+tot AS (SELECT CAST(sum(region_cents) AS BIGINT) AS t FROM reg)
+SELECT nat.r_name, n_name, nation_cents,
+       floor(nation_cents * 1.0 / region_cents * 1000000) / 1000000
+         AS share_in_region,
+       floor(region_cents * 1.0 / (SELECT t FROM tot) * 1000000) / 1000000
+         AS region_share
+FROM nat JOIN reg USING (r_name)
+"""
+
+
+def q_dedup_best_docs(sf_dir: str):
+    """Keep-BEST dedup — normalization-exact duplicate groups keep
+    the highest-quality member (longest text, then min doc_id)
+    instead of the min id: the canonical-selection policy real
+    curation pipelines use (keep the richest copy). Normalized key
+    hashes through ONE 64-bucket exchange; within a bucket the
+    argmax is a vectorized sort + drop_duplicates on the full key
+    (no cross-bucket key can collide — same key always hashes to the
+    same bucket)."""
+    from ..functions.hashing import hash_strings
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
+    B = 64
+
+    def pre(b: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(b["text"]), r"\s+", " ")
+        )
+        h = hash_strings(norm.to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "bucket": pa.array((h % np.uint64(B)).astype(np.int64)),
+                "key": norm,
+                "n_chars": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["key", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("key", keep="first")
+        return g[["doc_id", "lang", "n_chars"]]
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+SQL_DEDUP_BEST_DOCS = r"""
+WITH k AS (
+  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS key
+  FROM documents
+),
+r AS (SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM k)
+SELECT doc_id, lang, n_chars FROM r WHERE rn = 1
+"""
+
+
+REGISTRY.update(
+    {
+        "calibration_bins": (q_calibration_bins, SQL_CALIBRATION_BINS),
+        "share_hierarchy_nations": (
+            q_share_hierarchy_nations,
+            SQL_SHARE_HIERARCHY_NATIONS,
+        ),
+        "dedup_best_docs": (q_dedup_best_docs, SQL_DEDUP_BEST_DOCS),
+    }
+)
