@@ -11596,7 +11596,7 @@ FROM m
 """
 
 
-def _ring_chord_edges(sf_dir: str):
+def _ring_chord_edges_ds(sf_dir: str):
     """The deterministic ring+chord digraph on customer keys shared
     by the pagerank/bfs/kcore family (see q_pagerank docstring)."""
     cust = _pq(sf_dir, "customer", ["c_custkey"])
@@ -11630,7 +11630,7 @@ def q_reciprocal_edges(sf_dir: str):
     orientations. Integer basis points — no float anywhere."""
     from ..functions.hashing import splitmix64
 
-    eds, _n = _ring_chord_edges(sf_dir)
+    eds, _n = _ring_chord_edges_ds(sf_dir)
     B = 64
 
     def bucketize(b: pa.Table) -> pa.Table:
@@ -11716,7 +11716,7 @@ def q_indegree_hist(sf_dir: str):
     then a count-bounded histogram. All nodes have the ring in-edge,
     so the zero bucket is structurally empty and both engines omit
     it."""
-    eds, _n = _ring_chord_edges(sf_dir)
+    eds, _n = _ring_chord_edges_ds(sf_dir)
 
     def partial(b: pa.Table) -> pa.Table:
         d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -12312,7 +12312,7 @@ def q_assortativity_edges(sf_dir: str):
     broadcast as sorted arrays; ONE edge scan then folds the six
     Pearson sums as exact int64 partials, and the only float math is
     the final r on identical operands."""
-    eds, _n = _ring_chord_edges(sf_dir)
+    eds, _n = _ring_chord_edges_ds(sf_dir)
     eds = eds.materialize()
     od = eds.groupby("src").aggregate(Count(alias_name="d")).to_pandas()
     idg = eds.groupby("dst").aggregate(Count(alias_name="d")).to_pandas()
