@@ -182,10 +182,14 @@ def run_bench() -> dict:
     mark(f"corpus counted: {n_docs}")
     from theoremkb_ray.pipelines.kg import (
         results_dataset,
+        start_links_builder,
         triples_from_materialized_results,
     )
     from theoremkb_ray.sources.sinks import detect_skewed_repos_from_results
 
+    # links broadcast build (~4s driver CPU at 4.5M links) overlaps
+    # phase 1 — it depends only on the side table
+    links_join = start_links_builder(links)
     results = results_dataset(corpus, segmenter="crf").materialize()
     mark("results materialized")
     # skew pre-pass overlaps the canonicalization tail (reads only the
@@ -203,7 +207,7 @@ def run_bench() -> dict:
     skew_thread = threading.Thread(target=_skew, daemon=True)
     skew_thread.start()
     triples = triples_from_materialized_results(
-        results, links_tbl=links, canonicalize=True
+        results, canonicalize=True, links_ref=links_join()
     )
     mark("triples dataset built (canon done)")
     skew_thread.join()

@@ -176,29 +176,34 @@ def candidate_pairs(
 # ------------------------------------------------------ connected components
 
 
-def connected_components_local(edges: pa.Table) -> dict[str, str]:
-    """Driver-side CC fast path: each node labelled with the
-    lexicographic MIN string of its component.
+def connected_components_local_arrays(edges: pa.Table):
+    """Driver-side CC fast path, Arrow end to end: returns
+    ``(uniq: pa.StringArray, min_idx: np.int64[n])`` where
+    ``uniq.take(min_idx)[i]`` is the lexicographic MIN string of node
+    ``uniq[i]``'s component.
 
-    Vectorized min-label propagation over integer codes (pd.factorize
-    + np.minimum.at + pointer jumping) — the per-edge Python
-    union-find this replaces cost ~6s of serial driver time at 1M
-    edges per flagship run. Rounds needed: O(log n) thanks to the
-    label[label] pointer jumping between edge sweeps. The integer
-    labels pick SOME canonical root per component; the min STRING per
-    component is then one vectorized pandas groupby-min (ordinal
-    compare on the node strings, same semantics as the old string
-    union-find; property-tested against a BFS oracle in
-    tests/test_properties.py)."""
+    Node codes come from ONE ``pc.dictionary_encode`` over the
+    concatenated edge columns (C hash table) — the pandas factorize
+    over 27M PYTHON string objects it replaces was ~4s of driver time
+    per flagship run at 13.7M edges; min-label propagation is
+    np.minimum.at + label[label] pointer jumping (O(log n) rounds),
+    and the min STRING per component is one Arrow UTF8 sort + an
+    integer groupby. Property-tested against a BFS oracle in
+    tests/test_properties.py via the dict wrapper."""
     import pandas as pd
 
-    a = edges["a"].to_numpy(zero_copy_only=False)
-    b = edges["b"].to_numpy(zero_copy_only=False)
-    if len(a) == 0:
-        return {}
-    codes, uniq = pd.factorize(np.concatenate([a, b]))
+    a = edges["a"]
+    b = edges["b"]
+    both = pa.chunked_array(
+        [pc.cast(a, pa.string()), pc.cast(b, pa.string())]
+    ).combine_chunks()
+    if len(both) == 0:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    enc = pc.dictionary_encode(both)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = enc.dictionary
     n = len(uniq)
-    E = len(a)
+    E = len(codes) // 2
     ea, eb = codes[:E], codes[E:]
     label = np.arange(n, dtype=np.int64)
     while True:
@@ -213,18 +218,24 @@ def connected_components_local(edges: pa.Table) -> dict[str, str]:
             label = nl
         if np.array_equal(label, before):
             break
-    # min STRING per component: ONE Arrow C string sort + an integer
-    # groupby. (pandas .groupby(label).min() on the node strings
-    # measured 20s at 1M nodes — per-group PYTHON string compares;
-    # Arrow's UTF8 sort + int groupby does the same in ~1.2s.)
-    nodes = np.asarray(uniq, dtype=object)
-    arr = pa.array(nodes, pa.string())
-    o = pc.sort_indices(arr).to_numpy(zero_copy_only=False)
+    o = pc.sort_indices(uniq).to_numpy(zero_copy_only=False)
     first_seen = (
         pd.Series(np.arange(len(o))).groupby(label[o], sort=False).min()
     )
     pos = first_seen.reindex(label).to_numpy()
-    min_strings = arr.take(pa.array(o[pos], pa.int64())).to_numpy(
+    return uniq, o[pos].astype(np.int64)
+
+
+def connected_components_local(edges: pa.Table) -> dict[str, str]:
+    """Dict form of :func:`connected_components_local_arrays` (every
+    node -> min component string, identity rows included) — the
+    operator-surface/test interface; the flagship fast path consumes
+    the arrays directly and never builds this dict."""
+    uniq, min_idx = connected_components_local_arrays(edges)
+    if len(uniq) == 0:
+        return {}
+    nodes = uniq.to_numpy(zero_copy_only=False)
+    min_strings = uniq.take(pa.array(min_idx, pa.int64())).to_numpy(
         zero_copy_only=False
     )
     return dict(zip(nodes, min_strings))
@@ -430,26 +441,39 @@ def _rewrite_batch(batch: pa.Table, map_ref) -> pa.Table:
     )
 
 
-def rewrite_triples(triples_ds, canon: dict[str, str], concurrency=None):
-    if not canon:
+def rewrite_triples_arrays(triples_ds, keys_arr, vals_arr):
+    """Broadcast-rewrite from Arrow (keys, canonical values) arrays —
+    the dict-free fast path (no million-entry Python dict round-trip
+    between CC and the broadcast build)."""
+    if len(keys_arr) == 0:
         return triples_ds
     import numpy as np
 
     from ..functions.hashing import hash_strings
 
-    key_list = np.array(list(canon.keys()), dtype=object)
-    kh = hash_strings(key_list)
+    kh = hash_strings(keys_arr.to_numpy(zero_copy_only=False))
     order = np.argsort(kh, kind="stable")
-    keys = pa.array(key_list[order], pa.string())
-    vals = pa.array(
-        np.array(list(canon.values()), dtype=object)[order], pa.string()
-    )
+    take = pa.array(order, pa.int64())
+    keys = keys_arr.take(take)
+    vals = vals_arr.take(take)
     ref = ray.put((kh[order], keys, vals))
     return triples_ds.map_batches(
         lambda b: _rewrite_batch(b, ref),
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def rewrite_triples(triples_ds, canon: dict[str, str], concurrency=None):
+    if not canon:
+        return triples_ds
+    import numpy as np
+
+    keys_arr = pa.array(np.array(list(canon.keys()), dtype=object), pa.string())
+    vals_arr = pa.array(
+        np.array(list(canon.values()), dtype=object), pa.string()
+    )
+    return rewrite_triples_arrays(triples_ds, keys_arr, vals_arr)
 
 
 def connected_components(edges_ds, distributed_threshold: int = 5_000_000):
@@ -564,13 +588,13 @@ def canonicalize_triples(
         return triples_ds
     if n_edges <= edge_threshold:
         tbl = _collect(edges_ds)
-        canon = {
-            k: v
-            for k, v in connected_components_local(tbl).items()
-            if k != v
-        }
+        mark("canonicalize: edges collected")
+        uniq, min_idx = connected_components_local_arrays(tbl)
+        keep = np.flatnonzero(min_idx != np.arange(len(min_idx)))
+        keys_arr = uniq.take(pa.array(keep, pa.int64()))
+        vals_arr = uniq.take(pa.array(min_idx[keep], pa.int64()))
         mark("canonicalize: driver CC done")
-        return rewrite_triples(triples_ds, canon)
+        return rewrite_triples_arrays(triples_ds, keys_arr, vals_arr)
     mapping = canonical_map_ds(edges_ds).materialize()
     if mapping.count() <= map_broadcast_max:
         canon = {}
