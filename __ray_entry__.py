@@ -141,6 +141,51 @@ def _kg_cocitation(sf_dir: str):
     return cocitation_pairs(triples)
 
 
+def _kg_doc_citations(sf_dir: str):
+    """Two-hop traversal over the flagship store: doc -states->
+    theorem -cites-> entity, i.e. the per-document outbound citation
+    edges implied by its extracted results. ONE mid-node-bucketed
+    exchange (stages/kgquery.py:two_hop — never a full self-join of
+    the store); exactness pinned in tests/test_kgquery.py."""
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.pipelines.kg import triples_dataset
+    from theoremkb_ray.sources.corpus import read_corpus
+    from theoremkb_ray.stages.kgquery import two_hop
+
+    sdir = _synth_dir(200)
+    links = pq.read_table(f"{sdir}/links.parquet")
+    triples = triples_dataset(
+        read_corpus(f"{sdir}/corpus.parquet"),
+        links_tbl=links,
+        segmenter="crf",
+    )
+    return two_hop(triples, "states", "cites")
+
+
+def _kg_proved_citing(sf_dir: str):
+    """Star-pattern match over the flagship store: theorems that BOTH
+    have a proof (any proved_by edge) AND cite at least one external
+    entity — the SPARQL shape ``?t proved_by ?p . ?t cites ?x`` with
+    the shared subject resolved in ONE hash(subject)-keyed exchange
+    (stages/kgquery.py:star_join; semantics pinned in
+    tests/test_kgquery.py)."""
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.pipelines.kg import triples_dataset
+    from theoremkb_ray.sources.corpus import read_corpus
+    from theoremkb_ray.stages.kgquery import star_join
+
+    sdir = _synth_dir(200)
+    links = pq.read_table(f"{sdir}/links.parquet")
+    triples = triples_dataset(
+        read_corpus(f"{sdir}/corpus.parquet"),
+        links_tbl=links,
+        segmenter="crf",
+    )
+    return star_join(triples, {"proved_by": None, "cites": None})
+
+
 def _kg_results(sf_dir: str):
     """Extracted theorem/proof results table (CRF scoring over the
     synth corpus — model inference has no SQL twin; line-level P/R is
@@ -1247,6 +1292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_triples": _kg_triples,
             "kg_triples_canonical": _kg_triples_canonical,
             "kg_cocitation": _kg_cocitation,
+            "kg_doc_citations": _kg_doc_citations,
+            "kg_proved_citing": _kg_proved_citing,
             "kg_results": _kg_results,
             "docs_segment": _docs_segment,
             "minhash_dedup_docs": _minhash_dedup_docs,

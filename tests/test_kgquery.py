@@ -114,3 +114,20 @@ def test_cocitation_hot_object_cap_truncates_deterministically():
     kept = sorted(set(df["subj_a"]) | set(df["subj_b"]))
     # lexicographically first 4 subjects survive the cap
     assert kept == [f"org/s{i:02d}/t" for i in range(4)]
+
+
+def test_star_join_all_patterns_required():
+    from theoremkb_ray.stages.kgquery import star_join
+
+    ds = _store(TRIPLES, parallelism=3)
+    # subjects with BOTH a cites->org/x edge and any proved_by edge
+    got = star_join(ds, {"cites": "org/x", "proved_by": None}).to_pandas()
+    assert sorted(got["subject"]) == ["org/a/thm1"]
+    # wildcard-only single pattern == distinct subjects of that predicate
+    got2 = star_join(ds, {"cites": None}).to_pandas()
+    assert sorted(got2["subject"]) == sorted(
+        {s for s, p, _o in TRIPLES if p == "cites"}
+    )
+    # unsatisfiable object constraint -> empty
+    got3 = star_join(ds, {"cites": "nope"}).to_pandas()
+    assert len(got3) == 0

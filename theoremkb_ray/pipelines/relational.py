@@ -13406,3 +13406,50 @@ REGISTRY.update(
         "dedup_best_docs": (q_dedup_best_docs, SQL_DEDUP_BEST_DOCS),
     }
 )
+
+
+def q_embedding_norms(sf_dir: str):
+    """Per-vector L2 norms of the embedding table — the sanity audit
+    before any cosine stage (un-normalized rows break dot-product
+    shortcuts). Components quantize by FLOOR to milli-units so the
+    squared sum is an exact int64 (floor of an identical double is
+    identical in both engines — no .5-boundary exposure at all);
+    sqrt + floor-quantized output on identical operands. Pure
+    per-row scan, ZERO exchange."""
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        if offs[0] != 0:
+            vals = emb.values.slice(offs[0]).to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            offs = offs - offs[0]
+        q = np.floor(vals * 1000.0).astype(np.int64)
+        sq = q * q
+        n = len(offs) - 1
+        d = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        ss = np.bincount(d, weights=sq, minlength=n)  # < 2^53: exact
+        norm = np.floor(np.sqrt(ss) / 1000.0 * 1e6) / 1e6
+        return pa.table({"vec_id": b["vec_id"], "l2_norm": pa.array(norm)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id,
+       floor(sqrt(CAST(list_sum(list_transform(embedding,
+                 x -> CAST(floor(x*1000) AS BIGINT)
+                      * CAST(floor(x*1000) AS BIGINT))) AS BIGINT))
+             / 1000.0 * 1000000) / 1000000 AS l2_norm
+FROM embeddings
+"""
+
+
+REGISTRY.update(
+    {"embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS)}
+)

@@ -255,3 +255,60 @@ def cocitation_pairs(
         pairs.groupby(["subj_a", "subj_b"])
         .aggregate(Sum("n", alias_name="n_shared"))
     )
+
+
+def star_join(
+    triples,
+    required: dict[str, str | None],
+    nbuckets: int = _COCITE_BUCKETS,
+):
+    """Star-pattern match: subjects having ALL the required
+    (predicate -> object-or-wildcard) edges — the multi-BGP SPARQL
+    shape ``?s p1 o1 . ?s p2 ?x . ...`` with a shared subject.
+
+    ONE exchange keyed on the subject: each batch pre-filters to the
+    required predicates (tagging rows with the pattern index they
+    satisfy), groups co-locate by hash(subject), and a group passes
+    iff it covers every pattern index. Returns the distinct matching
+    subjects. Predicate values of None are wildcards (any object).
+    """
+    from ..functions.hashing import hash_strings
+
+    pats = sorted(required.items())
+    npat = len(pats)
+
+    def pre(b: pa.Table) -> pa.Table:
+        subs, idxs = [], []
+        for i, (pred, obj) in enumerate(pats):
+            m = pc.equal(b["predicate"], pred)
+            if obj is not None:
+                m = pc.and_(m, pc.equal(b["object"], obj))
+            s = b.filter(m)["subject"].combine_chunks()
+            subs.append(s)
+            idxs.append(np.full(len(s), i, np.int64))
+        sub = pa.concat_arrays(subs)
+        h = hash_strings(sub.to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (h % np.uint64(nbuckets)).astype(np.int64)
+                ),
+                "subject": sub,
+                "pat": pa.array(np.concatenate(idxs) if idxs else
+                                np.empty(0, np.int64)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"subject": pd.Series(dtype="object")})
+        cov = g.drop_duplicates(["subject", "pat"]).groupby(
+            "subject", sort=False
+        )["pat"].size()
+        return pd.DataFrame({"subject": cov[cov == npat].index.to_numpy()})
+
+    return (
+        triples.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
