@@ -424,12 +424,14 @@ def run_scaling() -> dict:
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "kg_scaling",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "throughput_8_docs_per_sec": r_lo["kg_docs_per_sec"],
-        "throughput_32_docs_per_sec": r_hi["kg_docs_per_sec"],
-        "triples_per_sec_8": r_lo["kg_triples_per_sec"],
-        "triples_per_sec_32": r_hi["kg_triples_per_sec"],
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "throughput_lo_docs_per_sec": r_lo["kg_docs_per_sec"],
+        "throughput_hi_docs_per_sec": r_hi["kg_docs_per_sec"],
+        "triples_per_sec_lo": r_lo["kg_triples_per_sec"],
+        "triples_per_sec_hi": r_hi["kg_triples_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "sf": r_hi["sf"],
     }
