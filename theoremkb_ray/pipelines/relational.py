@@ -13453,3 +13453,117 @@ FROM embeddings
 REGISTRY.update(
     {"embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS)}
 )
+
+
+def q_mutual_info_events(sf_dir: str):
+    """Mutual information between event type and spend decile — the
+    feature-relevance score (does WHAT a user does predict HOW MUCH
+    they spend?). The contingency table folds as per-batch integer
+    partials through one cell-bounded exchange (|types| x 10 cells);
+    MI accumulates on the bounded table as
+    sum n_ij * round(ln(n_ij*N / (n_i*n_j)) * 1e6) in exact int64
+    (microlog contract: math.log per CELL, matching DuckDB's ln), and
+    the output divides once on identical operands, floor-quantized.
+    Deciles are integer rank bins over (cents, event_id) — the same
+    range-bucketed global rank as calibration_bins, restated in SQL."""
+    import math
+
+    ev = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+    W = 5000
+
+    def pre(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "wb": pa.array(cents // W, pa.int64()),
+                "cents": pa.array(cents),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "event_type": b["event_type"],
+            }
+        )
+
+    pds = ev.map_batches(pre, batch_format="pyarrow").materialize()
+    n_total = pds.count()
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            b["wb"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"wb": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    cnt = (
+        pds.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("wb")
+        .sum("c")
+        .to_pandas()
+        .sort_values("wb")
+    )
+    wbs = cnt["wb"].to_numpy(np.int64)
+    base = np.r_[0, np.cumsum(cnt["sum(c)"].to_numpy(np.int64))[:-1]]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cents", "event_id"], kind="mergesort")
+        b0 = int(base[np.searchsorted(wbs, int(g["wb"].iloc[0]))])
+        rank = b0 + np.arange(len(g), dtype=np.int64)
+        out = pd.DataFrame(
+            {"event_type": g["event_type"], "bin": rank * 10 // n_total}
+        )
+        return (
+            out.groupby(["event_type", "bin"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    cells = (
+        pds.groupby("wb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n_i = cells.groupby("event_type")["n"].sum()
+    n_j = cells.groupby("bin")["n"].sum()
+    total = 0
+    for t, b_, nij in zip(
+        cells["event_type"], cells["bin"], cells["n"].to_numpy(np.int64)
+    ):
+        ratio = (int(nij) * n_total) / (int(n_i[t]) * int(n_j[b_]))
+        total += int(nij) * round(math.log(ratio) * 1e6)
+    mi = np.floor(total / (n_total * 1_000_000.0) * 1e6) / 1e6
+    return pd.DataFrame({"mi": [mi]})
+
+
+SQL_MUTUAL_INFO_EVENTS = """
+WITH r AS (
+  SELECT event_type,
+         (row_number() OVER (ORDER BY CAST(round(value*100) AS BIGINT),
+                             event_id) - 1) * 10
+           // (SELECT count(*) FROM events) AS bin
+  FROM events
+),
+cells AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+          FROM r GROUP BY 1, 2),
+ni AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_i
+       FROM cells GROUP BY 1),
+nj AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n_j FROM cells GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+s AS (
+  SELECT CAST(sum(cells.n
+               * CAST(round(ln((cells.n * tot.n * 1.0) / (n_i * n_j))
+                            * 1000000) AS BIGINT)) AS BIGINT) AS micro
+  FROM cells
+  JOIN ni USING (event_type) JOIN nj USING (bin) CROSS JOIN tot
+)
+SELECT floor(micro / ((SELECT n FROM tot) * 1000000.0) * 1000000)
+         / 1000000 AS mi
+FROM s
+"""
+
+
+REGISTRY.update(
+    {"mutual_info_events": (q_mutual_info_events, SQL_MUTUAL_INFO_EVENTS)}
+)
