@@ -13567,3 +13567,224 @@ FROM s
 REGISTRY.update(
     {"mutual_info_events": (q_mutual_info_events, SQL_MUTUAL_INFO_EVENTS)}
 )
+
+
+def q_q1_pricing(sf_dir: str):
+    """The FULL TPC-H Q1 pricing summary (groupby_agg carries the
+    bare shape; this is the canonical column set: base / discounted /
+    charged revenue incl. tax, averages, row counts, with the
+    shipdate cutoff). Every money sum folds as exact integers —
+    cents, cents*(100-bp), cents*(100-bp)*(100+taxbp) micro-micro
+    units — so partials are bit-identical under any partitioning;
+    averages divide once on identical operands, floor-quantized."""
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+    cutoff = np.datetime64("2000-09-02", "us").astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = _date_us(b["l_shipdate"]) <= cutoff
+        t = b.filter(pa.array(keep))
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        bp = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        txp = np.rint(
+            t["l_tax"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc = cents * (100 - bp)
+        charge = disc * (100 + txp)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "l_linestatus": t["l_linestatus"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "qty": qty,
+                "cents": cents,
+                "disc": disc,
+                "charge": charge,
+            }
+        )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("qty", "sum"),
+                cents=("cents", "sum"),
+                disc=("disc", "sum"),
+                charge=("charge", "sum"),
+                n=("qty", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ag = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("cents", alias_name="cents"),
+            Sum("disc", alias_name="disc"),
+            Sum("charge", alias_name="charge"),
+            Sum("n", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    fq = lambda x: np.floor(x * 1e6) / 1e6  # noqa: E731
+    out = pd.DataFrame(
+        {
+            "l_returnflag": ag["l_returnflag"],
+            "l_linestatus": ag["l_linestatus"],
+            "sum_qty": ag["sum_qty"].astype(np.int64),
+            # integer HALF-UP to cents (exact 1e-4 / 1e-6 dollar units
+            # land exactly on .005 boundaries, where float half-even
+            # and SQL half-away disagree — integer (x+half)//unit is
+            # identical in both engines)
+            "sum_base_price": ag["cents"] / 100.0,
+            "sum_disc_price": (ag["disc"] + 50) // 100 / 100.0,
+            "sum_charge": (ag["charge"] + 5000) // 10000 / 100.0,
+            "avg_qty": fq(ag["sum_qty"] / ag["count_order"]),
+            "avg_price": fq(ag["cents"] / 100.0 / ag["count_order"]),
+            "count_order": ag["count_order"].astype(np.int64),
+        }
+    )
+    return out
+
+
+SQL_Q1_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+            AS BIGINT) / 100.0 AS sum_base_price,
+       ((CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT)))
+              AS BIGINT) + 50) // 100) / 100.0 AS sum_disc_price,
+       ((CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT))
+                  * (100 + CAST(round(l_tax*100) AS BIGINT)))
+              AS BIGINT) + 5000) // 10000) / 100.0 AS sum_charge,
+       floor(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) * 1.0
+             / count(*) * 1000000) / 1000000 AS avg_qty,
+       floor(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+                  AS BIGINT) / 100.0 / count(*) * 1000000) / 1000000
+         AS avg_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_peak_concurrency_events(sf_dir: str):
+    """Sweep-line peak concurrency — treating every event as a
+    30-minute activity interval, the maximum number simultaneously
+    active and the first instant it happens (capacity planning's
+    favorite number). Interval edges (+1 at start, -1 at end; ends
+    sort before starts at equal times — half-open intervals) flow
+    through the range-bucketed ordered-scan plan: per-time-bucket NET
+    sums fold to an exclusive prefix (the carry entering each
+    bucket), each bucket resolves its local running max + first time
+    hitting it, and the driver combines the bounded per-bucket
+    summaries. All integers."""
+    ev = _pq(sf_dir, "events", ["ts"])
+    DUR = 30 * 60 * 1_000_000
+    WB = 6 * 3600 * 1_000_000
+
+    def edges(b: pa.Table) -> pa.Table:
+        t = (
+            b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ).astype(np.int64)
+        tt = np.concatenate([t, t + DUR])
+        dd = np.concatenate(
+            [np.ones(len(t), np.int64), -np.ones(len(t), np.int64)]
+        )
+        return pa.table(
+            {
+                "wb": pa.array(tt // WB, pa.int64()),
+                "t": pa.array(tt),
+                "d": pa.array(dd),
+            }
+        )
+
+    eds = ev.map_batches(edges, batch_format="pyarrow").materialize()
+
+    def net_partial(b: pa.Table) -> pa.Table:
+        wb = b["wb"].to_numpy(zero_copy_only=False)
+        d = b["d"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(wb, return_inverse=True)
+        return pa.table(
+            {
+                "wb": pa.array(u, pa.int64()),
+                "net": pa.array(
+                    np.bincount(inv, weights=d).astype(np.int64)
+                ),
+            }
+        )
+
+    net = (
+        eds.map_batches(net_partial, batch_format="pyarrow")
+        .groupby("wb")
+        .sum("net")
+        .to_pandas()
+        .sort_values("wb")
+    )
+    wbs = net["wb"].to_numpy(np.int64)
+    carry = np.r_[0, np.cumsum(net["sum(net)"].to_numpy(np.int64))[:-1]]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", "d"], kind="mergesort")  # -1 before +1
+        c0 = int(carry[np.searchsorted(wbs, int(g["wb"].iloc[0]))])
+        run = c0 + np.cumsum(g["d"].to_numpy(np.int64))
+        mx = int(run.max())
+        at = int(g["t"].to_numpy(np.int64)[int(np.argmax(run))])
+        return pd.DataFrame({"peak": [mx], "at_us": [at]})
+
+    parts = (
+        eds.groupby("wb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    peak = int(parts["peak"].max())
+    at_us = int(parts.loc[parts["peak"] == peak, "at_us"].min())
+    return pd.DataFrame({"peak": [peak], "at_us": [at_us]})
+
+
+SQL_PEAK_CONCURRENCY_EVENTS = """
+WITH e AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT CAST(epoch_us(ts + INTERVAL 30 MINUTE) AS BIGINT), -1
+  FROM events
+),
+r AS (
+  SELECT t, CAST(sum(d) OVER (ORDER BY t, d
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+  FROM e
+),
+m AS (SELECT CAST(max(c) AS BIGINT) AS peak FROM r)
+SELECT (SELECT peak FROM m) AS peak,
+       CAST(min(t) AS BIGINT) AS at_us
+FROM r WHERE c = (SELECT peak FROM m)
+"""
+
+
+REGISTRY.update(
+    {
+        "q1_pricing": (q_q1_pricing, SQL_Q1_PRICING),
+        "peak_concurrency_events": (
+            q_peak_concurrency_events,
+            SQL_PEAK_CONCURRENCY_EVENTS,
+        ),
+    }
+)
