@@ -13788,3 +13788,54 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_scc_nodes(sf_dir: str):
+    """Strongly connected components of a planted block digraph over
+    the customer keys (stages/graph.py:scc — FW-BW-MIN peeling,
+    driver fast path under 5M edges, distributed per-round exchanges
+    above). Graph: 12-key blocks, chain c -> c+1 inside the block,
+    back edges c -> block-start at offsets 4 and 8 — so each block's
+    first (maxb+1) nodes form one SCC (maxb = largest multiple of 4
+    present) and the chain tail past the last back edge is singletons.
+    The construction has a CLOSED FORM the SQL twin states directly,
+    while the engine runs the general algorithm (generic correctness
+    pinned vs a transitive-closure brute force in tests/test_scc.py).
+    Output (node, scc_id = min member)."""
+    from ..stages.graph import scc
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    n = cust.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = c % 12
+        chain = c[(off < 11) & (c + 1 < n)]
+        back = c[(off % 4 == 0) & (off > 0)]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([chain, back]), pa.int64()),
+                "dst": pa.array(
+                    np.concatenate([chain + 1, back - (back % 12)]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return scc(cust.map_batches(edges, batch_format="pyarrow"))
+
+
+SQL_SCC_NODES = """
+WITH k AS (
+  SELECT c_custkey AS c, c_custkey // 12 AS b, c_custkey % 12 AS off
+  FROM customer
+),
+bl AS (SELECT b, CAST(max(off) AS BIGINT) AS mx FROM k GROUP BY b)
+SELECT c AS node,
+       CASE WHEN mx >= 4 AND off <= (mx // 4) * 4
+            THEN b * 12 ELSE c END AS scc_id
+FROM k JOIN bl USING (b)
+"""
+
+
+REGISTRY.update({"scc_nodes": (q_scc_nodes, SQL_SCC_NODES)})

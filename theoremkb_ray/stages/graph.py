@@ -1874,3 +1874,293 @@ def label_propagation(
 
         cur = joined.map_batches(fill, batch_format="pyarrow").materialize()
     return cur
+
+
+# ------------------------------------------------------------------ SCC
+
+# SCC's per-round sweeps use Dataset.join — same Ray 2.49.2
+# empty-schema-block shuffle bug exposure as the other join users
+from ..state.raypatch import apply_join_patch as _scc_join_patch
+
+_scc_join_patch()
+
+
+def _scc_peel_local(src: np.ndarray, dst: np.ndarray, max_rounds: int = 256):
+    """Vectorized FW-BW-MIN peeling on int64 node ids (driver fast
+    path). Per outer round: forward-min labels (min id reachable FROM
+    each node — new[src] = min(old[src], old[dst]) swept to fixpoint)
+    and backward-min labels (reversed); nodes with fwd == bwd are
+    exactly the SCC of that min node (fwd(u)=m means u reaches m,
+    bwd(u)=m means m reaches u) and peel off with scc_id = fwd; their
+    edges drop and the next round continues on the remainder. Each
+    round peels at least the SCC of the minimum live node, and the
+    min-label sweeps converge in <= longest-remaining-path rounds —
+    ``max_rounds`` guards both loops and RAISES rather than returning
+    split components (the crash-loud contract of
+    connected_components_distributed)."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    ea = np.searchsorted(nodes, src)
+    eb = np.searchsorted(nodes, dst)
+    scc_id = nodes.copy()  # default: own id (singleton)
+    assigned = np.zeros(n, bool)
+
+    def sweep(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        lab = nodes.copy()
+        for _ in range(max_rounds):
+            before = lab.copy()
+            np.minimum.at(lab, a, lab[b])
+            if np.array_equal(lab, before):
+                return lab
+        raise RuntimeError(
+            f"scc: min-label sweep not stable after {max_rounds} rounds"
+        )
+
+    for _ in range(max_rounds):
+        if len(ea) == 0:
+            break
+        fwd = sweep(ea, eb)  # min reachable FROM v (along out-edges)
+        bwd = sweep(eb, ea)  # min reaching v (along in-edges)
+        peel = (fwd == bwd) & ~assigned
+        # nodes not on any live edge peel as singletons implicitly
+        live = np.zeros(n, bool)
+        live[ea] = True
+        live[eb] = True
+        peel &= live
+        if not peel.any():
+            raise RuntimeError(
+                "scc: no progress in FW-BW peel round (cyclic labels?)"
+            )
+        scc_id[peel] = fwd[peel]
+        assigned |= peel
+        keep = ~(peel[ea] | peel[eb])
+        ea, eb = ea[keep], eb[keep]
+    else:
+        if len(ea):
+            raise RuntimeError(
+                "scc: edges remain after max_rounds peel rounds"
+            )
+    return nodes, scc_id
+
+
+def scc(edges_ds, driver_threshold: int = 5_000_000, max_rounds: int = 256):
+    """Strongly connected components of a directed int64 edge
+    Dataset (src, dst) -> Dataset (node, scc_id), scc_id = MIN node
+    of the component. Scale-adaptive like connected_components:
+    edge sets under ``driver_threshold`` collect once and run the
+    vectorized FW-BW peel on the driver; larger sets run the same
+    peeling with each min-label sweep as per-round distributed
+    exchanges (one groupby-Min per direction per round) — rounds are
+    bounded by the longest simple path in the live subgraph, the
+    documented convergence assumption (planted/bounded-diameter
+    graphs converge in graph-defined rounds regardless of data
+    volume)."""
+    import ray.data as rd
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "scc_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    if n_edges <= driver_threshold:
+        tabs = [
+            t for t in edges_ds.iter_batches(batch_format="pyarrow")
+        ]
+        tbl = pa.concat_tables(
+            [pa.Table.from_batches([t]) if isinstance(t, pa.RecordBatch)
+             else t for t in tabs]
+        )
+        src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes, ids = _scc_peel_local(src, dst, max_rounds=max_rounds)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "scc_id": pa.array(ids, pa.int64()),
+                }
+            )
+        )
+    return _scc_distributed(edges_ds, max_rounds=max_rounds)
+
+
+def _scc_distributed(edges_ds, max_rounds: int = 64):
+    """Distributed FW-BW peel: each min-label sweep mirrors
+    connected_components_distributed's proven join shape — a
+    materialized DIRECTED message table (node, nbr) per direction
+    (fwd: node=dst delivers its label to nbr=src; bwd: reversed),
+    per round one same-name-key Dataset.join + groupby-Min, stopped
+    by an exact label checksum. Peeled nodes drop between outer
+    rounds. Exact but round-hungry on long paths; the driver fast
+    path covers every realistic edge volume first."""
+    from ray.data.aggregate import Min
+
+    import ray as _ray
+    import ray.data as rd
+
+    def msg_table(E, direction: str):
+        def fn(b: pa.Table) -> pa.Table:
+            s_ = pc.cast(b["src"], pa.int64())
+            d_ = pc.cast(b["dst"], pa.int64())
+            if direction == "fwd":
+                return pa.table({"node": d_, "nbr": s_})
+            return pa.table({"node": s_, "nbr": d_})
+
+        return E.map_batches(fn, batch_format="pyarrow").materialize()
+
+    def init_labels(E):
+        def fn(b: pa.Table) -> pa.Table:
+            both = pa.concat_arrays(
+                [
+                    pc.cast(b["src"], pa.int64()).combine_chunks(),
+                    pc.cast(b["dst"], pa.int64()).combine_chunks(),
+                ]
+            )
+            return pa.table({"node": both, "label": both})
+
+        return (
+            E.map_batches(fn, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .repartition(2)
+            .materialize()
+        )
+
+    def sweep(E, direction: str):
+        M = msg_table(E, direction)
+        lab = init_labels(E)
+        prev = _scc_label_checksum(lab)
+        for _ in range(max_rounds):
+            joined = M.join(
+                lab, join_type="inner", num_partitions=4, on=("node",)
+            )
+            cand = joined.map_batches(
+                lambda b: pa.table(
+                    {"node": b["nbr"], "cand": b["label"]}
+                ),
+                batch_format="pyarrow",
+            )
+            self_rows = lab.map_batches(
+                lambda b: pa.table(
+                    {"node": b["node"], "cand": b["label"]}
+                ),
+                batch_format="pyarrow",
+            )
+            lab = (
+                cand.union(self_rows)
+                .groupby("node")
+                .aggregate(Min("cand", alias_name="label"))
+                # compact: sort-based aggregate emits schema-less
+                # 0-row blocks that break the next round's Acero join
+                .repartition(2)
+                .materialize()
+            )
+            cur = _scc_label_checksum(lab)
+            if cur == prev:
+                return lab
+            prev = cur
+        raise RuntimeError(
+            f"scc distributed: sweep not stable after {max_rounds} rounds"
+        )
+
+    E = edges_ds
+    out_parts = []
+    for _ in range(max_rounds):
+        E = E.materialize()
+        if E.count() == 0:
+            break
+        fwd = sweep(E, "fwd").repartition(2).materialize()
+        bwd = sweep(E, "bwd").map_batches(
+            lambda b: pa.table({"node": b["node"], "blabel": b["label"]}),
+            batch_format="pyarrow",
+        ).repartition(2).materialize()
+        both = fwd.join(
+            bwd, join_type="inner", num_partitions=4, on=("node",)
+        )
+        peel = both.map_batches(
+            lambda b: pa.table(
+                {"node": b["node"], "scc_id": b["label"]}
+            ).filter(pc.equal(b["label"], b["blabel"])),
+            batch_format="pyarrow",
+        ).materialize()
+        if peel.count() == 0:
+            raise RuntimeError("scc distributed: no progress in peel round")
+        out_parts.append(peel)
+        peeled = np.sort(
+            peel.to_pandas()["node"].to_numpy(np.int64)
+        )  # bounded: one peel's nodes
+        pref = _ray.put(peeled)
+
+        def drop(b: pa.Table) -> pa.Table:
+            from ..state.broadcast import get_broadcast
+
+            pk = get_broadcast(pref)
+            s_ = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d_ = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+            def hit(v):
+                pos = np.minimum(
+                    np.searchsorted(pk, v), max(len(pk) - 1, 0)
+                )
+                return (pk[pos] == v) if len(pk) else np.zeros(len(v), bool)
+
+            return b.filter(pa.array(~(hit(s_) | hit(d_))))
+
+        # repartition compacts the post-drop blocks: fully-filtered
+        # partitions otherwise carry SCHEMA-LESS empty blocks into the
+        # next round's join (Acero: "no match for key field"); the
+        # merge restores one schema'd block set per round
+        E = E.map_batches(drop, batch_format="pyarrow").repartition(2)
+    else:
+        raise RuntimeError("scc distributed: edges remain after max_rounds")
+    out = out_parts[0]
+    for p_ in out_parts[1:]:
+        out = out.union(p_)
+    out = out.materialize()
+    # nodes that never peeled (e.g. a sink on a dropped edge) are
+    # singletons — distributed anti-join against the peeled set
+    from .joins import hash_join
+
+    def all_nodes(b: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [
+                pc.cast(b["src"], pa.int64()).combine_chunks(),
+                pc.cast(b["dst"], pa.int64()).combine_chunks(),
+            ]
+        )
+        u = np.unique(both.to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    nodes_ds = (
+        edges_ds.map_batches(all_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .map_batches(
+            lambda b: pa.table({"node": b["node"]}),
+            batch_format="pyarrow",
+        )
+        .repartition(2)
+        .materialize()
+    )
+    missing = hash_join(nodes_ds, out, on=["node"], how="anti").map_batches(
+        lambda b: pa.table({"node": b["node"], "scc_id": b["node"]}),
+        batch_format="pyarrow",
+    )
+    return out.union(missing)
+
+
+def _scc_label_checksum(lds) -> int:
+    total = 0
+    for b in lds.iter_batches(batch_format="pyarrow"):
+        v = (
+            b["label"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        total = (total + int(v.sum(dtype=np.uint64))) & 0xFFFFFFFFFFFFFFFF
+        total = (total + len(v)) & 0xFFFFFFFFFFFFFFFF
+    return total
