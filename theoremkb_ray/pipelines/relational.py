@@ -13839,3 +13839,121 @@ FROM k JOIN bl USING (b)
 
 
 REGISTRY.update({"scc_nodes": (q_scc_nodes, SQL_SCC_NODES)})
+
+
+# ------------------------------------------------ triple-store op oracles
+
+
+def _cust_triples(sf_dir: str):
+    """Customer/nation/region facts as a triple Dataset — the
+    relational-table twin of the flagship store, existing so the
+    kgquery OPERATORS themselves (two_hop, star_join) get DuckDB
+    oracles: the synth-corpus store has model scoring upstream and
+    can never be SQL-checked, this one is three joins."""
+    nation = _pq(
+        sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    region = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nk = np.sort(nation["n_nationkey"].to_numpy(np.int64))
+    nname = nation.set_index("n_nationkey")["n_name"].loc[nk].to_numpy()
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nat = nname[
+            np.searchsorted(
+                nk,
+                b["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            )
+        ]
+        seg = b["c_mktsegment"].to_numpy(zero_copy_only=False)
+        subj = np.char.add("cust/", c.astype("U"))
+        return pa.table(
+            {
+                "subject": pa.array(
+                    np.concatenate([subj, subj]), pa.string()
+                ),
+                "predicate": pa.array(
+                    ["in_nation"] * len(c) + ["in_segment"] * len(c)
+                ),
+                "object": pa.array(
+                    np.concatenate(
+                        [np.char.add("nation/", nat.astype("U")), seg]
+                    ),
+                    pa.string(),
+                ),
+            }
+        )
+
+    nr = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    import ray.data as rd
+
+    nation_tbl = pa.table(
+        {
+            "subject": pa.array(
+                ("nation/" + nr["n_name"]).tolist(), pa.string()
+            ),
+            "predicate": pa.array(["in_region"] * len(nr)),
+            "object": pa.array(
+                ("region/" + nr["r_name"]).tolist(), pa.string()
+            ),
+        }
+    )
+    return cust.map_batches(fn, batch_format="pyarrow").union(
+        rd.from_arrow(nation_tbl)
+    )
+
+
+def q_two_hop_customers(sf_dir: str):
+    """two_hop over the customer triple store: cust -in_nation-> X
+    -in_region-> region (stages/kgquery.py — ONE mid-node-bucketed
+    exchange, never a store self-join). The oracle is the plain
+    customer |x| nation |x| region join."""
+    from ..stages.kgquery import two_hop
+
+    return two_hop(_cust_triples(sf_dir), "in_nation", "in_region")
+
+
+SQL_TWO_HOP_CUSTOMERS = """
+SELECT 'cust/' || CAST(c_custkey AS VARCHAR) AS subject,
+       'nation/' || n_name AS mid,
+       'region/' || r_name AS object
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+"""
+
+
+def q_star_join_customers(sf_dir: str):
+    """star_join over the customer triple store: subjects with BOTH an
+    in_segment=BUILDING edge and any in_nation edge — the multi-BGP
+    shared-subject SPARQL shape resolved in one subject-keyed
+    exchange; the oracle is a WHERE clause."""
+    from ..stages.kgquery import star_join
+
+    return star_join(
+        _cust_triples(sf_dir),
+        {"in_segment": "BUILDING", "in_nation": None},
+    )
+
+
+SQL_STAR_JOIN_CUSTOMERS = """
+SELECT 'cust/' || CAST(c_custkey AS VARCHAR) AS subject
+FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+REGISTRY.update(
+    {
+        "two_hop_customers": (q_two_hop_customers, SQL_TWO_HOP_CUSTOMERS),
+        "star_join_customers": (
+            q_star_join_customers,
+            SQL_STAR_JOIN_CUSTOMERS,
+        ),
+    }
+)
