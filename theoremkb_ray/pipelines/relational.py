@@ -13957,3 +13957,104 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_markov_accuracy_events(sf_dir: str):
+    """Next-event prediction accuracy of the majority transition
+    model — the baseline every sequence model must beat. Per-user
+    strictly-adjacent (prev, next) pairs (order = ts, event_id) fold
+    through hash(user)-bucketed groups into the |types|^2-bounded
+    transition count table; BOTH the model (argmax next per prev,
+    ties -> lexicographically first) and its training accuracy read
+    off that same table — no second data pass. Integer counts end to
+    end, one floor-quantized division."""
+    from ..functions.hashing import hash_strings
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    B = 64
+
+    def pre(b: pa.Table) -> pa.Table:
+        h = hash_strings(
+            b["user_id"].to_numpy(zero_copy_only=False).astype("U")
+        )
+        return pa.table(
+            {
+                "bucket": pa.array((h % np.uint64(B)).astype(np.int64)),
+                "user_id": b["user_id"],
+                "t": pa.array(_date_us(b["ts"])),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "event_type": b["event_type"],
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        same = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
+        prev = g["event_type"].to_numpy()[:-1][same]
+        nxt = g["event_type"].to_numpy()[1:][same]
+        return (
+            pd.DataFrame({"prev": prev, "next": nxt})
+            .groupby(["prev", "next"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    counts = (
+        ev.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["prev", "next"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    # majority next per prev: max n, ties -> lexicographically first
+    counts = counts.sort_values(
+        ["prev", "n", "next"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    maj = counts.drop_duplicates("prev", keep="first")[["prev", "next"]]
+    hit = counts.merge(maj, on=["prev", "next"])["n"].sum()
+    total = counts["n"].sum()
+    acc = np.floor(int(hit) / int(total) * 1e6) / 1e6
+    return pd.DataFrame(
+        {
+            "n_pairs": [int(total)],
+            "n_correct": [int(hit)],
+            "accuracy": [acc],
+        }
+    )
+
+
+SQL_MARKOV_ACCURACY_EVENTS = """
+WITH p AS (
+  SELECT event_type AS prev,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next
+  FROM events
+),
+c AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+      FROM p WHERE next IS NOT NULL GROUP BY 1, 2),
+m AS (SELECT prev, next FROM
+        (SELECT prev, next,
+                row_number() OVER (PARTITION BY prev
+                                   ORDER BY n DESC, next) AS rn
+         FROM c)
+      WHERE rn = 1),
+s AS (SELECT CAST(sum(c.n) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN m.next IS NOT NULL THEN c.n ELSE 0 END)
+                  AS BIGINT) AS hit
+      FROM c LEFT JOIN m ON c.prev = m.prev AND c.next = m.next)
+SELECT total AS n_pairs, hit AS n_correct,
+       floor(hit * 1.0 / total * 1000000) / 1000000 AS accuracy
+FROM s
+"""
+
+
+REGISTRY.update(
+    {
+        "markov_accuracy_events": (
+            q_markov_accuracy_events,
+            SQL_MARKOV_ACCURACY_EVENTS,
+        )
+    }
+)
