@@ -14058,3 +14058,287 @@ REGISTRY.update(
         )
     }
 )
+
+
+def q_readability_docs(sf_dir: str):
+    """Flesch reading-ease quality score per document — the classic
+    readability gate of a text-curation pipeline (length/punct ratio
+    family, SURVEY §2.8 / textstats sibling). Words, sentences and
+    syllable groups are all non-overlapping regex match COUNTS
+    (pyarrow count_substring_regex == DuckDB len(regexp_extract_all);
+    both are RE2), so the three inputs are exact integers; the score
+    is one float expression evaluated in the oracle's tree shape and
+    floor-quantized. Pure per-row map, zero shuffle."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        w = pc.count_substring_regex(b["text"], "[A-Za-z]+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        s = pc.count_substring_regex(b["text"], "[.!?]+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        y = pc.count_substring_regex(
+            b["text"], "[aeiouyAEIOUY]+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = w > 0
+        w, y = w[keep], y[keep]
+        s = np.maximum(s[keep], 1)  # punctuation-free docs: 1 sentence
+        flesch = (
+            206.835 - 1.015 * (w * 1.0 / s) - 84.6 * (y * 1.0 / w)
+        )
+        return pa.table(
+            {
+                "doc_id": pc.filter(b["doc_id"], pa.array(keep)),
+                "words": pa.array(w, pa.int64()),
+                "sentences": pa.array(s, pa.int64()),
+                "syllables": pa.array(y, pa.int64()),
+                "flesch": pa.array(
+                    np.floor(flesch * 1e6) / 1e6, pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_READABILITY_DOCS = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS w,
+         greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                  1) AS s,
+         CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+           AS y
+  FROM documents
+)
+SELECT doc_id, w AS words, s AS sentences, y AS syllables,
+       floor((206.835 - 1.015 * (w * 1.0 / s)
+                      - 84.6 * (y * 1.0 / w)) * 1e6) / 1e6 AS flesch
+FROM c WHERE w > 0
+"""
+
+
+def _stump_user_table(sf_dir: str):
+    """Shared feature table for the stump / PR-curve pair: one
+    user-keyed exchange of per-batch (spend-cents, purchase-count)
+    partials -> (user, x=total cents, y=converted >= 15 purchases)."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        isp = (
+            pc.equal(b["event_type"], "purchase")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        us, inv = np.unique(u, return_inverse=True)
+        return pa.table(
+            {
+                "user_id": pa.array(us, pa.int64()),
+                "x": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64),
+                    pa.int64(),
+                ),
+                "np": pa.array(
+                    np.bincount(inv, weights=isp).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("x", alias_name="x"), Sum("np", alias_name="np"))
+    )
+
+
+#: integer-arithmetic threshold grid shared by stump + PR curve
+STUMP_BUCKETS = 64
+STUMP_THRESH = 15  # conversion rule, matches ab_test_events
+
+
+def _stump_histogram(sf_dir: str):
+    """(thresholds, n_le, pos_le, n_total, pos_total): cumulative
+    counts at each of the <= 63 distinct integer value-range
+    thresholds t_i = xmin + (i*(xmax-xmin))//B. Two tiny aggregates
+    over the user-bounded feature table (global min/max, then
+    64-bucket histogram partials) — never a per-user driver collect."""
+    from ray.data.aggregate import Max, Min
+
+    users = _stump_user_table(sf_dir)
+    mm = users.aggregate(Min("x"), Max("x"))
+    xmin, xmax = int(mm["min(x)"]), int(mm["max(x)"])
+    i = np.arange(1, STUMP_BUCKETS, dtype=np.int64)
+    thr = np.unique(xmin + (i * (xmax - xmin)) // STUMP_BUCKETS)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False)
+        y = (
+            b["np"].to_numpy(zero_copy_only=False) >= STUMP_THRESH
+        ).astype(np.int64)
+        bucket = np.searchsorted(thr, x, side="left")
+        n = np.bincount(bucket, minlength=len(thr) + 1).astype(np.int64)
+        p = np.bincount(
+            bucket, weights=y, minlength=len(thr) + 1
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.arange(len(thr) + 1, dtype=np.int64)
+                ),
+                "n": pa.array(n, pa.int64()),
+                "p": pa.array(p, pa.int64()),
+            }
+        )
+
+    h = (
+        users.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"), Sum("p", alias_name="p"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    full_n = np.zeros(len(thr) + 1, np.int64)
+    full_p = np.zeros(len(thr) + 1, np.int64)
+    full_n[h["bucket"].to_numpy()] = h["n"].to_numpy()
+    full_p[h["bucket"].to_numpy()] = h["p"].to_numpy()
+    n_le = np.cumsum(full_n)[:-1]  # #{x <= thr[i]}
+    pos_le = np.cumsum(full_p)[:-1]
+    return thr, n_le, pos_le, int(full_n.sum()), int(full_p.sum())
+
+
+def q_decision_stump_events(sf_dir: str):
+    """Best single-threshold decision stump (the CART/GBDT split
+    primitive): does total spend predict conversion (>= 15
+    purchases)? Candidate thresholds are the integer value-range grid
+    (never data-volume-bound); split quality = summed per-side
+    (pos^2 + neg^2)/n — maximizing it minimizes weighted Gini — as
+    one float expression mirroring the oracle's tree, ties -> lowest
+    threshold. All counts reach the driver as a <= 64-row histogram;
+    the per-user fold is the only data-sized exchange."""
+    thr, n_le, pos_le, n_tot, pos_tot = _stump_histogram(sf_dir)
+    n_l, p_l = n_le, pos_le
+    n_r, p_r = n_tot - n_le, pos_tot - pos_le
+    keep = (n_l > 0) & (n_r > 0)
+    thr, n_l, p_l, n_r, p_r = (
+        a[keep] for a in (thr, n_l, p_l, n_r, p_r)
+    )
+    score = ((p_l * p_l + (n_l - p_l) * (n_l - p_l)) * 1.0) / n_l + (
+        (p_r * p_r + (n_r - p_r) * (n_r - p_r)) * 1.0
+    ) / n_r
+    best = np.lexsort((thr, -score))[0]
+    return pd.DataFrame(
+        {
+            "t_cents": [int(thr[best])],
+            "n_left": [int(n_l[best])],
+            "pos_left": [int(p_l[best])],
+            "n_right": [int(n_r[best])],
+            "pos_right": [int(p_r[best])],
+            "score": [float(np.floor(score[best] * 1e6) / 1e6)],
+        }
+    )
+
+
+_SQL_STUMP_BASE = f"""
+u AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS x,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) >= {STUMP_THRESH}
+              THEN 1 ELSE 0 END AS y
+  FROM events GROUP BY user_id
+),
+mm AS (SELECT min(x) AS lo, max(x) AS hi FROM u),
+thr AS (
+  SELECT DISTINCT CAST((SELECT lo FROM mm)
+         + (i * ((SELECT hi FROM mm) - (SELECT lo FROM mm)))
+           // {STUMP_BUCKETS} AS BIGINT) AS t
+  FROM generate_series(1, {STUMP_BUCKETS - 1}) g(i)
+),
+cnt AS (
+  SELECT thr.t,
+         CAST(count(*) FILTER (u.x <= thr.t) AS BIGINT) AS n_l,
+         CAST(sum(u.y) FILTER (u.x <= thr.t) AS BIGINT) AS p_l,
+         CAST(count(*) FILTER (u.x > thr.t) AS BIGINT) AS n_r,
+         CAST(sum(u.y) FILTER (u.x > thr.t) AS BIGINT) AS p_r
+  FROM thr CROSS JOIN u GROUP BY thr.t
+)"""
+
+
+SQL_DECISION_STUMP_EVENTS = (
+    "WITH "
+    + _SQL_STUMP_BASE
+    + """
+SELECT t AS t_cents, n_l AS n_left, p_l AS pos_left,
+       n_r AS n_right, p_r AS pos_right,
+       floor(((p_l * p_l + (n_l - p_l) * (n_l - p_l)) * 1.0 / n_l
+              + (p_r * p_r + (n_r - p_r) * (n_r - p_r)) * 1.0 / n_r)
+             * 1e6) / 1e6 AS score
+FROM cnt WHERE n_l > 0 AND n_r > 0
+ORDER BY (p_l * p_l + (n_l - p_l) * (n_l - p_l)) * 1.0 / n_l
+         + (p_r * p_r + (n_r - p_r) * (n_r - p_r)) * 1.0 / n_r DESC,
+         t ASC
+LIMIT 1
+"""
+)
+
+
+def q_pr_curve_events(sf_dir: str):
+    """Precision/recall/F1 curve of the 'total spend >= t' conversion
+    classifier over the same integer threshold grid as the stump —
+    the model-eval sibling of auc_events (which integrates this
+    curve's ranking). Predicted positive at t = x > t, so TP/PP read
+    straight off the cumulative histogram; precision, recall and F1
+    (= 2TP/(PP+P), one division) are single float expressions over
+    exact integers, floor-quantized."""
+    thr, n_le, pos_le, n_tot, pos_tot = _stump_histogram(sf_dir)
+    pp = n_tot - n_le
+    tp = pos_tot - pos_le
+    keep = pp > 0
+    thr, pp, tp = thr[keep], pp[keep], tp[keep]
+    prec = np.floor((tp * 1.0) / pp * 1e6) / 1e6
+    rec = np.floor((tp * 1.0) / pos_tot * 1e6) / 1e6
+    f1 = np.floor((2 * tp * 1.0) / (pp + pos_tot) * 1e6) / 1e6
+    return pd.DataFrame(
+        {
+            "t_cents": thr.astype(np.int64),
+            "pred_pos": pp.astype(np.int64),
+            "tp": tp.astype(np.int64),
+            "prec": prec,
+            "rec": rec,
+            "f1": f1,
+        }
+    )
+
+
+SQL_PR_CURVE_EVENTS = (
+    "WITH "
+    + _SQL_STUMP_BASE
+    + """,
+tot AS (SELECT CAST(sum(y) AS BIGINT) AS p FROM u)
+SELECT t AS t_cents, n_r AS pred_pos, p_r AS tp,
+       floor(p_r * 1.0 / n_r * 1e6) / 1e6 AS prec,
+       floor(p_r * 1.0 / (SELECT p FROM tot) * 1e6) / 1e6 AS rec,
+       floor(2 * p_r * 1.0 / (n_r + (SELECT p FROM tot)) * 1e6) / 1e6
+         AS f1
+FROM cnt WHERE n_r > 0
+"""
+)
+
+
+REGISTRY.update(
+    {
+        "readability_docs": (q_readability_docs, SQL_READABILITY_DOCS),
+        "decision_stump_events": (
+            q_decision_stump_events,
+            SQL_DECISION_STUMP_EVENTS,
+        ),
+        "pr_curve_events": (q_pr_curve_events, SQL_PR_CURVE_EVENTS),
+    }
+)
