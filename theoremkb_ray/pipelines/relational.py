@@ -14342,3 +14342,265 @@ REGISTRY.update(
         "pr_curve_events": (q_pr_curve_events, SQL_PR_CURVE_EVENTS),
     }
 )
+
+
+def q_jsd_lang_pairs(sf_dir: str):
+    """Jensen-Shannon divergence between the unigram token
+    distributions of every language pair — the distribution-shift /
+    corpus-drift diagnostic of a training-data pipeline (domain mix
+    monitoring, dedup-impact checks). One vocabulary-bounded exchange
+    of per-batch (lang, token) count partials; the driver finishes
+    over the langs x vocab table with math.log (ulp-identical to
+    DuckDB ln — the nb_classify_docs precedent) and each JSD term is
+    floor-quantized to integer NANOUNITS before the order-independent
+    integer sum."""
+    import math
+
+    ds = _pq(sf_dir, "documents", ["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        n_per = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(words)
+        langs = np.repeat(
+            b["lang"].to_numpy(zero_copy_only=False).astype("U"), n_per
+        )
+        toks = flat.to_numpy(zero_copy_only=False).astype("U")
+        keep = toks != ""
+        df = (
+            pd.DataFrame({"lang": langs[keep], "tok": toks[keep]})
+            .groupby(["lang", "tok"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "tok"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    piv = counts.pivot_table(
+        index="tok", columns="lang", values="n", fill_value=0
+    ).astype(np.int64)
+    totals = {lang: int(piv[lang].sum()) for lang in piv.columns}
+    rows = []
+    for la in sorted(piv.columns):
+        for lb in sorted(piv.columns):
+            if la >= lb:
+                continue
+            ta, tb = totals[la], totals[lb]
+            acc = 0
+            for n_a, n_b in zip(piv[la].to_numpy(), piv[lb].to_numpy()):
+                pa_ = int(n_a) * 1.0 / ta
+                pb_ = int(n_b) * 1.0 / tb
+                s = pa_ + pb_
+                term = (
+                    0.0 if n_a == 0
+                    else 0.5 * pa_ * math.log(2.0 * pa_ / s)
+                ) + (
+                    0.0 if n_b == 0
+                    else 0.5 * pb_ * math.log(2.0 * pb_ / s)
+                )
+                acc += int(np.floor(term * 1e9))
+            rows.append((la, lb, acc))
+    return pd.DataFrame(
+        rows, columns=["lang_a", "lang_b", "jsd_nano"]
+    ).astype({"jsd_nano": np.int64})
+
+
+SQL_JSD_LANG_PAIRS = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+),
+c AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS n
+      FROM tok WHERE t <> '' GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY 1),
+langs AS (SELECT DISTINCT lang FROM c),
+grid AS (SELECT l.lang, v.t
+         FROM langs l CROSS JOIN (SELECT DISTINCT t FROM c) v),
+f AS (SELECT g.lang, g.t, COALESCE(c.n, 0) AS n
+      FROM grid g LEFT JOIN c ON c.lang = g.lang AND c.t = g.t),
+pr AS (SELECT a.lang AS la, b.lang AS lb
+       FROM langs a JOIN langs b ON a.lang < b.lang),
+terms AS (
+  SELECT pr.la, pr.lb,
+         CAST(floor((
+           CASE WHEN fa.n = 0 THEN 0.0
+                ELSE 0.5 * (fa.n * 1.0 / ta.tn)
+                     * ln(2.0 * (fa.n * 1.0 / ta.tn)
+                          / ((fa.n * 1.0 / ta.tn)
+                             + (fb.n * 1.0 / tb.tn))) END
+           + CASE WHEN fb.n = 0 THEN 0.0
+                  ELSE 0.5 * (fb.n * 1.0 / tb.tn)
+                       * ln(2.0 * (fb.n * 1.0 / tb.tn)
+                            / ((fa.n * 1.0 / ta.tn)
+                               + (fb.n * 1.0 / tb.tn))) END
+         ) * 1e9) AS BIGINT) AS ti
+  FROM pr
+  JOIN f fa ON fa.lang = pr.la
+  JOIN f fb ON fb.lang = pr.lb AND fb.t = fa.t
+  JOIN tot ta ON ta.lang = pr.la
+  JOIN tot tb ON tb.lang = pr.lb
+)
+SELECT la AS lang_a, lb AS lang_b,
+       CAST(sum(ti) AS BIGINT) AS jsd_nano
+FROM terms GROUP BY 1, 2
+"""
+
+
+#: deterministic-walk parameters (random_walks)
+WALK_SEED_MOD = 50  # walkers start from custkey % 50 == 0
+WALK_STEPS = 3
+
+
+def q_random_walks(sf_dir: str):
+    """DeepWalk/node2vec-style corpus generation: deterministic
+    3-step walks over the house digraph, one walk per seed node
+    (custkey % 50 == 0). The 'random' next hop is the out-neighbour
+    minimizing key_rank64((cur << 32) | dst, seed=step) — a pure
+    function of (cur, step, dst), so walks are identical under any
+    partitioning and the SQL twin replays the splitmix chain
+    bit-for-bit. Per step: ONE streamed edge scan against the
+    broadcast frontier (walker count is corpus/50-bounded; the
+    beyond-driver plan is the pagerank_distributed hash-join shape),
+    per-batch best-per-walker partials, tiny driver fold."""
+    import ray
+
+    from ..functions.hashing import key_rank64
+
+    eds, _n = _ring_chord_edges_ds(sf_dir)
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    seeds = (
+        cust.filter(
+            lambda r: r["c_custkey"] % WALK_SEED_MOD == 0
+        ).to_pandas()["c_custkey"].to_numpy(np.int64)
+    )
+    walkers = np.sort(seeds)
+    cur = walkers.copy()
+    path = [walkers]
+    for step in range(1, WALK_STEPS + 1):
+        order = np.argsort(cur, kind="mergesort")
+        cur_sorted = cur[order]  # walker ids carried via order
+        uniq, starts = np.unique(cur_sorted, return_index=True)
+        ref = ray.put((uniq, starts, order, cur_sorted, step))
+
+        def best_partial(b: pa.Table, _ref=ref) -> pa.Table:
+            u, st, ord_, curs, s = ray.get(_ref)
+            src = b["src"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            dst = b["dst"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            pos = np.searchsorted(u, src)
+            pos = np.clip(pos, 0, len(u) - 1)
+            hit = u[pos] == src
+            src, dst, pos = src[hit], dst[hit], pos[hit]
+            # fan out one row per walker currently AT this src node
+            ends = np.r_[st[1:], len(curs)]
+            reps = (ends - st)[pos]
+            w_idx = np.concatenate(
+                [ord_[st[p]: ends[p]] for p in pos]
+            ) if len(pos) else np.empty(0, np.int64)
+            dsts = np.repeat(dst, reps)
+            srcs = np.repeat(src, reps)
+            key = (srcs.astype(np.uint64) << np.uint64(32)) | dsts.astype(
+                np.uint64
+            )
+            rank = key_rank64(key.astype(np.int64), seed=s)
+            o = np.lexsort((dsts, rank, w_idx))
+            w_s, d_s, r_s = w_idx[o], dsts[o], rank[o]
+            first = np.r_[True, w_s[1:] != w_s[:-1]]
+            return pa.table(
+                {
+                    "w": pa.array(w_s[first], pa.int64()),
+                    "dst": pa.array(d_s[first], pa.int64()),
+                    "rank": pa.array(
+                        r_s[first].astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        parts = eds.map_batches(
+            best_partial, batch_format="pyarrow"
+        ).to_pandas()
+        parts["rank"] = parts["rank"].astype(np.uint64)
+        parts = parts.sort_values(
+            ["w", "rank", "dst"], kind="mergesort"
+        ).drop_duplicates("w", keep="first")
+        nxt = np.empty(len(walkers), np.int64)
+        nxt[parts["w"].to_numpy(np.int64)] = parts["dst"].to_numpy(
+            np.int64
+        )
+        cur = nxt
+        path.append(cur.copy())
+    return pd.DataFrame(
+        {
+            "walker": path[0],
+            "n1": path[1],
+            "n2": path[2],
+            "n3": path[3],
+        }
+    )
+
+
+def _walk_rank_ctes(prefix: str, src_cte: str, carry: str, seed: int) -> str:
+    from __ray_entry__ import _splitmix_round_ctes  # lazy: avoids cycle
+
+    return f"""{_splitmix_round_ctes(prefix + 'a', src_cte, carry)}
+{prefix}x AS (SELECT {carry}, xor(x, CAST({seed} AS UBIGINT)) AS x
+              FROM {prefix}a4),
+{_splitmix_round_ctes(prefix + 'b', prefix + 'x', carry)}
+{prefix}r AS (SELECT {carry}, x FROM {prefix}b4)"""
+
+
+def _random_walks_sql() -> str:
+    steps = []
+    prev = "seeds"
+    prev_col = "node"
+    carry_cols = ["walker"]
+    for s in range(1, WALK_STEPS + 1):
+        carry = ", ".join(carry_cols + ["dst"])
+        steps.append(f"""
+c{s} AS (SELECT {', '.join(carry_cols)}, e.dst AS dst,
+         CAST({prev}.{prev_col} AS UBIGINT) * 4294967296
+           + CAST(e.dst AS UBIGINT) AS x
+         FROM {prev} JOIN e ON e.src = {prev}.{prev_col}),
+{_walk_rank_ctes(f'w{s}', f'c{s}', carry, s)},
+p{s} AS (SELECT {', '.join(carry_cols)}, dst AS n{s} FROM (
+  SELECT {carry},
+         row_number() OVER (PARTITION BY walker ORDER BY x, dst) AS rn
+  FROM w{s}r) WHERE rn = 1)""")
+        prev = f"p{s}"
+        prev_col = f"n{s}"
+        carry_cols.append(f"n{s}")
+    body = ",".join(steps)
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT c_custkey AS src, (c_custkey + 1) % (SELECT n FROM nn) AS dst
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, (7 * c_custkey + 3) % (SELECT n FROM nn)
+  FROM customer
+  WHERE c_custkey % 3 = 0
+    AND (7 * c_custkey + 3) % (SELECT n FROM nn)
+        <> (c_custkey + 1) % (SELECT n FROM nn)
+),
+seeds AS (SELECT c_custkey AS walker, c_custkey AS node
+          FROM customer WHERE c_custkey % {WALK_SEED_MOD} = 0),
+{body}
+SELECT walker, n1, n2, n3 FROM p{WALK_STEPS}
+"""
+
+
+REGISTRY.update(
+    {
+        "jsd_lang_pairs": (q_jsd_lang_pairs, SQL_JSD_LANG_PAIRS),
+        "random_walks": (q_random_walks, _random_walks_sql()),
+    }
+)
