@@ -748,3 +748,53 @@ def test_above_avg_orders_join_fallback_matches_broadcast():
         drop=True
     )
     pd.testing.assert_frame_equal(fast[cols], want)
+
+
+def test_compression_ratio_flags_repetitive_text():
+    """No-oracle op (DuckDB has no DEFLATE): repetitive boilerplate
+    must compress strictly better than token-diverse text, ratios are
+    deterministic, and raw/comp lengths match a direct zlib call."""
+    import zlib
+
+    import ray.data as rd
+
+    from theoremkb_ray.pipelines.relational import (
+        q_compression_ratio_docs,
+    )
+
+    got = _df(q_compression_ratio_docs(SF_DIR)).set_index("doc_id")
+    docs = pd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).set_index("doc_id")
+    assert len(got) == len(docs)
+    # spot-exact vs a direct zlib call on 5 docs
+    for did in list(docs.index[:5]):
+        t = docs.loc[did, "text"].encode()
+        assert got.loc[did, "raw_len"] == len(t)
+        assert got.loc[did, "comp_len"] == len(zlib.compress(t, 6))
+    # planted contrast: boilerplate vs diverse text through the SAME
+    # batch kernel (not just zlib directly)
+    rep = "spam ham " * 400
+    div = " ".join(f"tok{i}x{i * 7 % 97}" for i in range(800))
+    tbl = pa.table({"doc_id": [1, 2], "text": [rep, div]})
+    import theoremkb_ray.pipelines.relational as R
+
+    out = None
+    for b in [tbl]:
+        # reuse the inner kernel via a tiny in-memory dataset
+        ds = rd.from_arrow(b)
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as td:
+            import pyarrow.parquet as pq
+            pq.write_table(
+                b.append_column(
+                    "lang", pa.array(["en", "en"])
+                ).append_column(
+                    "source", pa.array(["s", "s"])
+                ).append_column(
+                    "n_chars", pa.array([len(rep), len(div)], pa.int64())
+                ),
+                os.path.join(td, "documents.parquet"),
+            )
+            out = _df(R.q_compression_ratio_docs(td)).set_index("doc_id")
+    assert out.loc[1, "ratio"] < out.loc[2, "ratio"] * 0.5

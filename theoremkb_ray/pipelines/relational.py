@@ -14171,7 +14171,10 @@ def _stump_histogram(sf_dir: str):
     64-bucket histogram partials) — never a per-user driver collect."""
     from ray.data.aggregate import Max, Min
 
-    users = _stump_user_table(sf_dir)
+    # the per-user table is user-bounded (not data-volume-bound), so
+    # pinning it is safe at any corpus scale and saves re-running the
+    # event fold for the second (histogram) pass
+    users = _stump_user_table(sf_dir).materialize()
     mm = users.aggregate(Min("x"), Max("x"))
     xmin, xmax = int(mm["min(x)"]), int(mm["max(x)"])
     i = np.arange(1, STUMP_BUCKETS, dtype=np.int64)
@@ -14602,5 +14605,199 @@ REGISTRY.update(
     {
         "jsd_lang_pairs": (q_jsd_lang_pairs, SQL_JSD_LANG_PAIRS),
         "random_walks": (q_random_walks, _random_walks_sql()),
+    }
+)
+
+
+#: C4-style term blocklist (stand-in list over the synthetic vocab —
+#: the operator shape is what matters, the list is a config knob)
+BLOCKLIST_TERMS = ("slow", "big")
+BLOCKLIST_MAX_BP = 200  # drop docs where flagged tokens > 2% (bp)
+
+
+def q_blocklist_docs(sf_dir: str):
+    """Blocklist filtering (the C4 'bad words' gate): per doc, count
+    tokens in the configured blocklist and flag docs whose flagged
+    share exceeds 2% — the drop decision cross-multiplies integers
+    (n_flagged * 10000 > bp * n_tokens), so no float ever enters the
+    predicate. Pure per-row Arrow kernels, zero shuffle."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    terms = pa.array(list(BLOCKLIST_TERMS))
+
+    def score(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        n_per = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(words)
+        empty = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        hit = pc.is_in(flat, value_set=terms).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        # per-doc sums over the flattened token array
+        offs = np.r_[0, np.cumsum(n_per)]
+        csum_hit = np.r_[0, np.cumsum(hit)]
+        csum_tok = np.r_[0, np.cumsum((~empty).astype(np.int64))]
+        n_flag = csum_hit[offs[1:]] - csum_hit[offs[:-1]]
+        n_tok = csum_tok[offs[1:]] - csum_tok[offs[:-1]]
+        drop = (
+            n_flag * 10000 > np.int64(BLOCKLIST_MAX_BP) * n_tok
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_flagged": pa.array(n_flag, pa.int64()),
+                "drop": pa.array(drop, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_BLOCKLIST_DOCS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(count(*) FILTER (t <> '') AS BIGINT) AS n_tokens,
+         CAST(count(*) FILTER (
+           t IN ({', '.join(repr(t) for t in BLOCKLIST_TERMS)})
+         ) AS BIGINT) AS n_flagged
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_flagged,
+       CASE WHEN n_flagged * 10000 > {BLOCKLIST_MAX_BP} * n_tokens
+            THEN 1 ELSE 0 END AS "drop"
+FROM c
+"""
+
+
+def q_compression_ratio_docs(sf_dir: str):
+    """Compressibility quality signal (Gopher / CCNet practice):
+    zlib-compressed size over raw size per document — near-duplicate
+    boilerplate and template junk compress far better than natural
+    text. Per-row zlib calls are C-speed and stateless (the same
+    per-doc-bounded-work contract as model scoring); zero shuffle.
+    NO SQL ORACLE: DuckDB has no DEFLATE primitive — correctness is
+    pinned by pytest instead (repetitive text must compress below
+    diverse text; byte-deterministic at level 6)."""
+    import zlib
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        raw = np.array([len(t.encode()) for t in texts], np.int64)
+        comp = np.array(
+            [len(zlib.compress(t.encode(), 6)) for t in texts],
+            np.int64,
+        )
+        keep = raw > 0
+        ratio = np.floor(
+            comp[keep] * 1.0 / raw[keep] * 1e6
+        ) / 1e6
+        return pa.table(
+            {
+                "doc_id": pc.filter(b["doc_id"], pa.array(keep)),
+                "raw_len": pa.array(raw[keep], pa.int64()),
+                "comp_len": pa.array(comp[keep], pa.int64()),
+                "ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+#: bootstrap parameters (bootstrap_ci_events)
+BOOT_B = 200
+BOOT_SEED = 17
+
+
+def q_bootstrap_ci_events(sf_dir: str):
+    """Deterministic bootstrap 95% CI for mean per-user spend: 200
+    resamples whose member indices are a pure splitmix64 function of
+    (resample, position) — reproducible under any partitioning, and
+    the SQL twin replays the chain bit-for-bit. The per-user cents
+    fold is the only data-sized exchange; resampling happens over the
+    user-BOUNDED table (driver-side here; at an unbounded user count
+    the same membership function drives B broadcast-scored scans).
+    Resample sums are exact int64; each mean is one floor-quantized
+    division; the CI reads ranks 6 and 195 of the 200 ordered means."""
+    from ..functions.hashing import key_rank64
+
+    users = (
+        _stump_user_table(sf_dir)
+        .to_pandas()
+        .sort_values("user_id", kind="mergesort")
+    )
+    x = users["x"].to_numpy(np.int64)
+    n = len(x)
+    means = np.empty(BOOT_B, np.float64)
+    i = np.arange(n, dtype=np.uint64)
+    for b in range(1, BOOT_B + 1):
+        key = (np.uint64(b) << np.uint64(32)) | i
+        idx = key_rank64(key.astype(np.int64), seed=BOOT_SEED) % np.uint64(n)
+        s = int(x[idx.astype(np.int64)].sum())
+        means[b - 1] = np.floor(s * 1.0 / n * 1e6) / 1e6
+    means.sort(kind="stable")
+    point = np.floor(int(x.sum()) * 1.0 / n * 1e6) / 1e6
+    return pd.DataFrame(
+        {
+            "n_users": [n],
+            "point_mean": [point],
+            "ci_lo": [means[5]],
+            "ci_hi": [means[BOOT_B - 6]],
+        }
+    )
+
+
+def _bootstrap_ci_sql() -> str:
+    from __ray_entry__ import _key_rank_sql  # lazy: avoids cycle
+
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+ru AS (SELECT x AS cents,
+              row_number() OVER (ORDER BY user_id) - 1 AS pos
+       FROM u),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+g AS (SELECT gb.b, gi.i
+      FROM generate_series(1, {BOOT_B}) gb(b)
+      CROSS JOIN (SELECT pos AS i FROM ru) gi),
+{_key_rank_sql('g', '(b * 4294967296 + i)', 'b, i', BOOT_SEED)},
+sel AS (
+  SELECT r.b, ru.cents
+  FROM r JOIN ru
+    ON ru.pos = CAST(r.x % CAST((SELECT n FROM nn) AS UBIGINT)
+                     AS BIGINT)
+),
+m AS (
+  SELECT b,
+         floor(CAST(sum(cents) AS BIGINT) * 1.0
+               / (SELECT n FROM nn) * 1e6) / 1e6 AS mean
+  FROM sel GROUP BY b
+),
+o AS (SELECT mean, row_number() OVER (ORDER BY mean) AS rn FROM m)
+SELECT (SELECT n FROM nn) AS n_users,
+       floor((SELECT CAST(sum(x) AS BIGINT) FROM u) * 1.0
+             / (SELECT n FROM nn) * 1e6) / 1e6 AS point_mean,
+       (SELECT mean FROM o WHERE rn = 6) AS ci_lo,
+       (SELECT mean FROM o WHERE rn = {BOOT_B - 5}) AS ci_hi
+"""
+
+
+REGISTRY.update(
+    {
+        "blocklist_docs": (q_blocklist_docs, SQL_BLOCKLIST_DOCS),
+        "compression_ratio_docs": (q_compression_ratio_docs, None),
+        "bootstrap_ci_events": (
+            q_bootstrap_ci_events,
+            _bootstrap_ci_sql(),
+        ),
     }
 )
