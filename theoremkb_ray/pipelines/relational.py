@@ -14801,3 +14801,238 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_emd_cohorts_events(sf_dir: str):
+    """1-D earth-mover (Wasserstein-1) distance between the per-user
+    spend distributions of the two experiment cohorts (user_id % 2) —
+    the drift metric that, unlike KS or JSD, weighs HOW FAR mass
+    moved. Over the ordered distinct-cents support, EMD = sum over
+    gaps of |F_A - F_B| * gap; the integrand cross-multiplies integer
+    cumulative counts (|cumA*nB - cumB*nA| * gap), so the whole sum
+    is exact integer arithmetic with ONE final floor-quantized
+    division. Per-user cents fold is the only data-sized exchange;
+    the support table is user-bounded."""
+    ds = _pq(sf_dir, "events", ["user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        us, inv = np.unique(u, return_inverse=True)
+        return pa.table(
+            {
+                "user_id": pa.array(us, pa.int64()),
+                "x": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    users = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("x", alias_name="x"))
+        .to_pandas()
+    )
+    cohort = users["user_id"].to_numpy(np.int64) % 2
+    x = users["x"].to_numpy(np.int64)
+    order = np.argsort(x, kind="mergesort")
+    x, cohort = x[order], cohort[order]
+    v, start = np.unique(x, return_index=True)
+    ca_per = np.bincount(
+        np.searchsorted(v, x), weights=(cohort == 0), minlength=len(v)
+    ).astype(np.int64)
+    cb_per = np.bincount(
+        np.searchsorted(v, x), weights=(cohort == 1), minlength=len(v)
+    ).astype(np.int64)
+    cuma = np.cumsum(ca_per)
+    cumb = np.cumsum(cb_per)
+    na, nb = int(cuma[-1]), int(cumb[-1])
+    gaps = (v[1:] - v[:-1]).astype(object)
+    s = int(
+        sum(
+            abs(int(cuma[i]) * nb - int(cumb[i]) * na) * int(gaps[i])
+            for i in range(len(v) - 1)
+        )
+    )
+    emd = np.floor(s * 1.0 / (na * nb) * 1e6) / 1e6
+    return pd.DataFrame(
+        {"n_a": [na], "n_b": [nb], "emd_cents": [float(emd)]}
+    )
+
+
+SQL_EMD_COHORTS_EVENTS = """
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS x,
+         user_id % 2 AS cohort
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT x,
+         CAST(count(*) FILTER (cohort = 0) AS BIGINT) AS ca,
+         CAST(count(*) FILTER (cohort = 1) AS BIGINT) AS cb
+  FROM u GROUP BY x
+),
+nn AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+              CAST(sum(cb) AS BIGINT) AS nb FROM v),
+w AS (
+  SELECT x,
+         CAST(sum(ca) OVER (ORDER BY x) AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER (ORDER BY x) AS BIGINT) AS cumb,
+         lead(x) OVER (ORDER BY x) AS nx
+  FROM v
+),
+t AS (
+  SELECT CAST(sum(abs(cuma * (SELECT nb FROM nn)
+                      - cumb * (SELECT na FROM nn))
+                  * (nx - x)) AS BIGINT) AS s
+  FROM w WHERE nx IS NOT NULL
+)
+SELECT (SELECT na FROM nn) AS n_a,
+       (SELECT nb FROM nn) AS n_b,
+       floor((SELECT s FROM t) * 1.0
+             / ((SELECT na FROM nn) * (SELECT nb FROM nn))
+             * 1e6) / 1e6 AS emd_cents
+"""
+
+
+def q_ann_filtered_topk(sf_dir: str):
+    """Metadata-FILTERED vector search (the vector-DB staple): exact
+    cosine top-5 among vectors whose label = 1 only, queries =
+    vec_id 0..2. Pre-filtering the candidate stream keeps the scan
+    one pass and the ranking contract identical to ann_topk
+    (cosine DESC, vec_id tiebreak)."""
+    from ..stages.similarity import brute_topk
+
+    ds = _pq(
+        sf_dir, "embeddings", ["vec_id", "embedding", "label"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b["label"], pa.scalar(1, pa.int32()))
+        ).select(["vec_id", "embedding"]),
+        batch_format="pyarrow",
+    )
+    qdf = (
+        _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], 3)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    Q = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    out = brute_topk(ds, Q, k=5).to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    return out[["query_id", "vec_id", "rank"]].astype(
+        {"query_id": "int64", "vec_id": "int64", "rank": "int64"}
+    )
+
+
+SQL_ANN_FILTERED_TOPK = """
+SELECT query_id, vec_id, rank FROM (
+  SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                           v.embedding::DOUBLE[]) DESC,
+                    v.vec_id) AS rank
+  FROM embeddings q CROSS JOIN embeddings v
+  WHERE q.vec_id < 3 AND v.label = 1)
+WHERE rank <= 5
+"""
+
+
+#: matryoshka truncation width (dim_truncation_overlap)
+TRUNC_DIMS = 8
+
+
+def q_dim_truncation_overlap(sf_dir: str):
+    """Matryoshka-style embedding-truncation eval: how much of the
+    exact cosine top-10 survives when vectors are truncated to their
+    first 8 dimensions? Two one-pass brute rankings (full + sliced
+    list column) and a 3x10-row driver intersection; the per-query
+    overlap count quantifies the recall cost of the cheaper index."""
+    from ..stages.similarity import brute_topk
+
+    full = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    trunc = full.map_batches(
+        lambda b: pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "embedding": pc.list_slice(b["embedding"], 0, TRUNC_DIMS),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    qdf = (
+        full.map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], 3)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    Q = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    tf = brute_topk(full, Q, k=10).to_pandas()
+    tt = brute_topk(trunc, Q[:, :TRUNC_DIMS], k=10).to_pandas()
+    rows = []
+    for qi, qid in enumerate(qids):
+        a = set(tf.loc[tf["query_id"] == qi, "vec_id"])
+        b_ = set(tt.loc[tt["query_id"] == qi, "vec_id"])
+        rows.append((int(qid), len(a & b_)))
+    return pd.DataFrame(rows, columns=["query_id", "overlap"]).astype(
+        {"query_id": "int64", "overlap": "int64"}
+    )
+
+
+SQL_DIM_TRUNCATION_OVERLAP = f"""
+WITH fullk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                             v.embedding::DOUBLE[]) DESC,
+                      v.vec_id) AS rank
+    FROM embeddings q CROSS JOIN embeddings v WHERE q.vec_id < 3)
+  WHERE rank <= 10
+),
+trunck AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(
+                        (q.embedding::DOUBLE[])[1:{TRUNC_DIMS}],
+                        (v.embedding::DOUBLE[])[1:{TRUNC_DIMS}]) DESC,
+                      v.vec_id) AS rank
+    FROM embeddings q CROSS JOIN embeddings v WHERE q.vec_id < 3)
+  WHERE rank <= 10
+)
+SELECT f.query_id, CAST(count(*) AS BIGINT) AS overlap
+FROM fullk f JOIN trunck t
+  ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+GROUP BY f.query_id
+"""
+
+
+REGISTRY.update(
+    {
+        "emd_cohorts_events": (
+            q_emd_cohorts_events,
+            SQL_EMD_COHORTS_EVENTS,
+        ),
+        "ann_filtered_topk": (q_ann_filtered_topk, SQL_ANN_FILTERED_TOPK),
+        "dim_truncation_overlap": (
+            q_dim_truncation_overlap,
+            SQL_DIM_TRUNCATION_OVERLAP,
+        ),
+    }
+)
