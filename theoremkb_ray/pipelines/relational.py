@@ -15036,3 +15036,185 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_attribution_linear(sf_dir: str):
+    """LINEAR multi-touch attribution (the equal-credit sibling of
+    attribution_last_touch): every click/view in the 24 h before a
+    purchase shares that purchase's credit equally. Credit is the
+    integer micro-unit floor(1e6 // k) per touch — integer DIVISION
+    on both engines, so per-type credit sums are exact BIGINTs under
+    any partitioning; purchases with no prior touch land in an
+    'unattributed' bucket at full credit. One user-bucketed exchange;
+    per-user window counts are two searchsorteds over the
+    disjoint-offset touch timeline (the burst_users trick), no
+    per-user loop."""
+    ds = _pq(
+        sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]
+    )
+    W = 24 * 3600 * 1_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        ty = g["event_type"].to_numpy()
+        new = np.r_[True, u[1:] != u[:-1]]
+        seg_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(u)] - 1
+        rel = t - t[starts][seg_id]
+        spans = rel[ends]
+        offs = np.r_[0, np.cumsum(spans[:-1] + W + 1_000_000)]
+        tt = rel + offs[seg_id]  # per-user-disjoint timeline
+        is_p = ty == "purchase"
+        res = {"click": 0, "view": 0}
+        kc = np.zeros(int(is_p.sum()), np.int64)
+        kv = np.zeros_like(kc)
+        for name, arr in (("click", kc), ("view", kv)):
+            tm = tt[ty == name]
+            lo = np.searchsorted(tm, tt[is_p] - W, side="left")
+            hi = np.searchsorted(tm, tt[is_p], side="left")
+            arr[:] = hi - lo
+        k = kc + kv
+        has = k > 0
+        per = np.zeros_like(k)
+        per[has] = 1_000_000 // k[has]
+        return pd.DataFrame(
+            {
+                "event_type": ["click", "view", "unattributed"],
+                "credit_micro": [
+                    int((kc[has] * per[has]).sum()),
+                    int((kv[has] * per[has]).sum()),
+                    int((~has).sum()) * 1_000_000,
+                ],
+            }
+        )
+
+    def pre(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            b["event_type"],
+            value_set=pa.array(["click", "view", "purchase"]),
+        )
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "t": pa.array(_date_us(b["ts"])),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+            }
+        )
+
+    parts = (
+        _by_user_bucket(ds.map_batches(pre, batch_format="pyarrow"))
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("event_type", sort=True)["credit_micro"]
+        .sum()
+        .reset_index()
+    )
+    out["credit_micro"] = out["credit_micro"].astype(np.int64)
+    out["credit"] = out["credit_micro"] / 1e6
+    return out
+
+
+SQL_ATTRIBUTION_LINEAR = """
+WITH p AS (SELECT event_id AS pid, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+t AS (SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'view')),
+tc AS (
+  SELECT p.pid, t.event_type AS ty, CAST(count(*) AS BIGINT) AS c
+  FROM p JOIN t ON t.user_id = p.user_id
+               AND t.ts < p.ts
+               AND t.ts >= p.ts - INTERVAL 24 HOUR
+  GROUP BY 1, 2
+),
+k AS (SELECT pid, CAST(sum(c) AS BIGINT) AS k FROM tc GROUP BY pid),
+cr AS (
+  SELECT tc.ty AS event_type,
+         CAST(sum(tc.c * (1000000 // k.k)) AS BIGINT) AS credit_micro
+  FROM tc JOIN k ON k.pid = tc.pid GROUP BY 1
+),
+un AS (
+  SELECT 'unattributed' AS event_type,
+         CAST(count(*) AS BIGINT) * 1000000 AS credit_micro
+  FROM p LEFT JOIN k ON k.pid = p.pid WHERE k.pid IS NULL
+),
+allc AS (SELECT * FROM cr UNION ALL SELECT * FROM un)
+SELECT event_type, credit_micro, credit_micro / 1e6 AS credit
+FROM allc ORDER BY event_type
+"""
+
+
+def q_drawdown_users(sf_dir: str):
+    """Maximum drawdown per user over the (ts, event_id)-ordered
+    value series — the running-peak-minus-current metric every
+    monitoring/finance pipeline computes. Exact integer cents: one
+    user-bucketed exchange, per-user cummax inside the coarse group
+    (pandas groupby.cummax — C-speed, no Python loop), max of the
+    gap."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "t": pa.array(_date_us(b["ts"])),
+                "event_id": b["event_id"],
+                "v": pa.array(
+                    np.rint(
+                        b["value"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        peak = g.groupby("user_id", sort=False)["v"].cummax()
+        dd = peak - g["v"]
+        out = (
+            dd.groupby(g["user_id"], sort=False)
+            .max()
+            .reset_index()
+        )
+        out.columns = ["user_id", "max_drawdown_cents"]
+        return out.astype(
+            {"user_id": np.int64, "max_drawdown_cents": np.int64}
+        )
+
+    return _by_user_bucket(
+        ds.map_batches(pre, batch_format="pyarrow")
+    ).map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_DRAWDOWN_USERS = """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100.0) AS BIGINT) AS v
+  FROM events
+),
+w AS (
+  SELECT user_id,
+         max(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) - v AS dd
+  FROM v
+)
+SELECT user_id, CAST(max(dd) AS BIGINT) AS max_drawdown_cents
+FROM w GROUP BY user_id
+"""
+
+
+REGISTRY.update(
+    {
+        "attribution_linear": (
+            q_attribution_linear,
+            SQL_ATTRIBUTION_LINEAR,
+        ),
+        "drawdown_users": (q_drawdown_users, SQL_DRAWDOWN_USERS),
+    }
+)
