@@ -15218,3 +15218,172 @@ REGISTRY.update(
         "drawdown_users": (q_drawdown_users, SQL_DRAWDOWN_USERS),
     }
 )
+
+
+def q_wilson_ci_cohorts(sf_dir: str):
+    """Wilson score 95% interval for each cohort's conversion rate —
+    the small-sample-safe CI the two-proportion z-test (ab_test)
+    should be read with. Inputs are the exact integer (converted,
+    total) pairs from one user fold; the interval is a single float
+    expression evaluated in the oracle's exact tree shape (math.sqrt
+    == DuckDB sqrt, both correctly rounded), floor-quantized."""
+    import math
+
+    users = _stump_user_table(sf_dir).to_pandas()
+    conv = (users["np"].to_numpy(np.int64) >= STUMP_THRESH).astype(
+        np.int64
+    )
+    grp = users["user_id"].to_numpy(np.int64) % 2
+    Z = 1.96
+    rows = []
+    for c in (0, 1):
+        n = int((grp == c).sum())
+        x = int(conv[grp == c].sum())
+        p = x * 1.0 / n
+        ctr = p + (Z * Z) / (2.0 * n)
+        half = Z * math.sqrt(
+            (p * (1.0 - p)) / n + (Z * Z) / (4.0 * n * n)
+        )
+        den = 1.0 + (Z * Z) / n
+        rows.append(
+            (
+                c,
+                n,
+                x,
+                np.floor((ctr - half) / den * 1e6) / 1e6,
+                np.floor((ctr + half) / den * 1e6) / 1e6,
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["cohort", "n", "converted", "ci_lo", "ci_hi"]
+    ).astype({"cohort": np.int64, "n": np.int64, "converted": np.int64})
+
+
+SQL_WILSON_CI_COHORTS = f"""
+WITH u AS (
+  SELECT user_id % 2 AS cohort,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) >= {STUMP_THRESH}
+              THEN 1 ELSE 0 END AS y
+  FROM events GROUP BY user_id
+),
+c AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS x
+      FROM u GROUP BY cohort)
+SELECT cohort, n, x AS converted,
+       floor(((x * 1.0 / n + (1.96 * 1.96) / (2.0 * n))
+              - 1.96 * sqrt(((x * 1.0 / n) * (1.0 - x * 1.0 / n)) / n
+                            + (1.96 * 1.96) / (4.0 * n * n)))
+             / (1.0 + (1.96 * 1.96) / n) * 1e6) / 1e6 AS ci_lo,
+       floor(((x * 1.0 / n + (1.96 * 1.96) / (2.0 * n))
+              + 1.96 * sqrt(((x * 1.0 / n) * (1.0 - x * 1.0 / n)) / n
+                            + (1.96 * 1.96) / (4.0 * n * n)))
+             / (1.0 + (1.96 * 1.96) / n) * 1e6) / 1e6 AS ci_hi
+FROM c
+"""
+
+
+def q_hist_intersection_sources(sf_dir: str):
+    """Histogram-intersection similarity between the token
+    distributions of two document sources (src0 vs src1) — the
+    min-based drift measure complementing JSD (which is log-based):
+    HI = sum_t min(p_t, q_t). Cross-multiplied integer counts make
+    the numerator exact (min(na*Nb, nb*Na)); one vocabulary-bounded
+    count exchange, one final quantized division."""
+    ds = _pq(sf_dir, "documents", ["source", "text"]).map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["source"], value_set=pa.array(["src0", "src1"]))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        n_per = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(words)
+        src = np.repeat(
+            b["source"].to_numpy(zero_copy_only=False).astype("U"),
+            n_per,
+        )
+        toks = flat.to_numpy(zero_copy_only=False).astype("U")
+        keep = toks != ""
+        df = (
+            pd.DataFrame({"source": src[keep], "tok": toks[keep]})
+            .groupby(["source", "tok"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "tok"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    piv = counts.pivot_table(
+        index="tok", columns="source", values="n", fill_value=0
+    ).astype(np.int64)
+    na = piv.get("src0", pd.Series(0, index=piv.index)).to_numpy()
+    nb = piv.get("src1", pd.Series(0, index=piv.index)).to_numpy()
+    Na, Nb = int(na.sum()), int(nb.sum())
+    num = int(
+        sum(
+            min(int(a) * Nb, int(b_) * Na)
+            for a, b_ in zip(na, nb)
+        )
+    )
+    hi = np.floor(num * 1.0 / (Na * Nb) * 1e6) / 1e6
+    return pd.DataFrame(
+        {
+            "src_a": ["src0"],
+            "src_b": ["src1"],
+            "n_a": [Na],
+            "n_b": [Nb],
+            "hist_intersection": [float(hi)],
+        }
+    ).astype({"n_a": np.int64, "n_b": np.int64})
+
+
+SQL_HIST_INTERSECTION_SOURCES = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+c AS (SELECT source, t, CAST(count(*) AS BIGINT) AS n
+      FROM tok WHERE t <> '' GROUP BY 1, 2),
+piv AS (
+  SELECT t,
+         CAST(COALESCE(sum(n) FILTER (source = 'src0'), 0)
+              AS BIGINT) AS na,
+         CAST(COALESCE(sum(n) FILTER (source = 'src1'), 0)
+              AS BIGINT) AS nb
+  FROM c GROUP BY t
+),
+tot AS (SELECT CAST(sum(na) AS BIGINT) AS Na,
+               CAST(sum(nb) AS BIGINT) AS Nb FROM piv)
+SELECT 'src0' AS src_a, 'src1' AS src_b,
+       (SELECT Na FROM tot) AS n_a,
+       (SELECT Nb FROM tot) AS n_b,
+       floor(CAST(sum(least(na * (SELECT Nb FROM tot),
+                            nb * (SELECT Na FROM tot))) AS BIGINT)
+             * 1.0 / ((SELECT Na FROM tot) * (SELECT Nb FROM tot))
+             * 1e6) / 1e6 AS hist_intersection
+FROM piv
+"""
+
+
+REGISTRY.update(
+    {
+        "wilson_ci_cohorts": (
+            q_wilson_ci_cohorts,
+            SQL_WILSON_CI_COHORTS,
+        ),
+        "hist_intersection_sources": (
+            q_hist_intersection_sources,
+            SQL_HIST_INTERSECTION_SOURCES,
+        ),
+    }
+)
