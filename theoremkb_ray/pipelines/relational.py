@@ -15387,3 +15387,184 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_ks_test_cohorts(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov D between the cohort spend
+    distributions — the max-gap companion of emd_cohorts_events,
+    derived from the same integer cumulative machinery: D =
+    max_v |cumA(v)*nB - cumB(v)*nA| / (nA*nB), with the numerator an
+    exact integer max and a single quantized division. Reports the
+    smallest support value attaining the max (deterministic tie
+    rule). One per-user fold is the only data-sized exchange."""
+    ds = _pq(sf_dir, "events", ["user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        us, inv = np.unique(u, return_inverse=True)
+        return pa.table(
+            {
+                "user_id": pa.array(us, pa.int64()),
+                "x": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    users = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("x", alias_name="x"))
+        .to_pandas()
+    )
+    cohort = users["user_id"].to_numpy(np.int64) % 2
+    x = users["x"].to_numpy(np.int64)
+    order = np.argsort(x, kind="mergesort")
+    x, cohort = x[order], cohort[order]
+    v, start = np.unique(x, return_index=True)
+    pos = np.searchsorted(v, x)
+    ca = np.bincount(pos, weights=(cohort == 0), minlength=len(v))
+    cb = np.bincount(pos, weights=(cohort == 1), minlength=len(v))
+    cuma = np.cumsum(ca).astype(np.int64)
+    cumb = np.cumsum(cb).astype(np.int64)
+    na, nb = int(cuma[-1]), int(cumb[-1])
+    gap = np.abs(cuma * nb - cumb * na)
+    best = int(gap.max())
+    at = int(v[np.flatnonzero(gap == best)[0]])
+    d = np.floor(best * 1.0 / (na * nb) * 1e6) / 1e6
+    return pd.DataFrame(
+        {
+            "n_a": [na],
+            "n_b": [nb],
+            "ks_d": [float(d)],
+            "d_at_cents": [at],
+        }
+    ).astype({"n_a": np.int64, "n_b": np.int64, "d_at_cents": np.int64})
+
+
+SQL_KS_TEST_COHORTS = """
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS x,
+         user_id % 2 AS cohort
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT x,
+         CAST(count(*) FILTER (cohort = 0) AS BIGINT) AS ca,
+         CAST(count(*) FILTER (cohort = 1) AS BIGINT) AS cb
+  FROM u GROUP BY x
+),
+nn AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+              CAST(sum(cb) AS BIGINT) AS nb FROM v),
+w AS (
+  SELECT x,
+         abs(CAST(sum(ca) OVER (ORDER BY x) AS BIGINT)
+               * (SELECT nb FROM nn)
+             - CAST(sum(cb) OVER (ORDER BY x) AS BIGINT)
+               * (SELECT na FROM nn)) AS gap
+  FROM v
+),
+m AS (SELECT CAST(max(gap) AS BIGINT) AS best FROM w)
+SELECT (SELECT na FROM nn) AS n_a,
+       (SELECT nb FROM nn) AS n_b,
+       floor((SELECT best FROM m) * 1.0
+             / ((SELECT na FROM nn) * (SELECT nb FROM nn))
+             * 1e6) / 1e6 AS ks_d,
+       (SELECT min(x) FROM w WHERE gap = (SELECT best FROM m))
+         AS d_at_cents
+"""
+
+
+def q_cramers_v_events(sf_dir: str):
+    """Cramer's V effect size over the event_type x cohort
+    contingency — the interpretable companion of chi_square_events
+    (same cell-count-sized exchange): V = sqrt(chi2 / (N *
+    min(r-1, c-1))), rounded like the chi-square precedent."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(
+            b["event_type"].combine_chunks()
+            if isinstance(b["event_type"], pa.ChunkedArray)
+            else b["event_type"]
+        )
+        t = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = b["user_id"].to_numpy(zero_copy_only=False) % 4
+        packed = t * 4 + k
+        upk, n = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "t": enc.dictionary.take(pa.array(upk // 4, pa.int64())),
+                "k": pa.array(upk % 4, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import math
+
+        t = b["t"].to_numpy(zero_copy_only=False)
+        k = b["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ut, ti = np.unique(t, return_inverse=True)
+        uk, ki = np.unique(k, return_inverse=True)
+        obs = np.zeros((len(ut), len(uk)))
+        obs[ti, ki] = n
+        rt = obs.sum(axis=1, keepdims=True)
+        ct = obs.sum(axis=0, keepdims=True)
+        tot = obs.sum()
+        e = rt * ct / tot
+        chi2 = ((obs - e) ** 2 / e).sum()
+        denom = tot * min(len(ut) - 1, len(uk) - 1)
+        v = math.sqrt(chi2 / denom)
+        return pa.table(
+            {
+                "cramers_v": pa.array([round(v, 6)], pa.float64()),
+                "n": pa.array([int(tot)], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["t", "k"])
+        .aggregate(Sum("n", alias_name="n"))
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
+SQL_CRAMERS_V_EVENTS = """
+WITH c AS (
+  SELECT event_type AS t, user_id % 4 AS k, count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT t, sum(o) AS r FROM c GROUP BY 1),
+ct AS (SELECT k, sum(o) AS cc FROM c GROUP BY 1),
+tot AS (SELECT sum(o) AS n FROM c),
+grid AS (
+  SELECT rt.t, ct.k, COALESCE(c.o, 0) AS o,
+         CAST(rt.r AS DOUBLE) * ct.cc / tot.n AS e
+  FROM rt CROSS JOIN ct CROSS JOIN tot
+  LEFT JOIN c ON c.t = rt.t AND c.k = ct.k
+)
+SELECT round(sqrt(sum((o - e) * (o - e) / e)
+                  / (CAST((SELECT n FROM tot) AS DOUBLE)
+                     * least((SELECT count(*) - 1 FROM rt),
+                             (SELECT count(*) - 1 FROM ct)))), 6)
+         AS cramers_v,
+       CAST((SELECT n FROM tot) AS BIGINT) AS n
+FROM grid
+"""
+
+
+REGISTRY.update(
+    {
+        "ks_test_cohorts": (q_ks_test_cohorts, SQL_KS_TEST_COHORTS),
+        "cramers_v_events": (q_cramers_v_events, SQL_CRAMERS_V_EVENTS),
+    }
+)
