@@ -15568,3 +15568,162 @@ REGISTRY.update(
         "cramers_v_events": (q_cramers_v_events, SQL_CRAMERS_V_EVENTS),
     }
 )
+
+
+def q_kg_negation_customers(sf_dir: str):
+    """neg_pattern (SPARQL FILTER NOT EXISTS) over the customer
+    triple store: subjects with an in_nation edge but NO
+    in_segment=MACHINERY edge — the anti-join query shape a
+    triple-store consumer uses for 'entities lacking X'. One
+    subject-keyed exchange (stages/kgquery.py:neg_pattern); the
+    oracle is a plain inequality."""
+    from ..stages.kgquery import neg_pattern
+
+    return neg_pattern(
+        _cust_triples(sf_dir),
+        have=("in_nation", None),
+        lack=("in_segment", "MACHINERY"),
+    )
+
+
+SQL_KG_NEGATION_CUSTOMERS = """
+SELECT 'cust/' || CAST(c_custkey AS VARCHAR) AS subject
+FROM customer WHERE c_mktsegment <> 'MACHINERY'
+"""
+
+
+#: PSI bucket count (psi_cohorts_events)
+PSI_BUCKETS = 10
+
+
+def q_psi_cohorts_events(sf_dir: str):
+    """Population Stability Index between the cohort spend
+    distributions — the model-monitoring drift gate (PSI > 0.2 =>
+    investigate): sum over value-range buckets of
+    (pa - pb) * ln(pa / pb). Buckets come from the integer global
+    min/max grid (never data-volume-bound); zero-count buckets are
+    excluded on BOTH sides (the standard convention); each term is
+    nanounit-floor-quantized so the integer sum is
+    order-independent, with math.log == DuckDB ln ulp-for-ulp."""
+    import math
+
+    from ray.data.aggregate import Max, Min
+
+    users = _stump_user_table(sf_dir).materialize()
+    mm = users.aggregate(Min("x"), Max("x"))
+    xmin, xmax = int(mm["min(x)"]), int(mm["max(x)"])
+    i = np.arange(1, PSI_BUCKETS, dtype=np.int64)
+    thr = np.unique(xmin + (i * (xmax - xmin)) // PSI_BUCKETS)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False)
+        coh = b["user_id"].to_numpy(zero_copy_only=False) % 2
+        bucket = np.searchsorted(thr, x, side="left")
+        nb_ = len(thr) + 1
+        a = np.bincount(
+            bucket[coh == 0], minlength=nb_
+        ).astype(np.int64)
+        c = np.bincount(
+            bucket[coh == 1], minlength=nb_
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(nb_, dtype=np.int64)),
+                "na": pa.array(a, pa.int64()),
+                "nb": pa.array(c, pa.int64()),
+            }
+        )
+
+    h = (
+        users.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Sum("na", alias_name="na"), Sum("nb", alias_name="nb")
+        )
+        .to_pandas()
+    )
+    na = h["na"].to_numpy(np.int64)
+    nb_ = h["nb"].to_numpy(np.int64)
+    Na, Nb = int(na.sum()), int(nb_.sum())
+    acc = 0
+    used = 0
+    for a, c in zip(na, nb_):
+        if a == 0 or c == 0:
+            continue
+        used += 1
+        pa_ = int(a) * 1.0 / Na
+        pb_ = int(c) * 1.0 / Nb
+        term = (pa_ - pb_) * math.log(pa_ / pb_)
+        acc += int(np.floor(term * 1e9))
+    return pd.DataFrame(
+        {
+            "n_a": [Na],
+            "n_b": [Nb],
+            "n_buckets_used": [used],
+            "psi_nano": [acc],
+        }
+    ).astype(
+        {
+            "n_a": np.int64,
+            "n_b": np.int64,
+            "n_buckets_used": np.int64,
+            "psi_nano": np.int64,
+        }
+    )
+
+
+SQL_PSI_COHORTS_EVENTS = f"""
+WITH u AS (
+  SELECT user_id % 2 AS cohort,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+mm AS (SELECT min(x) AS lo, max(x) AS hi FROM u),
+thr AS (
+  SELECT DISTINCT CAST((SELECT lo FROM mm)
+         + (i * ((SELECT hi FROM mm) - (SELECT lo FROM mm)))
+           // {PSI_BUCKETS} AS BIGINT) AS t
+  FROM generate_series(1, {PSI_BUCKETS - 1}) g(i)
+),
+bkt AS (
+  SELECT u.cohort,
+         (SELECT count(*) FROM thr WHERE thr.t < u.x) AS bucket
+  FROM u
+),
+h AS (
+  SELECT bucket,
+         CAST(count(*) FILTER (cohort = 0) AS BIGINT) AS na,
+         CAST(count(*) FILTER (cohort = 1) AS BIGINT) AS nb
+  FROM bkt GROUP BY bucket
+),
+nn AS (SELECT CAST(sum(na) AS BIGINT) AS Na,
+              CAST(sum(nb) AS BIGINT) AS Nb FROM h),
+terms AS (
+  SELECT CAST(floor((na * 1.0 / (SELECT Na FROM nn)
+                     - nb * 1.0 / (SELECT Nb FROM nn))
+                    * ln((na * 1.0 / (SELECT Na FROM nn))
+                         / (nb * 1.0 / (SELECT Nb FROM nn)))
+                    * 1e9) AS BIGINT) AS ti
+  FROM h WHERE na > 0 AND nb > 0
+)
+SELECT (SELECT Na FROM nn) AS n_a,
+       (SELECT Nb FROM nn) AS n_b,
+       (SELECT CAST(count(*) AS BIGINT) FROM terms)
+         AS n_buckets_used,
+       CAST(COALESCE((SELECT sum(ti) FROM terms), 0) AS BIGINT)
+         AS psi_nano
+"""
+
+
+REGISTRY.update(
+    {
+        "kg_negation_customers": (
+            q_kg_negation_customers,
+            SQL_KG_NEGATION_CUSTOMERS,
+        ),
+        "psi_cohorts_events": (
+            q_psi_cohorts_events,
+            SQL_PSI_COHORTS_EVENTS,
+        ),
+    }
+)

@@ -312,3 +312,60 @@ def star_join(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def neg_pattern(
+    triples,
+    have: tuple[str, str | None],
+    lack: tuple[str, str | None],
+    nbuckets: int = _COCITE_BUCKETS,
+):
+    """Negation (NOT EXISTS) pattern: subjects having a ``have``
+    (predicate, object-or-wildcard) edge but NO ``lack`` edge — the
+    SPARQL ``FILTER NOT EXISTS`` / anti-join shape over the store.
+
+    Same ONE subject-keyed exchange as :func:`star_join`: rows
+    matching either pattern co-locate by hash(subject); a subject
+    passes iff its group covers the have-pattern and not the
+    lack-pattern. Distinct subjects out."""
+    from ..functions.hashing import hash_strings
+
+    pats = [have, lack]
+
+    def pre(b: pa.Table) -> pa.Table:
+        subs, idxs = [], []
+        for i, (pred, obj) in enumerate(pats):
+            m = pc.equal(b["predicate"], pred)
+            if obj is not None:
+                m = pc.and_(m, pc.equal(b["object"], obj))
+            s = b.filter(m)["subject"].combine_chunks()
+            subs.append(s)
+            idxs.append(np.full(len(s), i, np.int64))
+        sub = pa.concat_arrays(subs)
+        h = hash_strings(sub.to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (h % np.uint64(nbuckets)).astype(np.int64)
+                ),
+                "subject": sub,
+                "pat": pa.array(
+                    np.concatenate(idxs) if idxs else np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"subject": pd.Series(dtype="object")})
+        d = g.drop_duplicates(["subject", "pat"])
+        have_s = set(d.loc[d["pat"] == 0, "subject"])
+        lack_s = set(d.loc[d["pat"] == 1, "subject"])
+        keep = sorted(have_s - lack_s)
+        return pd.DataFrame({"subject": pd.Series(keep, dtype="object")})
+
+    return (
+        triples.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
