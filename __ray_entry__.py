@@ -1116,6 +1116,50 @@ def _media_search(sf_dir: str):
     )
 
 
+def _phash_dups(sf_dir: str):
+    """IMAGE near-dedup by perceptual hash
+    (stages/multimodal.py:ImagePHasher + the shared banded-pair
+    machinery): real-decoded PNGs with planted 1-pixel-perturbed
+    copies must pair with their originals, nothing else pairs.
+    Binary media has no SQL representation — recall of the planted
+    pairs and determinism are pinned in tests/test_vision.py."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from theoremkb_ray.functions import codecs
+    from theoremkb_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        phash_dup_pairs,
+        synth_real_media_table,
+    )
+
+    rows = synth_real_media_table(48, seed=11).to_pylist()
+    planted = []
+    for r in rows:
+        if r["format"] == "png" and len(planted) < 4:
+            img = codecs.decode_png(r["payload"]).copy()
+            img[0, 0, 0] = np.uint8((int(img[0, 0, 0]) + 1) % 256)
+            planted.append(
+                {
+                    **r,
+                    "media_id": "dup" + r["media_id"],
+                    "payload": codecs.encode_png(img),
+                }
+            )
+    tbl = pa.Table.from_pylist(rows + planted, schema=MEDIA_SCHEMA)
+    out = phash_dup_pairs(rd.from_arrow(tbl).repartition(4)).to_pandas()
+    # a pair surfaces once per shared band (all 8 for identical
+    # hashes) — multiplicity is harmless for the CC consumers of the
+    # text path, but the query reports distinct pairs
+    return (
+        out[["a", "b"]]
+        .drop_duplicates()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
 #: quotas for the mixture_sample query — rebalance languages to a
 #: target mix (en-heavy corpus downsampled, the rest kept broader)
 MIXTURE_QUOTAS = {"en": 40, "de": 20, "fr": 20, "es": 20, "zh": 20}
@@ -1317,6 +1361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "media_decode_real": _media_decode_real,
             "media_frames": _media_frames,
             "media_search": _media_search,
+            "phash_dups": _phash_dups,
             "page_segment": _page_segment,
             "agreement_diff": _agreement_diff,
             "agreement_spans": _agreement_spans,

@@ -125,3 +125,46 @@ def test_media_embed_and_search_composition():
     q = E[:3]
     top = brute_topk(with_id, q, k=1).to_pandas()
     assert sorted(top["vec_id"]) == [0, 1, 2]
+
+
+def test_phash_finds_planted_near_duplicate_images():
+    """pHash near-dup: a 1-pixel-perturbed copy of a real PNG must
+    pair with its original (Hamming <= 6 after DCT), unrelated random
+    images must not, and the pairs are deterministic."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from theoremkb_ray.functions import codecs
+    from theoremkb_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        phash_dup_pairs,
+        synth_real_media_table,
+    )
+
+    base = synth_real_media_table(24, seed=7)
+    # plant: perturb one pixel of the first PNG image by +-1
+    rows = base.to_pylist()
+    png_row = next(r for r in rows if r["format"] == "png")
+    img = codecs.decode_png(png_row["payload"])
+    img2 = img.copy()
+    img2[0, 0, 0] = np.uint8((int(img2[0, 0, 0]) + 1) % 256)
+    dup = dict(png_row)
+    dup["media_id"] = "dup00001"
+    dup["payload"] = codecs.encode_png(img2)
+    tbl = pa.Table.from_pylist(rows + [dup], schema=MEDIA_SCHEMA)
+
+    out = phash_dup_pairs(rd.from_arrow(tbl)).to_pandas()
+    pairs = set(map(tuple, out[["a", "b"]].itertuples(False)))
+    planted = (
+        min(png_row["media_id"], "dup00001"),
+        max(png_row["media_id"], "dup00001"),
+    )
+    assert planted in pairs or tuple(reversed(planted)) in pairs
+    # no unrelated random images pair up
+    others = {p for p in pairs if "dup00001" not in p
+              and png_row["media_id"] not in p}
+    assert not others
+    # deterministic under re-run
+    out2 = phash_dup_pairs(rd.from_arrow(tbl)).to_pandas()
+    assert set(map(tuple, out2[["a", "b"]].itertuples(False))) == pairs

@@ -449,3 +449,108 @@ def embed_media(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ------------------------------------------------------------- pHash
+#: pHash DCT input size and low-frequency block
+PHASH_SIZE = 32
+PHASH_BLOCK = 8
+
+
+class ImagePHasher:
+    """Actor-pool perceptual hash (classic pHash): real-decoded image
+    -> 32x32 nearest resize -> grayscale -> orthonormal 2-D DCT-II
+    (basis precomputed ONCE per actor) -> 8x8 low-frequency block ->
+    64-bit hash (bit j = AC coefficient j > median of the 63 ACs).
+    Emits SimHash-shaped band rows (8 x 8-bit bands of the hash), so
+    the text near-dup machinery (stages/dedup.py:pairs_from_bands +
+    _verify_hamming) runs unchanged over IMAGES: by pigeonhole any
+    pair within Hamming 7 shares an exact band. Non-image and
+    non-PNG/PPM rows are skipped (plug PIL on a cluster that has it —
+    reference analog Styling/src/lib/paper/__init__.py:360-390)."""
+
+    def __init__(self, id_col: str = "media_id") -> None:
+        self.id_col = id_col
+        N = PHASH_SIZE
+        n = np.arange(N, dtype=np.float64)
+        C = np.cos(np.pi * (2.0 * n[None, :] + 1.0) * n[:, None] / (2 * N))
+        C *= np.sqrt(2.0 / N)
+        C[0] *= np.sqrt(0.5)
+        self.C = C  # orthonormal DCT-II basis
+
+    def _phash(self, payload: bytes) -> int | None:
+        from ..functions import codecs
+
+        fmt = codecs.sniff_format(payload)
+        if fmt == "png":
+            img = codecs.decode_png(payload)
+        elif fmt == "ppm":
+            img = codecs.decode_ppm(payload)
+        else:
+            return None
+        img = codecs.resize_nearest(img, PHASH_SIZE, PHASH_SIZE)
+        gray = img.mean(axis=2) if img.ndim == 3 else img.astype(
+            np.float64
+        )
+        D = self.C @ gray @ self.C.T
+        block = D[:PHASH_BLOCK, :PHASH_BLOCK].ravel()[1:]  # drop DC
+        med = np.median(block)
+        bits = block > med
+        return int(
+            np.bitwise_or.reduce(
+                bits.astype(np.uint64) << np.arange(63, dtype=np.uint64)
+            )
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch["kind"], "image"))
+        ids, hashes = [], []
+        for mid, payload in zip(
+            batch[self.id_col].to_pylist(), batch["payload"].to_pylist()
+        ):
+            h = self._phash(payload)
+            if h is not None:
+                ids.append(mid)
+                hashes.append(h)
+        n = len(ids)
+        ph = np.array(hashes, dtype=np.uint64)
+        bands = np.stack(
+            [(ph >> np.uint64(8 * i)) & np.uint64(0xFF) for i in range(8)],
+            axis=1,
+        ) if n else np.empty((0, 8), np.uint64)
+        return pa.table(
+            {
+                "id": pa.array(np.repeat(np.array(ids, object), 8)
+                               if n else [], pa.string()),
+                "band_idx": pa.array(
+                    np.tile(np.arange(8, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(bands.reshape(-1)),
+                "simhash": pa.array(np.repeat(ph, 8)),
+                "n_tokens": pa.array(
+                    np.zeros(8 * n, np.int32)
+                ),
+            }
+        )
+
+
+def phash_dup_pairs(media_ds, max_hamming: int = 6, concurrency=2):
+    """Near-duplicate IMAGE pairs by perceptual hash: actor-pool
+    pHash (DCT basis loaded once per actor) -> the shared banded
+    exchange -> exact Hamming verify. Returns (a, b, sim_a, sim_b)
+    pair rows; Hamming <= 7 recall is guaranteed by the 8-band
+    pigeonhole, matching the text SimHash contract."""
+    from .dedup import _verify_hamming, pairs_from_bands
+
+    bands = media_ds.map_batches(
+        ImagePHasher(),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+    )
+    pairs = pairs_from_bands(bands)
+    return pairs.map_batches(
+        lambda b: _verify_hamming(b, max_hamming), batch_format="pyarrow"
+    )
