@@ -1160,6 +1160,66 @@ def _phash_dups(sf_dir: str):
     )
 
 
+def _audio_dups(sf_dir: str):
+    """AUDIO near-dedup by spectral fingerprint
+    (stages/multimodal.py:AudioFPHasher — Haitsma-Kalker double-diff
+    signs over a 9x9 time/band energy grid): planted tiny-noise
+    copies of amplitude-modulated noise clips pair with their
+    originals, independent clips do not. Binary media has no SQL
+    twin; recall + isolation are pinned in tests/test_vision.py."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from theoremkb_ray.functions import codecs
+    from theoremkb_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        audio_dup_pairs,
+    )
+
+    rng = np.random.RandomState(13)
+    rate = 8000
+    rows, dups = [], []
+    for i in range(16):
+        n = rate // 2
+        env = 1.0 + np.sin(
+            np.linspace(0, (i % 5 + 1) * np.pi, n)
+        ) ** 2 * 3.0
+        s = (rng.randn(n) * env * 2000).astype(np.int16)
+        rows.append(
+            {
+                "media_id": f"a{i:05d}",
+                "kind": "audio",
+                "format": "wav",
+                "width": -1,
+                "height": -1,
+                "duration_ms": 500,
+                "payload": codecs.encode_wav(s, rate),
+            }
+        )
+        if i < 3:
+            noisy = np.clip(
+                s.astype(np.int32) + rng.randint(-2, 3, len(s)),
+                -32768,
+                32767,
+            ).astype(np.int16)
+            dups.append(
+                {
+                    **rows[-1],
+                    "media_id": f"adup{i:04d}",
+                    "payload": codecs.encode_wav(noisy, rate),
+                }
+            )
+    tbl = pa.Table.from_pylist(rows + dups, schema=MEDIA_SCHEMA)
+    out = audio_dup_pairs(rd.from_arrow(tbl).repartition(4)).to_pandas()
+    return (
+        out[["a", "b"]]
+        .drop_duplicates()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
 #: quotas for the mixture_sample query — rebalance languages to a
 #: target mix (en-heavy corpus downsampled, the rest kept broader)
 MIXTURE_QUOTAS = {"en": 40, "de": 20, "fr": 20, "es": 20, "zh": 20}
@@ -1362,6 +1422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "media_frames": _media_frames,
             "media_search": _media_search,
             "phash_dups": _phash_dups,
+            "audio_dups": _audio_dups,
             "page_segment": _page_segment,
             "agreement_diff": _agreement_diff,
             "agreement_spans": _agreement_spans,

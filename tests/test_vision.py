@@ -168,3 +168,70 @@ def test_phash_finds_planted_near_duplicate_images():
     # deterministic under re-run
     out2 = phash_dup_pairs(rd.from_arrow(tbl)).to_pandas()
     assert set(map(tuple, out2[["a", "b"]].itertuples(False))) == pairs
+
+
+def test_audio_fingerprint_finds_planted_near_duplicate():
+    """Audio near-dup: amplitude-modulated noise plus tiny (+-2 LSB)
+    perturbation must pair with its original; independent noise
+    seeds must not pair."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from theoremkb_ray.functions import codecs
+    from theoremkb_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        audio_dup_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    rate = 8000
+    rows = []
+    base_samples = None
+    for i in range(8):
+        n = rate // 2
+        env = 1.0 + np.sin(
+            np.linspace(0, (i % 4 + 1) * np.pi, n)
+        ) ** 2 * 3.0
+        s = (rng.randn(n) * env * 2000).astype(np.int16)
+        if i == 0:
+            base_samples = s
+        rows.append(
+            {
+                "media_id": f"a{i:05d}",
+                "kind": "audio",
+                "format": "wav",
+                "width": -1,
+                "height": -1,
+                "duration_ms": 500,
+                "payload": codecs.encode_wav(s, rate),
+            }
+        )
+    noisy = np.clip(
+        base_samples.astype(np.int32)
+        + rng.randint(-2, 3, len(base_samples)),
+        -32768,
+        32767,
+    ).astype(np.int16)
+    rows.append(
+        {
+            "media_id": "adup0000",
+            "kind": "audio",
+            "format": "wav",
+            "width": -1,
+            "height": -1,
+            "duration_ms": 500,
+            "payload": codecs.encode_wav(noisy, rate),
+        }
+    )
+    tbl = pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+    out = audio_dup_pairs(rd.from_arrow(tbl)).to_pandas()
+    pairs = set(map(tuple, out[["a", "b"]].drop_duplicates()
+                    .itertuples(False)))
+    assert ("a00000", "adup0000") in pairs or (
+        "adup0000",
+        "a00000",
+    ) in pairs
+    others = {p for p in pairs
+              if "adup0000" not in p and "a00000" not in p}
+    assert not others

@@ -554,3 +554,106 @@ def phash_dup_pairs(media_ds, max_hamming: int = 6, concurrency=2):
     return pairs.map_batches(
         lambda b: _verify_hamming(b, max_hamming), batch_format="pyarrow"
     )
+
+
+#: audio fingerprint grid: 9 time windows x 9 log-spaced FFT bands
+AFP_WINDOWS = 9
+AFP_BANDS = 9
+
+
+class AudioFPHasher:
+    """Actor-pool audio fingerprint (Haitsma-Kalker shape): WAV
+    payload -> 9 equal time windows x 9 log-spaced FFT energy bands
+    -> 64-bit hash where bit (n, m) is the SIGN of the band-energy
+    double difference (E[n,m]-E[n,m+1]) - (E[n-1,m]-E[n-1,m+1]) —
+    robust to small amplitude noise, flips wholesale for different
+    audio. Emits the same 8x8-bit band rows as ImagePHasher /
+    SimHashEmitter, so pairs_from_bands + Hamming verify run
+    unchanged over AUDIO. Non-WAV rows are skipped."""
+
+    def __init__(self, id_col: str = "media_id") -> None:
+        self.id_col = id_col
+
+    def _fingerprint(self, payload: bytes) -> int | None:
+        from ..functions import codecs
+
+        if codecs.sniff_format(payload) != "wav":
+            return None
+        samples, rate = codecs.decode_wav(payload)
+        s = samples.astype(np.float64)
+        if s.ndim == 2:
+            s = s.mean(axis=1)
+        W, B = AFP_WINDOWS, AFP_BANDS
+        n = len(s) // W
+        if n < 2 * B:
+            return None  # too short for the band grid
+        E = np.empty((W, B))
+        # log-spaced band edges over the positive spectrum
+        for w in range(W):
+            seg = s[w * n : (w + 1) * n]
+            mag = np.abs(np.fft.rfft(seg)) ** 2
+            edges = np.unique(
+                np.geomspace(1, len(mag) - 1, B + 1).astype(np.int64)
+            )
+            while len(edges) < B + 1:  # tiny segments: pad edges
+                edges = np.r_[edges, edges[-1] + 1]
+            for m in range(B):
+                E[w, m] = mag[edges[m]: edges[m + 1]].sum()
+        d = E[:, :-1] - E[:, 1:]          # (W, B-1) band diffs
+        dd = d[1:, :] - d[:-1, :]         # (W-1, B-1) double diffs
+        bits = (dd > 0).ravel()[:64]
+        return int(
+            np.bitwise_or.reduce(
+                bits.astype(np.uint64)
+                << np.arange(len(bits), dtype=np.uint64)
+            )
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch["kind"], "audio"))
+        ids, hashes = [], []
+        for mid, payload in zip(
+            batch[self.id_col].to_pylist(), batch["payload"].to_pylist()
+        ):
+            h = self._fingerprint(payload)
+            if h is not None:
+                ids.append(mid)
+                hashes.append(h)
+        n = len(ids)
+        ph = np.array(hashes, dtype=np.uint64)
+        bands = np.stack(
+            [(ph >> np.uint64(8 * i)) & np.uint64(0xFF) for i in range(8)],
+            axis=1,
+        ) if n else np.empty((0, 8), np.uint64)
+        return pa.table(
+            {
+                "id": pa.array(np.repeat(np.array(ids, object), 8)
+                               if n else [], pa.string()),
+                "band_idx": pa.array(
+                    np.tile(np.arange(8, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(bands.reshape(-1)),
+                "simhash": pa.array(np.repeat(ph, 8)),
+                "n_tokens": pa.array(np.zeros(8 * n, np.int32)),
+            }
+        )
+
+
+def audio_dup_pairs(media_ds, max_hamming: int = 6, concurrency=2):
+    """Near-duplicate AUDIO pairs by spectral fingerprint — the audio
+    sibling of phash_dup_pairs over the identical banded exchange and
+    Hamming verify."""
+    from .dedup import _verify_hamming, pairs_from_bands
+
+    bands = media_ds.map_batches(
+        AudioFPHasher(),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+    )
+    pairs = pairs_from_bands(bands)
+    return pairs.map_batches(
+        lambda b: _verify_hamming(b, max_hamming), batch_format="pyarrow"
+    )
