@@ -15727,3 +15727,113 @@ REGISTRY.update(
         ),
     }
 )
+
+
+#: span corruption (T5 denoising) parameters
+CORRUPT_SPAN = 3
+CORRUPT_SEED = 23
+#: start-probability threshold: floor(0.05 * 2^64) — a token position
+#: starts a masked span iff its key_rank64 falls below this
+CORRUPT_THRESH = 922337203685477580
+
+
+def q_span_corruption_docs(sf_dir: str):
+    """T5-style span-corruption mask accounting: position i starts a
+    masked span iff key_rank64((doc_id << 32) | i, seed) < 5% of the
+    hash space — a pure function of (doc, position), so masks are
+    identical under any partitioning and the SQL twin replays the
+    chain bit-for-bit. A span covers [i, i+2]; per-doc masked counts
+    come from ONE flat prefix-sum pass (masked(p) iff a start lies in
+    [max(doc_start, p-2), p]) — no per-doc loop, zero shuffle."""
+    from ..functions.hashing import key_rank64
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        words = pc.split_pattern(b["text"], " ")
+        n_per = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        offs = np.r_[0, np.cumsum(n_per)]
+        tot = int(offs[-1])
+        doc_of = np.repeat(np.arange(len(did), dtype=np.int64), n_per)
+        pos = np.arange(tot, dtype=np.int64) - offs[doc_of]
+        key = (did[doc_of].astype(np.uint64) << np.uint64(32)) | pos.astype(
+            np.uint64
+        )
+        rank = key_rank64(key.astype(np.int64), seed=CORRUPT_SEED)
+        starts = rank < np.uint64(CORRUPT_THRESH)
+        ps = np.r_[0, np.cumsum(starts.astype(np.int64))]
+        flat_idx = np.arange(tot, dtype=np.int64)
+        lower = np.maximum(offs[doc_of], flat_idx - (CORRUPT_SPAN - 1))
+        masked = (ps[flat_idx + 1] - ps[lower]) > 0
+        n_starts = np.bincount(
+            doc_of, weights=starts, minlength=len(did)
+        ).astype(np.int64)
+        n_masked = np.bincount(
+            doc_of, weights=masked, minlength=len(did)
+        ).astype(np.int64)
+        keep = n_per > 0
+        ratio = np.floor(
+            n_masked[keep] * 1.0 / n_per[keep] * 1e6
+        ) / 1e6
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep], pa.int64()),
+                "n_tokens": pa.array(n_per[keep], pa.int64()),
+                "n_starts": pa.array(n_starts[keep], pa.int64()),
+                "n_masked": pa.array(n_masked[keep], pa.int64()),
+                "mask_ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _span_corruption_sql() -> str:
+    from __ray_entry__ import _key_rank_sql  # lazy: avoids cycle
+
+    return f"""
+WITH tok2 AS (
+  -- positions number the RAW split (empties included), exactly like
+  -- the runtime's list offsets
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+{_key_rank_sql('tok2', '(doc_id * 4294967296 + pos)', 'doc_id, pos', CORRUPT_SEED)},
+s AS (SELECT doc_id, pos FROM r WHERE x < {CORRUPT_THRESH}),
+m AS (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM tok2 t JOIN s ON s.doc_id = t.doc_id
+               AND t.pos BETWEEN s.pos AND s.pos + {CORRUPT_SPAN - 1}
+),
+agg AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(max(sc.c), 0) AS BIGINT) AS n_starts,
+         CAST(COALESCE(max(mc.c), 0) AS BIGINT) AS n_masked
+  FROM tok2 t
+  LEFT JOIN (SELECT doc_id, count(*) AS c FROM s GROUP BY 1) sc
+    ON sc.doc_id = t.doc_id
+  LEFT JOIN (SELECT doc_id, count(*) AS c FROM m GROUP BY 1) mc
+    ON mc.doc_id = t.doc_id
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, n_starts, n_masked,
+       floor(n_masked * 1.0 / n_tokens * 1e6) / 1e6 AS mask_ratio
+FROM agg WHERE n_tokens > 0
+"""
+
+
+REGISTRY.update(
+    {
+        "span_corruption_docs": (
+            q_span_corruption_docs,
+            _span_corruption_sql(),
+        )
+    }
+)
