@@ -1160,6 +1160,29 @@ def _phash_dups(sf_dir: str):
     )
 
 
+def _media_export_wds(sf_dir: str):
+    """WebDataset tar-shard export (sources/webdataset.py): real
+    media payloads -> hash-sharded, byte-DETERMINISTIC tar shards
+    with <key>.payload/<key>.json members + a per-shard manifest;
+    returns the (shard, rows, bytes) summary. Binary sink — no SQL
+    twin; payload round-trip + shard byte determinism are pinned in
+    tests/test_webdataset.py."""
+    import shutil
+
+    import ray.data as rd
+
+    from theoremkb_ray.sources.webdataset import write_webdataset
+    from theoremkb_ray.stages.multimodal import synth_real_media_table
+
+    out = "/tmp/tkb_wds_export"
+    shutil.rmtree(out, ignore_errors=True)
+    return write_webdataset(
+        rd.from_arrow(synth_real_media_table(48, seed=3)).repartition(4),
+        out,
+        num_shards=6,
+    )
+
+
 def _audio_dups(sf_dir: str):
     """AUDIO near-dedup by spectral fingerprint
     (stages/multimodal.py:AudioFPHasher — Haitsma-Kalker double-diff
@@ -1423,6 +1446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "media_search": _media_search,
             "phash_dups": _phash_dups,
             "audio_dups": _audio_dups,
+            "media_export_wds": _media_export_wds,
             "page_segment": _page_segment,
             "agreement_diff": _agreement_diff,
             "agreement_spans": _agreement_spans,
