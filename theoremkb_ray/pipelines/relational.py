@@ -15837,3 +15837,171 @@ REGISTRY.update(
         )
     }
 )
+
+
+#: skip-gram context window (skipgram_pairs)
+SKIPGRAM_WINDOW = 2
+
+
+def q_skipgram_pairs(sf_dir: str):
+    """word2vec-style skip-gram pair generation: (center, context)
+    counts for every context within +-2 positions inside a document —
+    the embedding-training data-prep fan-out, aggregated to the
+    vocab^2-bounded pair table before it ever shuffles. Per batch the
+    four shifted comparisons run over ONE flat token array with
+    doc-boundary masks (no per-doc loop); the exchange carries pair
+    counts only."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        n_per = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(words).to_numpy(
+            zero_copy_only=False
+        ).astype("U")
+        doc_of = np.repeat(np.arange(len(n_per), dtype=np.int64), n_per)
+        keep = flat != ""
+        # positions of NON-empty tokens only, but offsets within the
+        # raw array — context distance is measured over the raw split
+        centers, contexts = [], []
+        for d in range(1, SKIPGRAM_WINDOW + 1):
+            same = doc_of[d:] == doc_of[:-d]
+            ok = same & keep[d:] & keep[:-d]
+            a, c = flat[:-d][ok], flat[d:][ok]
+            centers.append(np.concatenate([a, c]))
+            contexts.append(np.concatenate([c, a]))
+        ctr = np.concatenate(centers)
+        ctx = np.concatenate(contexts)
+        df = (
+            pd.DataFrame({"center": ctr, "context": ctx})
+            .groupby(["center", "context"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["center", "context"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_SKIPGRAM_PAIRS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+nz AS (SELECT doc_id, pos, t FROM tok WHERE t <> ''),
+pairs AS (
+  SELECT a.t AS center, b.t AS context
+  FROM nz a JOIN nz b
+    ON b.doc_id = a.doc_id
+   AND b.pos <> a.pos
+   AND abs(b.pos - a.pos) <= {SKIPGRAM_WINDOW}
+)
+SELECT center, context, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY 1, 2
+"""
+
+
+def q_transition_entropy_events(sf_dir: str):
+    """Conditional entropy H(next | prev) of the user event streams —
+    how predictable the next event type is given the current one (the
+    information-theoretic companion of markov_accuracy_events, read
+    off the SAME types^2-bounded transition table): H = -sum_{p,n}
+    P(p,n) * ln(n_pn / n_p), each cell's term microlog-quantized to
+    an exact integer so the sum is order-independent."""
+    import math
+
+    from ..functions.hashing import hash_strings
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    B = 64
+
+    def pre(b: pa.Table) -> pa.Table:
+        h = hash_strings(
+            b["user_id"].to_numpy(zero_copy_only=False).astype("U")
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (h % np.uint64(B)).astype(np.int64)
+                ),
+                "user_id": b["user_id"],
+                "t": pa.array(_date_us(b["ts"])),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "event_type": b["event_type"],
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        same = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
+        prev = g["event_type"].to_numpy()[:-1][same]
+        nxt = g["event_type"].to_numpy()[1:][same]
+        return (
+            pd.DataFrame({"prev": prev, "next": nxt})
+            .groupby(["prev", "next"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    counts = (
+        ev.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["prev", "next"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    total = int(counts["n"].sum())
+    row_tot = counts.groupby("prev")["n"].transform("sum")
+    acc = 0
+    for n_pn, n_p in zip(
+        counts["n"].to_numpy(np.int64), row_tot.to_numpy(np.int64)
+    ):
+        term = -(int(n_pn) * 1.0 / total) * math.log(
+            int(n_pn) * 1.0 / int(n_p)
+        )
+        acc += int(np.floor(term * 1e9))
+    return pd.DataFrame(
+        {"n_pairs": [total], "cond_entropy_nano": [acc]}
+    ).astype({"n_pairs": np.int64, "cond_entropy_nano": np.int64})
+
+
+SQL_TRANSITION_ENTROPY_EVENTS = """
+WITH p AS (
+  SELECT event_type AS prev,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next
+  FROM events
+),
+c AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+      FROM p WHERE next IS NOT NULL GROUP BY 1, 2),
+rt AS (SELECT prev, CAST(sum(n) AS BIGINT) AS np FROM c GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+terms AS (
+  SELECT CAST(floor(-(c.n * 1.0 / (SELECT total FROM tot))
+                    * ln(c.n * 1.0 / rt.np) * 1e9) AS BIGINT) AS ti
+  FROM c JOIN rt ON rt.prev = c.prev
+)
+SELECT (SELECT total FROM tot) AS n_pairs,
+       CAST(sum(ti) AS BIGINT) AS cond_entropy_nano
+FROM terms
+"""
+
+
+REGISTRY.update(
+    {
+        "skipgram_pairs": (q_skipgram_pairs, SQL_SKIPGRAM_PAIRS),
+        "transition_entropy_events": (
+            q_transition_entropy_events,
+            SQL_TRANSITION_ENTROPY_EVENTS,
+        ),
+    }
+)
