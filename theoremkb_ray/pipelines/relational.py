@@ -16005,3 +16005,157 @@ REGISTRY.update(
         ),
     }
 )
+
+
+#: negative-sampling seed (negative_samples_counts)
+NEGSAMPLE_SEED = 29
+
+
+def q_negative_samples_counts(sf_dir: str):
+    """word2vec negative sampling, deterministic: every skip-gram
+    positive occurrence draws ONE negative from the corpus unigram
+    table, where the draw is key_rank64 of the occurrence's packed
+    (doc, center_pos, context_pos) identity modulo the total token
+    mass, mapped through the lexicographic CDF of token counts — a
+    pure function of the data, identical under any partitioning, and
+    the SQL twin replays chain + CDF ranges. Pass 1 folds the
+    vocabulary-bounded count table (broadcast as a sorted CDF); pass
+    2 re-enumerates pair occurrences and bincounts draws per token,
+    so the exchange is vocab-sized."""
+    from ..functions.hashing import key_rank64
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def vocab_partial(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern(b["text"], " ")
+        ).to_numpy(zero_copy_only=False).astype("U")
+        flat = flat[flat != ""]
+        u, n = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "tok": pa.array(u, pa.string()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(vocab_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("tok", kind="mergesort")
+    )
+    toks = vocab["tok"].to_numpy()
+    w = vocab["n"].to_numpy(np.int64)
+    lo = np.r_[0, np.cumsum(w)[:-1]]
+    W = int(w.sum())
+
+    def sample_partial(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        words = pc.split_pattern(b["text"], " ")
+        n_per = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(words).to_numpy(
+            zero_copy_only=False
+        ).astype("U")
+        offs = np.r_[0, np.cumsum(n_per)]
+        doc_of = np.repeat(np.arange(len(did), dtype=np.int64), n_per)
+        pos = np.arange(int(offs[-1]), dtype=np.int64) - offs[doc_of]
+        keep = flat != ""
+        keys = []
+        for d in range(1, SKIPGRAM_WINDOW + 1):
+            same = doc_of[d:] == doc_of[:-d]
+            ok = same & keep[d:] & keep[:-d]
+            dd = did[doc_of[:-d][ok]]
+            p_a, p_b = pos[:-d][ok], pos[d:][ok]
+            # both orientations, matching the skipgram pair domain
+            keys.append(
+                dd.astype(np.uint64) * np.uint64(1099511627776)
+                + p_a.astype(np.uint64) * np.uint64(1048576)
+                + p_b.astype(np.uint64)
+            )
+            keys.append(
+                dd.astype(np.uint64) * np.uint64(1099511627776)
+                + p_b.astype(np.uint64) * np.uint64(1048576)
+                + p_a.astype(np.uint64)
+            )
+        if not keys:
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        k = np.concatenate(keys)
+        r = key_rank64(k.astype(np.int64), seed=NEGSAMPLE_SEED) % np.uint64(W)
+        idx = np.searchsorted(lo, r.astype(np.int64), side="right") - 1
+        cnt = np.bincount(idx, minlength=len(toks)).astype(np.int64)
+        nz = cnt > 0
+        return pa.table(
+            {
+                "tok": pa.array(toks[nz], pa.string()),
+                "n": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(sample_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n_sampled"))
+    )
+
+
+def _negative_samples_sql() -> str:
+    from __ray_entry__ import _key_rank_sql  # lazy: avoids cycle
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+nz AS (SELECT doc_id, pos, t FROM tok WHERE t <> ''),
+vocab AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+          FROM nz GROUP BY t),
+cdf AS (
+  SELECT t, n,
+         CAST(COALESCE(sum(n) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS lo
+  FROM vocab
+),
+ww AS (SELECT CAST(sum(n) AS BIGINT) AS w FROM vocab),
+occ AS (
+  SELECT a.doc_id,
+         a.doc_id * 1099511627776 + a.pos * 1048576 + b.pos AS pk
+  FROM nz a JOIN nz b
+    ON b.doc_id = a.doc_id
+   AND b.pos <> a.pos
+   AND abs(b.pos - a.pos) <= {SKIPGRAM_WINDOW}
+),
+{_key_rank_sql('occ', 'pk', 'pk', NEGSAMPLE_SEED)},
+draw AS (
+  SELECT CAST(x % CAST((SELECT w FROM ww) AS UBIGINT) AS BIGINT) AS rm
+  FROM r
+),
+hit AS (
+  SELECT cdf.t
+  FROM draw JOIN cdf
+    ON draw.rm >= cdf.lo AND draw.rm < cdf.lo + cdf.n
+)
+SELECT t AS tok, CAST(count(*) AS BIGINT) AS n_sampled
+FROM hit GROUP BY t
+"""
+
+
+REGISTRY.update(
+    {
+        "negative_samples_counts": (
+            q_negative_samples_counts,
+            _negative_samples_sql(),
+        )
+    }
+)
