@@ -16159,3 +16159,142 @@ REGISTRY.update(
         )
     }
 )
+
+
+def q_glove_cooc(sf_dir: str):
+    """GloVe-style distance-weighted co-occurrence: each (center,
+    context) occurrence at distance d contributes weight 1/d,
+    accumulated as EXACT integer micro-units (1000000 // d) so
+    partial sums are order-independent — the embedding-prep sibling
+    of skipgram_pairs sharing its flat shifted-comparison kernel;
+    only the vocab^2-bounded weighted table shuffles."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        n_per = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(words).to_numpy(
+            zero_copy_only=False
+        ).astype("U")
+        doc_of = np.repeat(np.arange(len(n_per), dtype=np.int64), n_per)
+        keep = flat != ""
+        ctr, ctx, wt = [], [], []
+        for d in range(1, SKIPGRAM_WINDOW + 1):
+            same = doc_of[d:] == doc_of[:-d]
+            ok = same & keep[d:] & keep[:-d]
+            a, c = flat[:-d][ok], flat[d:][ok]
+            ctr.append(np.concatenate([a, c]))
+            ctx.append(np.concatenate([c, a]))
+            wt.append(
+                np.full(2 * int(ok.sum()), 1_000_000 // d, np.int64)
+            )
+        df = (
+            pd.DataFrame(
+                {
+                    "center": np.concatenate(ctr),
+                    "context": np.concatenate(ctx),
+                    "w": np.concatenate(wt),
+                }
+            )
+            .groupby(["center", "context"], sort=False)["w"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["center", "context"])
+        .aggregate(Sum("w", alias_name="weight_micro"))
+    )
+
+
+SQL_GLOVE_COOC = f"""
+WITH tok AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+nz AS (SELECT doc_id, pos, t FROM tok WHERE t <> ''),
+pairs AS (
+  SELECT a.t AS center, b.t AS context,
+         1000000 // abs(b.pos - a.pos) AS w
+  FROM nz a JOIN nz b
+    ON b.doc_id = a.doc_id
+   AND b.pos <> a.pos
+   AND abs(b.pos - a.pos) <= {SKIPGRAM_WINDOW}
+)
+SELECT center, context, CAST(sum(w) AS BIGINT) AS weight_micro
+FROM pairs GROUP BY 1, 2
+"""
+
+
+#: l-diversity threshold (l_diversity_docs)
+L_DIVERSITY = 3
+
+
+def q_l_diversity_docs(sf_dir: str):
+    """l-diversity audit (the companion of the k-anonymity check):
+    for each quasi-identifier group (lang, length-decile-bucket), the
+    number of DISTINCT sensitive values (source) — groups with fewer
+    than l=3 distinct sources leak attribute information even when
+    k-anonymous. In-batch (group, source) dedup shrinks the exchange
+    to distinct pairs; integer bucket = n_chars // 200."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lang = b["lang"].to_numpy(zero_copy_only=False).astype("U")
+        src = b["source"].to_numpy(zero_copy_only=False).astype("U")
+        bucket = (
+            b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+            // 200
+        )
+        df = pd.DataFrame(
+            {"lang": lang, "bucket": bucket, "source": src}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "bucket", "source"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["lang", "bucket"], sort=False)["source"]
+            .nunique()
+            .reset_index(name="n_sources")
+        )
+        out["leaky"] = (out["n_sources"] < L_DIVERSITY).astype(np.int64)
+        return out.astype(
+            {"bucket": np.int64, "n_sources": np.int64}
+        )
+
+    return (
+        pairs.groupby(["lang", "bucket"])
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+SQL_L_DIVERSITY_DOCS = f"""
+WITH q AS (
+  SELECT lang, n_chars // 200 AS bucket, source FROM documents
+)
+SELECT lang, bucket,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CASE WHEN count(DISTINCT source) < {L_DIVERSITY}
+            THEN 1 ELSE 0 END AS leaky
+FROM q GROUP BY 1, 2
+"""
+
+
+REGISTRY.update(
+    {
+        "glove_cooc": (q_glove_cooc, SQL_GLOVE_COOC),
+        "l_diversity_docs": (q_l_diversity_docs, SQL_L_DIVERSITY_DOCS),
+    }
+)
