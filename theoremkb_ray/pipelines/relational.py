@@ -16298,3 +16298,105 @@ REGISTRY.update(
         "l_diversity_docs": (q_l_diversity_docs, SQL_L_DIVERSITY_DOCS),
     }
 )
+
+
+#: split-leakage test fraction threshold: floor(0.2 * 2^64)
+LEAK_TEST_THRESH = 3689348814741910323
+LEAK_SEED = 31
+
+
+def q_split_leakage_docs(sf_dir: str):
+    """Train/test split-leakage audit — the eval-hygiene check every
+    benchmark pipeline needs: after a deterministic 80/20 hash split
+    (key_rank64(doc_id) below 20% of the hash space = test), count
+    normalized-duplicate pairs that CROSS the split and the distinct
+    test docs thereby contaminated. Normalization = the
+    dedup_norm_docs rule (casefold + whitespace collapse); per-group
+    counts fold through one norm-keyed exchange of (n_train, n_test)
+    partials, crossing pairs = sum n_train * n_test."""
+    from ..functions.hashing import key_rank64
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        is_test = (
+            key_rank64(did, seed=LEAK_SEED)
+            < np.uint64(LEAK_TEST_THRESH)
+        ).astype(np.int64)
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(b["text"]), r"\s+", " "
+            )
+        )
+        df = pd.DataFrame(
+            {
+                "norm": norm.to_numpy(zero_copy_only=False),
+                "tr": 1 - is_test,
+                "te": is_test,
+            }
+        )
+        out = (
+            df.groupby("norm", sort=False)[["tr", "te"]]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    groups = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("norm")
+        .aggregate(
+            Sum("tr", alias_name="tr"), Sum("te", alias_name="te")
+        )
+        .to_pandas()
+    )
+    tr = groups["tr"].to_numpy(np.int64)
+    te = groups["te"].to_numpy(np.int64)
+    crossing = int((tr * te).sum())
+    leaked = int(te[(tr > 0) & (te > 0)].sum())
+    return pd.DataFrame(
+        {
+            "n_train": [int(tr.sum())],
+            "n_test": [int(te.sum())],
+            "crossing_pairs": [crossing],
+            "leaked_test_docs": [leaked],
+        }
+    ).astype(np.int64)
+
+
+def _split_leakage_sql() -> str:
+    from __ray_entry__ import _key_rank_sql  # lazy: avoids cycle
+
+    return rf"""
+WITH {_key_rank_sql('documents', 'doc_id', 'doc_id, text', LEAK_SEED)},
+k AS (
+  SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+         CASE WHEN x < {LEAK_TEST_THRESH} THEN 1 ELSE 0 END AS te
+  FROM r
+),
+g AS (
+  SELECT norm,
+         CAST(sum(1 - te) AS BIGINT) AS tr,
+         CAST(sum(te) AS BIGINT) AS te
+  FROM k GROUP BY norm
+)
+SELECT CAST(sum(tr) AS BIGINT) AS n_train,
+       CAST(sum(te) AS BIGINT) AS n_test,
+       CAST(sum(tr * te) AS BIGINT) AS crossing_pairs,
+       CAST(sum(CASE WHEN tr > 0 AND te > 0 THEN te ELSE 0 END)
+            AS BIGINT) AS leaked_test_docs
+FROM g
+"""
+
+
+REGISTRY.update(
+    {
+        "split_leakage_docs": (
+            q_split_leakage_docs,
+            _split_leakage_sql(),
+        )
+    }
+)
