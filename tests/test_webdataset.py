@@ -51,3 +51,21 @@ def test_webdataset_roundtrip_and_determinism(tmp_path):
     stems = {n.rsplit(".", 1)[0] for n in names}
     for s in stems:
         assert f"{s}.payload" in names and f"{s}.json" in names
+
+
+def test_cli_wds_export(tmp_path):
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.__main__ import main
+
+    tbl = synth_real_media_table(12, seed=2)
+    src = str(tmp_path / "media.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "shards")
+    rc = main(["wds-export", src, out, "--shards", "3"])
+    assert rc == 0
+    assert len(glob.glob(f"{out}/shard_*.tar")) <= 3
+    man = _json.load(open(f"{out}/_wds_manifest.json"))
+    assert sum(s["rows"] for s in man["shards"]) == 12

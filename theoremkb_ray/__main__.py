@@ -263,6 +263,25 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_wds_export(args) -> int:
+    """Binary-payload parquet -> WebDataset tar shards
+    (sources/webdataset.py); prints the per-shard summary."""
+    import ray.data as rd
+
+    from .sources.webdataset import write_webdataset
+
+    ds = rd.read_parquet(args.table)
+    summary = write_webdataset(
+        ds,
+        args.out,
+        key_col=args.key_col,
+        payload_col=args.payload_col,
+        num_shards=args.shards,
+    )
+    print(summary.to_json(orient="records"))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="theoremkb_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -357,6 +376,17 @@ def main(argv: list[str] | None = None) -> int:
     vv.add_argument("--rules", required=True, help="JSON rule list")
     vv.add_argument("--strict", action="store_true")
     vv.set_defaults(fn=cmd_validate)
+
+    wd = sub.add_parser(
+        "wds-export",
+        help="binary-payload parquet -> WebDataset tar shards",
+    )
+    wd.add_argument("table", help="parquet file/dir of binary rows")
+    wd.add_argument("out", help="output shard directory")
+    wd.add_argument("--key-col", default="media_id")
+    wd.add_argument("--payload-col", default="payload")
+    wd.add_argument("--shards", type=int, default=8)
+    wd.set_defaults(fn=cmd_wds_export)
 
     bp = sub.add_parser("bench", help="time the triple pipeline")
     bp.add_argument("--corpus", required=True)
