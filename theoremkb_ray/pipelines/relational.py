@@ -16400,3 +16400,144 @@ REGISTRY.update(
         )
     }
 )
+
+
+#: frequent-token subsampling (subsample_tokens_docs)
+SUBSAMPLE_T = 0.001
+SUBSAMPLE_SEED = 37
+#: 2^64 // 1e6 — micro-probability -> uint64 threshold multiplier
+SUBSAMPLE_SCALE = 18446744073709
+
+
+def q_subsample_tokens_docs(sf_dir: str):
+    """word2vec frequent-token subsampling, deterministic: an
+    occurrence of token t survives iff key_rank64((doc << 32) | pos)
+    falls below its keep-probability P(t) = sqrt(T / f(t)) — but the
+    float P is first quantized to integer MICRO-units and the
+    threshold is micro * (2^64 // 1e6), so the comparison is pure
+    uint64 on both engines (a raw P * 2^64 double would round
+    differently above 2^53). Outputs per-token occurrence/kept
+    counts; vocabulary-bounded exchanges only."""
+    from ..functions.hashing import key_rank64
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def vocab_partial(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern(b["text"], " ")
+        ).to_numpy(zero_copy_only=False).astype("U")
+        flat = flat[flat != ""]
+        u, n = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "tok": pa.array(u, pa.string()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(vocab_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("tok", kind="mergesort")
+    )
+    toks = vocab["tok"].to_numpy()
+    n_t = vocab["n"].to_numpy(np.int64)
+    W = int(n_t.sum())
+    # micro-quantized keep probability, capped at 1
+    p_micro = np.minimum(
+        np.floor(
+            np.sqrt(SUBSAMPLE_T / (n_t * 1.0 / W)) * 1e6
+        ).astype(np.int64),
+        1_000_000,
+    )
+    thresh = p_micro.astype(np.uint64) * np.uint64(SUBSAMPLE_SCALE)
+
+    def keep_partial(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        words = pc.split_pattern(b["text"], " ")
+        n_per = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(words).to_numpy(
+            zero_copy_only=False
+        ).astype("U")
+        offs = np.r_[0, np.cumsum(n_per)]
+        doc_of = np.repeat(np.arange(len(did), dtype=np.int64), n_per)
+        pos = np.arange(int(offs[-1]), dtype=np.int64) - offs[doc_of]
+        keep = flat != ""
+        idx = np.searchsorted(toks, flat[keep])
+        key = (
+            did[doc_of[keep]].astype(np.uint64) << np.uint64(32)
+        ) | pos[keep].astype(np.uint64)
+        r = key_rank64(key.astype(np.int64), seed=SUBSAMPLE_SEED)
+        kept = r < thresh[idx]
+        occ = np.bincount(idx, minlength=len(toks)).astype(np.int64)
+        kc = np.bincount(
+            idx, weights=kept, minlength=len(toks)
+        ).astype(np.int64)
+        nz = occ > 0
+        return pa.table(
+            {
+                "tok": pa.array(toks[nz], pa.string()),
+                "occ": pa.array(occ[nz], pa.int64()),
+                "kept": pa.array(kc[nz], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(keep_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(
+            Sum("occ", alias_name="n_occurrences"),
+            Sum("kept", alias_name="n_kept"),
+        )
+    )
+
+
+def _subsample_tokens_sql() -> str:
+    from __ray_entry__ import _key_rank_sql  # lazy: avoids cycle
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+nz AS (SELECT doc_id, pos, t FROM tok WHERE t <> ''),
+vocab AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM nz GROUP BY t),
+ww AS (SELECT CAST(sum(n) AS BIGINT) AS w FROM vocab),
+pm AS (
+  SELECT t, n,
+         CAST(least(CAST(floor(sqrt({SUBSAMPLE_T}
+                                    / (n * 1.0 / (SELECT w FROM ww)))
+                               * 1e6) AS BIGINT),
+                    1000000) AS UBIGINT)
+           * {SUBSAMPLE_SCALE} AS thresh
+  FROM vocab
+),
+{_key_rank_sql('nz', '(doc_id * 4294967296 + pos)', 'doc_id, pos, t', SUBSAMPLE_SEED)},
+k AS (
+  SELECT r.t,
+         CASE WHEN r.x < pm.thresh THEN 1 ELSE 0 END AS kept
+  FROM r JOIN pm ON pm.t = r.t
+)
+SELECT t AS tok,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(sum(kept) AS BIGINT) AS n_kept
+FROM k GROUP BY t
+"""
+
+
+REGISTRY.update(
+    {
+        "subsample_tokens_docs": (
+            q_subsample_tokens_docs,
+            _subsample_tokens_sql(),
+        )
+    }
+)
