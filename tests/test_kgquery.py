@@ -131,3 +131,30 @@ def test_star_join_all_patterns_required():
     # unsatisfiable object constraint -> empty
     got3 = star_join(ds, {"cites": "nope"}).to_pandas()
     assert len(got3) == 0
+
+
+def test_neg_pattern_generic():
+    """NOT-EXISTS pattern on a hand-built triple set, any partition
+    count: subjects with a knows edge but no lives_in=Paris edge."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from theoremkb_ray.stages.kgquery import neg_pattern
+
+    triples = pa.table(
+        {
+            "subject": ["s1", "s1", "s2", "s3", "s3", "s4"],
+            "predicate": [
+                "knows", "lives_in", "knows", "knows", "lives_in",
+                "lives_in",
+            ],
+            "object": ["s2", "Paris", "s3", "s1", "Lyon", "Paris"],
+        }
+    )
+    for parts in (1, 3, 5):
+        out = neg_pattern(
+            rd.from_arrow(triples).repartition(parts),
+            have=("knows", None),
+            lack=("lives_in", "Paris"),
+        ).to_pandas()
+        assert sorted(out["subject"]) == ["s2", "s3"], parts

@@ -16541,3 +16541,160 @@ REGISTRY.update(
         )
     }
 )
+
+
+#: rare-label collapse threshold (collapse_rare_sources)
+RARE_MIN_COUNT = 20
+
+
+def q_collapse_rare_sources(sf_dir: str):
+    """Rare-category collapse (the feature-engineering prelude to
+    one-hot/target encoding): sources with fewer than 20 documents
+    fold into 'OTHER'. Two tiny category-bounded exchanges — the
+    count table broadcasts as a sorted keep-list, the remap is a
+    stateless searchsorted per batch."""
+    ds = _pq(sf_dir, "documents", ["source"])
+    counts = (
+        ds.groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    keep = np.sort(
+        counts.loc[
+            counts["n"] >= RARE_MIN_COUNT, "source"
+        ].to_numpy().astype("U")
+    )
+
+    def remap(b: pa.Table) -> pa.Table:
+        src = b["source"].to_numpy(zero_copy_only=False).astype("U")
+        pos = np.clip(
+            np.searchsorted(keep, src), 0, max(len(keep) - 1, 0)
+        )
+        hit = (keep[pos] == src) if len(keep) else np.zeros(
+            len(src), bool
+        )
+        out = np.where(hit, src, "OTHER")
+        u, n = np.unique(out, return_counts=True)
+        return pa.table(
+            {
+                "label": pa.array(u, pa.string()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(remap, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+
+SQL_COLLAPSE_RARE_SOURCES = f"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+m AS (
+  SELECT d.source,
+         CASE WHEN c.n >= {RARE_MIN_COUNT} THEN d.source
+              ELSE 'OTHER' END AS label
+  FROM documents d JOIN c ON c.source = d.source
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_docs
+FROM m GROUP BY label
+"""
+
+
+REGISTRY.update(
+    {
+        "collapse_rare_sources": (
+            q_collapse_rare_sources,
+            SQL_COLLAPSE_RARE_SOURCES,
+        )
+    }
+)
+
+
+def q_cohens_kappa_docs(sf_dir: str):
+    """Cohen's kappa between two deterministic quality raters (char
+    length >= 300 vs token count >= 55) — the inter-annotator
+    agreement statistic behind every labeling-QA report (J8's
+    agreement family, distilled to its 2x2 contingency). One pass
+    folds the four cell counts; kappa = (po - pe) / (1 - pe) is a
+    single float expression over exact integers, floor-quantized."""
+    ds = _pq(sf_dir, "documents", ["text", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        a = (
+            b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+            >= 300
+        ).astype(np.int64)
+        ntok = pc.count_substring_regex(
+            b["text"], r"\S+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        b_ = (ntok >= 55).astype(np.int64)
+        cell = a * 2 + b_
+        cnt = np.bincount(cell, minlength=4).astype(np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(np.arange(4, dtype=np.int64)),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    h = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("cell")
+    )
+    full = np.zeros(4, np.int64)
+    full[h["cell"].to_numpy()] = h["n"].to_numpy()
+    n00, n01, n10, n11 = (int(x) for x in full)
+    n = n00 + n01 + n10 + n11
+    po = (n00 + n11) * 1.0 / n
+    pe = ((n10 + n11) * 1.0 / n) * ((n01 + n11) * 1.0 / n) + (
+        (n00 + n01) * 1.0 / n
+    ) * ((n00 + n10) * 1.0 / n)
+    kappa = np.floor((po - pe) / (1.0 - pe) * 1e6) / 1e6
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "both_pos": [n11],
+            "both_neg": [n00],
+            "kappa": [float(kappa)],
+        }
+    ).astype({"n": np.int64, "both_pos": np.int64, "both_neg": np.int64})
+
+
+SQL_COHENS_KAPPA_DOCS = r"""
+WITH r AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(regexp_extract_all(text, '\S+')) >= 55
+              THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+c AS (
+  SELECT CAST(count(*) FILTER (a = 0 AND b = 0) AS BIGINT) AS n00,
+         CAST(count(*) FILTER (a = 0 AND b = 1) AS BIGINT) AS n01,
+         CAST(count(*) FILTER (a = 1 AND b = 0) AS BIGINT) AS n10,
+         CAST(count(*) FILTER (a = 1 AND b = 1) AS BIGINT) AS n11,
+         CAST(count(*) AS BIGINT) AS n
+  FROM r
+)
+SELECT n, n11 AS both_pos, n00 AS both_neg,
+       floor((((n00 + n11) * 1.0 / n)
+              - (((n10 + n11) * 1.0 / n) * ((n01 + n11) * 1.0 / n)
+                 + ((n00 + n01) * 1.0 / n) * ((n00 + n10) * 1.0 / n)))
+             / (1.0 - (((n10 + n11) * 1.0 / n)
+                       * ((n01 + n11) * 1.0 / n)
+                       + ((n00 + n01) * 1.0 / n)
+                       * ((n00 + n10) * 1.0 / n)))
+             * 1e6) / 1e6 AS kappa
+FROM c
+"""
+
+
+REGISTRY.update(
+    {
+        "cohens_kappa_docs": (q_cohens_kappa_docs, SQL_COHENS_KAPPA_DOCS)
+    }
+)
