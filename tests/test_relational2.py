@@ -798,3 +798,112 @@ def test_compression_ratio_flags_repetitive_text():
             )
             out = _df(R.q_compression_ratio_docs(td)).set_index("doc_id")
     assert out.loc[1, "ratio"] < out.loc[2, "ratio"] * 0.5
+
+
+def test_emd_matches_sorted_difference_identity():
+    """For equal cohort sizes, 1-D EMD equals mean |sortedA - sortedB|
+    (the classic identity) — checked against the cumulative-count
+    formula on random integer samples, plus the pipeline's own output
+    at sf0.001 vs a literal per-value reference."""
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        n = int(rng.randint(3, 40))
+        a = rng.randint(0, 50, n).astype(np.int64)
+        b = rng.randint(0, 50, n).astype(np.int64)
+        want = np.abs(np.sort(a) - np.sort(b)).sum() / n
+        # cumulative formula over the combined support
+        v = np.unique(np.r_[a, b])
+        ca = np.searchsorted(np.sort(a), v, side="right")
+        cb = np.searchsorted(np.sort(b), v, side="right")
+        got = sum(
+            abs(int(ca[i]) * n - int(cb[i]) * n) * int(v[i + 1] - v[i])
+            for i in range(len(v) - 1)
+        ) / (n * n)
+        assert abs(got - want) < 1e-9
+
+    from theoremkb_ray.pipelines.relational import q_emd_cohorts_events
+
+    out = _df(q_emd_cohorts_events(SF_DIR))
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "value"]
+    )
+    ev["c"] = (ev["value"] * 100).round().astype("int64")
+    u = ev.groupby("user_id")["c"].sum()
+    a = np.sort(u[u.index % 2 == 0].to_numpy())
+    b = np.sort(u[u.index % 2 == 1].to_numpy())
+    v = np.unique(np.r_[a, b])
+    ca = np.searchsorted(a, v, side="right").astype(object)
+    cb = np.searchsorted(b, v, side="right").astype(object)
+    s = sum(
+        abs(ca[i] * len(b) - cb[i] * len(a)) * int(v[i + 1] - v[i])
+        for i in range(len(v) - 1)
+    )
+    want = np.floor(s * 1.0 / (len(a) * len(b)) * 1e6) / 1e6
+    assert out["emd_cents"].iloc[0] == want
+
+
+def test_ks_matches_brute_max_gap():
+    from theoremkb_ray.pipelines.relational import q_ks_test_cohorts
+
+    out = _df(q_ks_test_cohorts(SF_DIR))
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "value"]
+    )
+    ev["c"] = (ev["value"] * 100).round().astype("int64")
+    u = ev.groupby("user_id")["c"].sum()
+    a = np.sort(u[u.index % 2 == 0].to_numpy())
+    b = np.sort(u[u.index % 2 == 1].to_numpy())
+    v = np.unique(np.r_[a, b])
+    gap = np.abs(
+        np.searchsorted(a, v, side="right") * len(b)
+        - np.searchsorted(b, v, side="right") * len(a)
+    )
+    want_d = np.floor(gap.max() * 1.0 / (len(a) * len(b)) * 1e6) / 1e6
+    assert out["ks_d"].iloc[0] == want_d
+    assert out["d_at_cents"].iloc[0] == int(v[np.argmax(gap)])
+
+
+def test_attribution_linear_matches_per_purchase_loop():
+    """Vectorized window counting vs a literal per-purchase loop."""
+    from theoremkb_ray.pipelines.relational import q_attribution_linear
+
+    out = _df(q_attribution_linear(SF_DIR)).set_index("event_type")
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    ev["t"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    W = 24 * 3600 * 1_000_000
+    credit = {"click": 0, "view": 0, "unattributed": 0}
+    for _, p in ev[ev["event_type"] == "purchase"].iterrows():
+        w = ev[
+            (ev["user_id"] == p["user_id"])
+            & (ev["t"] < p["t"])
+            & (ev["t"] >= p["t"] - W)
+            & (ev["event_type"].isin(["click", "view"]))
+        ]
+        k = len(w)
+        if k == 0:
+            credit["unattributed"] += 1_000_000
+        else:
+            per = 1_000_000 // k
+            credit["click"] += per * (w["event_type"] == "click").sum()
+            credit["view"] += per * (w["event_type"] == "view").sum()
+    for ty, want in credit.items():
+        assert int(out.loc[ty, "credit_micro"]) == int(want), ty
+
+
+def test_drawdown_matches_pandas_cummax():
+    from theoremkb_ray.pipelines.relational import q_drawdown_users
+
+    out = _df(q_drawdown_users(SF_DIR)).set_index("user_id")
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    ).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ev["c"] = (ev["value"] * 100).round().astype("int64")
+    dd = ev.groupby("user_id")["c"].cummax() - ev["c"]
+    want = dd.groupby(ev["user_id"]).max()
+    assert len(out) == len(want)
+    for uid, w in want.items():
+        assert int(out.loc[uid, "max_drawdown_cents"]) == int(w)
