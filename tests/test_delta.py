@@ -323,3 +323,36 @@ def test_near_dup_delta_screens_rewrites(tmp_path):
     assert res2["segment"] is None and res2["rows"] == 0
     # empty-kept path appends an empty signature run, not a stale one
     assert len(near_signatures(store).to_pandas()) == n_hist
+
+
+def test_compaction_carries_near_sidecar(tmp_path):
+    """repartition_store must carry the _near/ signature history so
+    near-dup screening keeps its memory on the compacted store."""
+    from theoremkb_ray.pipelines.delta import (
+        near_signatures,
+        record_near_signatures,
+    )
+    from theoremkb_ray.sources.corpus import read_corpus
+    from theoremkb_ray.sources.sinks import repartition_store
+    from theoremkb_ray.stages.ingest import ingest
+
+    base_dir = materialize_corpus(
+        str(tmp_path / "base"), num_docs=30, seed=42
+    )
+    store = str(tmp_path / "store")
+    run_kg(
+        f"{base_dir}/corpus.parquet",
+        store,
+        segmenter="naive",
+        canonicalize=False,
+        num_partitions=2,
+    )
+    record_near_signatures(
+        ingest(read_corpus(f"{base_dir}/corpus.parquet"), verify=False),
+        store,
+    )
+    n_before = near_signatures(store).count()
+    out = str(tmp_path / "compacted")
+    repartition_store(store, out, num_partitions=3)
+    sigs = near_signatures(out)
+    assert sigs is not None and sigs.count() == n_before

@@ -509,11 +509,12 @@ def repartition_store(
     # compaction folds delta_NNN segments into the base partitions
     # (read_triples unions them); carry the _processed/ sidecar over
     # so incremental ingest keeps its dedup memory on the new store
-    src_sidecar = os.path.join(store_dir, "_processed")
-    if os.path.isdir(src_sidecar):
-        shutil.copytree(
-            src_sidecar,
-            os.path.join(out_dir, "_processed"),
-            dirs_exist_ok=True,
-        )
+    for name in ("_processed", "_near"):
+        src_sidecar = os.path.join(store_dir, name)
+        if os.path.isdir(src_sidecar):
+            shutil.copytree(
+                src_sidecar,
+                os.path.join(out_dir, name),
+                dirs_exist_ok=True,
+            )
     return {"partitions": len(rows), "rows": int(sum(rows))}
