@@ -16698,3 +16698,78 @@ REGISTRY.update(
         "cohens_kappa_docs": (q_cohens_kappa_docs, SQL_COHENS_KAPPA_DOCS)
     }
 )
+
+
+def q_theilsen_hours(sf_dir: str):
+    """Theil-Sen robust trend of the hourly event-count series — the
+    outlier-immune slope estimator (median of all pairwise slopes)
+    monitoring pipelines prefer over OLS. The hourly count table is
+    time-bounded (one exchange of per-batch partials); the pairwise
+    slope enumeration is bounded-squared and fully vectorized on the
+    driver, with the median picked by the same float ordering the
+    oracle uses (identical per-pair expression), floor-quantized."""
+    ds = _pq(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = _date_us(b["ts"]) // (3600 * 1_000_000)
+        u, n = np.unique(t, return_counts=True)
+        return pa.table(
+            {
+                "hour": pa.array(u, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    h = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("hour")
+    )
+    t = h["hour"].to_numpy(np.int64)
+    c = h["n"].to_numpy(np.int64)
+    i, j = np.triu_indices(len(t), k=1)
+    slopes = (c[j] - c[i]) * 1.0 / (t[j] - t[i])
+    slopes.sort(kind="stable")
+    m = len(slopes)
+    if m % 2:
+        med = slopes[m // 2]
+    else:
+        med = (slopes[m // 2 - 1] + slopes[m // 2]) / 2.0
+    return pd.DataFrame(
+        {
+            "n_hours": [len(t)],
+            "n_pairs": [m],
+            "slope_per_hour": [float(np.floor(med * 1e6) / 1e6)],
+        }
+    ).astype({"n_hours": np.int64, "n_pairs": np.int64})
+
+
+SQL_THEILSEN_HOURS = """
+WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT (b.n - a.n) * 1.0 / (b.hour - a.hour) AS slope
+  FROM h a JOIN h b ON b.hour > a.hour
+),
+o AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+             count(*) OVER () AS m
+      FROM p)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM h) AS n_hours,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_pairs,
+       floor(CASE WHEN (SELECT max(m) FROM o) % 2 = 1
+                  THEN (SELECT slope FROM o
+                        WHERE rn = (m + 1) // 2)
+                  ELSE ((SELECT slope FROM o WHERE rn = m // 2)
+                        + (SELECT slope FROM o WHERE rn = m // 2 + 1))
+                       / 2.0 END * 1e6) / 1e6 AS slope_per_hour
+"""
+
+
+REGISTRY.update(
+    {"theilsen_hours": (q_theilsen_hours, SQL_THEILSEN_HOURS)}
+)
