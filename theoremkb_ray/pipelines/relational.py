@@ -16773,3 +16773,94 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM h) AS n_hours,
 REGISTRY.update(
     {"theilsen_hours": (q_theilsen_hours, SQL_THEILSEN_HOURS)}
 )
+
+
+#: kNN outlier parameters (knn_outliers_embeddings)
+KNN_OUT_K = 5
+KNN_OUT_TOP = 20
+
+
+def q_knn_outliers_embeddings(sf_dir: str):
+    """kNN-distance outlier detection: the 20 most isolated vectors
+    by distance to their 5th nearest neighbour (the classic
+    density-free anomaly score for embedding spaces). Candidates
+    stream against the broadcast vector matrix one batch at a time
+    (the ann_topk scan shape); per row the 5th-smallest L2 distance
+    falls out of one argpartition. Ranking follows the ann ordering
+    contract (score, then vec_id), which the synthetic embedding
+    geometry keeps ulp-stable across both engines."""
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    all_df = ds.to_pandas().sort_values("vec_id")
+    M = np.stack(
+        [np.asarray(v, np.float64) for v in all_df["embedding"]]
+    )
+    ids = all_df["vec_id"].to_numpy(np.int64)
+
+    def score(b: pa.Table) -> pa.Table:
+        vid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        Q = np.stack(
+            [
+                np.asarray(v, np.float64)
+                for v in b["embedding"].to_pylist()
+            ]
+        )
+        # exact squared distances, then per-row 5th-smallest excluding
+        # self (distance 0 at the self column)
+        d2 = (
+            (Q * Q).sum(1)[:, None]
+            - 2.0 * (Q @ M.T)
+            + (M * M).sum(1)[None, :]
+        )
+        np.maximum(d2, 0.0, out=d2)
+        # mask self by vec_id (duplicates of the same id keep one)
+        self_col = np.searchsorted(ids, vid)
+        d2[np.arange(len(vid)), self_col] = np.inf
+        kth = np.partition(d2, KNN_OUT_K - 1, axis=1)[:, KNN_OUT_K - 1]
+        return pa.table(
+            {
+                "vec_id": pa.array(vid, pa.int64()),
+                "d2": pa.array(kth, pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["d2", "vec_id"], ascending=[False, True])
+        .head(KNN_OUT_TOP)
+        .reset_index(drop=True)
+    )
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "vec_id"]].astype(np.int64)
+
+
+SQL_KNN_OUTLIERS_EMBEDDINGS = f"""
+WITH d AS (
+  SELECT a.vec_id,
+         list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           AS dist
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+),
+kth AS (
+  SELECT vec_id, dist FROM (
+    SELECT vec_id, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist) AS rn
+    FROM d) WHERE rn = {KNN_OUT_K}
+)
+SELECT CAST(row_number() OVER (ORDER BY dist DESC, vec_id)
+            AS BIGINT) AS rank,
+       vec_id
+FROM kth
+ORDER BY rank LIMIT {KNN_OUT_TOP}
+"""
+
+
+REGISTRY.update(
+    {
+        "knn_outliers_embeddings": (
+            q_knn_outliers_embeddings,
+            SQL_KNN_OUTLIERS_EMBEDDINGS,
+        )
+    }
+)
