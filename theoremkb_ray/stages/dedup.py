@@ -109,11 +109,18 @@ class MinHashBandEmitter:
         fs, fd = shingle_hashes_flat(flat, starts, k=self.shingle_k)
         sigs = minhash_signatures_flat(fs, fd, n, self.num_perm)
         bands = band_hashes(sigs, self.num_bands)
-        # simhash over SHINGLES, not unigrams: near-identical word
-        # multisets (small vocabularies) stay separable
-        sstarts = np.zeros(n + 1, np.int64)
-        sstarts[1:] = np.cumsum(np.bincount(fd, minlength=n))
-        sims = simhash64_flat(fs, sstarts)
+        # verification payload = a SIGNATURE DIGEST (bit i = low bit
+        # of MinHash slot i), not a shingle simhash: hamming between
+        # digests estimates 0.5 x (64 - matching slots), i.e. a direct
+        # Jaccard estimate that stays reliable for SHORT documents —
+        # a simhash majority over a handful of shingles is noisy
+        # enough that a true 0.86-Jaccard pair of ~10-token docs
+        # measured hamming 13 and slipped the old <=12 verify
+        # (found by the sf0.1 oracle sweep; see _verify_hamming)
+        p = min(self.num_perm, 64)
+        sims = np.zeros(n, dtype=np.uint64)
+        for i in range(p):
+            sims |= (sigs[:, i] & np.uint64(1)) << np.uint64(i)
         n_tok = np.diff(starts).astype(np.int32)
         rep = self.num_bands
         return pa.table(
@@ -420,10 +427,16 @@ def minhash_dup_edges(
     ds,
     col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 12,
+    max_hamming: int = 16,
     num_perm: int = 64,
     num_bands: int = 16,
 ):
+    """Candidate pairs from MinHash-LSH banding, verified by the
+    signature-digest hamming: digest bits are the low bits of the 64
+    signature slots, so E[hamming] = 0.5 x (#differing slots) and the
+    default 16 accepts estimated Jaccard >= ~0.5 (32 differing
+    slots) — the oracle's threshold, with the bimodal dup landscape
+    providing the margin (non-dup band collisions sit at ~32 +- 4)."""
     bands = ds.map_batches(
         MinHashBandEmitter(col, id_col, num_perm, num_bands),
         batch_format="pyarrow",
