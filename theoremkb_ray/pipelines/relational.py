@@ -16864,3 +16864,152 @@ REGISTRY.update(
         )
     }
 )
+
+
+#: LOF parameters (lof_embeddings)
+LOF_K = 5
+LOF_TOP = 10
+
+
+def q_lof_embeddings(sf_dir: str):
+    """Local Outlier Factor over the embedding space — the
+    density-RATIO anomaly score (a point is outlying relative to its
+    neighbourhood's density, not the global scale). k=5 neighbours
+    under the ann ordering contract; reachability sums fold in FIXED
+    neighbour-rank order (r1+r2+r3+r4+r5 written explicitly on both
+    engines, so no float-reduction-order divergence), and the top-10
+    LOF scores are floor-quantized at 1e-4. One batched scan against
+    the broadcast matrix; everything after the per-node 5-row
+    neighbour table is vector-count-bounded."""
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    all_df = ds.to_pandas().sort_values("vec_id")
+    M = np.stack(
+        [np.asarray(v, np.float64) for v in all_df["embedding"]]
+    )
+    ids = all_df["vec_id"].to_numpy(np.int64)
+
+    def knn_partial(b: pa.Table) -> pa.Table:
+        vid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        Q = np.stack(
+            [np.asarray(v, np.float64) for v in b["embedding"].to_pylist()]
+        )
+        # distance expression mirrors DuckDB list_distance:
+        # sqrt(sum (a_i - b_i)^2)
+        d2 = (
+            (Q * Q).sum(1)[:, None]
+            - 2.0 * (Q @ M.T)
+            + (M * M).sum(1)[None, :]
+        )
+        np.maximum(d2, 0.0, out=d2)
+        self_col = np.searchsorted(ids, vid)
+        d2[np.arange(len(vid)), self_col] = np.inf
+        d = np.sqrt(d2)
+        # k nearest by (dist, vec_id)
+        order = np.lexsort(
+            (np.broadcast_to(ids, d.shape), d), axis=1
+        )[:, :LOF_K]
+        rows = np.repeat(vid, LOF_K)
+        cols = order.ravel()
+        return pa.table(
+            {
+                "ai": pa.array(rows, pa.int64()),
+                "bi": pa.array(ids[cols], pa.int64()),
+                "rn": pa.array(
+                    np.tile(
+                        np.arange(1, LOF_K + 1, dtype=np.int64),
+                        len(vid),
+                    )
+                ),
+                "dist": pa.array(
+                    d[np.repeat(np.arange(len(vid)), LOF_K), cols],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    nbr = (
+        ds.map_batches(knn_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["ai", "rn"])
+    )
+    kdist = nbr.loc[nbr["rn"] == LOF_K].set_index("ai")["dist"]
+    # reach_j(a) = max(kdist(b_j), d(a, b_j)), folded in rank order
+    reach = np.maximum(
+        kdist.loc[nbr["bi"]].to_numpy(), nbr["dist"].to_numpy()
+    )
+    re_cols = reach.reshape(-1, LOF_K)
+    a_ids = nbr["ai"].to_numpy(np.int64).reshape(-1, LOF_K)[:, 0]
+    s = re_cols[:, 0]
+    for j in range(1, LOF_K):
+        s = s + re_cols[:, j]
+    lrd = pd.Series(LOF_K * 1.0 / s, index=a_ids)
+    nb_lrd = lrd.loc[nbr["bi"]].to_numpy().reshape(-1, LOF_K)
+    t = nb_lrd[:, 0]
+    for j in range(1, LOF_K):
+        t = t + nb_lrd[:, j]
+    lof = t / (LOF_K * 1.0 * lrd.loc[a_ids].to_numpy())
+    out = (
+        pd.DataFrame({"vec_id": a_ids, "lof": np.floor(lof * 1e4) / 1e4})
+        .sort_values(["lof", "vec_id"], ascending=[False, True])
+        .head(LOF_TOP)
+        .reset_index(drop=True)
+    )
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "vec_id", "lof"]].astype(
+        {"rank": np.int64, "vec_id": np.int64}
+    )
+
+
+def _lof_sql() -> str:
+    k = LOF_K
+    re_sum = " + ".join(
+        f"max(CASE WHEN rn = {j} THEN re END)" for j in range(1, k + 1)
+    )
+    lrd_sum = " + ".join(
+        f"max(CASE WHEN rn = {j} THEN nl END)" for j in range(1, k + 1)
+    )
+    return f"""
+WITH d AS (
+  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           AS dist
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+),
+nn AS (
+  SELECT ai, bi, dist,
+         row_number() OVER (PARTITION BY ai
+                            ORDER BY dist, bi) AS rn
+  FROM d
+),
+kd AS (SELECT ai, dist AS kdist FROM nn WHERE rn = {k}),
+nbr AS (SELECT * FROM nn WHERE rn <= {k}),
+reach AS (
+  SELECT n.ai, n.rn, greatest(kk.kdist, n.dist) AS re
+  FROM nbr n JOIN kd kk ON kk.ai = n.bi
+),
+lrd AS (
+  SELECT ai, {k}.0 / ({re_sum}) AS lrd
+  FROM reach GROUP BY ai
+),
+nl AS (
+  SELECT n.ai, n.rn, l.lrd AS nl
+  FROM nbr n JOIN lrd l ON l.ai = n.bi
+),
+lof AS (
+  SELECT nl.ai,
+         ({lrd_sum}) / ({k}.0 * max(la.lrd)) AS lof
+  FROM nl JOIN lrd la ON la.ai = nl.ai
+  GROUP BY nl.ai
+)
+SELECT CAST(row_number() OVER (ORDER BY floor(lof * 1e4) / 1e4 DESC,
+                               ai) AS BIGINT) AS rank,
+       ai AS vec_id,
+       floor(lof * 1e4) / 1e4 AS lof
+FROM lof
+ORDER BY rank LIMIT {LOF_TOP}
+"""
+
+
+REGISTRY.update(
+    {"lof_embeddings": (q_lof_embeddings, _lof_sql())}
+)
