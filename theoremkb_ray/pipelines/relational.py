@@ -17013,3 +17013,141 @@ ORDER BY rank LIMIT {LOF_TOP}
 REGISTRY.update(
     {"lof_embeddings": (q_lof_embeddings, _lof_sql())}
 )
+
+
+#: DBSCAN parameters (dbscan_embeddings)
+DBSCAN_EPS = 1.2
+DBSCAN_MINPTS = 5
+
+
+def q_dbscan_embeddings(sf_dir: str):
+    """DBSCAN over the embedding space: core points have >= 5
+    neighbours within eps=1.2 (self excluded), clusters are connected
+    components of the core-core eps-graph labelled by their min core
+    id, border points take the min cluster among their core
+    neighbours, everything else is noise (-1) — the classic
+    density-based clustering, made deterministic by min-label rules.
+    The eps-neighbour scan streams batches against the broadcast
+    matrix; the core-core edge set is density-bounded and feeds the
+    house union-find (the distributed CC path is the documented
+    beyond-driver plan)."""
+    from ..stages.canonicalize import connected_components_local
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    all_df = ds.to_pandas().sort_values("vec_id")
+    M = np.stack(
+        [np.asarray(v, np.float64) for v in all_df["embedding"]]
+    )
+    ids = all_df["vec_id"].to_numpy(np.int64)
+
+    def nb_partial(b: pa.Table) -> pa.Table:
+        vid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        Q = np.stack(
+            [np.asarray(v, np.float64) for v in b["embedding"].to_pylist()]
+        )
+        d2 = (
+            (Q * Q).sum(1)[:, None]
+            - 2.0 * (Q @ M.T)
+            + (M * M).sum(1)[None, :]
+        )
+        np.maximum(d2, 0.0, out=d2)
+        self_col = np.searchsorted(ids, vid)
+        d2[np.arange(len(vid)), self_col] = np.inf
+        d = np.sqrt(d2)
+        rows, cols = np.where(d <= DBSCAN_EPS)
+        return pa.table(
+            {
+                "ai": pa.array(vid[rows], pa.int64()),
+                "bi": pa.array(ids[cols], pa.int64()),
+            }
+        )
+
+    nb = (
+        ds.map_batches(nb_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    deg = nb.groupby("ai").size()
+    core = set(deg[deg >= DBSCAN_MINPTS].index)
+    cc_edges = nb[
+        nb["ai"].isin(core) & nb["bi"].isin(core)
+        & (nb["ai"] < nb["bi"])
+    ]
+    tbl = pa.table(
+        {
+            "a": pa.array(
+                cc_edges["ai"].astype(str).to_numpy(), pa.string()
+            ),
+            "b": pa.array(
+                cc_edges["bi"].astype(str).to_numpy(), pa.string()
+            ),
+        }
+    )
+    comp = connected_components_local(tbl)
+    label = {int(k): int(v) for k, v in comp.items()}
+    for c in core:
+        label.setdefault(c, c)  # isolated cores are their own cluster
+    out_rows = []
+    nb_core = nb[nb["bi"].isin(core)]
+    border_lbl = (
+        nb_core.assign(
+            lbl=nb_core["bi"].map(lambda x: label[int(x)])
+        )
+        .groupby("ai")["lbl"]
+        .min()
+    )
+    for vid in ids:
+        v = int(vid)
+        if v in core:
+            out_rows.append((v, label[v]))
+        elif v in border_lbl.index:
+            out_rows.append((v, int(border_lbl.loc[v])))
+        else:
+            out_rows.append((v, -1))
+    return pd.DataFrame(
+        out_rows, columns=["vec_id", "cluster"]
+    ).astype(np.int64)
+
+
+SQL_DBSCAN_EMBEDDINGS = f"""
+WITH RECURSIVE d AS (
+  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           AS dist
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+),
+nb AS (SELECT ai, bi FROM d WHERE dist <= {DBSCAN_EPS}),
+deg AS (SELECT ai, count(*) AS k FROM nb GROUP BY ai),
+core AS (SELECT ai AS id FROM deg WHERE k >= {DBSCAN_MINPTS}),
+e AS (
+  SELECT n.ai AS a, n.bi AS b FROM nb n
+  JOIN core ca ON ca.id = n.ai JOIN core cb ON cb.id = n.bi
+  WHERE n.ai < n.bi
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+reach(node, s) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT und.b, reach.s FROM reach JOIN und ON und.a = reach.node
+),
+labels AS (SELECT node, MIN(s) AS component FROM reach GROUP BY node),
+border AS (
+  SELECT n.ai, MIN(l.component) AS cluster
+  FROM nb n
+  JOIN core c ON c.id = n.bi
+  JOIN labels l ON l.node = n.bi
+  LEFT JOIN core cc ON cc.id = n.ai
+  WHERE cc.id IS NULL
+  GROUP BY n.ai
+)
+SELECT em.vec_id,
+       CAST(COALESCE(l.component, br.cluster, -1) AS BIGINT)
+         AS cluster
+FROM embeddings em
+LEFT JOIN labels l ON l.node = em.vec_id
+LEFT JOIN border br ON br.ai = em.vec_id
+"""
+
+
+REGISTRY.update(
+    {"dbscan_embeddings": (q_dbscan_embeddings, SQL_DBSCAN_EMBEDDINGS)}
+)
