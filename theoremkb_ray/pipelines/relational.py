@@ -17151,3 +17151,155 @@ LEFT JOIN border br ON br.ai = em.vec_id
 REGISTRY.update(
     {"dbscan_embeddings": (q_dbscan_embeddings, SQL_DBSCAN_EMBEDDINGS)}
 )
+
+
+def q_silhouette_kmeans(sf_dir: str):
+    """Mean silhouette per k-means cluster — the standard clustering
+    quality report over the deterministic-centroid assignment
+    (kmeans_assign's contract). Every pairwise distance is
+    MICRO-QUANTIZED to an integer before any aggregation, so a(i) and
+    b(i) folds are exact integer sums under any order; the final
+    s = (b - a) / max(a, b) means are single float expressions
+    mirroring the oracle. The pairwise scan streams batches against
+    the broadcast matrix; per-batch (i, cluster_j) partial sums keep
+    the exchange at rows x k."""
+    from ..stages.cluster import deterministic_centroids, kmeans_assign
+
+    K = 8
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C = deterministic_centroids(emb, K)
+    assign = (
+        kmeans_assign(emb, C)
+        .drop_columns(["embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    all_df = emb.to_pandas().sort_values("vec_id")
+    M = np.stack(
+        [np.asarray(v, np.float64) for v in all_df["embedding"]]
+    )
+    ids = all_df["vec_id"].to_numpy(np.int64)
+    cl = assign.set_index("vec_id")["cluster"].loc[ids].to_numpy(
+        np.int64
+    )
+    csizes = np.bincount(cl, minlength=K).astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        vid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        Q = np.stack(
+            [np.asarray(v, np.float64) for v in b["embedding"].to_pylist()]
+        )
+        d2 = (
+            (Q * Q).sum(1)[:, None]
+            - 2.0 * (Q @ M.T)
+            + (M * M).sum(1)[None, :]
+        )
+        np.maximum(d2, 0.0, out=d2)
+        self_col = np.searchsorted(ids, vid)
+        d2[np.arange(len(vid)), self_col] = 0.0
+        dq = np.floor(np.sqrt(d2) * 1e6).astype(np.int64)
+        dq[np.arange(len(vid)), self_col] = 0
+        # per (row, cluster) integer distance sums
+        sums = np.zeros((len(vid), K), np.int64)
+        for c in range(K):
+            sums[:, c] = dq[:, cl == c].sum(axis=1)
+        out = {
+            "vec_id": pa.array(vid, pa.int64()),
+            "cluster": pa.array(
+                cl[np.searchsorted(ids, vid)], pa.int64()
+            ),
+        }
+        for c in range(K):
+            out[f"s{c}"] = pa.array(sums[:, c], pa.int64())
+        return pa.table(out)
+
+    per_row = (
+        emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    )
+    own = per_row["cluster"].to_numpy(np.int64)
+    S = per_row[[f"s{c}" for c in range(K)]].to_numpy(np.int64)
+    n_own = csizes[own]
+    a = np.where(
+        n_own > 1,
+        S[np.arange(len(own)), own] * 1.0 / (n_own - 1),
+        0.0,
+    )
+    b_ = np.full(len(own), np.inf)
+    for c in range(K):
+        mean_c = np.where(csizes[c] > 0, S[:, c] * 1.0 / max(csizes[c], 1), np.inf)
+        cand = np.where((own != c) & (csizes[c] > 0), mean_c, np.inf)
+        b_ = np.minimum(b_, cand)
+    s = np.where(
+        n_own > 1, (b_ - a) / np.maximum(a, b_), 0.0
+    )
+    df = pd.DataFrame({"cluster": own, "s": s})
+    out = (
+        df.groupby("cluster")["s"]
+        .apply(lambda g: np.floor(g.mean() * 1e6) / 1e6)
+        .reset_index(name="mean_silhouette")
+    )
+    out["n"] = csizes[out["cluster"].to_numpy(np.int64)]
+    return out.astype({"cluster": np.int64, "n": np.int64})
+
+
+SQL_SILHOUETTE_KMEANS = """
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+dc AS (
+  SELECT e.vec_id, cent.cluster,
+         list_distance(CAST(e.embedding AS DOUBLE[]), cent.cvec) AS dist
+  FROM embeddings e CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM dc) WHERE rn = 1
+),
+cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n
+       FROM assign GROUP BY cluster),
+pd_ AS (
+  SELECT a.vec_id AS i, ab.cluster AS cj,
+         CAST(sum(CAST(floor(list_distance(
+                 CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])) * 1e6) AS BIGINT))
+              AS BIGINT) AS s
+  FROM embeddings a
+  JOIN embeddings b ON b.vec_id <> a.vec_id
+  JOIN assign ab ON ab.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+rowstats AS (
+  SELECT ai.vec_id, ai.cluster,
+         (SELECT cs.n FROM cs WHERE cs.cluster = ai.cluster) AS n_own,
+         COALESCE((SELECT p.s FROM pd_ p
+                   WHERE p.i = ai.vec_id
+                     AND p.cj = ai.cluster), 0) AS s_own,
+         (SELECT min(p.s * 1.0 / cs.n)
+          FROM pd_ p JOIN cs ON cs.cluster = p.cj
+          WHERE p.i = ai.vec_id AND p.cj <> ai.cluster
+            AND cs.n > 0) AS b
+  FROM assign ai
+),
+sil AS (
+  SELECT cluster,
+         CASE WHEN n_own > 1
+              THEN (b - s_own * 1.0 / (n_own - 1))
+                   / greatest(s_own * 1.0 / (n_own - 1), b)
+              ELSE 0.0 END AS s
+  FROM rowstats
+)
+SELECT s.cluster,
+       floor(avg(s.s) * 1e6) / 1e6 AS mean_silhouette,
+       (SELECT n FROM cs WHERE cs.cluster = s.cluster) AS n
+FROM sil s GROUP BY s.cluster
+"""
+
+
+REGISTRY.update(
+    {"silhouette_kmeans": (q_silhouette_kmeans, SQL_SILHOUETTE_KMEANS)}
+)
