@@ -17303,3 +17303,132 @@ FROM sil s GROUP BY s.cluster
 REGISTRY.update(
     {"silhouette_kmeans": (q_silhouette_kmeans, SQL_SILHOUETTE_KMEANS)}
 )
+
+
+def q_ari_kmeans_labels(sf_dir: str):
+    """Adjusted Rand Index between the deterministic k-means
+    assignment and the embeddings' ground-truth label column — the
+    external clustering-validation metric. The k x labels contingency
+    folds through one cell-count-sized exchange; every pair count is
+    an exact integer binomial, so only the final ARI expression is
+    float (mirrored, floor-quantized)."""
+    from ..stages.cluster import deterministic_centroids, kmeans_assign
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    C = deterministic_centroids(
+        emb.drop_columns(["label"]), 8
+    )
+    assign = kmeans_assign(
+        emb.drop_columns(["label"]), C
+    ).drop_columns(["embedding"])
+
+    labels = emb.drop_columns(["embedding"])
+    from ..stages.joins import hash_join
+
+    both = hash_join(
+        assign,
+        labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "vec_id": b["vec_id"],
+                    "label": pc.cast(b["label"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        on=["vec_id"],
+        how="inner",
+    )
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        c = b["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l_ = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = c * 1024 + l_
+        u, n = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "cluster": pa.array(u // 1024, pa.int64()),
+                "label": pa.array(u % 1024, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cells = (
+        both.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby(["cluster", "label"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    nij = cells["n"].to_numpy(np.int64)
+    a = cells.groupby("cluster")["n"].sum().to_numpy(np.int64)
+    b_ = cells.groupby("label")["n"].sum().to_numpy(np.int64)
+    n = int(nij.sum())
+    sum_ij = int((nij * (nij - 1) // 2).sum())
+    sum_a = int((a * (a - 1) // 2).sum())
+    sum_b = int((b_ * (b_ - 1) // 2).sum())
+    t = n * (n - 1) // 2
+    exp = sum_a * 1.0 * sum_b / t
+    ari = np.floor(
+        (sum_ij - exp) / ((sum_a + sum_b) / 2.0 - exp) * 1e6
+    ) / 1e6
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "pairs_together_both": [sum_ij],
+            "ari": [float(ari)],
+        }
+    ).astype({"n": np.int64, "pairs_together_both": np.int64})
+
+
+SQL_ARI_KMEANS_LABELS = """
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+dc AS (
+  SELECT e.vec_id, cent.cluster,
+         list_distance(CAST(e.embedding AS DOUBLE[]), cent.cvec) AS dist
+  FROM embeddings e CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM dc) WHERE rn = 1
+),
+cells AS (
+  SELECT a.cluster, CAST(e.label AS BIGINT) AS label,
+         CAST(count(*) AS BIGINT) AS n
+  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(n * (n - 1) // 2) AS BIGINT) AS sum_ij
+  FROM cells
+),
+ra AS (SELECT CAST(sum(s * (s - 1) // 2) AS BIGINT) AS sum_a
+       FROM (SELECT CAST(sum(n) AS BIGINT) AS s
+             FROM cells GROUP BY cluster)),
+rb AS (SELECT CAST(sum(s * (s - 1) // 2) AS BIGINT) AS sum_b
+       FROM (SELECT CAST(sum(n) AS BIGINT) AS s
+             FROM cells GROUP BY label))
+SELECT (SELECT n FROM stats) AS n,
+       (SELECT sum_ij FROM stats) AS pairs_together_both,
+       floor(((SELECT sum_ij FROM stats)
+              - (SELECT sum_a FROM ra) * 1.0 * (SELECT sum_b FROM rb)
+                / ((SELECT n FROM stats)
+                   * ((SELECT n FROM stats) - 1) // 2))
+             / (((SELECT sum_a FROM ra) + (SELECT sum_b FROM rb)) / 2.0
+                - (SELECT sum_a FROM ra) * 1.0 * (SELECT sum_b FROM rb)
+                  / ((SELECT n FROM stats)
+                     * ((SELECT n FROM stats) - 1) // 2))
+             * 1e6) / 1e6 AS ari
+"""
+
+
+REGISTRY.update(
+    {"ari_kmeans_labels": (q_ari_kmeans_labels, SQL_ARI_KMEANS_LABELS)}
+)
