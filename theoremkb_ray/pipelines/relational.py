@@ -17432,3 +17432,144 @@ SELECT (SELECT n FROM stats) AS n,
 REGISTRY.update(
     {"ari_kmeans_labels": (q_ari_kmeans_labels, SQL_ARI_KMEANS_LABELS)}
 )
+
+
+def q_nmi_kmeans_labels(sf_dir: str):
+    """Normalized Mutual Information between the k-means assignment
+    and the true labels — the information-theoretic companion of ARI
+    over the SAME cell-count contingency. Each MI/entropy term is
+    nanounit-floor-quantized (math.log == DuckDB ln) so the integer
+    sums are order-independent; NMI = I / ((H_C + H_L)/2) is one
+    mirrored float expression over the three quantized sums."""
+    import math
+
+    from ..stages.cluster import deterministic_centroids, kmeans_assign
+    from ..stages.joins import hash_join
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    C = deterministic_centroids(emb.drop_columns(["label"]), 8)
+    assign = kmeans_assign(
+        emb.drop_columns(["label"]), C
+    ).drop_columns(["embedding"])
+    both = hash_join(
+        assign,
+        emb.drop_columns(["embedding"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "vec_id": b["vec_id"],
+                    "label": pc.cast(b["label"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        on=["vec_id"],
+        how="inner",
+    )
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        c = b["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l_ = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = c * 1024 + l_
+        u, n = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "cluster": pa.array(u // 1024, pa.int64()),
+                "label": pa.array(u % 1024, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cells = (
+        both.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby(["cluster", "label"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = int(cells["n"].sum())
+    a = cells.groupby("cluster")["n"].sum()
+    b_ = cells.groupby("label")["n"].sum()
+    mi = 0
+    for _, r in cells.iterrows():
+        nij, ai, bj = int(r["n"]), int(a[r["cluster"]]), int(b_[r["label"]])
+        term = (nij * 1.0 / n) * math.log(
+            (nij * 1.0 / n) / ((ai * 1.0 / n) * (bj * 1.0 / n))
+        )
+        mi += int(np.floor(term * 1e9))
+    hc = sum(
+        int(np.floor(-(int(x) * 1.0 / n)
+                     * math.log(int(x) * 1.0 / n) * 1e9))
+        for x in a
+    )
+    hl = sum(
+        int(np.floor(-(int(x) * 1.0 / n)
+                     * math.log(int(x) * 1.0 / n) * 1e9))
+        for x in b_
+    )
+    nmi = np.floor(mi * 1.0 / ((hc + hl) / 2.0) * 1e6) / 1e6
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "mi_nano": [mi],
+            "nmi": [float(nmi)],
+        }
+    ).astype({"n": np.int64, "mi_nano": np.int64})
+
+
+SQL_NMI_KMEANS_LABELS = """
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+dc AS (
+  SELECT e.vec_id, cent.cluster,
+         list_distance(CAST(e.embedding AS DOUBLE[]), cent.cvec) AS dist
+  FROM embeddings e CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM dc) WHERE rn = 1
+),
+cells AS (
+  SELECT a.cluster, CAST(e.label AS BIGINT) AS label,
+         CAST(count(*) AS BIGINT) AS n
+  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+nn AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM cells),
+ra AS (SELECT cluster, CAST(sum(n) AS BIGINT) AS s
+       FROM cells GROUP BY cluster),
+rb AS (SELECT label, CAST(sum(n) AS BIGINT) AS s
+       FROM cells GROUP BY label),
+mi AS (
+  SELECT CAST(sum(CAST(floor(
+           (c.n * 1.0 / (SELECT n FROM nn))
+           * ln((c.n * 1.0 / (SELECT n FROM nn))
+                / ((ra.s * 1.0 / (SELECT n FROM nn))
+                   * (rb.s * 1.0 / (SELECT n FROM nn))))
+           * 1e9) AS BIGINT)) AS BIGINT) AS v
+  FROM cells c JOIN ra ON ra.cluster = c.cluster
+               JOIN rb ON rb.label = c.label
+),
+hc AS (SELECT CAST(sum(CAST(floor(
+         -(s * 1.0 / (SELECT n FROM nn))
+         * ln(s * 1.0 / (SELECT n FROM nn)) * 1e9) AS BIGINT))
+       AS BIGINT) AS v FROM ra),
+hl AS (SELECT CAST(sum(CAST(floor(
+         -(s * 1.0 / (SELECT n FROM nn))
+         * ln(s * 1.0 / (SELECT n FROM nn)) * 1e9) AS BIGINT))
+       AS BIGINT) AS v FROM rb)
+SELECT (SELECT n FROM nn) AS n,
+       (SELECT v FROM mi) AS mi_nano,
+       floor((SELECT v FROM mi) * 1.0
+             / (((SELECT v FROM hc) + (SELECT v FROM hl)) / 2.0)
+             * 1e6) / 1e6 AS nmi
+"""
+
+
+REGISTRY.update(
+    {"nmi_kmeans_labels": (q_nmi_kmeans_labels, SQL_NMI_KMEANS_LABELS)}
+)
