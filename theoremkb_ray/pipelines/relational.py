@@ -17573,3 +17573,260 @@ SELECT (SELECT n FROM nn) AS n,
 REGISTRY.update(
     {"nmi_kmeans_labels": (q_nmi_kmeans_labels, SQL_NMI_KMEANS_LABELS)}
 )
+
+
+def q_davies_bouldin_kmeans(sf_dir: str):
+    """Davies-Bouldin index of the k-means assignment (lower =
+    tighter clusters): per-cluster scatter is an exact integer fold
+    of micro-quantized member-to-centroid distances finished with
+    integer division, pairwise centroid separations quantize the same
+    way, and each cluster's worst ratio nano-quantizes before the
+    order-independent integer mean. One rows x k scan; everything
+    after is k-bounded."""
+    from ..stages.cluster import deterministic_centroids, kmeans_assign
+
+    K = 8
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C = deterministic_centroids(emb, K)
+    Cm = np.stack([np.asarray(v, np.float64) for v in C])
+    assign = kmeans_assign(emb, C)
+
+    def scatter_partial(b: pa.Table) -> pa.Table:
+        cl = b["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        Q = np.stack(
+            [np.asarray(v, np.float64) for v in b["embedding"].to_pylist()]
+        )
+        d = np.sqrt(
+            np.maximum(
+                (Q * Q).sum(1)[:, None]
+                - 2.0 * (Q @ Cm.T)
+                + (Cm * Cm).sum(1)[None, :],
+                0.0,
+            )
+        )
+        dq = np.floor(
+            d[np.arange(len(cl)), cl] * 1e6
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(
+                    np.arange(K, dtype=np.int64)
+                ),
+                "s": pa.array(
+                    np.bincount(cl, weights=dq, minlength=K).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+                "n": pa.array(
+                    np.bincount(cl, minlength=K).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = (
+        assign.map_batches(scatter_partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("cluster")
+    )
+    s = agg["s"].to_numpy(np.int64)
+    n = agg["n"].to_numpy(np.int64)
+    sigma = np.where(n > 0, s // np.maximum(n, 1), 0)  # micro ints
+    cd = np.sqrt(
+        np.maximum(
+            (Cm * Cm).sum(1)[:, None]
+            - 2.0 * (Cm @ Cm.T)
+            + (Cm * Cm).sum(1)[None, :],
+            0.0,
+        )
+    )
+    cdq = np.floor(cd * 1e6).astype(np.int64)
+    acc = 0
+    for i in range(K):
+        best = 0
+        for j in range(K):
+            if j == i or cdq[i, j] == 0:
+                continue
+            r = int(
+                np.floor(
+                    (int(sigma[i]) + int(sigma[j]))
+                    * 1.0
+                    / int(cdq[i, j])
+                    * 1e9
+                )
+            )
+            best = max(best, r)
+        acc += best
+    db = np.floor(acc * 1.0 / K / 1e9 * 1e6) / 1e6
+    return pd.DataFrame(
+        {"k": [K], "db_index": [float(db)]}
+    ).astype({"k": np.int64})
+
+
+SQL_DAVIES_BOULDIN_KMEANS = """
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+dc AS (
+  SELECT e.vec_id, cent.cluster,
+         list_distance(CAST(e.embedding AS DOUBLE[]), cent.cvec) AS dist
+  FROM embeddings e CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM dc) WHERE rn = 1
+),
+sig AS (
+  SELECT cluster,
+         CAST(sum(CAST(floor(dist * 1e6) AS BIGINT)) AS BIGINT)
+           // CAST(count(*) AS BIGINT) AS sigma
+  FROM assign GROUP BY cluster
+),
+cd AS (
+  SELECT a.cluster AS i, b.cluster AS j,
+         CAST(floor(list_distance(a.cvec, b.cvec) * 1e6) AS BIGINT)
+           AS d
+  FROM cent a JOIN cent b ON b.cluster <> a.cluster
+),
+ratios AS (
+  SELECT cd.i,
+         CAST(max(CAST(floor((si.sigma + sj.sigma) * 1.0 / cd.d * 1e9)
+                       AS BIGINT)) AS BIGINT) AS best
+  FROM cd JOIN sig si ON si.cluster = cd.i
+          JOIN sig sj ON sj.cluster = cd.j
+  WHERE cd.d > 0
+  GROUP BY cd.i
+)
+SELECT CAST(8 AS BIGINT) AS k,
+       floor(CAST(sum(best) AS BIGINT) * 1.0 / 8 / 1e9 * 1e6) / 1e6
+         AS db_index
+FROM ratios
+"""
+
+
+def q_dunn_kmeans(sf_dir: str):
+    """Dunn index (higher = better separated): min inter-cluster
+    pairwise distance over max intra-cluster diameter. Both extrema
+    fold over MICRO-QUANTIZED integer distances (min/max are
+    order-free, so no float-reduction hazard anywhere); per-batch
+    partial min/max rows keep the exchange at 2 x batches."""
+    from ..stages.cluster import deterministic_centroids, kmeans_assign
+
+    K = 8
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C = deterministic_centroids(emb, K)
+    assign = (
+        kmeans_assign(emb, C)
+        .drop_columns([])
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    ids = assign["vec_id"].to_numpy(np.int64)
+    cl = assign["cluster"].to_numpy(np.int64)
+    M = np.stack(
+        [np.asarray(v, np.float64) for v in assign["embedding"]]
+    )
+
+    emb2 = kmeans_assign(emb, C)
+
+    def extrema_partial(b: pa.Table) -> pa.Table:
+        vid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bc = b["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        Q = np.stack(
+            [np.asarray(v, np.float64) for v in b["embedding"].to_pylist()]
+        )
+        d = np.sqrt(
+            np.maximum(
+                (Q * Q).sum(1)[:, None]
+                - 2.0 * (Q @ M.T)
+                + (M * M).sum(1)[None, :],
+                0.0,
+            )
+        )
+        dq = np.floor(d * 1e6).astype(np.int64)
+        self_col = np.searchsorted(ids, vid)
+        same = bc[:, None] == cl[None, :]
+        dq_self = dq.copy()
+        dq_self[np.arange(len(vid)), self_col] = -1
+        intra = dq_self[same]
+        intra_max = int(intra.max()) if intra.size else -1
+        inter = dq[~same]
+        inter_min = int(inter.min()) if inter.size else 2**62
+        return pa.table(
+            {
+                "intra_max": pa.array([intra_max], pa.int64()),
+                "inter_min": pa.array([inter_min], pa.int64()),
+            }
+        )
+
+    parts = emb2.map_batches(
+        extrema_partial, batch_format="pyarrow"
+    ).to_pandas()
+    intra = int(parts["intra_max"].max())
+    inter = int(parts["inter_min"].min())
+    dunn = np.floor(inter * 1.0 / intra * 1e6) / 1e6
+    return pd.DataFrame(
+        {
+            "intra_max_micro": [intra],
+            "inter_min_micro": [inter],
+            "dunn": [float(dunn)],
+        }
+    ).astype(
+        {"intra_max_micro": np.int64, "inter_min_micro": np.int64}
+    )
+
+
+SQL_DUNN_KMEANS = """
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+dc AS (
+  SELECT e.vec_id, cent.cluster,
+         list_distance(CAST(e.embedding AS DOUBLE[]), cent.cvec) AS dist
+  FROM embeddings e CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM dc) WHERE rn = 1
+),
+pd_ AS (
+  SELECT aa.cluster AS ca, ab.cluster AS cb,
+         CAST(floor(list_distance(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+                    * 1e6) AS BIGINT) AS d
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  JOIN assign aa ON aa.vec_id = a.vec_id
+  JOIN assign ab ON ab.vec_id = b.vec_id
+)
+SELECT (SELECT CAST(max(d) AS BIGINT) FROM pd_ WHERE ca = cb)
+         AS intra_max_micro,
+       (SELECT CAST(min(d) AS BIGINT) FROM pd_ WHERE ca <> cb)
+         AS inter_min_micro,
+       floor((SELECT min(d) FROM pd_ WHERE ca <> cb) * 1.0
+             / (SELECT max(d) FROM pd_ WHERE ca = cb) * 1e6) / 1e6
+         AS dunn
+"""
+
+
+REGISTRY.update(
+    {
+        "davies_bouldin_kmeans": (
+            q_davies_bouldin_kmeans,
+            SQL_DAVIES_BOULDIN_KMEANS,
+        ),
+        "dunn_kmeans": (q_dunn_kmeans, SQL_DUNN_KMEANS),
+    }
+)
