@@ -17830,3 +17830,129 @@ REGISTRY.update(
         "dunn_kmeans": (q_dunn_kmeans, SQL_DUNN_KMEANS),
     }
 )
+
+
+def q_ndcg_bm25(sf_dir: str):
+    """IR-evaluation metrics over the BM25 ranking: NDCG@10 (graded
+    gain = total query-term tf), precision@10 and DCG/IDCG — the
+    offline search-quality report. Discount terms use ln(2)/ln(i+1)
+    (ulp-identical ln on both engines; log2 may be derived
+    differently) and both DCG sums fold in EXPLICIT rank order, so no
+    float-reduction divergence; the ideal ranking orders the exact
+    integer gains. One extra gain scan with per-batch top-k partials
+    for the ideal list."""
+    import math
+
+    from ..stages.retrieval import bm25_topk
+
+    K = 10
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    top = bm25_topk(docs, BM25_TERMS, k=K).to_pandas()
+    top_ids = top["doc_id"].to_numpy(np.int64)
+
+    terms = pa.array(BM25_TERMS)
+
+    def gain_partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        n_per = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(words)
+        hit = pc.is_in(flat, value_set=terms).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        offs = np.r_[0, np.cumsum(n_per)]
+        cs = np.r_[0, np.cumsum(hit)]
+        g = (cs[offs[1:]] - cs[offs[:-1]]).astype(np.int64)
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-batch ideal-candidate prune: keep this batch's top-K
+        order = np.lexsort((did, -g))[:K]
+        keep = np.zeros(len(did), bool)
+        keep[order] = True
+        keep |= np.isin(did, top_ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep], pa.int64()),
+                "gain": pa.array(g[keep], pa.int64()),
+            }
+        )
+
+    gains = (
+        docs.map_batches(gain_partial, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates("doc_id")
+    )
+    gmap = gains.set_index("doc_id")["gain"]
+    ranked_g = gmap.loc[top_ids].to_numpy(np.int64)
+    ideal_g = (
+        gains.sort_values(
+            ["gain", "doc_id"], ascending=[False, True]
+        )["gain"].head(K).to_numpy(np.int64)
+    )
+
+    def dcg(gs) -> float:
+        s = 0.0
+        for i, g in enumerate(gs, start=1):
+            s = s + int(g) * math.log(2.0) / math.log(i + 1.0)
+        return s
+
+    d, ideal = dcg(ranked_g), dcg(ideal_g)
+    ndcg = np.floor(d / ideal * 1e6) / 1e6
+    prec = np.floor(
+        int((ranked_g > 0).sum()) * 1.0 / K * 1e6
+    ) / 1e6
+    return pd.DataFrame(
+        {
+            "dcg": [float(np.floor(d * 1e6) / 1e6)],
+            "idcg": [float(np.floor(ideal * 1e6) / 1e6)],
+            "ndcg": [float(ndcg)],
+            "prec_at_10": [float(prec)],
+        }
+    )
+
+
+def _ndcg_sql() -> str:
+    # explicit rank-order DCG folds (t1 + t2 + ... + t10)
+    fold = " + ".join(
+        f"COALESCE(max(CASE WHEN rn = {i} THEN g END), 0)"
+        f" * ln(2.0) / ln({i + 1}.0)"
+        for i in range(1, 11)
+    )
+    base = SQL_BM25_TOPK.strip().rstrip()
+    # reuse the proven BM25 CTE chain: strip the final SELECT and
+    # re-expose the ranked list as a CTE
+    core = base[
+        : base.rindex("SELECT doc_id, round(s, 6) AS score")
+    ].rstrip()
+    return f"""{core},
+ranked AS (
+  SELECT doc_id, round(s, 6) AS score,
+         row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rn
+  FROM scores
+  ORDER BY score DESC, doc_id LIMIT 10
+),
+gains AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS g
+  FROM tok JOIN q ON q.term = tok.term
+  GROUP BY doc_id
+),
+rg AS (
+  SELECT r.rn, COALESCE(gains.g, 0) AS g
+  FROM ranked r LEFT JOIN gains ON gains.doc_id = r.doc_id
+),
+ig AS (
+  SELECT row_number() OVER (ORDER BY g DESC, doc_id) AS rn, g
+  FROM gains ORDER BY g DESC, doc_id LIMIT 10
+),
+dcg AS (SELECT {fold} AS v FROM rg),
+idcg AS (SELECT {fold} AS v FROM ig)
+SELECT floor((SELECT v FROM dcg) * 1e6) / 1e6 AS dcg,
+       floor((SELECT v FROM idcg) * 1e6) / 1e6 AS idcg,
+       floor((SELECT v FROM dcg) / (SELECT v FROM idcg) * 1e6) / 1e6
+         AS ndcg,
+       floor((SELECT CAST(count(*) AS BIGINT) FROM rg WHERE g > 0)
+             * 1.0 / 10 * 1e6) / 1e6 AS prec_at_10
+"""
+
+
+REGISTRY.update({"ndcg_bm25": (q_ndcg_bm25, _ndcg_sql())})
