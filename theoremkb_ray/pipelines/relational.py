@@ -17956,3 +17956,145 @@ SELECT floor((SELECT v FROM dcg) * 1e6) / 1e6 AS dcg,
 
 
 REGISTRY.update({"ndcg_bm25": (q_ndcg_bm25, _ndcg_sql())})
+
+
+def q_spearman_users(sf_dir: str):
+    """Spearman rank correlation between per-user total spend and
+    purchase count — the monotone-association metric that ignores the
+    spend distribution's heavy tail. Ranks are row_numbers under a
+    DETERMINISTIC (value, user_id) order, so both rank vectors are
+    exact integers and every Pearson-on-ranks moment (sum r, sum r^2,
+    sum r1*r2) folds as integers; the final correlation is one
+    mirrored float expression. The per-user fold is the only
+    data-sized exchange (the rank assignment itself is user-bounded,
+    with the rank_global_orders value-bucket machinery as the
+    beyond-driver plan)."""
+    users = _stump_user_table(sf_dir).to_pandas()
+    uid = users["user_id"].to_numpy(np.int64)
+    x = users["x"].to_numpy(np.int64)
+    p = users["np"].to_numpy(np.int64)
+    rx = np.empty(len(uid), np.int64)
+    rx[np.lexsort((uid, x))] = np.arange(1, len(uid) + 1)
+    rp = np.empty(len(uid), np.int64)
+    rp[np.lexsort((uid, p))] = np.arange(1, len(uid) + 1)
+    n = len(uid)
+    s1 = int(rx.sum())
+    s2 = int(rp.sum())
+    s11 = int((rx * rx).sum())
+    s22 = int((rp * rp).sum())
+    s12 = int((rx * rp).sum())
+    import math
+
+    num = n * s12 - s1 * s2
+    den = math.sqrt((n * s11 - s1 * s1) * 1.0) * math.sqrt(
+        (n * s22 - s2 * s2) * 1.0
+    )
+    rho = np.floor(num * 1.0 / den * 1e6) / 1e6
+    return pd.DataFrame(
+        {"n": [n], "spearman": [float(rho)]}
+    ).astype({"n": np.int64})
+
+
+SQL_SPEARMAN_USERS = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT user_id,
+         CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS rx,
+         CAST(row_number() OVER (ORDER BY np, user_id) AS BIGINT) AS rp
+  FROM u
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx) AS BIGINT) AS s1,
+         CAST(sum(rp) AS BIGINT) AS s2,
+         CAST(sum(rx * rx) AS BIGINT) AS s11,
+         CAST(sum(rp * rp) AS BIGINT) AS s22,
+         CAST(sum(rx * rp) AS BIGINT) AS s12
+  FROM r
+)
+SELECT n,
+       floor((n * s12 - s1 * s2) * 1.0
+             / (sqrt((n * s11 - s1 * s1) * 1.0)
+                * sqrt((n * s22 - s2 * s2) * 1.0)) * 1e6) / 1e6
+         AS spearman
+FROM m
+"""
+
+
+def q_durbin_watson_hours(sf_dir: str):
+    """Durbin-Watson autocorrelation statistic of the hourly
+    event-count residuals (e_t = n*c_t - S, the cross-multiplied
+    integer residual, so BOTH sums are exact integers and only the
+    final ratio is float). The hourly table is time-bounded; counts
+    fold through one exchange. DW ~ 2 means no lag-1 correlation."""
+    ds = _pq(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = _date_us(b["ts"]) // (3600 * 1_000_000)
+        u, n = np.unique(t, return_counts=True)
+        return pa.table(
+            {
+                "hour": pa.array(u, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    h = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("hour")
+    )
+    c = h["n"].to_numpy(np.int64).astype(object)
+    n = len(c)
+    S = int(sum(c))
+    e = [n * int(v) - S for v in c]
+    num = sum(
+        (e[t] - e[t - 1]) * (e[t] - e[t - 1]) for t in range(1, n)
+    )
+    den = sum(v * v for v in e)
+    dw = np.floor(num * 1.0 / den * 1e6) / 1e6
+    return pd.DataFrame(
+        {"n_hours": [n], "dw": [float(dw)]}
+    ).astype({"n_hours": np.int64})
+
+
+SQL_DURBIN_WATSON_HOURS = """
+WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(c) AS BIGINT) AS s FROM h),
+e AS (
+  SELECT hour,
+         (SELECT n FROM st) * c - (SELECT s FROM st) AS e,
+         lag((SELECT n FROM st) * c - (SELECT s FROM st))
+           OVER (ORDER BY hour) AS ep
+  FROM h
+)
+SELECT (SELECT n FROM st) AS n_hours,
+       floor(CAST(sum((e - ep) * (e - ep))
+                  FILTER (ep IS NOT NULL) AS HUGEINT) * 1.0
+             / CAST(sum(e * e) AS HUGEINT) * 1e6) / 1e6 AS dw
+FROM e
+"""
+
+
+REGISTRY.update(
+    {
+        "spearman_users": (q_spearman_users, SQL_SPEARMAN_USERS),
+        "durbin_watson_hours": (
+            q_durbin_watson_hours,
+            SQL_DURBIN_WATSON_HOURS,
+        ),
+    }
+)
