@@ -18098,3 +18098,155 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_kendall_users(sf_dir: str):
+    """Kendall's tau-b between per-user spend and purchase count —
+    the concordance-based companion of Spearman, tie-corrected.
+    Concordant/discordant/tie counts are exact integers from the
+    pairwise comparison over the user-BOUNDED feature table
+    (vectorized O(n^2) here; the beyond-driver plan is merge-sort
+    inversion counting inside value buckets); tau-b is one mirrored
+    float expression."""
+    import math
+
+    users = _stump_user_table(sf_dir).to_pandas()
+    x = users["x"].to_numpy(np.int64)
+    p = users["np"].to_numpy(np.int64)
+    n = len(x)
+    dx = np.sign(x[:, None] - x[None, :])
+    dp = np.sign(p[:, None] - p[None, :])
+    iu = np.triu_indices(n, k=1)
+    sx, sp = dx[iu], dp[iu]
+    C = int(((sx * sp) > 0).sum())
+    D = int(((sx * sp) < 0).sum())
+    tx = int((sx == 0).sum())  # ties in x (incl. double ties)
+    tp = int((sp == 0).sum())
+    both = int(((sx == 0) & (sp == 0)).sum())
+    n0 = n * (n - 1) // 2
+    # tau-b: ties counted per variable (double ties excluded from
+    # each variable's correction is the textbook n1/n2 convention:
+    # n1 = sum over x-tie groups, n2 = sum over p-tie groups — these
+    # are tx and tp as counted above)
+    tau = np.floor(
+        (C - D)
+        * 1.0
+        / (
+            math.sqrt((n0 - tx) * 1.0)
+            * math.sqrt((n0 - tp) * 1.0)
+        )
+        * 1e6
+    ) / 1e6
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "concordant": [C],
+            "discordant": [D],
+            "tau_b": [float(tau)],
+        }
+    ).astype({"n": np.int64, "concordant": np.int64, "discordant": np.int64})
+
+
+SQL_KENDALL_USERS = """
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np
+  FROM events GROUP BY user_id
+),
+pr AS (
+  SELECT sign(b.x - a.x) AS sx, sign(b.np - a.np) AS sp
+  FROM u a JOIN u b ON b.user_id > a.user_id
+),
+m AS (
+  SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS n,
+         CAST(count(*) FILTER (sx * sp > 0) AS BIGINT) AS c,
+         CAST(count(*) FILTER (sx * sp < 0) AS BIGINT) AS d,
+         CAST(count(*) FILTER (sx = 0) AS BIGINT) AS tx,
+         CAST(count(*) FILTER (sp = 0) AS BIGINT) AS tp
+  FROM pr
+)
+SELECT n, c AS concordant, d AS discordant,
+       floor((c - d) * 1.0
+             / (sqrt((n * (n - 1) // 2 - tx) * 1.0)
+                * sqrt((n * (n - 1) // 2 - tp) * 1.0)) * 1e6) / 1e6
+         AS tau_b
+FROM m
+"""
+
+
+def q_mcnemar_docs(sf_dir: str):
+    """McNemar's test over the two quality raters of
+    cohens_kappa_docs: do the raters disagree SYMMETRICALLY? The
+    statistic (b - c)^2 / (b + c) uses only the two discordant cells
+    of the same 2x2 fold — exact integers, one mirrored float
+    expression."""
+    ds = _pq(sf_dir, "documents", ["text", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        a = (
+            b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+            >= 300
+        ).astype(np.int64)
+        ntok = pc.count_substring_regex(
+            b["text"], r"\S+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        b_ = (ntok >= 55).astype(np.int64)
+        cell = a * 2 + b_
+        cnt = np.bincount(cell, minlength=4).astype(np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(np.arange(4, dtype=np.int64)),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    h = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("cell")
+    )
+    full = np.zeros(4, np.int64)
+    full[h["cell"].to_numpy()] = h["n"].to_numpy()
+    b_ = int(full[1])  # a=0, b=1
+    c = int(full[2])  # a=1, b=0
+    stat = np.floor(
+        (b_ - c) * (b_ - c) * 1.0 / (b_ + c) * 1e6
+    ) / 1e6
+    return pd.DataFrame(
+        {
+            "only_b": [b_],
+            "only_a": [c],
+            "mcnemar_chi2": [float(stat)],
+        }
+    ).astype({"only_b": np.int64, "only_a": np.int64})
+
+
+SQL_MCNEMAR_DOCS = r"""
+WITH r AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(regexp_extract_all(text, '\S+')) >= 55
+              THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+c AS (
+  SELECT CAST(count(*) FILTER (a = 0 AND b = 1) AS BIGINT) AS nb,
+         CAST(count(*) FILTER (a = 1 AND b = 0) AS BIGINT) AS nc
+  FROM r
+)
+SELECT nb AS only_b, nc AS only_a,
+       floor((nb - nc) * (nb - nc) * 1.0 / (nb + nc) * 1e6) / 1e6
+         AS mcnemar_chi2
+FROM c
+"""
+
+
+REGISTRY.update(
+    {
+        "kendall_users": (q_kendall_users, SQL_KENDALL_USERS),
+        "mcnemar_docs": (q_mcnemar_docs, SQL_MCNEMAR_DOCS),
+    }
+)
