@@ -18250,3 +18250,98 @@ REGISTRY.update(
         "mcnemar_docs": (q_mcnemar_docs, SQL_MCNEMAR_DOCS),
     }
 )
+
+
+def _anova_f(parts: list[tuple[int, int, int]]):
+    """(n_g, S_g, Q_g) integer group moments -> (ssb, ssw, F) floats
+    via the computational formula with EXPLICIT per-group fold order
+    (mirrored in SQL)."""
+    n = sum(p[0] for p in parts)
+    S = sum(p[1] for p in parts)
+    Q = sum(p[2] for p in parts)
+    k = len(parts)
+    ssb = 0.0
+    for ng, sg, _ in parts:
+        ssb = ssb + sg * 1.0 * sg / ng
+    ssb = ssb - S * 1.0 * S / n
+    sst = Q - S * 1.0 * S / n
+    ssw = sst - ssb
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    return ssb, ssw, f, n, k
+
+
+def q_anova_cohorts(sf_dir: str):
+    """One-way ANOVA of per-user spend across the four deterministic
+    cohorts (user_id % 4): group moments (n, sum, sum-of-squares) are
+    exact integer cents folds, the F statistic is a single float
+    expression with explicit per-group fold order mirrored by the
+    oracle. One user fold + one 4-row group fold."""
+    users = _stump_user_table(sf_dir).to_pandas()
+    x = users["x"].to_numpy(np.int64)
+    g = users["user_id"].to_numpy(np.int64) % 4
+    parts = []
+    for c in range(4):
+        xs = x[g == c]
+        parts.append(
+            (len(xs), int(xs.sum()), int((xs.astype(object) ** 2).sum()))
+        )
+    ssb, ssw, f, n, k = _anova_f(parts)
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "f_stat": [float(np.floor(f * 1e6) / 1e6)],
+            "ssb": [float(np.floor(ssb * 1e2) / 1e2)],
+            "ssw": [float(np.floor(ssw * 1e2) / 1e2)],
+        }
+    ).astype({"n": np.int64})
+
+
+SQL_ANOVA_COHORTS = """
+WITH u AS (
+  SELECT user_id % 4 AS g,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS q
+  FROM u GROUP BY g
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(s) AS BIGINT) AS s,
+               CAST(sum(q) AS BIGINT) AS q FROM m),
+piv AS (
+  SELECT max(CASE WHEN g = 0 THEN s END) AS s0,
+         max(CASE WHEN g = 0 THEN n END) AS n0,
+         max(CASE WHEN g = 1 THEN s END) AS s1,
+         max(CASE WHEN g = 1 THEN n END) AS n1,
+         max(CASE WHEN g = 2 THEN s END) AS s2,
+         max(CASE WHEN g = 2 THEN n END) AS n2,
+         max(CASE WHEN g = 3 THEN s END) AS s3,
+         max(CASE WHEN g = 3 THEN n END) AS n3
+  FROM m
+),
+f AS (
+  SELECT (SELECT n FROM tot) AS n,
+         ((((0.0 + s0 * 1.0 * s0 / n0) + s1 * 1.0 * s1 / n1)
+           + s2 * 1.0 * s2 / n2) + s3 * 1.0 * s3 / n3)
+           - (SELECT s FROM tot) * 1.0 * (SELECT s FROM tot)
+             / (SELECT n FROM tot) AS ssb,
+         (SELECT q FROM tot)
+           - (SELECT s FROM tot) * 1.0 * (SELECT s FROM tot)
+             / (SELECT n FROM tot) AS sst
+  FROM piv
+)
+SELECT n,
+       floor((ssb / 3) / ((sst - ssb) / (n - 4)) * 1e6) / 1e6
+         AS f_stat,
+       floor(ssb * 1e2) / 1e2 AS ssb,
+       floor((sst - ssb) * 1e2) / 1e2 AS ssw
+FROM f
+"""
+
+
+REGISTRY.update(
+    {"anova_cohorts": (q_anova_cohorts, SQL_ANOVA_COHORTS)}
+)
