@@ -18345,3 +18345,106 @@ FROM f
 REGISTRY.update(
     {"anova_cohorts": (q_anova_cohorts, SQL_ANOVA_COHORTS)}
 )
+
+
+#: churn rule for the survival curve: inactive for the final day of
+#: the log (the synthetic users ping near-daily; max silence ~2.4 d)
+KM_CHURN_DAYS = 1
+
+
+def q_kaplan_meier_churn(sf_dir: str):
+    """Kaplan-Meier survival curve of user lifetime (first to last
+    activity, churn observed when the user has been silent for the
+    final 30 days of the log, censored otherwise) — survival analysis
+    in LOG space so nothing needs a float product: each factor
+    ln(1 - d/n) nanounit-quantizes (math.log == DuckDB ln) and the
+    curve is the exact integer running sum over ordered event times.
+    One per-user (first, last) fold; the KM sweep runs over the
+    user-bounded duration table."""
+    import math
+
+    from ray.data.aggregate import Max, Min
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "t": pa.array(_date_us(b["ts"])),
+            }
+        )
+
+    spans = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("t", alias_name="t0"), Max("t", alias_name="t1"))
+        .to_pandas()
+    )
+    day = 24 * 3600 * 1_000_000
+    tmax = int(spans["t1"].max())
+    dur = (
+        (spans["t1"].to_numpy(np.int64) - spans["t0"].to_numpy(np.int64))
+        // day
+    ).astype(np.int64)
+    churned = (
+        spans["t1"].to_numpy(np.int64) <= tmax - KM_CHURN_DAYS * day
+    ).astype(np.int64)
+    order = np.argsort(dur, kind="mergesort")
+    dur, churned = dur[order], churned[order]
+    times = np.unique(dur[churned == 1])
+    n_total = len(dur)
+    rows = []
+    logs = 0
+    for t in times:
+        n_risk = int((dur >= t).sum())
+        d = int(((dur == t) & (churned == 1)).sum())
+        logs += int(np.floor(math.log(1.0 - d * 1.0 / n_risk) * 1e9))
+        rows.append((int(t), n_risk, d, logs))
+    return pd.DataFrame(
+        rows, columns=["t_days", "n_risk", "d", "log_surv_nano"]
+    ).astype(np.int64)
+
+
+SQL_KAPLAN_MEIER_CHURN = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(epoch_us(min(ts)) AS BIGINT) AS t0,
+         CAST(epoch_us(max(ts)) AS BIGINT) AS t1
+  FROM events GROUP BY user_id
+),
+mx AS (SELECT CAST(max(t1) AS BIGINT) AS tmax FROM u),
+d AS (
+  SELECT (t1 - t0) // 86400000000 AS dur,
+         CASE WHEN t1 <= (SELECT tmax FROM mx)
+                         - {KM_CHURN_DAYS} * 86400000000
+              THEN 1 ELSE 0 END AS churned
+  FROM u
+),
+ev AS (
+  SELECT dur AS t,
+         CAST(sum(churned) AS BIGINT) AS dd
+  FROM d GROUP BY dur HAVING sum(churned) > 0
+),
+km AS (
+  SELECT ev.t, ev.dd,
+         (SELECT CAST(count(*) AS BIGINT) FROM d
+          WHERE d.dur >= ev.t) AS n_risk
+  FROM ev
+)
+SELECT t AS t_days, n_risk, dd AS d,
+       CAST(sum(CAST(floor(ln(1.0 - dd * 1.0 / n_risk) * 1e9)
+                     AS BIGINT)) OVER (ORDER BY t) AS BIGINT)
+         AS log_surv_nano
+FROM km ORDER BY t
+"""
+
+
+REGISTRY.update(
+    {
+        "kaplan_meier_churn": (
+            q_kaplan_meier_churn,
+            SQL_KAPLAN_MEIER_CHURN,
+        )
+    }
+)
