@@ -18448,3 +18448,138 @@ REGISTRY.update(
         )
     }
 )
+
+
+def q_logrank_cohorts(sf_dir: str):
+    """Log-rank test between the two cohorts' churn survival curves
+    (the Kaplan-Meier companion): at each churn time, cohort-0's
+    expected events E = d * n0/n and the hypergeometric variance fold
+    as NANOUNIT-quantized terms over exact integer risk counts, so
+    both running sums are order-independent integers; the final
+    chi-square is one mirrored float expression. Same per-user span
+    fold as kaplan_meier_churn."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "t": pa.array(_date_us(b["ts"])),
+            }
+        )
+
+    spans = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("t", alias_name="t0"), Max("t", alias_name="t1"))
+        .to_pandas()
+    )
+    day = 24 * 3600 * 1_000_000
+    tmax = int(spans["t1"].max())
+    dur = (
+        (spans["t1"].to_numpy(np.int64) - spans["t0"].to_numpy(np.int64))
+        // day
+    ).astype(np.int64)
+    churned = (
+        spans["t1"].to_numpy(np.int64)
+        <= tmax - KM_CHURN_DAYS * day
+    ).astype(np.int64)
+    grp = spans["user_id"].to_numpy(np.int64) % 2
+    times = np.unique(dur[churned == 1])
+    o0 = 0
+    e_nano = 0
+    v_nano = 0
+    for t in times:
+        at = dur >= t
+        n = int(at.sum())
+        n0 = int((at & (grp == 0)).sum())
+        ev = (dur == t) & (churned == 1)
+        d = int(ev.sum())
+        d0 = int((ev & (grp == 0)).sum())
+        o0 += d0
+        e = d * 1.0 * n0 / n
+        e_nano += int(np.floor(e * 1e9))
+        if n > 1:
+            v = (
+                d * 1.0 * n0 / n
+                * (1.0 - n0 * 1.0 / n)
+                * (n - d)
+                / (n - 1)
+            )
+            v_nano += int(np.floor(v * 1e9))
+    chi2 = np.floor(
+        (o0 - e_nano / 1e9)
+        * (o0 - e_nano / 1e9)
+        / (v_nano / 1e9)
+        * 1e6
+    ) / 1e6
+    return pd.DataFrame(
+        {
+            "observed_0": [o0],
+            "expected_0_nano": [e_nano],
+            "var_nano": [v_nano],
+            "logrank_chi2": [float(chi2)],
+        }
+    ).astype(
+        {
+            "observed_0": np.int64,
+            "expected_0_nano": np.int64,
+            "var_nano": np.int64,
+        }
+    )
+
+
+SQL_LOGRANK_COHORTS = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(epoch_us(min(ts)) AS BIGINT) AS t0,
+         CAST(epoch_us(max(ts)) AS BIGINT) AS t1
+  FROM events GROUP BY user_id
+),
+mx AS (SELECT CAST(max(t1) AS BIGINT) AS tmax FROM u),
+d AS (
+  SELECT user_id % 2 AS g,
+         (t1 - t0) // 86400000000 AS dur,
+         CASE WHEN t1 <= (SELECT tmax FROM mx)
+                         - {KM_CHURN_DAYS} * 86400000000
+              THEN 1 ELSE 0 END AS churned
+  FROM u
+),
+ev AS (
+  SELECT dur AS t,
+         CAST(sum(churned) AS BIGINT) AS dd,
+         CAST(sum(CASE WHEN g = 0 THEN churned ELSE 0 END)
+              AS BIGINT) AS d0
+  FROM d GROUP BY dur HAVING sum(churned) > 0
+),
+terms AS (
+  SELECT ev.t, ev.dd, ev.d0,
+         (SELECT CAST(count(*) AS BIGINT) FROM d
+          WHERE d.dur >= ev.t) AS n,
+         (SELECT CAST(count(*) AS BIGINT) FROM d
+          WHERE d.dur >= ev.t AND d.g = 0) AS n0
+  FROM ev
+),
+agg AS (
+  SELECT CAST(sum(d0) AS BIGINT) AS o0,
+         CAST(sum(CAST(floor(dd * 1.0 * n0 / n * 1e9) AS BIGINT))
+              AS BIGINT) AS e_nano,
+         CAST(sum(CASE WHEN n > 1 THEN
+                CAST(floor(dd * 1.0 * n0 / n * (1.0 - n0 * 1.0 / n)
+                           * (n - dd) / (n - 1) * 1e9) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS v_nano
+  FROM terms
+)
+SELECT o0 AS observed_0, e_nano AS expected_0_nano,
+       v_nano AS var_nano,
+       floor((o0 - e_nano / 1e9) * (o0 - e_nano / 1e9)
+             / (v_nano / 1e9) * 1e6) / 1e6 AS logrank_chi2
+FROM agg
+"""
+
+
+REGISTRY.update(
+    {"logrank_cohorts": (q_logrank_cohorts, SQL_LOGRANK_COHORTS)}
+)
