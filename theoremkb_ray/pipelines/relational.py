@@ -18583,3 +18583,62 @@ FROM agg
 REGISTRY.update(
     {"logrank_cohorts": (q_logrank_cohorts, SQL_LOGRANK_COHORTS)}
 )
+
+
+def q_uniformity_hours(sf_dir: str):
+    """Chi-square uniformity test of event arrival over hour-of-day —
+    the load-skew detector: chi2 = sum (24*n_h - N)^2 / (24*N) keeps
+    the numerator an exact integer sum (cross-multiplied against the
+    uniform expectation), with a single quantized division. One
+    24-row exchange."""
+    ds = _pq(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hod = (
+            _date_us(b["ts"]) // (3600 * 1_000_000)
+        ) % 24
+        cnt = np.bincount(hod, minlength=24).astype(np.int64)
+        return pa.table(
+            {
+                "h": pa.array(np.arange(24, dtype=np.int64)),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    h = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("h")
+    )
+    n_h = np.zeros(24, np.int64)
+    n_h[h["h"].to_numpy()] = h["n"].to_numpy()
+    N = int(n_h.sum())
+    num = int(sum((24 * int(x) - N) ** 2 for x in n_h))
+    chi2 = np.floor(num * 1.0 / (24 * N) * 1e6) / 1e6
+    return pd.DataFrame(
+        {"n": [N], "chi2_uniform": [float(chi2)], "dof": [23]}
+    ).astype({"n": np.int64, "dof": np.int64})
+
+
+SQL_UNIFORMITY_HOURS = """
+WITH h AS (
+  SELECT (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h)
+SELECT (SELECT total FROM t) AS n,
+       floor(CAST(sum((24 * n - (SELECT total FROM t))
+                      * (24 * n - (SELECT total FROM t))) AS BIGINT)
+             * 1.0 / (24 * (SELECT total FROM t)) * 1e6) / 1e6
+         AS chi2_uniform,
+       CAST(23 AS BIGINT) AS dof
+FROM h
+"""
+
+
+REGISTRY.update(
+    {"uniformity_hours": (q_uniformity_hours, SQL_UNIFORMITY_HOURS)}
+)
