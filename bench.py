@@ -93,6 +93,10 @@ def run_bench() -> dict:
         ignore_reinit_error=True,
         logging_level="ERROR",
         object_store_memory=store,
+        # keep worker stdout off the driver's stdout: the contract is
+        # ONE JSON line, and a stray forwarded worker print (observed
+        # once from a shuffle reduce task) would land before it
+        log_to_driver=False,
     )
     from ray.data import DataContext
 

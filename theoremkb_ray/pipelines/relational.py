@@ -18642,3 +18642,139 @@ FROM h
 REGISTRY.update(
     {"uniformity_hours": (q_uniformity_hours, SQL_UNIFORMITY_HOURS)}
 )
+
+
+def q_kruskal_hours(sf_dir: str):
+    """Kruskal-Wallis H across hour-of-day groups — the
+    nonparametric ANOVA (does spend RANK differ by hour?). Ranks are
+    globally unique under (cents, event_id), assigned WITHOUT a
+    global sort: a distinct-cents-bounded count table broadcasts as
+    a sorted CDF (rank base = #values strictly smaller), and
+    within-value tie positions resolve inside coarse value-hash
+    buckets — so per-group rank sums fold as exact integers through
+    one exchange. Each R_g^2/n_g term milli-quantizes to an integer
+    (Python int / HUGEINT) before the order-independent sum; H is
+    one mirrored float expression."""
+    from ..functions.hashing import splitmix64
+
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def val_partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        u, n = np.unique(cents, return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(u, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    vals = (
+        ds.map_batches(val_partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    v_sorted = vals["v"].to_numpy(np.int64)
+    cum_less = np.r_[0, np.cumsum(vals["n"].to_numpy(np.int64))[:-1]]
+    B = 64
+
+    def pre(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        g = (
+            (_date_us(b["ts"]) // (3600 * 1_000_000)) % 24
+        ).astype(np.int64)
+        bucket = (
+            splitmix64(cents.astype(np.uint64)) % np.uint64(B)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "v": pa.array(cents, pa.int64()),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "g": pa.array(g, pa.int64()),
+            }
+        )
+
+    def per_bucket(gd: pd.DataFrame) -> pd.DataFrame:
+        gd = gd.sort_values(["v", "event_id"], kind="mergesort")
+        v = gd["v"].to_numpy(np.int64)
+        gg = gd["g"].to_numpy(np.int64)
+        new = np.r_[True, v[1:] != v[:-1]]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        tie = np.arange(len(v), dtype=np.int64) - starts[seg] + 1
+        base = cum_less[np.searchsorted(v_sorted, v)]
+        rnk = base + tie
+        out = (
+            pd.DataFrame({"g": gg, "r": rnk})
+            .groupby("g", sort=False)
+            .agg(r=("r", "sum"), n=("r", "size"))
+            .reset_index()
+        )
+        return out.astype(np.int64)
+
+    rg = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("g")
+        .sum()
+        .reset_index()
+    )
+    N = int(rg["n"].sum())
+    s_q = 0
+    for _, row in rg.iterrows():
+        r = int(row["r"]) * 1.0
+        t = r * r / int(row["n"])
+        s_q += int(np.floor(t * 1e3))
+    h = np.floor(
+        (
+            12.0 / (N * (N + 1.0)) * (float(s_q) / 1e3)
+            - 3.0 * (N + 1.0)
+        )
+        * 1e6
+    ) / 1e6
+    return pd.DataFrame(
+        {"n": [N], "groups": [len(rg)], "h_stat": [float(h)]}
+    ).astype({"n": np.int64, "groups": np.int64})
+
+
+SQL_KRUSKAL_HOURS = """
+WITH r AS (
+  SELECT (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS g,
+         CAST(row_number() OVER (
+           ORDER BY CAST(round(value * 100.0) AS BIGINT), event_id)
+         AS BIGINT) AS rnk
+  FROM events
+),
+rg AS (
+  SELECT g, CAST(sum(rnk) AS HUGEINT) AS r,
+         CAST(count(*) AS BIGINT) AS n
+  FROM r GROUP BY g
+),
+st AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS k FROM rg),
+terms AS (
+  SELECT CAST(floor((r * 1.0) * (r * 1.0) / n * 1e3) AS HUGEINT) AS t
+  FROM rg
+)
+SELECT (SELECT n FROM st) AS n,
+       (SELECT k FROM st) AS groups,
+       floor((12.0 / ((SELECT n FROM st)
+                      * ((SELECT n FROM st) + 1.0))
+              * (CAST((SELECT sum(t) FROM terms) AS DOUBLE) / 1e3)
+              - 3.0 * ((SELECT n FROM st) + 1.0)) * 1e6) / 1e6
+         AS h_stat
+"""
+
+
+REGISTRY.update(
+    {"kruskal_hours": (q_kruskal_hours, SQL_KRUSKAL_HOURS)}
+)
