@@ -18778,3 +18778,130 @@ SELECT (SELECT n FROM st) AS n,
 REGISTRY.update(
     {"kruskal_hours": (q_kruskal_hours, SQL_KRUSKAL_HOURS)}
 )
+
+
+def q_partial_corr_users(sf_dir: str):
+    """Partial correlation between per-user spend and purchase count
+    CONTROLLING for total activity — the confounder-adjusted
+    association (busy users buy more of everything). All three
+    pairwise Pearson correlations come from one user fold's exact
+    integer moments; the partial r is one mirrored float expression
+    r_xy.z = (rxy - rxz*ryz) / (sqrt(1-rxz^2) * sqrt(1-ryz^2))."""
+    import math
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        isp = (
+            pc.equal(b["event_type"], "purchase")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        us, inv = np.unique(u, return_inverse=True)
+        return pa.table(
+            {
+                "user_id": pa.array(us, pa.int64()),
+                "x": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64),
+                    pa.int64(),
+                ),
+                "y": pa.array(
+                    np.bincount(inv, weights=isp).astype(np.int64),
+                    pa.int64(),
+                ),
+                "z": pa.array(
+                    np.bincount(inv).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    users = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("x", alias_name="x"),
+            Sum("y", alias_name="y"),
+            Sum("z", alias_name="z"),
+        )
+        .to_pandas()
+    )
+    x = users["x"].to_numpy(np.int64).astype(object)
+    y = users["y"].to_numpy(np.int64).astype(object)
+    z = users["z"].to_numpy(np.int64).astype(object)
+    n = len(x)
+
+    def corr(a, b_):
+        sa, sb = int(sum(a)), int(sum(b_))
+        sab = int(sum(p * q for p, q in zip(a, b_)))
+        saa = int(sum(p * p for p in a))
+        sbb = int(sum(q * q for q in b_))
+        return (n * sab - sa * sb) * 1.0 / (
+            math.sqrt((n * saa - sa * sa) * 1.0)
+            * math.sqrt((n * sbb - sb * sb) * 1.0)
+        )
+
+    rxy, rxz, ryz = corr(x, y), corr(x, z), corr(y, z)
+    pr = np.floor(
+        (rxy - rxz * ryz)
+        / (math.sqrt(1.0 - rxz * rxz) * math.sqrt(1.0 - ryz * ryz))
+        * 1e6
+    ) / 1e6
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "r_xy": [float(np.floor(rxy * 1e6) / 1e6)],
+            "partial_r": [float(pr)],
+        }
+    ).astype({"n": np.int64})
+
+
+SQL_PARTIAL_CORR_USERS = """
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS z
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(z) AS HUGEINT) AS sz,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(x * z) AS HUGEINT) AS sxz,
+         CAST(sum(y * z) AS HUGEINT) AS syz,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(y * y) AS HUGEINT) AS syy,
+         CAST(sum(z * z) AS HUGEINT) AS szz
+  FROM u
+),
+r AS (
+  SELECT n,
+         (n * sxy - sx * sy) * 1.0
+           / (sqrt((n * sxx - sx * sx) * 1.0)
+              * sqrt((n * syy - sy * sy) * 1.0)) AS rxy,
+         (n * sxz - sx * sz) * 1.0
+           / (sqrt((n * sxx - sx * sx) * 1.0)
+              * sqrt((n * szz - sz * sz) * 1.0)) AS rxz,
+         (n * syz - sy * sz) * 1.0
+           / (sqrt((n * syy - sy * sy) * 1.0)
+              * sqrt((n * szz - sz * sz) * 1.0)) AS ryz
+  FROM m
+)
+SELECT n, floor(rxy * 1e6) / 1e6 AS r_xy,
+       floor((rxy - rxz * ryz)
+             / (sqrt(1.0 - rxz * rxz) * sqrt(1.0 - ryz * ryz))
+             * 1e6) / 1e6 AS partial_r
+FROM r
+"""
+
+
+REGISTRY.update(
+    {"partial_corr_users": (q_partial_corr_users, SQL_PARTIAL_CORR_USERS)}
+)
