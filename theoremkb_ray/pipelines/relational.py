@@ -18905,3 +18905,195 @@ FROM r
 REGISTRY.update(
     {"partial_corr_users": (q_partial_corr_users, SQL_PARTIAL_CORR_USERS)}
 )
+
+
+def q_cochran_q_docs(sf_dir: str):
+    """Cochran's Q across THREE binary quality raters (char length,
+    token count, digit presence) — does any rater systematically
+    differ? Q = k(k-1) * sum_j (C_j - T/k)^2 / (k*T - sum_i R_i^2)
+    needs only integer column totals, the integer grand total and the
+    integer sum of squared row totals — all exact distributed folds
+    (row totals fold per batch since a doc's three flags live in one
+    row); Q is one mirrored float expression."""
+    ds = _pq(sf_dir, "documents", ["text", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        a = (
+            b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+            >= 300
+        ).astype(np.int64)
+        ntok = pc.count_substring_regex(
+            b["text"], r"\S+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        b_ = (ntok >= 55).astype(np.int64)
+        ndig = pc.count_substring_regex(
+            b["text"], r"[0-9]"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        c = (ndig >= 1).astype(np.int64)
+        r = a + b_ + c
+        return pa.table(
+            {
+                "c1": pa.array([int(a.sum())], pa.int64()),
+                "c2": pa.array([int(b_.sum())], pa.int64()),
+                "c3": pa.array([int(c.sum())], pa.int64()),
+                "t": pa.array([int(r.sum())], pa.int64()),
+                "r2": pa.array([int((r * r).sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    c1, c2, c3 = int(agg["c1"]), int(agg["c2"]), int(agg["c3"])
+    t, r2 = int(agg["t"]), int(agg["r2"])
+    k = 3
+    q = np.floor(
+        (
+            k
+            * (k - 1)
+            * (
+                (c1 - t * 1.0 / k) * (c1 - t * 1.0 / k)
+                + (c2 - t * 1.0 / k) * (c2 - t * 1.0 / k)
+                + (c3 - t * 1.0 / k) * (c3 - t * 1.0 / k)
+            )
+            / (k * t - r2)
+        )
+        * 1e6
+    ) / 1e6
+    return pd.DataFrame(
+        {
+            "c1": [c1],
+            "c2": [c2],
+            "c3": [c3],
+            "cochran_q": [float(q)],
+        }
+    ).astype({"c1": np.int64, "c2": np.int64, "c3": np.int64})
+
+
+SQL_COCHRAN_Q_DOCS = r"""
+WITH r AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(regexp_extract_all(text, '\S+')) >= 55
+              THEN 1 ELSE 0 END AS b,
+         CASE WHEN len(regexp_extract_all(text, '[0-9]')) >= 1
+              THEN 1 ELSE 0 END AS c
+  FROM documents
+),
+m AS (
+  SELECT CAST(sum(a) AS BIGINT) AS c1,
+         CAST(sum(b) AS BIGINT) AS c2,
+         CAST(sum(c) AS BIGINT) AS c3,
+         CAST(sum(a + b + c) AS BIGINT) AS t,
+         CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS r2
+  FROM r
+)
+SELECT c1, c2, c3,
+       floor((3 * 2 * ((c1 - t * 1.0 / 3) * (c1 - t * 1.0 / 3)
+                       + (c2 - t * 1.0 / 3) * (c2 - t * 1.0 / 3)
+                       + (c3 - t * 1.0 / 3) * (c3 - t * 1.0 / 3))
+              / (3 * t - r2)) * 1e6) / 1e6 AS cochran_q
+FROM m
+"""
+
+
+def q_runs_test_hours(sf_dir: str):
+    """Wald-Wolfowitz runs test on the hourly count series vs its
+    median: too FEW runs of above/below-median hours means clustered
+    load, too many means oscillation. Runs, n_above and n_below are
+    exact integers over the time-bounded hourly table (median = the
+    lower middle order statistic, an explicit integer convention);
+    the z-score against the expected run count is one mirrored float
+    expression."""
+    import math
+
+    ds = _pq(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = _date_us(b["ts"]) // (3600 * 1_000_000)
+        u, n = np.unique(t, return_counts=True)
+        return pa.table(
+            {
+                "hour": pa.array(u, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    h = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("hour")
+    )
+    c = h["n"].to_numpy(np.int64)
+    m = len(c)
+    med = int(np.sort(c)[(m - 1) // 2])  # lower median
+    sign = c > med  # strictly-above vs at-or-below
+    n1 = int(sign.sum())
+    n2 = m - n1
+    runs = 1 + int((sign[1:] != sign[:-1]).sum())
+    exp_r = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    var_r = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    z = np.floor((runs - exp_r) / math.sqrt(var_r) * 1e6) / 1e6
+    return pd.DataFrame(
+        {
+            "n_hours": [m],
+            "runs": [runs],
+            "n_above": [n1],
+            "z": [float(z)],
+        }
+    ).astype({"n_hours": np.int64, "runs": np.int64, "n_above": np.int64})
+
+
+SQL_RUNS_TEST_HOURS = """
+WITH h AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+med AS (
+  SELECT c AS m FROM (
+    SELECT c, row_number() OVER (ORDER BY c) AS rn,
+           count(*) OVER () AS cnt
+    FROM h) WHERE rn = (cnt + 1) // 2
+),
+s AS (
+  SELECT hour, CASE WHEN c > (SELECT m FROM med)
+                    THEN 1 ELSE 0 END AS sgn
+  FROM h
+),
+w AS (
+  SELECT sgn, lag(sgn) OVER (ORDER BY hour) AS prev FROM s
+),
+m AS (
+  SELECT CAST((SELECT count(*) FROM h) AS BIGINT) AS mh,
+         CAST((SELECT sum(sgn) FROM s) AS BIGINT) AS n1,
+         CAST(1 + (SELECT count(*) FROM w
+                   WHERE prev IS NOT NULL AND sgn <> prev)
+              AS BIGINT) AS runs
+)
+SELECT mh AS n_hours, runs, n1 AS n_above,
+       floor((runs - (1.0 + 2.0 * n1 * (mh - n1) / (n1 + (mh - n1))))
+             / sqrt(2.0 * n1 * (mh - n1)
+                    * (2.0 * n1 * (mh - n1) - n1 - (mh - n1))
+                    / ((n1 + (mh - n1)) * (n1 + (mh - n1))
+                       * (n1 + (mh - n1) - 1.0)))
+             * 1e6) / 1e6 AS z
+FROM m
+"""
+
+
+REGISTRY.update(
+    {
+        "cochran_q_docs": (q_cochran_q_docs, SQL_COCHRAN_Q_DOCS),
+        "runs_test_hours": (q_runs_test_hours, SQL_RUNS_TEST_HOURS),
+    }
+)
