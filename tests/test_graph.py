@@ -620,3 +620,63 @@ def test_label_propagation_matches_local_and_plans_agree():
     df = got_b.set_index("node")["label"]
     assert df.loc[list(range(12))].nunique() == 1
     assert df.loc[list(range(100, 112))].nunique() == 1
+
+
+def test_boruvka_mst_matches_kruskal():
+    """Distributed Boruvka vs a literal Kruskal under the same
+    (w, packed-key) total order: identical edge set and total weight
+    on random graphs, at several partition counts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from theoremkb_ray.stages.graph import boruvka_mst
+
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        n = 40
+        m = 120
+        src = rng.randint(0, n, m).astype(np.int64)
+        dst = rng.randint(0, n, m).astype(np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        w = rng.randint(1, 50, len(src)).astype(np.int64)
+        tbl = pa.table({"src": src, "dst": dst, "w": w})
+
+        # brute Kruskal with the same deterministic tie order
+        key = (src.astype(np.uint64) << np.uint64(32)) | dst.astype(
+            np.uint64
+        )
+        order = np.lexsort((key.astype(np.int64), w))
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        want = set()
+        total = 0
+        for i in order:
+            a, b = find(int(src[i])), find(int(dst[i]))
+            if a == b:
+                continue
+            parent[max(a, b)] = min(a, b)
+            want.add(int(key[i]))
+            total += int(w[i])
+
+        got_tbl, n_comp = boruvka_mst(
+            rd.from_arrow(tbl).repartition(3 + trial)
+        )
+        got = set(
+            (int(s) << 32) | int(d)
+            for s, d in zip(
+                got_tbl["src"].to_pylist(), got_tbl["dst"].to_pylist()
+            )
+        )
+        assert got == want, trial
+        assert int(sum(got_tbl["w"].to_pylist())) == total
+        # forest size identity: edges = nodes_touched - components
+        touched = len(np.unique(np.r_[src, dst]))
+        assert len(got) == touched - n_comp

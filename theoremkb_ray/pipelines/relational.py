@@ -19097,3 +19097,63 @@ REGISTRY.update(
         "runs_test_hours": (q_runs_test_hours, SQL_RUNS_TEST_HOURS),
     }
 )
+
+
+def q_mst_star_ring(sf_dir: str):
+    """Distributed Boruvka minimum spanning tree
+    (stages/graph.py:boruvka_mst — per-round per-component min
+    outgoing edge under a total (w, key) order, O(log n) rounds, one
+    edge scan per round) running the GENERAL algorithm on a planted
+    star+ring graph whose unique MST the oracle states in closed
+    form: star edges 0->i weigh i, ring edges weigh 10n + node, so
+    the MST is exactly the star — n-1 edges totalling n(n-1)/2.
+    Union-find is not SQL-expressible; the closed-form instance puts
+    the machinery under the value-hash gate (generic correctness vs
+    brute Kruskal in tests/test_graph.py)."""
+    from ..stages.graph import boruvka_mst
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    n = cust.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ring_dst = (c + 1) % n
+        ring_w = 10 * n + c
+        star = c[c > 0]
+        return pa.table(
+            {
+                "src": pa.array(
+                    np.concatenate([c, np.zeros(len(star), np.int64)]),
+                    pa.int64(),
+                ),
+                "dst": pa.array(
+                    np.concatenate([ring_dst, star]), pa.int64()
+                ),
+                "w": pa.array(
+                    np.concatenate([ring_w, star]), pa.int64()
+                ),
+            }
+        )
+
+    mst, n_comp = boruvka_mst(cust.map_batches(edges, batch_format="pyarrow"))
+    return pd.DataFrame(
+        {
+            "n_edges": [mst.num_rows],
+            "total_weight": [int(sum(mst["w"].to_pylist()))],
+            "n_components": [n_comp],
+        }
+    ).astype(np.int64)
+
+
+SQL_MST_STAR_RING = """
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer)
+SELECT (SELECT n FROM nn) - 1 AS n_edges,
+       (SELECT n FROM nn) * ((SELECT n FROM nn) - 1) // 2
+         AS total_weight,
+       CAST(1 AS BIGINT) AS n_components
+"""
+
+
+REGISTRY.update(
+    {"mst_star_ring": (q_mst_star_ring, SQL_MST_STAR_RING)}
+)
