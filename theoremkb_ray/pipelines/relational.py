@@ -19157,3 +19157,121 @@ SELECT (SELECT n FROM nn) - 1 AS n_edges,
 REGISTRY.update(
     {"mst_star_ring": (q_mst_star_ring, SQL_MST_STAR_RING)}
 )
+
+
+#: bounded-hop cheapest-path parameters (cheapest_path_hops)
+SSSP_HOPS = 8
+SSSP_SOURCE = 0
+
+
+def q_cheapest_path_hops(sf_dir: str):
+    """Weighted single-source cheapest paths within <= 8 hops —
+    distributed Bellman-Ford: one edge scan per relaxation round
+    against the broadcast distance array (node-bounded, the bfs_hops
+    contract; beyond-driver = distances as a keyed Dataset with a
+    hash join + groupby-min per round), per-batch per-node minima
+    shrink each round's fold. Integer weights make every round exact;
+    the identical hop cap on both sides makes the bounded metric
+    well-defined. Oracle = the recursive bounded walk with min(cost).
+    Returns reachable nodes with their cheapest bounded cost."""
+    eds, _n = _ring_chord_edges_ds(sf_dir)
+
+    def with_w(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (s * 7 + d * 3) % 97 + 1
+        return pa.table(
+            {
+                "src": pa.array(s, pa.int64()),
+                "dst": pa.array(d, pa.int64()),
+                "w": pa.array(w.astype(np.int64), pa.int64()),
+            }
+        )
+
+    edges = eds.map_batches(with_w, batch_format="pyarrow").materialize()
+    INF = np.int64(2**62)
+    n = int(_n)
+    dist = np.full(n, INF, np.int64)
+    dist[SSSP_SOURCE] = 0
+    import ray
+
+    for _ in range(SSSP_HOPS):
+        ref = ray.put(dist)
+
+        def relax(b: pa.Table, _ref=ref) -> pa.Table:
+            dd = ray.get(_ref)
+            s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ok = dd[s] < np.int64(2**62)
+            if not ok.any():
+                return pa.table(
+                    {
+                        "node": pa.array([], pa.int64()),
+                        "c": pa.array([], pa.int64()),
+                    }
+                )
+            d, cand = d[ok], dd[s[ok]] + w[ok]
+            order = np.lexsort((cand, d))
+            d, cand = d[order], cand[order]
+            first = np.r_[True, d[1:] != d[:-1]]
+            return pa.table(
+                {
+                    "node": pa.array(d[first], pa.int64()),
+                    "c": pa.array(cand[first], pa.int64()),
+                }
+            )
+
+        parts = edges.map_batches(
+            relax, batch_format="pyarrow"
+        ).to_pandas()
+        if len(parts) == 0:
+            break
+        best = parts.groupby("node")["c"].min()
+        nxt = dist.copy()
+        idx = best.index.to_numpy(np.int64)
+        np.minimum.at(nxt, idx, best.to_numpy(np.int64))
+        if np.array_equal(nxt, dist):
+            break
+        dist = nxt
+    reach = np.flatnonzero(dist < INF)
+    return pd.DataFrame(
+        {"node": reach.astype(np.int64), "cost": dist[reach]}
+    ).astype(np.int64)
+
+
+SQL_CHEAPEST_PATH_HOPS = f"""
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT src, dst, (src * 7 + dst * 3) % 97 + 1 AS w FROM (
+    SELECT c_custkey AS src,
+           (c_custkey + 1) % (SELECT n FROM nn) AS dst
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, (7 * c_custkey + 3) % (SELECT n FROM nn)
+    FROM customer
+    WHERE c_custkey % 3 = 0
+      AND (7 * c_custkey + 3) % (SELECT n FROM nn)
+          <> (c_custkey + 1) % (SELECT n FROM nn)
+  )
+),
+walk(node, cost, hops) AS (
+  SELECT {SSSP_SOURCE}, CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, walk.cost + e.w, walk.hops + 1
+  FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.hops < {SSSP_HOPS}
+)
+SELECT node, CAST(min(cost) AS BIGINT) AS cost
+FROM walk GROUP BY node
+"""
+
+
+REGISTRY.update(
+    {
+        "cheapest_path_hops": (
+            q_cheapest_path_hops,
+            SQL_CHEAPEST_PATH_HOPS,
+        )
+    }
+)
