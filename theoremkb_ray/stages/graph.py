@@ -2284,9 +2284,11 @@ def boruvka_mst(edges_ds, max_rounds: int = 64):
             merged = True
         if not merged:
             break
-        label = np.array(
-            [find(int(l_)) for l_ in label], dtype=np.int64
-        )
+        # resolve roots for DISTINCT labels only (component count
+        # shrinks geometrically), then one vectorized gather
+        uniq = np.unique(label)
+        roots = np.array([find(int(u)) for u in uniq], dtype=np.int64)
+        label = roots[np.searchsorted(uniq, label)]
     else:
         raise RuntimeError(
             "boruvka_mst did not converge within max_rounds"
