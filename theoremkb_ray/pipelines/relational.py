@@ -19275,3 +19275,95 @@ REGISTRY.update(
         )
     }
 )
+
+
+def q_bartlett_cohorts(sf_dir: str):
+    """Bartlett's test of equal variances across the four spend
+    cohorts — the assumption check behind anova_cohorts, computed
+    from the same exact integer group moments: each sample variance
+    is (n*q - s^2) / (n*(n-1)) mirrored, the pooled variance and
+    both correction sums fold in explicit group order, and ln is
+    ulp-identical on both engines."""
+    import math
+
+    users = _stump_user_table(sf_dir).to_pandas()
+    x = users["x"].to_numpy(np.int64)
+    g = users["user_id"].to_numpy(np.int64) % 4
+    moments = []
+    for c in range(4):
+        xs = x[g == c].astype(object)
+        moments.append(
+            (len(xs), int(sum(xs)), int(sum(v * v for v in xs)))
+        )
+    k = 4
+    N = sum(m[0] for m in moments)
+    var = [
+        (n * q - s * s) * 1.0 / (n * (n - 1)) for n, s, q in moments
+    ]
+    sp = 0.0
+    for (n, _s, _q), v in zip(moments, var):
+        sp = sp + (n - 1) * v
+    sp = sp / (N - k)
+    lnsum = 0.0
+    inv = 0.0
+    for (n, _s, _q), v in zip(moments, var):
+        lnsum = lnsum + (n - 1) * math.log(v)
+        inv = inv + 1.0 / (n - 1)
+    stat = ((N - k) * math.log(sp) - lnsum) / (
+        1.0 + (inv - 1.0 / (N - k)) / (3.0 * (k - 1))
+    )
+    return pd.DataFrame(
+        {
+            "n": [N],
+            "k": [k],
+            "bartlett_chi2": [float(np.floor(stat * 1e6) / 1e6)],
+        }
+    ).astype({"n": np.int64, "k": np.int64})
+
+
+SQL_BARTLETT_COHORTS = """
+WITH u AS (
+  SELECT user_id % 4 AS g,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS s,
+         CAST(sum(x * x) AS HUGEINT) AS q
+  FROM u GROUP BY g
+),
+v AS (
+  SELECT g, n, (n * q - s * s) * 1.0 / (n * (n - 1)) AS var
+  FROM m
+),
+piv AS (
+  SELECT max(CASE WHEN g = 0 THEN n END) AS n0,
+         max(CASE WHEN g = 0 THEN var END) AS v0,
+         max(CASE WHEN g = 1 THEN n END) AS n1,
+         max(CASE WHEN g = 1 THEN var END) AS v1,
+         max(CASE WHEN g = 2 THEN n END) AS n2,
+         max(CASE WHEN g = 2 THEN var END) AS v2,
+         max(CASE WHEN g = 3 THEN n END) AS n3,
+         max(CASE WHEN g = 3 THEN var END) AS v3,
+         CAST(sum(n) AS BIGINT) AS nn
+  FROM v
+)
+SELECT nn AS n, CAST(4 AS BIGINT) AS k,
+       floor(((nn - 4) * ln(((((0.0 + (n0 - 1) * v0)
+                                + (n1 - 1) * v1)
+                               + (n2 - 1) * v2)
+                              + (n3 - 1) * v3) / (nn - 4))
+              - ((((0.0 + (n0 - 1) * ln(v0)) + (n1 - 1) * ln(v1))
+                  + (n2 - 1) * ln(v2)) + (n3 - 1) * ln(v3)))
+             / (1.0 + (((((0.0 + 1.0 / (n0 - 1)) + 1.0 / (n1 - 1))
+                         + 1.0 / (n2 - 1)) + 1.0 / (n3 - 1))
+                       - 1.0 / (nn - 4)) / (3.0 * 3))
+             * 1e6) / 1e6 AS bartlett_chi2
+FROM piv
+"""
+
+
+REGISTRY.update(
+    {"bartlett_cohorts": (q_bartlett_cohorts, SQL_BARTLETT_COHORTS)}
+)
