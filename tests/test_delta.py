@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -356,3 +358,136 @@ def test_compaction_carries_near_sidecar(tmp_path):
     repartition_store(store, out, num_partitions=3)
     sigs = near_signatures(out)
     assert sigs is not None and sigs.count() == n_before
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows]),
+                "content": pa.array([r[1] for r in rows]),
+            }
+        )
+    )
+
+
+def test_short_docs_exempt_from_near_screen(tmp_path):
+    """Docs with < NEAR_SHINGLE_K tokens carry the sentinel MinHash
+    signature; they must NOT band-collide with every other short doc
+    in history (round-3 ADVICE: a non-duplicate short doc was being
+    permanently excluded from the store)."""
+    from theoremkb_ray.pipelines.delta import (
+        near_dup_filter,
+        record_near_signatures,
+    )
+
+    store = str(tmp_path / "store")
+    long_a = "alpha beta " + " ".join(f"w{i}" for i in range(120))
+    record_near_signatures(
+        _docs_ds([("old/short", "x y"), ("old/long", long_a)]), store
+    )
+    # new: an UNRELATED short doc (must pass), a rewrite of the long
+    # doc (must be screened), a fresh long doc (must pass)
+    fresh_long = " ".join(f"zz{i} q{i * 3}" for i in range(150))
+    delta = _docs_ds(
+        [
+            ("new/short", "p q"),
+            ("new/rewrite", long_a + " tail"),
+            ("new/long", fresh_long),
+        ]
+    )
+    kept, stats, kept_sig = near_dup_filter(delta, store)
+    kept_ids = set(kept.to_pandas()["doc_id"])
+    assert stats["n_near_dup"] == 1
+    assert kept_ids == {"new/short", "new/long"}
+    # the kept docs' signatures (sentinel included) enter history
+    assert set(kept_sig.to_pandas()["doc_id"]) == kept_ids
+
+
+def test_hot_band_cap_drops_boilerplate_keys(tmp_path, monkeypatch, caplog):
+    """A band key shared by more history docs than NEAR_HOT_BAND_CAP
+    is boilerplate: it is dropped from the blocking join (bounded
+    fan-out) with a logged warning — recall on degenerate template
+    content is traded for a bounded join, never silently."""
+    import logging
+
+    import theoremkb_ray.pipelines.delta as delta_mod
+    from theoremkb_ray.pipelines.delta import (
+        near_dup_filter,
+        record_near_signatures,
+    )
+
+    store = str(tmp_path / "store")
+    boiler = "template header " + " ".join(f"w{i}" for i in range(80))
+    record_near_signatures(
+        _docs_ds([(f"old/b{i}", boiler) for i in range(4)]), store
+    )
+    monkeypatch.setattr(delta_mod, "NEAR_HOT_BAND_CAP", 2)
+    delta = _docs_ds([("new/b", boiler + " x")])
+    with caplog.at_level(logging.WARNING, logger="theoremkb_ray.pipelines.delta"):
+        kept, stats, _ = near_dup_filter(delta, store)
+    # all the template's band keys were hot -> dropped -> not screened
+    assert stats["n_near_dup"] == 0
+    assert set(kept.to_pandas()["doc_id"]) == {"new/b"}
+    assert any("boilerplate band keys" in r.message for r in caplog.records)
+    # with the cap above history frequency the same rewrite IS screened
+    monkeypatch.setattr(delta_mod, "NEAR_HOT_BAND_CAP", 256)
+    kept2, stats2, _ = near_dup_filter(delta, store)
+    assert stats2["n_near_dup"] == 1 and kept2.count() == 0
+
+
+def test_run_kg_writes_near_sidecar(tmp_path):
+    """run_kg(near_dedup=True) must leave a _near/ history so later
+    delta runs screen against something (round-3 ADVICE: the sidecar
+    silently absent meant near_dedup=True screened against nothing)."""
+    from theoremkb_ray.pipelines.delta import near_signatures
+
+    base_dir = materialize_corpus(
+        str(tmp_path / "base"), num_docs=20, seed=7
+    )
+    store = str(tmp_path / "store")
+    run_kg(
+        f"{base_dir}/corpus.parquet",
+        store,
+        segmenter="naive",
+        canonicalize=False,
+        num_partitions=2,
+        near_dedup=True,
+    )
+    sigs = near_signatures(store)
+    assert sigs is not None and sigs.count() > 0
+
+
+def test_near_screen_warns_when_history_absent(tmp_path, caplog):
+    import logging
+
+    from theoremkb_ray.pipelines.delta import (
+        near_dup_filter,
+        record_processed,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store, exist_ok=True)
+    import ray.data as rd
+
+    record_processed(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "repo": ["old"],
+                    "path": ["a"],
+                    "commit": ["c0"],
+                    "content_sha256": ["deadbeef"],
+                }
+            )
+        ),
+        store,
+    )
+    with caplog.at_level(logging.WARNING, logger="theoremkb_ray.pipelines.delta"):
+        kept, stats, _ = near_dup_filter(
+            _docs_ds([("new/a", "other text entirely")]), store
+        )
+    assert stats["n_near_dup"] == 0
+    assert any("signature history" in r.message for r in caplog.records)

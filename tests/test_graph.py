@@ -680,3 +680,47 @@ def test_boruvka_mst_matches_kruskal():
         # forest size identity: edges = nodes_touched - components
         touched = len(np.unique(np.r_[src, dst]))
         assert len(got) == touched - n_comp
+
+
+def test_boruvka_rejects_out_of_range_ids(ray_session):
+    """Packed (src<<32|dst) tie-break keys silently collide for ids
+    outside [0, 2^32) — must raise, not corrupt (round-3 ADVICE)."""
+    import pytest
+    import ray.data as rd
+
+    from theoremkb_ray.stages.graph import boruvka_mst
+
+    bad = pa.table(
+        {
+            "src": pa.array([0, 1 << 33], pa.int64()),
+            "dst": pa.array([1, 2], pa.int64()),
+            "w": pa.array([1, 2], pa.int64()),
+        }
+    )
+    with pytest.raises(ValueError, match=r"2\^32"):
+        boruvka_mst(rd.from_arrow(bad))
+    neg = pa.table(
+        {
+            "src": pa.array([-3], pa.int64()),
+            "dst": pa.array([1], pa.int64()),
+            "w": pa.array([1], pa.int64()),
+        }
+    )
+    with pytest.raises(ValueError, match="node ids"):
+        boruvka_mst(rd.from_arrow(neg))
+
+
+def test_boruvka_empty_edges_returns_empty_forest(ray_session):
+    import ray.data as rd
+
+    from theoremkb_ray.stages.graph import boruvka_mst
+
+    empty = pa.table(
+        {
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "w": pa.array([], pa.int64()),
+        }
+    )
+    tbl, n_comp = boruvka_mst(rd.from_arrow(empty))
+    assert tbl.num_rows == 0 and n_comp == 0

@@ -249,6 +249,12 @@ NEAR_SHINGLE_K = 3
 #: minimum matching signature slots (of NEAR_PERMS) to call a near-dup
 #: — 32/64 estimates Jaccard >= 0.5
 NEAR_MIN_MATCH = 32
+#: band keys seen in more than this many HISTORY docs are boilerplate
+#: (degenerate/templated content) and are dropped from the blocking
+#: join on both sides — without the cap a hot band makes the semi-join
+#: emit |new| x |old| rows per band, the unbounded-fan-out class the
+#: in-corpus path already caps (stages/dedup.py _pairs_from_coarse)
+NEAR_HOT_BAND_CAP = 256
 
 
 class NearSigEmitter:
@@ -336,12 +342,34 @@ def _explode_bands(id_col: str):
     return fn
 
 
+def _drop_sentinel_sigs(b: pa.Table) -> pa.Table:
+    """Exempt zero-shingle docs from the near-dup screen: a doc with
+    fewer than NEAR_SHINGLE_K tokens has NO shingles, so
+    minhash_signatures_flat fills its signature with the all-ones
+    sentinel (functions/hashing.py) — every such doc would band-collide
+    with and 64/64-"verify" against every other short doc, permanently
+    excluding non-duplicates from the store. A sentinel slot only
+    arises when a slot saw no shingle hashes, so slot 0 == 2^64-1
+    identifies exactly the no-shingle rows."""
+    import numpy as np
+
+    first = pc.list_element(b["sig"], 0).to_numpy(zero_copy_only=False)
+    return b.filter(pa.array(first != np.uint64(0xFFFFFFFFFFFFFFFF)))
+
+
 def near_dup_filter(delta_ds, store_dir: str):
     """Screen a selected delta against the store's signature history.
 
     -> (kept Dataset, stats dict, new-signature Dataset of the KEPT
     docs — pass it to :func:`record_near_signatures` after a
-    successful ingest so history stays consistent with the store)."""
+    successful ingest so history stays consistent with the store).
+
+    Zero-shingle (< NEAR_SHINGLE_K tokens) docs are exempt from the
+    screen on BOTH sides (their sentinel signatures would otherwise
+    match any short doc); exact rewrites of them are still caught by
+    the exact-ID anti join upstream."""
+    import logging
+
     import numpy as np
 
     from ..stages.joins import hash_join
@@ -350,16 +378,78 @@ def near_dup_filter(delta_ds, store_dir: str):
     new_sig = delta_ds.map_batches(
         NearSigEmitter(), batch_format="pyarrow"
     ).materialize()
-    if seen is None or new_sig.count() == 0:
+    if seen is None:
+        if processed_ids(store_dir) is not None:
+            logging.getLogger(__name__).warning(
+                "near_dedup=True but store %r has no %s/ signature "
+                "history — the screen matches against NOTHING, so "
+                "rewrites of base-corpus docs pass unscreened. Build "
+                "the sidecar with record_near_signatures() over the "
+                "base corpus (run_kg writes it when near_dedup is "
+                "enabled).",
+                store_dir,
+                NEAR_DIR,
+            )
+        return delta_ds, {"n_near_dup": 0}, new_sig
+    if new_sig.count() == 0:
         return delta_ds, {"n_near_dup": 0}, new_sig
 
+    log = logging.getLogger(__name__)
     new_bands = new_sig.map_batches(
-        _explode_bands("nid"), batch_format="pyarrow"
-    )
+        _drop_sentinel_sigs, batch_format="pyarrow"
+    ).map_batches(_explode_bands("nid"), batch_format="pyarrow")
     old_bands = seen.map_batches(
-        _explode_bands("oid"), batch_format="pyarrow"
-    )
+        _drop_sentinel_sigs, batch_format="pyarrow"
+    ).map_batches(_explode_bands("oid"), batch_format="pyarrow")
     from ray.data.aggregate import Count
+
+    # hot-band cap: drop boilerplate band keys (history frequency >
+    # NEAR_HOT_BAND_CAP) from BOTH sides before the join. The hot-key
+    # set is tiny by construction (each hot key represents >cap docs),
+    # so the broadcast sorted-array filter is bounded. counts is the
+    # per-distinct-key aggregate (NOT the band rows) — materializing
+    # it also tells us, for free, whether either join side would be
+    # EMPTY, which must short-circuit (empty Dataset sides break
+    # Acero's schema resolution — the documented raypatch contract).
+    counts = (
+        old_bands.groupby("bk")
+        .aggregate(Count(alias_name="c"))
+        .materialize()
+    )
+    n_keys = counts.count()
+    if n_keys == 0:  # history is all zero-shingle docs
+        return delta_ds, {"n_near_dup": 0}, new_sig
+    hot = counts.map_batches(
+        lambda b: b.filter(
+            pc.greater(b["c"], NEAR_HOT_BAND_CAP)
+        ).select(["bk"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(hot):
+        log.warning(
+            "near_dup_filter: dropping %d boilerplate band keys with "
+            "history frequency > %d from the blocking join",
+            len(hot),
+            NEAR_HOT_BAND_CAP,
+        )
+        if len(hot) == n_keys:  # the whole history is boilerplate
+            return delta_ds, {"n_near_dup": 0}, new_sig
+        import ray
+
+        hot_ref = ray.put(np.sort(hot["bk"].to_numpy()))
+
+        def drop_hot(b: pa.Table) -> pa.Table:
+            hs = ray.get(hot_ref)
+            bk = b["bk"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(hs, bk), 0, len(hs) - 1)
+            return b.filter(pa.array(hs[pos] != bk))
+
+        new_bands = new_bands.map_batches(drop_hot, batch_format="pyarrow")
+        old_bands = old_bands.map_batches(drop_hot, batch_format="pyarrow")
+
+    new_bands = new_bands.materialize()  # delta-bounded: 16 ints/doc
+    if new_bands.count() == 0:  # all-new-short (or all-hot) delta
+        return delta_ds, {"n_near_dup": 0}, new_sig
 
     pairs = (
         hash_join(new_bands, old_bands, on=["bk"], how="inner")

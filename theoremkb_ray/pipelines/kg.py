@@ -173,6 +173,7 @@ def run_kg(
     resume: bool = True,
     auto_salt: bool = True,
     results_checkpoint: str | None = None,
+    near_dedup: bool = False,
 ):
     """End-to-end: corpus parquet -> materialized triple store.
 
@@ -182,6 +183,11 @@ def run_kg(
     entirely and resumes at linking/canonicalization — the north-rule
     mid-pipeline resume. A partially complete checkpoint re-runs the
     front half but only writes pending partitions.
+
+    ``near_dedup``: also write the ``_near/`` MinHash-signature
+    sidecar for the base corpus, so later
+    ``run_kg_delta(..., near_dedup=True)`` runs screen against real
+    history instead of silently matching nothing (pipelines/delta.py).
 
     Returns the (part, rows) summary Dataset from the sink."""
     from ..sources.sinks import (
@@ -255,7 +261,7 @@ def run_kg(
             raise salt_box["err"]
     salt = salt_box.get("salt")
     mark("kg: skew pre-pass joined")
-    return materialize_triples(
+    summary = materialize_triples(
         triples,
         out_dir,
         num_partitions=num_partitions,
@@ -263,3 +269,14 @@ def run_kg(
         salt_repos=salt,
         lineage=results_checkpoint or corpus_path,
     )
+    if near_dedup:
+        from .delta import near_signatures, record_near_signatures
+
+        if near_signatures(out_dir) is None:
+            from ..stages.ingest import ingest
+
+            record_near_signatures(
+                ingest(read_corpus(corpus_path), verify=False), out_dir
+            )
+            mark("kg: near-dup signature sidecar written")
+    return summary

@@ -19114,9 +19114,17 @@ def q_mst_star_ring(sf_dir: str):
 
     cust = _pq(sf_dir, "customer", ["c_custkey"])
     n = cust.count()
+    # key-base independence: the closed-form oracle (n-1 edges,
+    # n(n-1)/2 weight) assumes 0-BASED contiguous node ids — normalize
+    # by the min key so the planted instance holds on 1-based TPC-H
+    # keys as well as the repo's 0-based synth keys
+    base = int(cust.min("c_custkey"))
 
     def edges(b: pa.Table) -> pa.Table:
-        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = (
+            b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            - base
+        )
         ring_dst = (c + 1) % n
         ring_w = 10 * n + c
         star = c[c > 0]

@@ -48,7 +48,11 @@ def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
 
 
 def exact_dedup(
-    ds, col: str = "text", id_col: str = "doc_id", coarse: int = 64
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    coarse: int = 64,
+    max_partition_bytes: int | None = None,
 ):
     """Exact dedup: hash-partition on content hash, keep the min-id row
     per group (the reference's drop_duplicates, distributed).
@@ -56,9 +60,22 @@ def exact_dedup(
     The shuffle key is ``text_hash % coarse`` — NOT the raw hash:
     grouping by the raw 64-bit hash would make one Ray group per
     unique document (scheduler overhead linear in distinct docs).
-    Within a coarse group the exact dedup is a vectorized pandas
+    Within a partition the exact dedup is a vectorized pandas
     drop-min; correctness is unchanged because a text's rows always
-    share a coarse bucket."""
+    share a coarse bucket.
+
+    Scale: the exchange routes through ``spooled_group_map`` with
+    ``fine_col="text_hash"`` — oversized coarse partitions (full text
+    payload!) are re-split on a decorrelated hash of the FINE key, so
+    per-reduce-task bytes stay bounded as the corpus grows instead of
+    one task concat-reading 1/coarse of the whole corpus. The re-split
+    preserves correctness because equal texts share the fine hash (the
+    same argument documented for pairs_from_bands below), and
+    first_per_text only relies on fine-key co-location."""
+    from ..state.spool import MAX_PARTITION_BYTES, spooled_group_map
+
+    if max_partition_bytes is None:
+        max_partition_bytes = MAX_PARTITION_BYTES
 
     def add_hash(b: pa.Table) -> pa.Table:
         b = add_text_hash(b, col)
@@ -71,12 +88,15 @@ def exact_dedup(
         g = g.sort_values(["text_hash", id_col], kind="mergesort")
         return g.drop_duplicates("text_hash", keep="first")
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("coarse")
-        .map_groups(first_per_text, batch_format="pandas")
-        .drop_columns(["text_hash", "coarse"])
-    )
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    return spooled_group_map(
+        hashed,
+        "coarse",
+        first_per_text,
+        batch_format="pandas",
+        fine_col="text_hash",
+        max_partition_bytes=max_partition_bytes,
+    ).drop_columns(["text_hash", "coarse"])
 
 
 # ----------------------------------------------------------- minhash-LSH
@@ -612,29 +632,59 @@ class JaccardVerifier:
     """Actor-pool callable: candidate pair rows -> verified edges.
 
     The id -> n-gram-set map (bounded: only ids that appear in some
-    candidate pair) is fetched from the object store ONCE per actor;
-    per pair the intersection is a C-level ``np.intersect1d``."""
+    candidate pair) is broadcast as THREE flat numpy arrays — sorted
+    id-hash keys, CSR offsets, flattened gram hashes — NOT a Python
+    dict: the arrays are a zero-copy plasma read per actor (the same
+    sorted-array pattern as the links broadcast, stages/emit.py), where
+    a dict would cost O(|map|) deserialization in every worker. Lookup
+    is one vectorized searchsorted per batch; per pair the intersection
+    is a C-level ``np.intersect1d`` over CSR slices (the pair loop is
+    candidate-bounded — post-LSH — so it never sees the corpus)."""
 
     def __init__(self, gmap_ref, threshold: float) -> None:
         import ray
 
-        self.gmap: dict[str, np.ndarray] = ray.get(gmap_ref)
+        self.keys, self.offsets, self.flat = ray.get(gmap_ref)
         self.threshold = threshold
+
+    def _lookup(self, ids: np.ndarray) -> np.ndarray:
+        """id strings -> CSR row index, -1 when absent."""
+        qk = hash_strings(ids)
+        idx = np.searchsorted(self.keys, qk)
+        idx[idx >= len(self.keys)] = max(len(self.keys) - 1, 0)
+        found = (
+            self.keys[idx] == qk
+            if len(self.keys)
+            else np.zeros(len(ids), dtype=bool)
+        )
+        return np.where(found, idx, -1)
 
     def __call__(self, b: pa.Table) -> pa.Table:
         a_in = b["a"].to_numpy(zero_copy_only=False)
         b_in = b["b"].to_numpy(zero_copy_only=False)
+        if len(a_in) == 0 or len(self.keys) == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        ia = self._lookup(a_in)
+        ib = self._lookup(b_in)
+        offs, flat = self.offsets, self.flat
         a_out, b_out, j_out = [], [], []
-        for a, b_ in zip(a_in, b_in):
-            ga, gb = self.gmap.get(a), self.gmap.get(b_)
-            if ga is None or gb is None or len(ga) == 0 or len(gb) == 0:
+        for k in np.flatnonzero((ia >= 0) & (ib >= 0)):
+            ga = flat[offs[ia[k]] : offs[ia[k] + 1]]
+            gb = flat[offs[ib[k]] : offs[ib[k] + 1]]
+            if len(ga) == 0 or len(gb) == 0:
                 continue
             inter = len(np.intersect1d(ga, gb, assume_unique=True))
             union = len(ga) + len(gb) - inter
             j = inter / union if union else 0.0
             if j >= self.threshold:
-                a_out.append(a)
-                b_out.append(b_)
+                a_out.append(a_in[k])
+                b_out.append(b_in[k])
                 j_out.append(j)
         return pa.table(
             {
@@ -669,8 +719,10 @@ def ngram_jaccard_edges(
     cand = dedup_pairs(
         minhash_dup_edges(ds, col, id_col, max_hamming=64)  # no pre-filter
     ).materialize()
-    need = set(cand.unique("a")) | set(cand.unique("b"))
-    if not need:
+    need_ids = np.array(
+        sorted(set(cand.unique("a")) | set(cand.unique("b"))), dtype=object
+    )
+    if len(need_ids) == 0:
         return cand.map_batches(
             lambda b: pa.table(
                 {
@@ -681,22 +733,35 @@ def ngram_jaccard_edges(
             ),
             batch_format="pyarrow",
         )
-    need_ref = ray.put(need)
+    # membership broadcast = a SORTED uint64 hash array, not a Python
+    # set: zero-copy plasma read per actor, vectorized searchsorted
+    # probe per batch (hash collisions only over-include — an extra
+    # gram set is computed, never a wrong verdict key: the verifier
+    # keys on the same hash)
+    need_ref = ray.put(np.sort(hash_strings(need_ids)))
 
     class GramEmitter:
         def __init__(self, ref) -> None:
-            self.need = ray.get(ref)
+            self.need: np.ndarray = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ids = pc.cast(b[id_col], pa.string()).to_numpy(
                 zero_copy_only=False
             )
+            if len(ids) == 0:
+                return pa.table(
+                    {
+                        "id": pa.array([], pa.string()),
+                        "grams": pa.array([], pa.list_(pa.uint64())),
+                    }
+                )
+            qk = hash_strings(ids)
+            idx = np.searchsorted(self.need, qk)
+            idx[idx >= len(self.need)] = max(len(self.need) - 1, 0)
+            keep = np.flatnonzero(self.need[idx] == qk)
             texts = b[col].to_numpy(zero_copy_only=False)
-            out_id, out_g = [], []
-            for i, t in zip(ids, texts):
-                if i in self.need:
-                    out_id.append(i)
-                    out_g.append(NgramSetStore.ngrams(t, n))
+            out_id = [ids[i] for i in keep]
+            out_g = [NgramSetStore.ngrams(texts[i], n) for i in keep]
             return pa.table(
                 {
                     "id": pa.array(out_id, pa.string()),
@@ -706,7 +771,8 @@ def ngram_jaccard_edges(
                 }
             )
 
-    # gram map: computed distributed, collected bounded (|need| rows)
+    # gram map: computed distributed, collected bounded (|need| rows),
+    # broadcast as (sorted id-hash keys, CSR offsets, flat gram hashes)
     grams_tbl = _collect(
         ds.map_batches(
             GramEmitter,
@@ -715,13 +781,23 @@ def ngram_jaccard_edges(
             concurrency=(1, 4),
         )
     )
-    gmap = {
-        i: np.array(g, dtype=np.uint64)
-        for i, g in zip(
-            grams_tbl["id"].to_pylist(), grams_tbl["grams"].to_pylist()
+    gkeys = hash_strings(
+        grams_tbl["id"].to_numpy(zero_copy_only=False)
+    )
+    order = np.argsort(gkeys, kind="stable")
+    gkeys = gkeys[order]
+    lists = grams_tbl["grams"].to_pylist()
+    lens = np.array([len(lists[i]) for i in order], dtype=np.int64)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = (
+        np.concatenate(
+            [np.asarray(lists[i], dtype=np.uint64) for i in order]
         )
-    }
-    gmap_ref = ray.put(gmap)
+        if lens.sum()
+        else np.empty(0, np.uint64)
+    )
+    gmap_ref = ray.put((gkeys, offsets, flat))
     return cand.map_batches(
         JaccardVerifier,
         fn_constructor_args=(gmap_ref, threshold),

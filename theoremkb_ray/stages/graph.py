@@ -2190,21 +2190,33 @@ def boruvka_mst(edges_ds, max_rounds: int = 64):
     from ..functions.hashing import hash_strings  # noqa: F401 (parity)
 
     edges_ds = edges_ds.materialize()
-    nodes = np.unique(
-        np.concatenate(
-            [
-                np.r_[
-                    b["src"].to_numpy(zero_copy_only=False).astype(
-                        np.int64
-                    ),
-                    b["dst"].to_numpy(zero_copy_only=False).astype(
-                        np.int64
-                    ),
-                ]
-                for b in edges_ds.iter_batches(batch_format="pyarrow")
-            ]
+    node_parts = [
+        np.r_[
+            b["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+        ]
+        for b in edges_ds.iter_batches(batch_format="pyarrow")
+    ]
+    if not node_parts:  # empty edge set -> empty forest, 0 components
+        return (
+            pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                }
+            ),
+            0,
         )
-    )
+    nodes = np.unique(np.concatenate(node_parts))
+    # tie-break keys pack (src << 32 | dst): out-of-range ids would
+    # silently collide packed keys and corrupt the chosen-edge map
+    if nodes[0] < 0 or nodes[-1] >= (1 << 32):
+        raise ValueError(
+            "boruvka_mst requires node ids in [0, 2^32): got range "
+            f"[{int(nodes[0])}, {int(nodes[-1])}] — rank/normalize ids "
+            "first (e.g. node - node.min() or a dictionary encode)"
+        )
     label = np.arange(len(nodes), dtype=np.int64)
     chosen: dict[int, int] = {}  # packed (src<<32|dst) -> weight
 

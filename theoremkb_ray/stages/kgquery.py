@@ -21,6 +21,17 @@ node), so a hot entity (a paper every repo cites) is the skew risk —
 ``max_fanout`` bounds the quadratic blowup per object and truncation
 is LOGGED, never silent (the crash-loud lesson from the reference's
 silent chunk skips, Styling/src/cli.py:228-229).
+
+Every exchange here routes through ``state.spool.spooled_group_map``
+with ``fine_col`` = the full 64-bit hash of the join node: the coarse
+bucket count (``_COCITE_BUCKETS``) only sets the INITIAL fan-out, and
+any partition larger than ``max_partition_bytes`` is re-split on a
+decorrelated hash of the fine key before the reduce side reads it —
+per-task bytes stay flat as the store grows instead of one task
+concat-reading 1/64 of a predicate's legs at 100x scale. The re-split
+is correct because every group fn below relies ONLY on join-node
+co-location (rows sharing a mid/object/subject share the fine hash),
+never on seeing the whole coarse bucket.
 """
 
 from __future__ import annotations
@@ -86,13 +97,28 @@ def _bucket_on(col: str, nbuckets: int):
     return fn
 
 
+def _spooled(legs, per_bucket, fine_col: str, drop: list[str]):
+    """One adaptive exchange: coarse-bucket spool keyed on ``bucket``
+    with oversized partitions re-split on ``fine_col`` (the full hash
+    of the join node), so per-reduce-task bytes stay bounded however
+    large one predicate's legs grow."""
+    from ..state.spool import spooled_group_map
+
+    def run(g: pa.Table) -> pa.Table:
+        out = per_bucket(g.drop_columns(drop).to_pandas())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return spooled_group_map(legs, "bucket", run, fine_col=fine_col)
+
+
 def two_hop(triples, pred1: str, pred2: str, nbuckets: int = _COCITE_BUCKETS):
     """S -pred1-> X -pred2-> O. Both legs are pre-filtered per batch
     (only pred1/pred2 rows reach the exchange), tagged by side, and
-    co-located by hash(mid node) in ONE exchange; the per-group join
-    is a sorted-merge on the mid node. Output (subject, mid, object),
-    distinct within group by construction of the input store (triples
-    are unique)."""
+    co-located by hash(mid node) in ONE adaptive exchange; the
+    per-group join is a merge on the mid node. Output (subject, mid,
+    object), distinct within group by construction of the input store
+    (triples are unique). Correct under re-split: the join needs only
+    mid-node co-location and ``fine`` IS hash(mid)."""
     legs = triples.map_batches(
         _two_hop_pre(pred1, pred2), batch_format="pyarrow"
     )
@@ -117,10 +143,7 @@ def two_hop(triples, pred1: str, pred2: str, nbuckets: int = _COCITE_BUCKETS):
             }
         )
 
-    return (
-        legs.groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+    return _spooled(legs, per_bucket, "fine", drop=["fine"])
 
 
 def _two_hop_pre(pred1: str, pred2: str, nbuckets: int = _COCITE_BUCKETS):
@@ -146,6 +169,7 @@ def _two_hop_pre(pred1: str, pred2: str, nbuckets: int = _COCITE_BUCKETS):
                 "bucket": pa.array(
                     (h % np.uint64(nbuckets)).astype(np.int64)
                 ),
+                "fine": pa.array(h.view(np.int64)),
                 "mid": mid,
                 "node": node,
                 "side": pa.array(side),
@@ -182,6 +206,7 @@ def cocitation_pairs(
                 "bucket": pa.array(
                     (h % np.uint64(nbuckets)).astype(np.int64)
                 ),
+                "fine": pa.array(h.view(np.int64)),
                 "object": b["object"],
                 "subject": b["subject"],
             }
@@ -244,10 +269,11 @@ def cocitation_pairs(
         )
         return df
 
-    pairs = (
-        cites.map_batches(pre, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+    pairs = _spooled(
+        cites.map_batches(pre, batch_format="pyarrow"),
+        per_bucket,
+        "fine",
+        drop=["fine"],
     )
     from ray.data.aggregate import Sum
 
@@ -293,6 +319,7 @@ def star_join(
                 "bucket": pa.array(
                     (h % np.uint64(nbuckets)).astype(np.int64)
                 ),
+                "fine": pa.array(h.view(np.int64)),
                 "subject": sub,
                 "pat": pa.array(np.concatenate(idxs) if idxs else
                                 np.empty(0, np.int64)),
@@ -307,10 +334,11 @@ def star_join(
         )["pat"].size()
         return pd.DataFrame({"subject": cov[cov == npat].index.to_numpy()})
 
-    return (
-        triples.map_batches(pre, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+    return _spooled(
+        triples.map_batches(pre, batch_format="pyarrow"),
+        per_bucket,
+        "fine",
+        drop=["fine"],
     )
 
 
@@ -348,6 +376,7 @@ def neg_pattern(
                 "bucket": pa.array(
                     (h % np.uint64(nbuckets)).astype(np.int64)
                 ),
+                "fine": pa.array(h.view(np.int64)),
                 "subject": sub,
                 "pat": pa.array(
                     np.concatenate(idxs) if idxs else np.empty(0, np.int64)
@@ -364,8 +393,9 @@ def neg_pattern(
         keep = sorted(have_s - lack_s)
         return pd.DataFrame({"subject": pd.Series(keep, dtype="object")})
 
-    return (
-        triples.map_batches(pre, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+    return _spooled(
+        triples.map_batches(pre, batch_format="pyarrow"),
+        per_bucket,
+        "fine",
+        drop=["fine"],
     )

@@ -130,23 +130,35 @@ def resolve_citations_shuffle(mentions_ds, links_ds, num_buckets: int = 64):
     """Partitioned hash-join fallback for a links table too large to
     broadcast: bucket both sides by hash(doc_from) and join per bucket.
 
-    Uses pandas merge inside ``map_groups`` — the documented pattern for
-    a both-sides-large equi-join (ray_guide 'Joins and lookups')."""
+    Uses pandas merge inside the group fn — the documented pattern for
+    a both-sides-large equi-join (ray_guide 'Joins and lookups').
+
+    This IS the at-scale path (it exists precisely because the links
+    table outgrew the broadcast), so the exchange is adaptive: it
+    routes through ``spooled_group_map`` with ``fine_col`` = the full
+    64-bit hash of the join doc — ``num_buckets`` only sets the
+    initial fan-out and oversized partitions are re-split on the fine
+    hash, keeping per-reduce-task bytes flat as both sides grow. The
+    re-split preserves correctness because the merge only needs
+    (doc_id == doc_from) co-location and both sides' fine key is the
+    hash of that doc."""
     import pyarrow.compute as pc
 
     from ..functions.hashing import hash_strings
 
     def add_bucket_m(b: pa.Table) -> pa.Table:
         h = hash_strings(b["doc_id"].to_numpy(zero_copy_only=False))
-        return b.append_column(
+        b = b.append_column(
             "bucket", pa.array((h % num_buckets).astype(np.int64))
         )
+        return b.append_column("fine", pa.array(h.view(np.int64)))
 
     def add_bucket_l(b: pa.Table) -> pa.Table:
         h = hash_strings(b["doc_from"].to_numpy(zero_copy_only=False))
-        return b.append_column(
+        b = b.append_column(
             "bucket", pa.array((h % num_buckets).astype(np.int64))
         )
+        return b.append_column("fine", pa.array(h.view(np.int64)))
 
     extra = mentions_ds.map_batches(
         lambda b: b.filter(pc.not_equal(b["cite_tag"], "")),
@@ -166,6 +178,7 @@ def resolve_citations_shuffle(mentions_ds, links_ds, num_buckets: int = 64):
         ("tag", pa.string()),
         ("doc_to", pa.string()),
         ("bucket", pa.int64()),
+        ("fine", pa.int64()),
         ("side", pa.string()),
     ]
 
@@ -201,6 +214,16 @@ def resolve_citations_shuffle(mentions_ds, links_ds, num_buckets: int = 64):
                     "provenance": pd.Series(dtype=str),
                 }
             )
+        # drop the null-aligned link columns from the mentions side
+        # BEFORE merging — otherwise pandas suffixes the collision to
+        # doc_to_x/doc_to_y and the projection below KeyErrors
+        m = m[["doc_id", "src_entity", "src_group", "kind", "num",
+               "cite_tag"]]
+        # broadcast-plan parity: duplicate (doc_from, tag) keys keep
+        # ONE row (the broadcast index keeps the last; a distributed
+        # "last" is only well-defined when the links table is
+        # deterministic — bibliography resolution emits unique keys)
+        l = l.drop_duplicates(["doc_from", "tag"], keep="last")
         j = m.merge(
             l[["doc_from", "tag", "doc_to"]],
             left_on=["doc_id", "cite_tag"],
@@ -220,6 +243,9 @@ def resolve_citations_shuffle(mentions_ds, links_ds, num_buckets: int = 64):
             }
         )
 
-    return unioned.groupby("bucket").map_groups(
-        join_bucket, batch_format="pandas"
+    from ..state.spool import spooled_group_map
+
+    return spooled_group_map(
+        unioned, "bucket", join_bucket, batch_format="pandas",
+        fine_col="fine",
     )

@@ -362,7 +362,7 @@ def spooled_group_map(
     batch_format: str = "pyarrow",
     keep_spool: bool = False,
     fine_col: str | None = None,
-    max_partition_bytes: int = MAX_PARTITION_BYTES,
+    max_partition_bytes: int | None = None,
 ):
     """``groupby(key_col).map_groups(fn)`` via a disk spool.
 
@@ -390,6 +390,11 @@ def spooled_group_map(
     degrades to the native sort-based groupby rather than silently
     losing every partition written on a non-driver node."""
     import ray.data as rd
+
+    if max_partition_bytes is None:
+        # resolved at CALL time so tests / deployments can tune the
+        # module attribute (a def-time default would freeze it)
+        max_partition_bytes = MAX_PARTITION_BYTES
 
     if not _shared_scratch_declared(spool_dir) and _alive_nodes() > 1:
         return _native_group_map(ds, key_col, fn, batch_format)
