@@ -561,6 +561,33 @@ def _seg_report_noisy(sf_dir: str):
     return noise_robust_report()
 
 
+def _seg_report_cnn1d_noisy(sf_dir: str):
+    """T3 analog under the same noisy regime as seg_report_noisy
+    (15% label noise + 25% distractors, clean held-out eval): the
+    context-window MLP's line-level B/I/O P/R. Recorded evidence
+    (BASELINE.md round-4): B .9569/1.000, I .9454/1.000 — clears the
+    reference's published bars (Training.ipynb cell 13). Model
+    scoring — no SQL oracle (rows-only check)."""
+    from theoremkb_ray.stages.nn import noise_robust_report_cnn1d
+
+    return noise_robust_report_cnn1d()
+
+
+def _nlp_classify_noisy(sf_dir: str):
+    """T8/T9 analog under the noisy regime: hashed-BoW 3-class
+    paragraph P/R/F1 with distractor-injected corpora and corrupted
+    training gold (reference bars: NLP/transformers_tkb.ipynb cell
+    37). Recorded evidence (BASELINE.md round-4): Theorem F1 .868,
+    Proof F1 1.0, Basic recall .554 — the unigram-BoW analog is
+    honestly WEAKER than the reference's transformer on head
+    look-alike distractors embedded in running prose (scope note in
+    COVERAGE.md; the container has no torch/keras). Model scoring —
+    no SQL oracle (rows-only check)."""
+    from theoremkb_ray.stages.nn import noise_robust_report_nlp
+
+    return noise_robust_report_nlp()
+
+
 def _tfidf_match(sf_dir: str):
     """T6/J9: TF-IDF theorem matching, fork docs vs their originals."""
     import pyarrow.parquet as pq
@@ -1454,7 +1481,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "seg_report_words": _seg_report_words,
             "seg_report_cnn1d": _seg_report_cnn1d,
             "seg_report_noisy": _seg_report_noisy,
+            "seg_report_cnn1d_noisy": _seg_report_cnn1d_noisy,
             "nlp_classify": _nlp_classify,
+            "nlp_classify_noisy": _nlp_classify_noisy,
             "split_stratified": _split_stratified,
             "tfidf_match": _tfidf_match,
             "approx_distinct_users": _approx_distinct_users,

@@ -260,3 +260,41 @@ def test_extract_frames_passthrough_and_fake(ray_session):
     n_nonvid = (src["kind"] != "video").sum()
     assert (out["kind"] != "video").all()
     assert len(out) >= n_nonvid + (src["kind"] == "video").sum()
+
+
+def test_probe_optional_backends_shapes_stub_errors():
+    """The compressed-codec capability probe: absent libs -> the stub
+    error NAMES the probe result; present libs would route JPEG/mp4
+    through the same backend='real' path (skipped when absent)."""
+    import numpy as np
+    import pytest
+
+    from theoremkb_ray.functions import codecs
+    from theoremkb_ray.stages.multimodal import MediaDecoder
+
+    probe = codecs.probe_optional_backends(refresh=True)
+    assert set(probe) == {"pil", "pyav"}
+
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    mp4_magic = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 32
+    assert codecs.sniff_format(jpeg_magic) == "jpeg"
+    assert codecs.sniff_format(mp4_magic) == "mp4"
+
+    dec = MediaDecoder(backend="real", feat_dim=8)
+    if not probe["pil"]:
+        with pytest.raises(NotImplementedError, match="probe_optional"):
+            dec._decode_real(jpeg_magic, "image")
+    else:  # pragma: no cover - container has no PIL
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.zeros((4, 4, 3), dtype=np.uint8)
+        ).save(buf, format="JPEG")
+        feats = dec._decode_real(buf.getvalue(), "image")
+        assert feats.shape == (8,)
+    if not probe["pyav"]:
+        with pytest.raises(NotImplementedError, match="probe_optional"):
+            dec._decode_real(mp4_magic, "video")

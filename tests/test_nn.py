@@ -106,3 +106,35 @@ def test_model_roundtrip(tmp_path):
     c.save(p2)
     c2 = HashedTextClassifier.load(p2)
     assert np.array_equal(c.W, c2.W)
+
+
+def test_cnn1d_noisy_regime_meets_reference_bar(ray_session):
+    """The context-window MLP trained on 15%-corrupted gold over a
+    25%-distractor corpus must clear the reference's published
+    line-level bars (B .96/.96 within one-doc tolerance on precision,
+    I .83/.73 — Training.ipynb cell 13), mirroring the CRF's
+    noise-robust gate (tests/test_segment.py)."""
+    from theoremkb_ray.stages.nn import noise_robust_report_cnn1d
+
+    rep = noise_robust_report_cnn1d().set_index("tag_class")
+    assert rep.loc["B", "precision"] >= 0.95
+    assert rep.loc["B", "recall"] >= 0.96
+    assert rep.loc["I", "precision"] >= 0.83
+    assert rep.loc["I", "recall"] >= 0.73
+    assert rep.loc["O", "recall"] >= 0.90
+
+
+def test_nlp_noisy_regime_recorded_shape(ray_session):
+    """The noisy-regime NLP table (BASELINE.md round-4) is pinned in
+    shape and on the classes the linear model DOES handle: Proof
+    perfect, Theorem recall 1.0; Basic recall is the documented
+    representation limit (distractor paragraphs), asserted only as
+    a floor so a regression below the recorded .55 still fails."""
+    from theoremkb_ray.stages.nn import noise_robust_report_nlp
+
+    rep = noise_robust_report_nlp().set_index("cls")
+    assert set(rep.index) == {"Basic", "Theorem", "Proof"}
+    assert rep.loc["Proof", "f1"] >= 0.95
+    assert rep.loc["Theorem", "recall"] >= 0.95
+    assert rep.loc["Basic", "precision"] >= 0.95
+    assert rep.loc["Basic", "recall"] >= 0.50

@@ -163,9 +163,26 @@ class MediaDecoder:
                 minlength=self.feat_dim,
             ).astype(np.float32)
             return hist / max(1.0, float(frames.size))
+        probe = codecs.probe_optional_backends()
+        if fmt == "jpeg" and probe["pil"]:
+            img = codecs.decode_jpeg_pil(payload)
+            hist = np.bincount(
+                (img.reshape(-1).astype(np.int64) * self.feat_dim) // 256,
+                minlength=self.feat_dim,
+            ).astype(np.float32)
+            return hist / max(1.0, float(img.size))
+        if fmt == "mp4" and probe["pyav"]:
+            frames, _fps = codecs.decode_video_pyav(payload)
+            hist = np.bincount(
+                (frames.reshape(-1).astype(np.int64) * self.feat_dim)
+                // 256,
+                minlength=self.feat_dim,
+            ).astype(np.float32)
+            return hist / max(1.0, float(frames.size))
         raise NotImplementedError(
             f"real decode of kind={kind!r} payload (sniffed {fmt!r}) "
-            "needs codec libraries not in this container (pyav/PIL); "
+            "needs codec libraries not in this container — "
+            f"codecs.probe_optional_backends() found {probe}; "
             "PNG/PPM/PGM/WAV/uncompressed-AVI decode natively — or use "
             "backend='fake'"
         )
@@ -349,8 +366,15 @@ class MediaResizer:
             return codecs.encode_ppm(
                 codecs.resize_nearest(img, self.w, self.h)
             )
+        probe = codecs.probe_optional_backends()
+        if fmt == "jpeg" and probe["pil"]:
+            img = codecs.decode_jpeg_pil(payload)
+            return codecs.encode_png(
+                codecs.resize_nearest(img, self.w, self.h)
+            )
         raise NotImplementedError(
-            f"real resize of sniffed format {fmt!r} needs PIL/pyav; "
+            f"real resize of sniffed format {fmt!r} needs PIL/pyav — "
+            f"codecs.probe_optional_backends() found {probe}; "
             "PNG/PPM/PGM resize natively — or use backend='fake'"
         )
 

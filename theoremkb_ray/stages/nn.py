@@ -682,3 +682,187 @@ def train_nlp(
     if out_path:
         model.save(out_path)
     return model, acc
+
+
+# ------------------------------------------- noisy-regime evidence
+
+
+def _flat_from_corpus(corpus_tbl: pa.Table):
+    """Corpus table -> (flat line array, per-doc offsets, doc_ids)."""
+    corpus = corpus_tbl.to_pandas()
+    lines_list = [c.split("\n") for c in corpus["content"]]
+    offsets = np.zeros(len(lines_list) + 1, dtype=np.int64)
+    np.cumsum([len(l) for l in lines_list], out=offsets[1:])
+    flat = pa.array(
+        [ln for doc in lines_list for ln in doc], pa.string()
+    )
+    doc_ids = (
+        corpus["repo"] + "/" + corpus["path"] + "@" + corpus["commit"]
+    ).to_numpy()
+    return flat, offsets, doc_ids
+
+
+def _bio_report(y: np.ndarray, pred: np.ndarray):
+    """Line-level P/R/F1 after collapsing tag ids to {O, B, I} — the
+    reference's report granularity (Training.ipynb cell 13), shared
+    with crf.noise_robust_report."""
+    import pandas as pd
+
+    def collapse(t: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(t), dtype=np.int8)
+        out[(t > 0) & ((t - 1) % 2 == 0)] = 1  # B
+        out[(t > 0) & ((t - 1) % 2 == 1)] = 2  # I
+        return out
+
+    yc, pc_ = collapse(y), collapse(pred)
+    rows = []
+    for cid, cname in ((0, "O"), (1, "B"), (2, "I")):
+        tp = int(((pc_ == cid) & (yc == cid)).sum())
+        fp = int(((pc_ == cid) & (yc != cid)).sum())
+        fn = int(((pc_ != cid) & (yc == cid)).sum())
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * p * r / (p + r) if p + r else 0.0
+        rows.append(
+            {
+                "tag_class": cname,
+                "precision": round(p, 4),
+                "recall": round(r, 4),
+                "f1": round(f1, 4),
+                "support": tp + fn,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def noise_robust_report_cnn1d(
+    num_docs: int = 300,
+    seed: int = 7,
+    label_noise: float = 0.15,
+    distractor_rate: float = 0.25,
+    epochs: int = 30,
+    eval_docs: int = 100,
+):
+    """CNN1D-family analog of crf.noise_robust_report: the
+    context-window MLP trained on label-noise-corrupted gold over a
+    distractor-injected corpus, scored line-level {O,B,I} on a CLEAN
+    held-out corpus with the same distractor rate. Reference bars:
+    the CNN1D notebook's tag report (NLP/transformers_tkb.ipynb cell
+    37 family; B .96/.96, I .83/.73 in Training.ipynb cell 13).
+    Featurize fans out over the cluster; only bit-packed payloads
+    reach the driver fit."""
+    import ray.data as rd
+
+    from ..synth import (
+        corrupt_gold_spans,
+        generate_corpus,
+        inject_distractors,
+    )
+    from .crf import featurize_for_training
+
+    tr = generate_corpus(num_docs, seed=seed, dup_fraction=0.0)
+    tr_corpus = inject_distractors(
+        tr["corpus"], tr["gold_spans"], rate=distractor_rate, seed=seed
+    )
+    noisy_gold = corrupt_gold_spans(
+        tr["gold_spans"], rate=label_noise, seed=seed
+    )
+    model = train_cnn1d_distributed(
+        rd.from_arrow(tr_corpus), noisy_gold, epochs=epochs, seed=seed
+    )
+
+    te = generate_corpus(eval_docs, seed=seed + 1, dup_fraction=0.0)
+    te_corpus = inject_distractors(
+        te["corpus"], te["gold_spans"], rate=distractor_rate,
+        seed=seed + 1,
+    )
+    eval_ds = featurize_for_training(
+        rd.from_arrow(te_corpus), te["gold_spans"]
+    )
+    n_bytes = (N_FEATS + 7) // 8
+    Xs, ys = [], []
+    for b in eval_ds.iter_batches(batch_format="pyarrow"):
+        for packed, tags in zip(
+            b["packed_feats"].to_pylist(), b["tags"].to_pylist()
+        ):
+            if not tags:
+                continue
+            arr = np.frombuffer(bytes(packed), dtype=np.uint8).reshape(
+                len(tags), n_bytes
+            )
+            Xs.append(
+                np.unpackbits(arr, axis=1)[:, :N_FEATS].astype(bool)
+            )
+            ys.append(np.asarray(tags, dtype=np.int32))
+    offsets = np.zeros(len(Xs) + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in Xs], out=offsets[1:])
+    X = np.concatenate(Xs)
+    y = np.concatenate(ys)
+    pred = model.predict_tags(X, offsets)
+    return _bio_report(y, pred)
+
+
+def noise_robust_report_nlp(
+    num_docs: int = 300,
+    seed: int = 7,
+    label_noise: float = 0.15,
+    distractor_rate: float = 0.25,
+    epochs: int = 20,
+    eval_docs: int = 100,
+):
+    """NLP-classifier analog (T8/T9): the hashed-BoW 3-class
+    paragraph classifier trained on corrupted gold over a
+    distractor-injected corpus, per-class paragraph P/R/F1 on a CLEAN
+    held-out corpus with the same distractors (reference bars:
+    NLP/transformers_tkb.ipynb cell 37's per-class report)."""
+    import pandas as pd
+
+    from ..synth import (
+        corrupt_gold_spans,
+        generate_corpus,
+        inject_distractors,
+    )
+
+    tr = generate_corpus(num_docs, seed=seed, dup_fraction=0.0)
+    tr_corpus = inject_distractors(
+        tr["corpus"], tr["gold_spans"], rate=distractor_rate, seed=seed
+    )
+    noisy_gold = corrupt_gold_spans(
+        tr["gold_spans"], rate=label_noise, seed=seed
+    ).to_pandas()
+    flat, offsets, doc_ids = _flat_from_corpus(tr_corpus)
+    packed, off, y = _paragraph_features_and_gold(
+        flat, offsets, doc_ids, _gold_by_doc(noisy_gold)
+    )
+    model = HashedTextClassifier().fit(
+        packed, off, y, epochs=epochs, seed=seed
+    )
+
+    te = generate_corpus(eval_docs, seed=seed + 1, dup_fraction=0.0)
+    te_corpus = inject_distractors(
+        te["corpus"], te["gold_spans"], rate=distractor_rate,
+        seed=seed + 1,
+    )
+    flat2, off2, d2 = _flat_from_corpus(te_corpus)
+    p2, o2, y2 = _paragraph_features_and_gold(
+        flat2, off2, d2, _gold_by_doc(te["gold_spans"].to_pandas())
+    )
+    pred = model.predict(p2, o2)
+    rows = []
+    for cid, cname in enumerate(CLS3):
+        tp = int(((pred == cid) & (y2 == cid)).sum())
+        fp = int(((pred == cid) & (y2 != cid)).sum())
+        fn = int(((pred != cid) & (y2 == cid)).sum())
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * p * r / (p + r) if p + r else 0.0
+        rows.append(
+            {
+                "cls": cname,
+                "precision": round(p, 4),
+                "recall": round(r, 4),
+                "f1": round(f1, 4),
+                "support": tp + fn,
+            }
+        )
+    return pd.DataFrame(rows)
