@@ -19375,3 +19375,208 @@ FROM piv
 REGISTRY.update(
     {"bartlett_cohorts": (q_bartlett_cohorts, SQL_BARTLETT_COHORTS)}
 )
+
+
+# ================================================= round-4 additions
+# Scale-pattern queries: incremental-view partial-state merge,
+# windowed streaming dedup, and an aggregate composed over the
+# adaptive kgquery exchange.
+
+
+def q_incremental_agg_events(sf_dir: str):
+    """Incremental view maintenance (IVM) — the continuously-ingested
+    aggregate pattern at 100 TB: the events table is split at a fixed
+    event-time cutoff into BASE and DELTA; each side folds to
+    MERGEABLE per-type partial states (count, integer micro-unit sum,
+    min/max value) with per-batch pre-aggregation so only
+    |types|-bounded partials reach either exchange; the two state
+    tables then merge driver-side (types-bounded) and finalize.
+    Oracle: the plain full-table GROUP BY — proving merged
+    incremental state == full recompute, the IVM invariant the
+    reference's per-paper re-extraction loop never needed but a
+    streaming store does. Micro-units (value x 1e6, rounded) keep the
+    fold exact under any partitioning."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    # fixed event-time split point: 2024-01-15T00:00Z — mid-range of
+    # the synth events table, so BOTH sides carry real rows and the
+    # merge step is exercised (an empty side is still correct)
+    cutoff_us = 1_705_276_800_000_000
+
+    def states(ds):
+        def partial(b: pa.Table) -> pa.Table:
+            et = b["event_type"].to_numpy(zero_copy_only=False)
+            v = b["value"].to_numpy(zero_copy_only=False)
+            micro = np.rint(v * 1e6).astype(np.int64)
+            df = (
+                pd.DataFrame({"event_type": et, "micro": micro})
+                .groupby("event_type", sort=False)
+                .agg(
+                    n=("micro", "size"),
+                    s=("micro", "sum"),
+                    mn=("micro", "min"),
+                    mx=("micro", "max"),
+                )
+                .reset_index()
+            )
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(
+                Sum("n", alias_name="n"),
+                Sum("s", alias_name="s"),
+                Min("mn", alias_name="mn"),
+                Max("mx", alias_name="mx"),
+            )
+            .to_pandas()  # |event types| rows — driver-bounded
+        )
+
+    ds = _pq(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def side(keep_base: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            us = pc.cast(b["ts"], pa.int64())
+            m = (
+                pc.less(us, cutoff_us)
+                if keep_base
+                else pc.greater_equal(us, cutoff_us)
+            )
+            return b.filter(m)
+
+        return fn
+
+    base = states(ds.map_batches(side(True), batch_format="pyarrow"))
+    delta = states(ds.map_batches(side(False), batch_format="pyarrow"))
+    # merge the two state tables — the IVM step (associative folds)
+    merged = (
+        pd.concat([base, delta], ignore_index=True)
+        .groupby("event_type", sort=True)
+        .agg(n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"),
+             mx=("mx", "max"))
+        .reset_index()
+    )
+    merged["sum_value"] = (merged.pop("s") / 1e6).round(4)
+    merged["min_value"] = (merged.pop("mn") / 1e6).round(6)
+    merged["max_value"] = (merged.pop("mx") / 1e6).round(6)
+    return merged[
+        ["event_type", "n", "sum_value", "min_value", "max_value"]
+    ]
+
+
+SQL_INCREMENTAL_AGG_EVENTS = """
+SELECT event_type,
+       count(*) AS n,
+       round(sum(round(value * 1e6) / 1e6), 4) AS sum_value,
+       round(min(round(value * 1e6) / 1e6), 6) AS min_value,
+       round(max(round(value * 1e6) / 1e6), 6) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_window_dedup_events(sf_dir: str):
+    """Streaming windowed dedup: an event is a duplicate when the
+    same (user_id, event_type) already fired inside the same 1h
+    tumbling event-time window; output = kept events per type. The
+    exchange ships only per-batch-DEDUPED (user, type, window) keys
+    (the partial-distinct shrink — duplicates die in the map side),
+    then a coarse hash(user)-bucketed group finishes the distinct;
+    per-type counts fold from |buckets| x |types| partials. The
+    streaming analog: a keyed TTL cache, expressed as its batch
+    equivalent."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import splitmix64
+
+    ds = _pq(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        win = us // 3_600_000_000
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"user_id": u, "event_type": et, "win": win}
+        ).drop_duplicates()
+        bucket = (
+            splitmix64(df["user_id"].to_numpy().astype(np.uint64))
+            % np.uint64(COARSE_USER_BUCKETS)
+        ).astype(np.int64)
+        df["bucket"] = bucket
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        kept = g.drop_duplicates(["user_id", "event_type", "win"])
+        out = (
+            kept.groupby("event_type", sort=False)
+            .size()
+            .reset_index(name="kept")
+        )
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finish, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("kept", alias_name="kept"))
+        .sort("event_type")
+    )
+
+
+SQL_WINDOW_DEDUP_EVENTS = """
+SELECT event_type, count(*) AS kept FROM (
+  SELECT DISTINCT user_id, event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win
+  FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_kg_twohop_agg_customers(sf_dir: str):
+    """Aggregate composed over the adaptive kgquery exchange: count
+    of customers per region reachable via the two-hop path
+    cust -in_nation-> nation -in_region-> region (stages/kgquery.py
+    two_hop, now spool-re-split on hash(mid)); the oracle is the
+    three-way join + GROUP BY. Proves the kgquery output composes
+    into downstream Dataset aggregates without materializing the
+    path set driver-side."""
+    from ray.data.aggregate import Count
+
+    from ..stages.kgquery import two_hop
+
+    paths = two_hop(_cust_triples(sf_dir), "in_nation", "in_region")
+    return (
+        paths.groupby("object")
+        .aggregate(Count(alias_name="n_customers"))
+        .sort("object")
+    )
+
+
+SQL_KG_TWOHOP_AGG_CUSTOMERS = """
+SELECT 'region/' || r_name AS object,
+       count(*) AS n_customers
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name ORDER BY object
+"""
+
+
+REGISTRY.update(
+    {
+        "incremental_agg_events": (
+            q_incremental_agg_events,
+            SQL_INCREMENTAL_AGG_EVENTS,
+        ),
+        "window_dedup_events": (
+            q_window_dedup_events,
+            SQL_WINDOW_DEDUP_EVENTS,
+        ),
+        "kg_twohop_agg_customers": (
+            q_kg_twohop_agg_customers,
+            SQL_KG_TWOHOP_AGG_CUSTOMERS,
+        ),
+    }
+)
