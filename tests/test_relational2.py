@@ -907,3 +907,38 @@ def test_drawdown_matches_pandas_cummax():
     assert len(out) == len(want)
     for uid, w in want.items():
         assert int(out.loc[uid, "max_drawdown_cents"]) == int(w)
+
+
+def test_fim_transform_roundtrip(ray_session):
+    """FIM rewrite is lossless: re-assembling prefix+middle+suffix
+    from the sentinel-delimited output reproduces every original
+    document; short docs pass through verbatim."""
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.pipelines.relational import (
+        FIM_MIN_LEN,
+        q_fim_transform_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_fim_transform_docs(sf).to_pandas().set_index("doc_id")
+    orig = (
+        pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert len(out) == len(orig)
+    n_transformed = 0
+    for did, row in out.iterrows():
+        t = row["fim_text"]
+        src = orig.loc[did, "text"]
+        if len(src) < FIM_MIN_LEN:
+            assert t == src
+            continue
+        assert t.startswith("<PRE>")
+        pre, rest = t[5:].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        assert pre + mid + suf == src
+        assert len(mid) == len(src) // 3
+        n_transformed += 1
+    assert n_transformed > 0

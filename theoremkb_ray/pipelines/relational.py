@@ -19580,3 +19580,155 @@ REGISTRY.update(
         ),
     }
 )
+
+
+# ----------------------------------------- FIM transform (code corpora)
+
+
+FIM_SEED = 23
+FIM_MIN_LEN = 9
+_FIM_PRE, _FIM_SUF, _FIM_MID = "<PRE>", "<SUF>", "<MID>"
+
+
+def q_fim_transform_docs(sf_dir: str):
+    """Fill-in-the-middle transform — the code-corpus training
+    preparation (Bavarian et al. 2022 style): each document is split
+    at two DETERMINISTIC cut points (c1 = rank(doc_id) mod (L//3+1),
+    middle length L//3) and re-emitted as
+    ``<PRE>prefix<SUF>suffix<MID>middle`` so an autoregressive model
+    learns infilling. Docs shorter than FIM_MIN_LEN pass through
+    unchanged. Zero shuffle; the per-batch rewrite is a pure numpy
+    GATHER — output byte positions are mapped to input byte positions
+    with cumsum/arange arithmetic (no per-row Python slicing), then
+    one Arrow StringArray is built over the gathered buffer. The cut
+    rank is the key_rank64 splitmix chain, which the DuckDB oracle
+    reproduces bit-for-bit (UHUGEINT mod-2^64 CTEs), making a
+    seeded random-looking transform value-hash-checkable."""
+    from ..functions.hashing import key_rank64
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    pre_b = _FIM_PRE.encode()
+    suf_b = _FIM_SUF.encode()
+    mid_b = _FIM_MID.encode()
+    sw = len(pre_b)
+
+    def fim(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "fim_text": pa.array([], pa.string()),
+                }
+            )
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = b["text"].combine_chunks()
+        # zero-copy views of the UTF-8 value buffer + offsets
+        # (synth docs are ASCII, so byte == character positions; the
+        # SQL twin's substr() agrees)
+        arr = txt.buffers()
+        offs = np.frombuffer(arr[1], dtype=np.int32)[
+            txt.offset : txt.offset + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(arr[2], dtype=np.uint8)
+        starts = offs[:-1]
+        L = np.diff(offs)
+        x = key_rank64(ids, seed=FIM_SEED)
+        third = L // 3
+        do = L >= FIM_MIN_LEN
+        c1 = np.where(
+            do, (x % (third + 1).astype(np.uint64)).astype(np.int64), 0
+        )
+        c2 = np.where(do, c1 + third, 0)
+        # output segment lengths per row: transformed docs carry the
+        # three 5-byte sentinels, passthrough docs are verbatim
+        a_len = np.where(do, c1, L)  # prefix (or whole doc)
+        c_len = np.where(do, L - c2, 0)  # suffix
+        b_len = np.where(do, c2 - c1, 0)  # middle
+        sent = np.where(do, 3 * sw, 0)
+        out_len = a_len + b_len + c_len + sent
+        out_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(out_len, out=out_offs[1:])
+        total = int(out_offs[-1])
+        out = np.empty(total, dtype=np.uint8)
+
+        def fill_segment(dst_start, src_start, seg_len):
+            """Vectorized multi-row copy: one gather over the input
+            buffer driven by repeat/arange index arithmetic."""
+            m = seg_len > 0
+            if not m.any():
+                return
+            d0, s0, ln = dst_start[m], src_start[m], seg_len[m]
+            tot = int(ln.sum())
+            # position within each segment: arange(tot) - repeat(bases)
+            base = np.repeat(np.cumsum(ln) - ln, ln)
+            k = np.arange(tot, dtype=np.int64) - base
+            out[np.repeat(d0, ln) + k] = data[np.repeat(s0, ln) + k]
+
+        def fill_sentinel(dst_start, token, mask):
+            m = mask
+            if not m.any():
+                return
+            d0 = dst_start[m]
+            tok = np.frombuffer(token, dtype=np.uint8)
+            idx = (d0[:, None] + np.arange(sw)).reshape(-1)
+            out[idx] = np.tile(tok, len(d0))
+
+        o = out_offs[:-1]
+        fill_sentinel(o, pre_b, do)
+        a_dst = o + np.where(do, sw, 0)
+        fill_segment(a_dst, starts, a_len)
+        fill_sentinel(a_dst + a_len, suf_b, do)
+        c_dst = a_dst + a_len + np.where(do, sw, 0)
+        fill_segment(c_dst, starts + c2, c_len)
+        fill_sentinel(c_dst + c_len, mid_b, do)
+        fill_segment(
+            c_dst + c_len + np.where(do, sw, 0), starts + c1, b_len
+        )
+        fim_arr = pa.Array.from_buffers(
+            pa.large_string(),
+            n,
+            [
+                None,
+                pa.py_buffer(
+                    np.concatenate([[0], np.cumsum(out_len)]).astype(
+                        "<i8"
+                    ).tobytes()
+                ),
+                pa.py_buffer(out.tobytes()),
+            ],
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "fim_text": pc.cast(fim_arr, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fim, batch_format="pyarrow")
+
+
+def _fim_sql() -> str:
+    from __ray_entry__ import _key_rank_sql  # lazy: avoids cycle
+
+    return f"""
+WITH {_key_rank_sql('documents', 'doc_id', 'doc_id, text', FIM_SEED)}
+SELECT doc_id,
+  CASE WHEN length(text) < {FIM_MIN_LEN} THEN text
+  ELSE '{_FIM_PRE}' || substr(text, 1, c1)
+    || '{_FIM_SUF}' || substr(text, c2 + 1)
+    || '{_FIM_MID}' || substr(text, c1 + 1, c2 - c1)
+  END AS fim_text
+FROM (
+  SELECT doc_id, text,
+         CAST(x % CAST(length(text) // 3 + 1 AS UBIGINT) AS BIGINT)
+           AS c1,
+         CAST(x % CAST(length(text) // 3 + 1 AS UBIGINT) AS BIGINT)
+           + length(text) // 3 AS c2
+  FROM r)
+"""
+
+
+REGISTRY.update(
+    {"fim_transform_docs": (q_fim_transform_docs, _fim_sql())}
+)
