@@ -19732,3 +19732,78 @@ FROM (
 REGISTRY.update(
     {"fim_transform_docs": (q_fim_transform_docs, _fim_sql())}
 )
+
+
+# --------------------------------------------------- TTL dedup (events)
+
+
+TTL_DEDUP_US = 1_800_000_000  # 30 min of event time
+
+
+def q_ttl_dedup_events(sf_dir: str):
+    """Streaming TTL dedup with KEPT-ANCHOR semantics over the events
+    table: an event survives iff no event with the same
+    (user_id, event_type) was KEPT in the preceding 30 min — chains
+    re-anchor on kept events, which no single SQL window function
+    expresses (LAG compares to the previous ROW). Engine:
+    stages/ttl_dedup.py — one coarse hash(key) exchange, per-group
+    segmented sweep iterating once per KEPT event. Oracle: recursive
+    CTE carrying the anchor down each key's rn-chain (kept iff
+    ts == anchor). Output: kept events per type."""
+    from ray.data.aggregate import Count
+
+    from ..stages.ttl_dedup import ttl_dedup
+
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.column_names.index("ts"),
+            "ts",
+            pc.cast(b["ts"], pa.int64()),
+        )
+
+    kept = ttl_dedup(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        key_cols=["user_id", "event_type"],
+        ts_col="ts",
+        ttl_us=TTL_DEDUP_US,
+        id_col="event_id",
+    )
+    return (
+        kept.groupby("event_type")
+        .aggregate(Count(alias_name="kept"))
+        .sort("event_type")
+    )
+
+
+SQL_TTL_DEDUP_EVENTS = f"""
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS ts,
+         row_number() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+chain AS (
+  SELECT user_id, event_type, rn, ts, ts AS anchor
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_type, o.rn, o.ts,
+         CASE WHEN o.ts - c.anchor > {TTL_DEDUP_US}
+              THEN o.ts ELSE c.anchor END
+  FROM ordered o
+  JOIN chain c ON o.user_id = c.user_id
+              AND o.event_type = c.event_type
+              AND o.rn = c.rn + 1
+)
+SELECT event_type, count(*) AS kept
+FROM chain WHERE ts = anchor
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+REGISTRY.update(
+    {"ttl_dedup_events": (q_ttl_dedup_events, SQL_TTL_DEDUP_EVENTS)}
+)

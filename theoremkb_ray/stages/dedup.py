@@ -89,14 +89,17 @@ def exact_dedup(
         return g.drop_duplicates("text_hash", keep="first")
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    return spooled_group_map(
+    out = spooled_group_map(
         hashed,
         "coarse",
         first_per_text,
         batch_format="pandas",
         fine_col="text_hash",
         max_partition_bytes=max_partition_bytes,
-    ).drop_columns(["text_hash", "coarse"])
+    )
+    if out.count() == 0:  # schema-less empty (no input rows)
+        return out
+    return out.drop_columns(["text_hash", "coarse"])
 
 
 # ----------------------------------------------------------- minhash-LSH
