@@ -158,3 +158,58 @@ def test_neg_pattern_generic():
             lack=("lives_in", "Paris"),
         ).to_pandas()
         assert sorted(out["subject"]) == ["s2", "s3"], parts
+
+
+def test_kgquery_over_materialized_store(ray_session, tmp_path):
+    """End-to-end composition: flagship store on disk -> pushdown
+    read -> kgquery operators. Pins (a) read_triples' predicate /
+    subject-prefix scan pushdown returns exactly the filtered rows,
+    (b) two_hop over the real store's (proved_by, states) path agrees
+    with a driver-side pandas join of the same store."""
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.pipelines.kg import run_kg
+    from theoremkb_ray.sources.sinks import read_triples
+    from theoremkb_ray.synth import materialize_corpus
+
+    cdir = materialize_corpus(str(tmp_path / "c"), num_docs=60, seed=5)
+    links = pq.read_table(f"{cdir}/links.parquet")
+    store = str(tmp_path / "store")
+    run_kg(
+        f"{cdir}/corpus.parquet",
+        store,
+        links_tbl=links,
+        segmenter="naive",
+        canonicalize=False,
+        num_partitions=4,
+    )
+    full = read_triples(store).to_pandas()
+
+    # (a) pushdown == post-filter
+    for pred in ("states", "proved_by"):
+        got = read_triples(store, predicate=pred).to_pandas()
+        want = full[full["predicate"] == pred]
+        assert len(got) == len(want) > 0
+    some_subject = full["subject"].iloc[0]
+    prefix = some_subject[: some_subject.index("/") + 1]
+    got = read_triples(store, subject_prefix=prefix).to_pandas()
+    want = full[full["subject"].str.startswith(prefix)]
+    assert len(got) == len(want) > 0
+
+    # (b) two_hop doc -states-> theorem -proved_by-> proof
+    paths = two_hop(
+        read_triples(store), "states", "proved_by"
+    ).to_pandas()
+    st = full[full["predicate"] == "states"]
+    pb = full[full["predicate"] == "proved_by"]
+    want_pairs = st.merge(
+        pb, left_on="object", right_on="subject", suffixes=("_l", "_r")
+    )
+    assert len(paths) == len(want_pairs) > 0
+    assert set(zip(paths["subject"], paths["mid"], paths["object"])) == set(
+        zip(
+            want_pairs["subject_l"],
+            want_pairs["object_l"],
+            want_pairs["object_r"],
+        )
+    )

@@ -171,6 +171,8 @@ def test_two_hop_resplit_matches_bruteforce(
     got_t = sorted(zip(got["subject"], got["mid"], got["object"]))
     assert got_t == _brute_two_hop(rows)
     assert split_spy and split_spy[-1]["after"] > split_spy[-1]["before"]
+    # flat-memory bound: no reduce task reads much more than the cap
+    assert split_spy[-1]["max_after"] <= 2 * split_spy[-1]["cap"]
 
 
 def test_star_and_negation_resplit_match(ray_session, monkeypatch):

@@ -19807,3 +19807,119 @@ GROUP BY event_type ORDER BY event_type
 REGISTRY.update(
     {"ttl_dedup_events": (q_ttl_dedup_events, SQL_TTL_DEDUP_EVENTS)}
 )
+
+
+# --------------------------------------- time-decayed aggregates
+
+
+DECAY_HALF_LIFE_US = 86_400_000_000  # 1 day of event time
+
+
+def q_decayed_counts_events(sf_dir: str):
+    """Exponentially time-decayed count + value sum per event type —
+    the streaming freshness-weighted aggregate (each event contributes
+    2^(-(t_ref - ts)/half_life), so yesterday's event counts half of
+    today's). t_ref = the table's max ts, computed in the same scan's
+    partial fold (no second pass): each batch emits per-type partials
+    of (sum 2^(ts/h), sum v*2^(ts/h), max ts) — the decay factors out
+    as 2^(-t_ref/h) AFTER the fold, which is what makes this partial-
+    aggregable at all. Scale: |types|-bounded exchange; floats enter
+    only in the final scaling step, rounded for the value-hash."""
+    from ray.data.aggregate import Max, Sum
+
+    h = float(DECAY_HALF_LIFE_US)
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        # 2^(ts/h) in double: ts/h is O(hundreds), safely in range
+        # when taken RELATIVE to a fixed epoch inside the table's
+        # window — use the batch's own min as a local offset and
+        # carry it (exp2 of absolute us/h would overflow double for
+        # ts ~ 1.7e15 / 8.6e10 ~ 2e4 -> 2^2e4 overflows)
+        base = int(us.min()) if len(us) else 0
+        w = np.exp2((us - base) / h)
+        df = pd.DataFrame(
+            {"event_type": et, "w": w, "wv": w * v, "mx": us, "base": base}
+        )
+        g = (
+            df.groupby("event_type", sort=False)
+            .agg(w=("w", "sum"), wv=("wv", "sum"), mx=("mx", "max"))
+            .reset_index()
+        )
+        g["base"] = base
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # rebase partials to a COMMON offset before the exchange: a
+    # partial with base b holds sum 2^((ts-b)/h); multiplying by
+    # 2^((b - B)/h) rebases to any global B <= all ts. B = a fixed
+    # floor (2024-01-01) keeps exponents tiny for this table's window.
+    B = 1_704_067_200_000_000
+
+    def rebase(b: pa.Table) -> pa.Table:
+        f = np.exp2(
+            (
+                b["base"].to_numpy(zero_copy_only=False).astype(np.float64)
+                - B
+            )
+            / h
+        )
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "w": pa.array(
+                    b["w"].to_numpy(zero_copy_only=False) * f
+                ),
+                "wv": pa.array(
+                    b["wv"].to_numpy(zero_copy_only=False) * f
+                ),
+                "mx": b["mx"],
+            }
+        )
+
+    folded = (
+        _pq(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(rebase, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("w", alias_name="w"),
+            Sum("wv", alias_name="wv"),
+            Max("mx", alias_name="mx"),
+        )
+        .to_pandas()  # |types| rows
+    )
+    t_ref = int(folded["mx"].max())
+    scale = np.exp2((B - t_ref) / h)
+    out = pd.DataFrame(
+        {
+            "event_type": folded["event_type"],
+            "decayed_count": (folded["w"] * scale).round(6),
+            "decayed_value": (folded["wv"] * scale).round(6),
+        }
+    ).sort_values("event_type", kind="mergesort").reset_index(drop=True)
+    return out
+
+
+SQL_DECAYED_COUNTS_EVENTS = f"""
+WITH t AS (SELECT max(epoch_us(ts)) AS t_ref FROM events)
+SELECT event_type,
+       round(sum(pow(2.0, (epoch_us(ts) - (SELECT t_ref FROM t))
+                          / {float(DECAY_HALF_LIFE_US)})), 6)
+         AS decayed_count,
+       round(sum(value * pow(2.0, (epoch_us(ts) - (SELECT t_ref FROM t))
+                                  / {float(DECAY_HALF_LIFE_US)})), 6)
+         AS decayed_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+REGISTRY.update(
+    {
+        "decayed_counts_events": (
+            q_decayed_counts_events,
+            SQL_DECAYED_COUNTS_EVENTS,
+        )
+    }
+)

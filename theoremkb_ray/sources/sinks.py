@@ -450,11 +450,23 @@ def export_graph_csv(store_dir: str, out_dir: str) -> dict[str, int]:
     return {"nodes": n_nodes, "edges": n_edges, "proved_by": n_proofs}
 
 
-def read_triples(out_dir: str):
+def read_triples(
+    out_dir: str,
+    predicate: str | None = None,
+    subject_prefix: str | None = None,
+):
     """Union of the base segment and any ``delta_NNN`` segments
     appended by pipelines/delta.py:run_kg_delta (LSM layout — all
     segments share the store's partition function, so partition N of
-    the logical store = the part=N files of every segment)."""
+    the logical store = the part=N files of every segment).
+
+    ``predicate`` / ``subject_prefix`` push the filter INTO the scan
+    (pyarrow dataset expression -> parquet row-group statistics +
+    dictionary pruning): a predicate-selective kgquery over a 100 TB
+    store then reads only the row groups whose min/max admit the
+    predicate instead of every triple. Sorted-partition layout (the
+    sink sorts each partition by subject) makes subject_prefix
+    row-group pruning effective too."""
     import glob
 
     import ray.data as rd
@@ -463,6 +475,19 @@ def read_triples(out_dir: str):
     parts += sorted(
         glob.glob(os.path.join(out_dir, "delta_*", "part=*", "*.parquet"))
     )
+    expr = None
+    if predicate is not None:
+        import pyarrow.dataset as pds
+
+        expr = pds.field("predicate") == predicate
+    if subject_prefix is not None:
+        import pyarrow.dataset as pds
+
+        lo, hi = subject_prefix, subject_prefix + "￿"
+        pref = (pds.field("subject") >= lo) & (pds.field("subject") < hi)
+        expr = pref if expr is None else (expr & pref)
+    if expr is not None:
+        return rd.read_parquet(parts, filter=expr)
     return rd.read_parquet(parts)
 
 
