@@ -213,3 +213,28 @@ def test_kgquery_over_materialized_store(ray_session, tmp_path):
             want_pairs["object_r"],
         )
     )
+
+
+def test_two_hop_store_pushdown_matches_full_scan(ray_session, tmp_path):
+    """two_hop_store (two predicate-pruned scans) == two_hop over the
+    full store read."""
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.pipelines.kg import run_kg
+    from theoremkb_ray.sources.sinks import read_triples
+    from theoremkb_ray.stages.kgquery import two_hop_store
+    from theoremkb_ray.synth import materialize_corpus
+
+    cdir = materialize_corpus(str(tmp_path / "c"), num_docs=40, seed=9)
+    store = str(tmp_path / "store")
+    run_kg(
+        f"{cdir}/corpus.parquet",
+        store,
+        segmenter="naive",
+        canonicalize=False,
+        num_partitions=3,
+    )
+    a = two_hop_store(store, "states", "proved_by").to_pandas()
+    b = two_hop(read_triples(store), "states", "proved_by").to_pandas()
+    key = lambda df: sorted(zip(df["subject"], df["mid"], df["object"]))
+    assert key(a) == key(b) and len(a) > 0

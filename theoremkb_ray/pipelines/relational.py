@@ -19923,3 +19923,145 @@ REGISTRY.update(
         )
     }
 )
+
+
+# ------------------------------------- token-budget mixture selection
+
+
+TOKEN_BUDGET_PER_LANG = 1_500
+_TB_BUCKET_BITS = 12  # 4096 rank-range buckets
+
+
+def q_token_budget_docs(sf_dir: str):
+    """Token-budget corpus selection: per language, walk documents in
+    deterministic key_rank64 order and KEEP each doc whose exclusive
+    token prefix-sum is still under the budget — the 'sample a fixed
+    token allocation per domain' step of training-data mixture
+    recipes. A distributed ORDERED PREFIX SUM (the pack.py scan
+    pattern): buckets are the TOP bits of the rank (order-preserving
+    ranges), per-(lang, bucket) totals stream to the driver for the
+    exclusive scan (<= langs x 4096 tiny rows), bases broadcast back
+    as sorted numpy arrays, and one coarse bucket exchange finishes
+    the within-bucket cumsum vectorized. Oracle: SQL window SUM over
+    the same splitmix rank order."""
+    import ray
+
+    from ..functions.hashing import key_rank64
+
+    shift = np.uint64(64 - _TB_BUCKET_BITS)
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rank = key_rank64(ids, seed=0)
+        tok = pc.cast(
+            pc.add(pc.count_substring(b["text"], " "), 1), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": b["lang"],
+                "rank": pa.array(rank),  # uint64, order == SQL UBIGINT
+                "n_tokens": pa.array(tok, pa.int64()),
+                "bucket": pa.array(
+                    (rank >> shift).astype(np.int64)
+                ),
+            }
+        )
+
+    toks = ds.map_batches(counts, batch_format="pyarrow").materialize()
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "lang": b["lang"].to_numpy(zero_copy_only=False),
+                    "bucket": b["bucket"].to_numpy(zero_copy_only=False),
+                    "n": b["n_tokens"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["lang", "bucket"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # driver exclusive scan per lang over bucket order (tiny fold)
+    agg = (
+        pd.concat(
+            [
+                t.to_pandas()
+                for t in toks.map_batches(
+                    partials, batch_format="pyarrow"
+                ).iter_batches(batch_format="pyarrow")
+            ],
+            ignore_index=True,
+        )
+        .groupby(["lang", "bucket"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    langs = sorted(agg["lang"].unique())
+    lang_id = {l: i for i, l in enumerate(langs)}
+    agg["key"] = (
+        agg["lang"].map(lang_id).to_numpy(np.int64)
+        << _TB_BUCKET_BITS
+    ) | agg["bucket"].to_numpy(np.int64)
+    agg = agg.sort_values("key", kind="mergesort")
+    base = agg.groupby(agg["lang"].to_numpy(), sort=True)["n"].cumsum() - agg["n"]
+    keys = agg["key"].to_numpy(np.int64)
+    bases = base.to_numpy(np.int64)
+    ref = ray.put((keys, bases, tuple(langs)))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        keys_a, bases_a, langs_t = ray.get(ref)
+        lid = {l: i for i, l in enumerate(langs_t)}
+        g = g.sort_values(
+            ["lang", "rank", "doc_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        n = g["n_tokens"].to_numpy(np.int64)
+        lang_codes = g["lang"].map(lid).to_numpy(np.int64)
+        # within-(lang,bucket) exclusive cumsum, segmented on lang
+        # (one bucket group holds ONE bucket's rows across langs)
+        cs = np.cumsum(n) - n
+        seg_start = np.r_[True, lang_codes[1:] != lang_codes[:-1]]
+        offsets = np.where(seg_start, cs, 0)
+        cs = cs - np.maximum.accumulate(offsets)
+        k = (lang_codes << _TB_BUCKET_BITS) | g["bucket"].to_numpy(
+            np.int64
+        )
+        pos = np.searchsorted(keys_a, k)
+        pre = bases_a[pos] + cs
+        keep = pre < TOKEN_BUDGET_PER_LANG
+        return g.loc[keep, ["doc_id", "lang", "n_tokens"]]
+
+    return (
+        toks.groupby("bucket")
+        .map_groups(finish, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+def _token_budget_sql() -> str:
+    from __ray_entry__ import _key_rank_sql  # lazy: avoids cycle
+
+    return f"""
+WITH {_key_rank_sql('documents', 'doc_id', 'doc_id, lang, text', 0)}
+SELECT doc_id, lang, n_tokens FROM (
+  SELECT doc_id, lang, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY x, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS pre
+  FROM (SELECT doc_id, lang, x,
+               CAST(len(string_split(text, ' ')) AS BIGINT)
+                 AS n_tokens
+        FROM r))
+WHERE pre < {TOKEN_BUDGET_PER_LANG}
+ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {"token_budget_docs": (q_token_budget_docs, _token_budget_sql())}
+)
