@@ -95,3 +95,58 @@ def test_ttl_actor_state_sweep_bounds_memory():
         actor(chunk)
     # expired entries were swept: far fewer than the 400 total keys
     assert len(actor.last_kept) <= 90
+
+
+# ------------------------------------------------- hypothesis property
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def event_frames(draw):
+    n = draw(st.integers(1, 120))
+    n_keys = draw(st.integers(1, 6))
+    ttl = draw(st.integers(1, 12))
+    keys = draw(
+        st.lists(
+            st.integers(0, n_keys - 1), min_size=n, max_size=n
+        )
+    )
+    ts = draw(st.lists(st.integers(0, 40), min_size=n, max_size=n))
+    return (
+        pd.DataFrame(
+            {
+                "rid": np.arange(n, dtype=np.int64),
+                "k": [f"k{v}" for v in keys],
+                "ts": np.asarray(ts, dtype=np.int64),
+            }
+        ),
+        ttl,
+    )
+
+
+@given(event_frames())
+@settings(max_examples=40, deadline=None)
+def test_ttl_actor_property_matches_brute(frame_ttl):
+    """Single-actor micro-batch form == brute kept-anchor oracle on
+    adversarial random inputs (ties, bursts, interleaved keys),
+    across arbitrary batch boundaries."""
+    df, ttl = frame_ttl
+    ordered = df.sort_values(["ts", "rid"]).reset_index(drop=True)
+    kept = set()
+    last: dict[str, int] = {}
+    for r in ordered.itertuples():
+        if r.k not in last or r.ts - last[r.k] > ttl:
+            last[r.k] = r.ts
+            kept.add(r.rid)
+    actor = TtlDedupActor(["k"], ts_col="ts", ttl_us=ttl)
+    got = set()
+    cut = max(1, len(ordered) // 3)
+    for s in range(0, len(ordered), cut):
+        chunk = pa.Table.from_pandas(
+            ordered.iloc[s : s + cut], preserve_index=False
+        )
+        got.update(actor(chunk)["rid"].to_pylist())
+    assert got == kept
