@@ -491,3 +491,59 @@ def test_near_screen_warns_when_history_absent(tmp_path, caplog):
         )
     assert stats["n_near_dup"] == 0
     assert any("signature history" in r.message for r in caplog.records)
+
+
+def test_delta_screens_against_run_kg_sidecar(tmp_path):
+    """Full-loop integration: run_kg(near_dedup=True) writes the
+    signature history itself; a later delta carrying a rewrite of a
+    BASE-corpus doc under a new id is screened with NO manual
+    record_near_signatures call — the round-3 ADVICE gap closed end
+    to end."""
+    import hashlib
+
+    base_dir = materialize_corpus(
+        str(tmp_path / "base"), num_docs=30, seed=21
+    )
+    store = str(tmp_path / "store")
+    run_kg(
+        f"{base_dir}/corpus.parquet",
+        store,
+        segmenter="naive",
+        canonicalize=False,
+        num_partitions=2,
+        near_dedup=True,
+    )
+    from theoremkb_ray.pipelines.delta import record_processed
+    from theoremkb_ray.stages.ingest import ingest
+
+    record_processed(
+        ingest(read_corpus(f"{base_dir}/corpus.parquet"), verify=False),
+        store,
+    )
+    base_t = pq.read_table(f"{base_dir}/corpus.parquet")
+    rewrite = {
+        "repo": "mirror/" + base_t["repo"][0].as_py(),
+        "path": base_t["path"][0].as_py(),
+        "commit": base_t["commit"][0].as_py(),
+        "lang": base_t["lang"][0].as_py(),
+        "content": base_t["content"][0].as_py() + " tail",
+        "content_sha256": "",
+    }
+    rewrite["content_sha256"] = hashlib.sha256(
+        rewrite["content"].encode()
+    ).hexdigest()
+    comb = pa.concat_tables(
+        [base_t, pa.Table.from_pylist([rewrite], schema=base_t.schema)]
+    )
+    comb_path = str(tmp_path / "comb.parquet")
+    pq.write_table(comb, comb_path)
+    res = run_kg_delta(
+        comb_path,
+        store,
+        segmenter="naive",
+        canonicalize=False,
+        near_dedup=True,
+    )
+    assert res["n_new"] == 1
+    assert res["n_near_dup"] == 1  # screened by run_kg's own sidecar
+    assert res["segment"] is None and res["rows"] == 0
