@@ -465,15 +465,22 @@ def run_scaling_corpus() -> dict:
         a, b = run_once(ncpu), run_once(ncpu)
         return a if a["value"] <= b["value"] else b
 
-    lo, hi = 8, 32
+    # default legs follow the kg flagship's 4-vs-16 rationale (see
+    # run_scaling: a 4x NODE fleet brings 4x DRAM bandwidth, which
+    # 8->32 on one box does not — and the spool-routed exchanges are
+    # bandwidth-bound); 8/32 results remain recorded in BASELINE.md
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
     r_lo, r_hi = run(lo), run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": "corpus_build_scaling",
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
-        "docs_per_sec_8": r_lo["docs_per_sec"],
-        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "docs_per_sec_lo": r_lo["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "docs": r_hi["docs"],
     }
