@@ -194,7 +194,13 @@ def cocitation_pairs(
     a WARNING — the quadratic guard for hub entities.
 
     Returns a Dataset (subj_a, subj_b, n_shared) with subj_a <
-    subj_b."""
+    subj_b.
+
+    Scan tip: when reading from a materialized store, pass
+    ``read_triples(store, predicate="cites")`` as ``triples`` — the
+    predicate filter then prunes parquet row groups at the scan
+    (sources/sinks.py) and the per-batch re-filter below is a no-op,
+    instead of streaming the whole store through the filter."""
     cites = triple_pattern(triples, predicate=predicate)
 
     def pre(b: pa.Table) -> pa.Table:

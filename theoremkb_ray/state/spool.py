@@ -409,9 +409,22 @@ def spooled_group_map(
         shutil.rmtree(base, ignore_errors=True)
         return rd.from_items([]).materialize()
     if fine_col is not None:
+        n0 = len(keys)
         keys, expected = _split_oversized(
             base, key_col, fine_col, keys, expected, max_partition_bytes
         )
+        if len(keys) != n0:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "spool exchange %s: fan-out grew %d -> %d partitions "
+                "(re-split on %s, cap %d MiB)",
+                key_col,
+                n0,
+                len(keys),
+                fine_col,
+                max_partition_bytes >> 20,
+            )
     out = _finalize_spool(base, key_col, keys, expected, fn, batch_format)
     if not keep_spool:
         shutil.rmtree(base, ignore_errors=True)
