@@ -238,3 +238,49 @@ def test_two_hop_store_pushdown_matches_full_scan(ray_session, tmp_path):
     b = two_hop(read_triples(store), "states", "proved_by").to_pandas()
     key = lambda df: sorted(zip(df["subject"], df["mid"], df["object"]))
     assert key(a) == key(b) and len(a) > 0
+
+
+def test_star_and_neg_store_pushdown_match(ray_session, tmp_path):
+    """Store-level star/negation (predicate-list pruned scans) ==
+    the full-scan operators."""
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.pipelines.kg import run_kg
+    from theoremkb_ray.sources.sinks import read_triples
+    from theoremkb_ray.stages.kgquery import (
+        neg_pattern,
+        neg_pattern_store,
+        star_join,
+        star_join_store,
+    )
+    from theoremkb_ray.synth import materialize_corpus
+
+    cdir = materialize_corpus(str(tmp_path / "c"), num_docs=40, seed=13)
+    store = str(tmp_path / "store")
+    links = pq.read_table(f"{cdir}/links.parquet")
+    run_kg(
+        f"{cdir}/corpus.parquet",
+        store,
+        links_tbl=links,
+        segmenter="naive",
+        canonicalize=False,
+        num_partitions=3,
+    )
+    # theorems with BOTH a proof and an outgoing citation (shared
+    # subject = the theorem entity); disjoint-subject patterns (e.g.
+    # states+proved_by) legitimately return a TYPED empty — also pinned
+    req = {"proved_by": None, "cites": None}
+    a = set(star_join_store(store, req).to_pandas()["subject"])
+    b = set(star_join(read_triples(store), req).to_pandas()["subject"])
+    assert a == b and len(a) > 0
+    disjoint = star_join_store(store, {"states": None, "proved_by": None})
+    # typed empty: schema survives at the Dataset level (Ray's
+    # to_pandas() drops columns on 0-row datasets — upstream quirk)
+    assert disjoint.count() == 0
+    assert disjoint.schema().names == ["subject"]
+    have, lack = ("states", None), ("proved_by", None)
+    c = set(neg_pattern_store(store, have, lack).to_pandas()["subject"])
+    d = set(
+        neg_pattern(read_triples(store), have, lack).to_pandas()["subject"]
+    )
+    assert c == d and len(c) > 0

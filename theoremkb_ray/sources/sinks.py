@@ -452,7 +452,7 @@ def export_graph_csv(store_dir: str, out_dir: str) -> dict[str, int]:
 
 def read_triples(
     out_dir: str,
-    predicate: str | None = None,
+    predicate: str | list[str] | None = None,
     subject_prefix: str | None = None,
 ):
     """Union of the base segment and any ``delta_NNN`` segments
@@ -479,7 +479,11 @@ def read_triples(
     if predicate is not None:
         import pyarrow.dataset as pds
 
-        expr = pds.field("predicate") == predicate
+        expr = (
+            pds.field("predicate").isin(list(predicate))
+            if isinstance(predicate, (list, tuple, set))
+            else pds.field("predicate") == predicate
+        )
     if subject_prefix is not None:
         import pyarrow.dataset as pds
 

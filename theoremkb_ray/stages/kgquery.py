@@ -97,18 +97,26 @@ def _bucket_on(col: str, nbuckets: int):
     return fn
 
 
-def _spooled(legs, per_bucket, fine_col: str, drop: list[str]):
+def _spooled(legs, per_bucket, fine_col: str, drop: list[str],
+             empty_schema: "pa.Schema | None" = None):
     """One adaptive exchange: coarse-bucket spool keyed on ``bucket``
     with oversized partitions re-split on ``fine_col`` (the full hash
     of the join node), so per-reduce-task bytes stay bounded however
-    large one predicate's legs grow."""
+    large one predicate's legs grow. ``empty_schema`` gives the
+    no-matches result a real schema (an empty exchange otherwise
+    yields a schema-less Dataset whose to_pandas() has no columns)."""
+    import ray.data as rd
+
     from ..state.spool import spooled_group_map
 
     def run(g: pa.Table) -> pa.Table:
         out = per_bucket(g.drop_columns(drop).to_pandas())
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return spooled_group_map(legs, "bucket", run, fine_col=fine_col)
+    out = spooled_group_map(legs, "bucket", run, fine_col=fine_col)
+    if empty_schema is not None and out.count() == 0:
+        return rd.from_arrow(empty_schema.empty_table())
+    return out
 
 
 def two_hop(triples, pred1: str, pred2: str, nbuckets: int = _COCITE_BUCKETS):
@@ -143,7 +151,16 @@ def two_hop(triples, pred1: str, pred2: str, nbuckets: int = _COCITE_BUCKETS):
             }
         )
 
-    return _spooled(legs, per_bucket, "fine", drop=["fine"])
+    return _spooled(
+        legs,
+        per_bucket,
+        "fine",
+        drop=["fine"],
+        empty_schema=pa.schema(
+            [("subject", pa.string()), ("mid", pa.string()),
+             ("object", pa.string())]
+        ),
+    )
 
 
 def _two_hop_pre(pred1: str, pred2: str, nbuckets: int = _COCITE_BUCKETS):
@@ -280,6 +297,10 @@ def cocitation_pairs(
         per_bucket,
         "fine",
         drop=["fine"],
+        empty_schema=pa.schema(
+            [("subj_a", pa.string()), ("subj_b", pa.string()),
+             ("n", pa.int64())]
+        ),
     )
     from ray.data.aggregate import Sum
 
@@ -345,6 +366,7 @@ def star_join(
         per_bucket,
         "fine",
         drop=["fine"],
+        empty_schema=pa.schema([("subject", pa.string())]),
     )
 
 
@@ -404,6 +426,7 @@ def neg_pattern(
         per_bucket,
         "fine",
         drop=["fine"],
+        empty_schema=pa.schema([("subject", pa.string())]),
     )
 
 
@@ -472,4 +495,50 @@ def two_hop_store(
             }
         )
 
-    return _spooled(legs, per_bucket, "fine", drop=["fine"])
+    return _spooled(
+        legs,
+        per_bucket,
+        "fine",
+        drop=["fine"],
+        empty_schema=pa.schema(
+            [("subject", pa.string()), ("mid", pa.string()),
+             ("object", pa.string())]
+        ),
+    )
+
+
+def star_join_store(
+    store_dir: str,
+    required: dict[str, str | None],
+    nbuckets: int = _COCITE_BUCKETS,
+):
+    """:func:`star_join` over a materialized store, reading ONLY the
+    required predicates' row groups (predicate-list pushdown,
+    sources/sinks.py:read_triples) instead of scanning the whole
+    store; same adaptive subject-keyed exchange."""
+    from ..sources.sinks import read_triples
+
+    return star_join(
+        read_triples(store_dir, predicate=sorted(required)),
+        required,
+        nbuckets=nbuckets,
+    )
+
+
+def neg_pattern_store(
+    store_dir: str,
+    have: tuple[str, str | None],
+    lack: tuple[str, str | None],
+    nbuckets: int = _COCITE_BUCKETS,
+):
+    """:func:`neg_pattern` over a materialized store with
+    predicate-list scan pushdown (only the have/lack predicates'
+    row groups are read)."""
+    from ..sources.sinks import read_triples
+
+    return neg_pattern(
+        read_triples(store_dir, predicate=[have[0], lack[0]]),
+        have,
+        lack,
+        nbuckets=nbuckets,
+    )
