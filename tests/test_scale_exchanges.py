@@ -253,3 +253,166 @@ def test_citation_shuffle_matches_broadcast(ray_session, monkeypatch):
         ).to_pandas()
     )
     pd.testing.assert_frame_equal(b, s)
+
+
+# ----------------------------------------------------- ttl_dedup (r5)
+
+
+def _ttl_events(n=20_000, n_keys=None, payload=256, seed=5):
+    # keys scale with volume (~5 rows/key): the spool re-splits at
+    # per-KEY granularity, so fine keys must be plentiful per bucket
+    n_keys = n_keys or n // 5
+    rng = np.random.RandomState(seed)
+    # incompressible payloads — the spool's re-split cap is on
+    # COMPRESSED (zstd) bytes, so constant strings would never trip it
+    alph = np.array(list("abcdefghijklmnopqrstuvwxyz0123456789"))
+    pay = [
+        "".join(alph[rng.randint(0, len(alph), payload)])
+        for _ in range(n)
+    ]
+    return pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "k": [f"key{rng.randint(n_keys)}" for _ in range(n)],
+            "ts": rng.randint(0, 500, n).astype(np.int64),
+            "payload": pay,
+        }
+    )
+
+
+def _brute_ttl(df, ttl):
+    kept, last = set(), {}
+    for r in df.sort_values(["k", "ts", "rid"]).itertuples():
+        if r.k not in last or r.ts - last[r.k] > ttl:
+            last[r.k] = r.ts
+            kept.add(r.rid)
+    return kept
+
+
+def test_ttl_dedup_resplit_correct_and_bounded(ray_session, split_spy):
+    """Round-5 guard: the ttl_dedup batch exchange (formerly a fixed
+    64-bucket NATIVE groupby moving full event payloads) now routes
+    through the spool's fine_col re-split — correctness under forced
+    re-splitting AND flat per-reduce-task bytes."""
+    from theoremkb_ray.stages.ttl_dedup import ttl_dedup
+
+    df = _ttl_events()
+    cap = 16 << 10
+    ttl = 7
+    out = ttl_dedup(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(8),
+        ["k"],
+        ts_col="ts",
+        ttl_us=ttl,
+        id_col="rid",
+        max_partition_bytes=cap,
+    ).to_pandas()
+    assert set(out["rid"]) == _brute_ttl(df, ttl)
+    assert list(out.columns) == ["rid", "k", "ts", "payload"]
+    assert split_spy, "re-split path was not exercised"
+    rec = split_spy[-1]
+    assert rec["after"] > rec["before"]
+    # 3x slack (vs exact_dedup's 2x): ttl's fine key is per-EVENT-KEY
+    # (~5 rows of payload each), so a sub-bucket's size quantum is
+    # chunky, and at a 16 KiB test cap the per-file feather framing
+    # is a visible fraction — same slack test_spool's own volume
+    # test allows. The structural claim (volume-independent bound)
+    # is the fanout-grows test below.
+    assert rec["max_after"] <= 3 * cap
+
+
+def test_ttl_dedup_fanout_grows_with_volume(ray_session, monkeypatch):
+    """4x the events: bucket count grows, max partition bytes stay
+    flat — per-reduce-task memory does NOT scale with event volume."""
+    from theoremkb_ray.stages.ttl_dedup import ttl_dedup
+
+    cap = 16 << 10
+    ttl = 7
+    stats = {}
+    orig = spool._split_oversized
+
+    def spy(base, key_col, fine_col, keys, expected, max_bytes):
+        keys2, exp2 = orig(base, key_col, fine_col, keys, expected, max_bytes)
+        stats[stats.pop("_tag")] = (
+            len(keys2),
+            max(spool._partition_bytes(base, key_col, k) for k in keys2),
+        )
+        return keys2, exp2
+
+    monkeypatch.setattr(spool, "_split_oversized", spy)
+    for tag, n in (("small", 10_000), ("big", 40_000)):
+        df = _ttl_events(n=n)
+        stats["_tag"] = tag
+        out = ttl_dedup(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(8),
+            ["k"],
+            ts_col="ts",
+            ttl_us=ttl,
+            id_col="rid",
+            max_partition_bytes=cap,
+        )
+        assert set(out.to_pandas()["rid"]) == _brute_ttl(df, ttl)
+    nb_small, max_small = stats["small"]
+    nb_big, max_big = stats["big"]
+    assert nb_big > nb_small
+    assert max_big <= 3 * cap and max_small <= 3 * cap
+
+
+def test_ttl_dedup_empty_input_keeps_schema(ray_session):
+    from theoremkb_ray.stages.ttl_dedup import ttl_dedup
+
+    empty = pa.table(
+        {
+            "rid": pa.array([], pa.int64()),
+            "k": pa.array([], pa.string()),
+            "ts": pa.array([], pa.int64()),
+        }
+    )
+    out = ttl_dedup(rd.from_arrow(empty), ["k"], ts_col="ts", id_col="rid")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"rid", "k", "ts"}
+
+
+# ----------------------------------------- stratified_sample (r5)
+
+
+def test_stratified_sample_prune_bounds_exchange(ray_session):
+    """Round-5 guard: one low-cardinality class can never land whole
+    on one reduce task — the per-batch partial prunes every group to
+    n_per_group rows BEFORE the exchange, so exchange rows are
+    <= blocks x groups x n per group."""
+    from theoremkb_ray.stages.sampling import (
+        _stratified_prune_batch,
+        stratified_sample,
+    )
+    from theoremkb_ray.functions.hashing import key_rank64
+
+    n, n_per = 30_000, 5
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array(["en"] * (n // 2) + ["fr"] * (n // 2)),
+        }
+    )
+    # the per-batch bound, asserted directly on the partial
+    pruned = _stratified_prune_batch(tbl, "lang", "doc_id", n_per, 0)
+    assert pruned.num_rows == 2 * n_per  # 2 groups x n, from 30k rows
+    # end-to-end: equals the brute-force global n smallest ranks
+    out = (
+        stratified_sample(
+            rd.from_arrow(tbl).repartition(8), "lang", n_per, "doc_id"
+        )
+        .to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas()
+    df["rnk"] = key_rank64(df["doc_id"].to_numpy(), seed=0)
+    want = (
+        df.sort_values(["lang", "rnk"], kind="mergesort")
+        .groupby("lang")
+        .head(n_per)
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)[["doc_id", "lang"]]
+    )
+    pd.testing.assert_frame_equal(out[["doc_id", "lang"]], want)

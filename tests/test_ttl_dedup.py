@@ -150,3 +150,78 @@ def test_ttl_actor_property_matches_brute(frame_ttl):
         )
         got.update(actor(chunk)["rid"].to_pylist())
     assert got == kept
+
+
+def test_ttl_streaming_routing_matches_batch_across_pool_sizes(
+    ray_session,
+):
+    """Round-5: ttl_dedup_streaming ships key-stable routing built-in
+    (hash(key) % n_actors sub-batch dispatch) — exact streaming
+    semantics must no longer depend on caller discipline. Feed the
+    stream in event-time order; for 1, 2 and 4 actors the kept set
+    must equal the exact batch form's."""
+    import ray.data as rd
+
+    from theoremkb_ray.stages.ttl_dedup import (
+        ttl_dedup,
+        ttl_dedup_streaming,
+    )
+
+    df = _events(n=900, n_keys=23, seed=11).sort_values(
+        ["ts", "rid"], kind="mergesort"
+    )
+    tbl = pa.Table.from_pandas(df.reset_index(drop=True))
+    want = set(
+        ttl_dedup(
+            rd.from_arrow(tbl), ["k"], ts_col="ts", ttl_us=TTL,
+            id_col="rid",
+        )
+        .to_pandas()["rid"]
+    )
+    # micro-batch stream of uneven sizes
+    cuts = [0, 64, 65, 300, 301, 555, 900]
+    batches = [
+        tbl.slice(a, b - a) for a, b in zip(cuts[:-1], cuts[1:])
+    ]
+    for n_actors in (1, 2, 4):
+        got = [
+            t
+            for t in ttl_dedup_streaming(
+                batches, ["k"], ts_col="ts", ttl_us=TTL,
+                n_actors=n_actors, max_in_flight=2,
+            )
+        ]
+        kept = set(
+            np.concatenate(
+                [t["rid"].to_numpy(zero_copy_only=False) for t in got]
+            )
+        )
+        assert kept == want, n_actors
+
+
+def test_ttl_streaming_ties_within_batch_follow_stream_order(
+    ray_session,
+):
+    """Equal-ts events for one key inside one micro-batch: the FIRST
+    in stream order is kept (matches the batch form's id tie-break
+    when ids are assigned in stream order)."""
+    from theoremkb_ray.stages.ttl_dedup import ttl_dedup_streaming
+
+    tbl = pa.table(
+        {
+            "rid": pa.array([0, 1, 2], pa.int64()),
+            "k": pa.array(["a", "a", "a"]),
+            "ts": pa.array([5, 5, 20], pa.int64()),
+        }
+    )
+    got = list(
+        ttl_dedup_streaming(
+            [tbl], ["k"], ts_col="ts", ttl_us=TTL, n_actors=2
+        )
+    )
+    kept = sorted(
+        int(x)
+        for t in got
+        for x in t["rid"].to_numpy(zero_copy_only=False)
+    )
+    assert kept == [0, 2]

@@ -19633,6 +19633,20 @@ def q_fim_transform_docs(sf_dir: str):
         data = np.frombuffer(arr[2], dtype=np.uint8)
         starts = offs[:-1]
         L = np.diff(offs)
+        # the gather below cuts at BYTE positions and the SQL twin's
+        # substr() cuts at CHARACTER positions — assert they coincide
+        # (pure-ASCII batch) so a non-ASCII corpus fails loudly here
+        # instead of emitting invalid UTF-8 / silently diverging
+        nchars = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+        if not np.array_equal(nchars, L):
+            bad = int(np.flatnonzero(nchars != L)[0])
+            raise ValueError(
+                "fim_transform assumes single-byte (ASCII) text; "
+                f"doc_id={int(ids[bad])} has {int(L[bad])} bytes but "
+                f"{int(nchars[bad])} characters — byte cuts would split "
+                "codepoints. Use a character-indexed variant for "
+                "non-ASCII corpora."
+            )
         x = key_rank64(ids, seed=FIM_SEED)
         third = L // 3
         do = L >= FIM_MIN_LEN
@@ -19829,16 +19843,32 @@ def q_decayed_counts_events(sf_dir: str):
 
     h = float(DECAY_HALF_LIFE_US)
 
+    # exponent-range discipline: exp2 of an absolute us/h overflows
+    # double (ts ~1.7e15 / 8.6e10 ~ 2e4 -> 2^2e4). Every exponent
+    # below is kept RELATIVE: per-batch to the batch min (span
+    # asserted < MAX_BATCH_HL half-lives — a batch spanning more
+    # fails LOUDLY instead of returning inf), per-partial to its
+    # 512-half-life ERA floor (factor < 2^512), and the final
+    # era -> t_ref scaling is always <= 0 (underflow to 0.0 is the
+    # CORRECT contribution of data thousands of half-lives stale).
+    # No fixed calendar epoch anywhere, so arbitrarily-late event
+    # times can't push the rebase factor to inf (round-4 advisory).
+    MAX_BATCH_HL = 256.0
+    ERA_US = int(512 * h)
+
     def partial(b: pa.Table) -> pa.Table:
         us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         et = b["event_type"].to_numpy(zero_copy_only=False)
         v = b["value"].to_numpy(zero_copy_only=False)
-        # 2^(ts/h) in double: ts/h is O(hundreds), safely in range
-        # when taken RELATIVE to a fixed epoch inside the table's
-        # window — use the batch's own min as a local offset and
-        # carry it (exp2 of absolute us/h would overflow double for
-        # ts ~ 1.7e15 / 8.6e10 ~ 2e4 -> 2^2e4 overflows)
         base = int(us.min()) if len(us) else 0
+        if len(us) and (int(us.max()) - base) / h >= MAX_BATCH_HL:
+            raise ValueError(
+                "decayed_counts: one batch spans "
+                f"{(int(us.max()) - base) / h:.0f} half-lives "
+                f"(>= {MAX_BATCH_HL:.0f}); the per-batch partial would "
+                "overflow float64. Shrink the block/batch size or "
+                "raise the half-life."
+            )
         w = np.exp2((us - base) / h)
         df = pd.DataFrame(
             {"event_type": et, "w": w, "wv": w * v, "mx": us, "base": base}
@@ -19851,23 +19881,20 @@ def q_decayed_counts_events(sf_dir: str):
         g["base"] = base
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    # rebase partials to a COMMON offset before the exchange: a
-    # partial with base b holds sum 2^((ts-b)/h); multiplying by
-    # 2^((b - B)/h) rebases to any global B <= all ts. B = a fixed
-    # floor (2024-01-01) keeps exponents tiny for this table's window.
-    B = 1_704_067_200_000_000
-
+    # rebase each partial to its ERA floor (era = base // ERA_US, a
+    # DATA-DERIVED grid, not a calendar epoch): factor = 2^((base -
+    # era_floor)/h) in [1, 2^512) — always representable. Partials
+    # then fold per (event_type, era); cross-era combination happens
+    # driver-side over a |types| x |eras| table with non-positive
+    # exponents only.
     def rebase(b: pa.Table) -> pa.Table:
-        f = np.exp2(
-            (
-                b["base"].to_numpy(zero_copy_only=False).astype(np.float64)
-                - B
-            )
-            / h
-        )
+        base = b["base"].to_numpy(zero_copy_only=False).astype(np.int64)
+        era = base // ERA_US
+        f = np.exp2((base - era * ERA_US) / h)
         return pa.table(
             {
                 "event_type": b["event_type"],
+                "era": pa.array(era, pa.int64()),
                 "w": pa.array(
                     b["w"].to_numpy(zero_copy_only=False) * f
                 ),
@@ -19882,21 +19909,33 @@ def q_decayed_counts_events(sf_dir: str):
         _pq(sf_dir, "events", ["ts", "event_type", "value"])
         .map_batches(partial, batch_format="pyarrow")
         .map_batches(rebase, batch_format="pyarrow")
-        .groupby("event_type")
+        .groupby(["event_type", "era"])
         .aggregate(
             Sum("w", alias_name="w"),
             Sum("wv", alias_name="wv"),
             Max("mx", alias_name="mx"),
         )
-        .to_pandas()  # |types| rows
+        .to_pandas()  # |types| x |eras| rows (eras = span/512 HL)
     )
     t_ref = int(folded["mx"].max())
-    scale = np.exp2((B - t_ref) / h)
+    # era_floor <= base <= ts <= t_ref, so these exponents are <= 0:
+    # no overflow possible; stale eras underflow to their true ~0.
+    scale = np.exp2(
+        (folded["era"].to_numpy(np.int64) * ERA_US - t_ref) / h
+    )
+    folded = folded.assign(
+        w=folded["w"] * scale, wv=folded["wv"] * scale
+    )
+    g = (
+        folded.groupby("event_type", sort=False)[["w", "wv"]]
+        .sum()
+        .reset_index()
+    )
     out = pd.DataFrame(
         {
-            "event_type": folded["event_type"],
-            "decayed_count": (folded["w"] * scale).round(6),
-            "decayed_value": (folded["wv"] * scale).round(6),
+            "event_type": g["event_type"],
+            "decayed_count": g["w"].round(6),
+            "decayed_value": g["wv"].round(6),
         }
     ).sort_values("event_type", kind="mergesort").reset_index(drop=True)
     return out
@@ -20065,3 +20104,61 @@ ORDER BY doc_id
 REGISTRY.update(
     {"token_budget_docs": (q_token_budget_docs, _token_budget_sql())}
 )
+
+
+# ----------------------------------- planned multi-pattern BGP (r5)
+
+
+def q_bgp_customers(sf_dir: str):
+    """3-pattern BGP through the planner (stages/kgquery.py:bgp_query)
+    over a MATERIALIZED customer triple store:
+
+        (?c in_segment BUILDING) (?c in_nation ?n) (?n in_region ?r)
+
+    — the SPARQL shape the reference's graph notebooks compose with
+    hand-written pandas joins (extract_graph.py:298-307). The store
+    is materialized to scratch, legs are ordered by row-group-
+    statistics selectivity and read through pruned scans, and the two
+    joins run the same adaptive spool exchange as every kgquery
+    operator. The oracle is the plain 3-way SQL join."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.sinks import materialize_triples
+    from ..stages.kgquery import bgp_query
+    from ..state.spool import scratch_dir
+
+    os.makedirs(scratch_dir(), exist_ok=True)
+    store = tempfile.mkdtemp(prefix="bgp_cust_", dir=scratch_dir())
+    try:
+        materialize_triples(
+            _cust_triples(sf_dir), store, num_partitions=4, resume=False
+        )
+        out = bgp_query(
+            store,
+            [
+                ("?c", "in_nation", "?n"),
+                ("?n", "in_region", "?r"),
+                ("?c", "in_segment", "BUILDING"),
+            ],
+        )
+        # every exchange output is spool-materialized; one defensive
+        # materialize so the result outlives the scratch store
+        return out.materialize()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+SQL_BGP_CUSTOMERS = """
+SELECT 'cust/' || CAST(c_custkey AS VARCHAR) AS c,
+       'nation/' || n_name AS n,
+       'region/' || r_name AS r
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+REGISTRY.update({"bgp_customers": (q_bgp_customers, SQL_BGP_CUSTOMERS)})

@@ -168,7 +168,8 @@ def detect_skewed_repos_from_results(
 
 
 def _write_partition(
-    tbl: pa.Table, part: int, out_dir: str, stage: str, lineage: str
+    tbl: pa.Table, part: int, out_dir: str, stage: str, lineage: str,
+    row_group_rows: int | None = None,
 ) -> pa.Table:
     """Sort + dedup + write + manifest ONE partition, all Arrow.
 
@@ -202,7 +203,13 @@ def _write_partition(
     # zstd over default snappy: the finalize pass is disk-bound at
     # high CPU counts (same measurement as the spool's compression
     # note, state/spool.py) and triple ids are highly compressible
-    pq.write_table(tbl, tmp, compression="zstd")
+    # row_group_rows tunes predicate/subject row-group statistics
+    # granularity (smaller groups -> finer pruning for read_triples /
+    # the BGP planner, more metadata); None = pyarrow's default
+    pq.write_table(
+        tbl, tmp, compression="zstd",
+        **({"row_group_size": row_group_rows} if row_group_rows else {}),
+    )
     os.replace(tmp, final)
     # manifest hash formula unchanged (sub\tpred\tobj joined by \n);
     # binary_join over one list scalar builds the bytes in Arrow C++
@@ -216,7 +223,14 @@ def _write_partition(
         "\n",
     )[0].as_py()
     roll = rollup_hash(body.encode())
-    write_partition_manifest(out_dir, part, tbl.num_rows, roll, stage, lineage)
+    pc_counts = tbl["predicate"].combine_chunks().value_counts()
+    pred_counts = {
+        str(v["values"]): int(v["counts"]) for v in pc_counts.to_pylist()
+    }
+    write_partition_manifest(
+        out_dir, part, tbl.num_rows, roll, stage, lineage,
+        pred_counts=pred_counts,
+    )
     return pa.table(
         {
             "part": pa.array([part], pa.int64()),
@@ -233,6 +247,7 @@ def materialize_triples(
     salt_repos: dict[str, int] | None = None,
     auto_salt: bool = False,
     lineage: str = "kg",
+    row_group_rows: int | None = None,
 ):
     """Write the triple store; returns a small Dataset of (part, rows).
 
@@ -342,7 +357,10 @@ def materialize_triples(
                     f"shared storage as the triple store itself)."
                 )
             rows_out.append(
-                _write_partition(tbl, part, out_dir, "materialize", lineage)
+                _write_partition(
+                    tbl, part, out_dir, "materialize", lineage,
+                    row_group_rows=row_group_rows,
+                )
             )
         return pa.concat_tables(rows_out)
 
@@ -450,6 +468,27 @@ def export_graph_csv(store_dir: str, out_dir: str) -> dict[str, int]:
     return {"nodes": n_nodes, "edges": n_edges, "proved_by": n_proofs}
 
 
+def _prefix_upper_bound(prefix: str) -> str | None:
+    """Smallest string strictly greater than every string with
+    ``prefix``, under UTF-8 binary order (= codepoint order):
+    increment the last codepoint with carry, skipping the surrogate
+    gap. A ``prefix + '\\uffff'`` bound would wrongly exclude
+    subjects whose next char is >= U+FFFF (astral codepoints sort
+    ABOVE U+FFFF). Returns None when no finite bound exists (prefix
+    is all U+10FFFF) — callers then keep only the lower bound."""
+    cps = list(prefix)
+    while cps:
+        c = ord(cps[-1])
+        if c < 0x10FFFF:
+            nxt = c + 1
+            if 0xD800 <= nxt <= 0xDFFF:  # surrogates: not valid UTF-8
+                nxt = 0xE000
+            cps[-1] = chr(nxt)
+            return "".join(cps)
+        cps.pop()  # carry past a maxed-out codepoint
+    return None
+
+
 def read_triples(
     out_dir: str,
     predicate: str | list[str] | None = None,
@@ -487,8 +526,10 @@ def read_triples(
     if subject_prefix is not None:
         import pyarrow.dataset as pds
 
-        lo, hi = subject_prefix, subject_prefix + "￿"
-        pref = (pds.field("subject") >= lo) & (pds.field("subject") < hi)
+        hi = _prefix_upper_bound(subject_prefix)
+        pref = pds.field("subject") >= subject_prefix
+        if hi is not None:
+            pref = pref & (pds.field("subject") < hi)
         expr = pref if expr is None else (expr & pref)
     if expr is not None:
         return rd.read_parquet(parts, filter=expr)

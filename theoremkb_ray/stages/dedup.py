@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..state.raypatch import apply_join_patch
+from ..state.raypatch import apply_empty_to_pandas_patch, apply_join_patch
 from ..functions.hashing import (
     band_hashes,
     flat_token_hashes_arrow,
@@ -35,8 +35,10 @@ from ..functions.hashing import (
     simhash64_flat,
 )
 
-# Dataset.join schema-broadcast fix (state/raypatch.py)
+# Dataset.join schema-broadcast fix + typed-empty to_pandas fix
+# (state/raypatch.py)
 apply_join_patch()
+apply_empty_to_pandas_patch()
 from .canonicalize import connected_components_local, _collect
 
 # --------------------------------------------------------------- exact dedup
@@ -97,8 +99,13 @@ def exact_dedup(
         fine_col="text_hash",
         max_partition_bytes=max_partition_bytes,
     )
-    if out.count() == 0:  # schema-less empty (no input rows)
-        return out
+    if out.count() == 0:
+        # typed empty carrying the input schema — spool's empty result
+        # is schema-less, which would break downstream column selection
+        # on an empty corpus (kgquery's _spooled empty_schema argument)
+        import ray.data as rd
+
+        return rd.from_arrow(ds.schema().base_schema.empty_table())
     return out.drop_columns(["text_hash", "coarse"])
 
 

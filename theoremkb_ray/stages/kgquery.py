@@ -43,6 +43,12 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..state.raypatch import apply_empty_to_pandas_patch
+
+# typed-empty results (empty_schema paths below) must keep their
+# columns through to_pandas (state/raypatch.py)
+apply_empty_to_pandas_patch()
+
 logger = logging.getLogger(__name__)
 
 _COCITE_BUCKETS = 64
@@ -542,3 +548,321 @@ def neg_pattern_store(
         lack,
         nbuckets=nbuckets,
     )
+
+
+# ------------------------------------------------- multi-pattern BGP
+
+
+def _store_files(store_dir: str) -> list[str]:
+    import glob
+    import os
+
+    parts = sorted(
+        glob.glob(os.path.join(store_dir, "part=*", "*.parquet"))
+    )
+    parts += sorted(
+        glob.glob(os.path.join(store_dir, "delta_*", "part=*", "*.parquet"))
+    )
+    return parts
+
+
+def pattern_scan_stats(
+    store_dir: str,
+    predicate: str | None,
+    subject: str | None = None,
+) -> dict:
+    """Row-group-level scan estimate for one triple pattern, from
+    parquet METADATA only (no data read): a row group is admitted iff
+    its predicate min/max admits ``predicate`` and its subject
+    min/max admits ``subject`` (the store's sorted-partition layout,
+    sources/sinks.py, is what makes these statistics selective).
+    Returns est_rows / est_bytes over admitted row groups plus the
+    store totals — the planner's selectivity estimate AND the
+    scanned-bytes bound a pruned scan cannot exceed.
+
+    est_rows prefers the EXACT per-partition predicate histograms the
+    sink records in its manifests (state/manifest.py pred_counts —
+    min/max alone under the subject-first sort order admits any
+    predicate lexically between two present ones); est_bytes stays
+    the row-group-admission bound, because that is what the scan
+    physically reads."""
+    import pyarrow.parquet as pq
+
+    est_rows = est_bytes = tot_rows = tot_bytes = 0
+    for f in _store_files(store_dir):
+        md = pq.ParquetFile(f).metadata
+        names = md.schema.names
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            tot_rows += g.num_rows
+            tot_bytes += g.total_byte_size
+            admit = True
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = names[ci] if ci < len(names) else col.path_in_schema
+                if (
+                    predicate is not None
+                    and name == "predicate"
+                    and not (st.min <= predicate <= st.max)
+                ):
+                    admit = False
+                if (
+                    subject is not None
+                    and name == "subject"
+                    and not (st.min <= subject <= st.max)
+                ):
+                    admit = False
+            if admit:
+                est_rows += g.num_rows
+                est_bytes += g.total_byte_size
+    if predicate is not None and subject is None:
+        exact = _manifest_pred_rows(store_dir, predicate)
+        if exact is not None:
+            est_rows = min(est_rows, exact)
+    return {
+        "est_rows": est_rows,
+        "est_bytes": est_bytes,
+        "total_rows": tot_rows,
+        "total_bytes": tot_bytes,
+    }
+
+
+def _manifest_pred_rows(store_dir: str, predicate: str) -> int | None:
+    """Exact rows carrying ``predicate`` from the sink's per-partition
+    manifests (None when any segment predates the pred_counts
+    histogram — the caller falls back to row-group admission)."""
+    import glob
+    import os
+
+    from ..state.manifest import read_manifests
+
+    total = 0
+    dirs = [store_dir] + sorted(
+        d
+        for d in glob.glob(os.path.join(store_dir, "delta_*"))
+        if os.path.isdir(d)
+    )
+    seen = False
+    for d in dirs:
+        for m in read_manifests(d):
+            seen = True
+            pc_map = m.get("pred_counts")
+            if pc_map is None:
+                return None
+            total += int(pc_map.get(predicate, 0))
+    return total if seen else None
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def bgp_plan(store_dir: str, patterns: list[tuple]) -> list[dict]:
+    """Order N triple patterns into a join-connected left-deep chain,
+    most-selective first, using :func:`pattern_scan_stats` (predicate
+    + literal-subject row-group statistics of the sorted store).
+
+    Each pattern is ``(s, p, o)``; terms starting with ``"?"`` are
+    variables, anything else a literal. The predicate must be a
+    literal (a variable predicate scans the whole store — allowed,
+    estimated at full size). Returns the ordered plan: one dict per
+    pattern with the pattern, its scan estimate, and the variables it
+    shares with the bindings built so far (empty for the first;
+    raises for a disconnected pattern — a cross product at store
+    scale is always a planning error, never something to run
+    silently)."""
+    stats = []
+    for pat in patterns:
+        s, p, o = pat
+        stats.append(
+            pattern_scan_stats(
+                store_dir,
+                None if _is_var(p) else p,
+                None if _is_var(s) else s,
+            )
+        )
+    remaining = list(range(len(patterns)))
+    plan: list[dict] = []
+    bound: set[str] = set()
+
+    def pat_vars(i):
+        return {t for t in patterns[i] if _is_var(t)}
+
+    while remaining:
+        if not plan:
+            cand = remaining
+        else:
+            cand = [i for i in remaining if pat_vars(i) & bound]
+            if not cand:
+                raise ValueError(
+                    "disconnected BGP: patterns "
+                    f"{[patterns[i] for i in remaining]} share no "
+                    "variable with the bindings built so far — a "
+                    "cross product over the store; split the query "
+                    "or add a linking pattern."
+                )
+        best = min(cand, key=lambda i: stats[i]["est_rows"])
+        plan.append(
+            {
+                "pattern": patterns[best],
+                **stats[best],
+                "join_vars": sorted(pat_vars(best) & bound),
+            }
+        )
+        bound |= pat_vars(best)
+        remaining.remove(best)
+    return plan
+
+
+def _scan_pattern(store_dir: str, pattern: tuple):
+    """Pruned scan of one pattern -> Dataset of its variable columns
+    (names without the '?'). Literal terms filter; the predicate /
+    literal-subject filters are PUSHED into the parquet read
+    (sources/sinks.py:read_triples row-group pruning)."""
+    from ..sources.sinks import read_triples
+
+    s, p, o = pattern
+    ds = read_triples(
+        store_dir,
+        predicate=None if _is_var(p) else p,
+        # exact literal subject: prefix pruning with the full string
+        subject_prefix=None if _is_var(s) else s,
+    )
+
+    def fn(b: pa.Table) -> pa.Table:
+        keep = None
+
+        def conj(m):
+            nonlocal keep
+            keep = m if keep is None else pc.and_(keep, m)
+
+        if not _is_var(s):
+            conj(pc.equal(b["subject"], s))
+        if not _is_var(o):
+            conj(pc.equal(b["object"], o))
+        if _is_var(s) and _is_var(o) and s == o:
+            conj(pc.equal(b["subject"], b["object"]))
+        if keep is not None:
+            b = b.filter(keep)
+        cols: dict[str, pa.ChunkedArray] = {}
+        if _is_var(s):
+            cols[s[1:]] = b["subject"]
+        if _is_var(p):
+            cols[p[1:]] = b["predicate"]
+        if _is_var(o) and o[1:] not in cols:
+            cols[o[1:]] = b["object"]
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bgp_query(
+    store_dir: str,
+    patterns: list[tuple],
+    nbuckets: int = _COCITE_BUCKETS,
+):
+    """Execute a basic graph pattern over a materialized store:
+    :func:`bgp_plan` orders the legs by row-group-statistics
+    selectivity, each leg is a PRUNED scan (only admitted row groups
+    leave storage), and consecutive legs join on their shared
+    variables through the same adaptive spool exchange every kgquery
+    operator uses (fine key = hash of the join-variable tuple, so
+    oversized buckets re-split without breaking co-location).
+
+    Bag semantics (like the SQL join the oracle runs): no implicit
+    DISTINCT. Returns a Dataset with one column per variable.
+    Reference analog: the graph tables these queries serve,
+    Styling/tools/theoremdb/extract_graph.py:298-307 — composed there
+    with hand-written pandas joins, planned here."""
+    from ..functions.hashing import hash_strings
+
+    plan = bgp_query.last_plan = bgp_plan(store_dir, patterns)
+    bindings = _scan_pattern(store_dir, plan[0]["pattern"])
+    bound_cols = [
+        t[1:] for t in plan[0]["pattern"] if _is_var(t)
+    ]
+    # de-dup while preserving order (s == o same-var patterns)
+    bound_cols = list(dict.fromkeys(bound_cols))
+
+    for step in plan[1:]:
+        right = _scan_pattern(store_dir, step["pattern"])
+        right_cols = list(
+            dict.fromkeys(t[1:] for t in step["pattern"] if _is_var(t))
+        )
+        join_cols = [v[1:] for v in step["join_vars"]]
+        all_cols = bound_cols + [
+            c for c in right_cols if c not in bound_cols
+        ]
+
+        def tag(side: int, have: list[str], all_cols=all_cols,
+                join_cols=join_cols):
+            def fn(b: pa.Table) -> pa.Table:
+                key = None
+                for c in join_cols:
+                    part = b[c].combine_chunks() if b.num_rows else (
+                        pa.chunked_array([], pa.string())
+                    )
+                    part = pc.cast(part, pa.string())
+                    key = (
+                        part
+                        if key is None
+                        else pc.binary_join_element_wise(
+                            key, part, "\x1f"
+                        )
+                    )
+                h = hash_strings(
+                    key.to_numpy(zero_copy_only=False)
+                    if b.num_rows
+                    else np.empty(0, dtype=object)
+                )
+                cols = {
+                    "bucket": pa.array(
+                        (h % np.uint64(nbuckets)).astype(np.int64)
+                    ),
+                    "fine": pa.array(h.view(np.int64)),
+                    "side": pa.array(
+                        np.full(b.num_rows, side, np.int64)
+                    ),
+                }
+                for c in all_cols:
+                    cols[c] = (
+                        b[c]
+                        if c in have
+                        else pa.nulls(b.num_rows, pa.string())
+                    )
+                return pa.table(cols)
+
+            return fn
+
+        legs = bindings.map_batches(
+            tag(0, bound_cols), batch_format="pyarrow"
+        ).union(
+            right.map_batches(tag(1, right_cols), batch_format="pyarrow")
+        )
+
+        def per_bucket(g: pd.DataFrame, all_cols=all_cols,
+                       join_cols=join_cols, bound_cols=list(bound_cols),
+                       right_cols=list(right_cols)) -> pd.DataFrame:
+            left = g[g["side"] == 0][bound_cols]
+            rt = g[g["side"] == 1][right_cols]
+            if len(left) == 0 or len(rt) == 0:
+                return pd.DataFrame(
+                    {c: pd.Series(dtype="object") for c in all_cols}
+                )
+            out = left.merge(rt, on=join_cols)
+            return out[all_cols]
+
+        bindings = _spooled(
+            legs,
+            per_bucket,
+            "fine",
+            drop=["fine"],
+            empty_schema=pa.schema(
+                [(c, pa.string()) for c in all_cols]
+            ),
+        )
+        bound_cols = all_cols
+    return bindings

@@ -26,7 +26,10 @@ def _links_index(links_tbl: pa.Table):
     broadcastable form of the links table. A Python dict here is the
     scale cliff emit_triples documents (O(|links|) deserialization per
     worker); the numpy half is a zero-copy plasma read. Duplicate
-    (doc_from, tag) keys keep the LAST row (dict semantics)."""
+    (doc_from, tag) keys keep MAX(doc_to) — a value-defined winner,
+    so the broadcast and shuffle plans agree run-to-run regardless of
+    input row or partition order (an index-defined 'last' would be
+    nondeterministic on the shuffle side)."""
     import pyarrow.compute as pc
 
     from .emit import _link_key_hashes
@@ -35,7 +38,8 @@ def _links_index(links_tbl: pa.Table):
         links_tbl["doc_from"].to_numpy(zero_copy_only=False),
         links_tbl["tag"].to_numpy(zero_copy_only=False),
     )
-    order = np.argsort(keys, kind="stable")
+    doc_to = links_tbl["doc_to"].to_numpy(zero_copy_only=False).astype(str)
+    order = np.lexsort((doc_to, keys))
     keys = keys[order]
     last = np.r_[keys[1:] != keys[:-1], True]
     to_sorted = pc.take(
@@ -220,10 +224,13 @@ def resolve_citations_shuffle(mentions_ds, links_ds, num_buckets: int = 64):
         m = m[["doc_id", "src_entity", "src_group", "kind", "num",
                "cite_tag"]]
         # broadcast-plan parity: duplicate (doc_from, tag) keys keep
-        # ONE row (the broadcast index keeps the last; a distributed
-        # "last" is only well-defined when the links table is
-        # deterministic — bibliography resolution emits unique keys)
-        l = l.drop_duplicates(["doc_from", "tag"], keep="last")
+        # MAX(doc_to) — the same value-defined winner _links_index
+        # picks, so both plans agree regardless of spool-partition row
+        # order (bibliography resolution emits unique keys anyway;
+        # this tie-break only matters for adversarial inputs)
+        l = l.sort_values(
+            ["doc_from", "tag", "doc_to"], kind="mergesort"
+        ).drop_duplicates(["doc_from", "tag"], keep="last")
         j = m.merge(
             l[["doc_from", "tag", "doc_to"]],
             left_on=["doc_id", "cite_tag"],

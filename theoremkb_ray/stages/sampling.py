@@ -47,20 +47,66 @@ def train_test_split(
     return train, test
 
 
+def _stratified_prune_batch(
+    b: pa.Table,
+    group_col: str,
+    key_col: str,
+    n_per_group: int,
+    seed: int,
+) -> pa.Table:
+    """Per-batch partial for :func:`stratified_sample`: keep the
+    ``n_per_group`` smallest ``key_rank64`` ranks per group within
+    this batch — the exchange then moves at most ``blocks x groups x
+    n_per_group`` rows. Module-level so tests can assert the bound
+    directly."""
+    if b.num_rows == 0:
+        return b
+    h = key_rank64(b[key_col].to_numpy(zero_copy_only=False), seed=seed)
+    grp = b[group_col].to_numpy(zero_copy_only=False)
+    _, inv = np.unique(grp, return_inverse=True)
+    order = np.lexsort((h, inv))
+    # position within the batch-local group under rank order
+    pos = np.empty(len(order), np.int64)
+    sorted_inv = inv[order]
+    starts = np.flatnonzero(np.r_[True, sorted_inv[1:] != sorted_inv[:-1]])
+    pos[order] = np.arange(len(order)) - np.repeat(
+        starts, np.diff(np.r_[starts, len(order)])
+    )
+    return b.filter(pa.array(pos < n_per_group))
+
+
 def stratified_sample(
     ds, group_col: str, n_per_group: int, key_col: str, seed: int = 0
 ):
     """n rows per group, deterministically (O6: the reference's
     per-class undersampling, NLP/2.1 cells 19-21): rank rows inside
     each group by key hash and keep the n smallest — reproducible
-    under any partitioning."""
+    under any partitioning.
+
+    Scale shape: a per-batch partial PRUNES each group to its
+    ``n_per_group`` smallest ranks BEFORE the exchange (the same
+    partial-prune :func:`mixture_sample` uses), so at most
+    ``blocks x groups x n_per_group`` rows ever move — one
+    low-cardinality class (a constant fraction of a 100 TB corpus)
+    can never land whole on a single reduce task. Correct because the
+    global n smallest ranks of a group survive any per-batch prune to
+    the batch-local n smallest (min-of-mins)."""
+
+    def prune(b: pa.Table) -> pa.Table:
+        return _stratified_prune_batch(
+            b, group_col, key_col, n_per_group, seed
+        )
 
     def take(g: pd.DataFrame) -> pd.DataFrame:
         h = key_rank64(g[key_col].to_numpy(), seed=seed)
         order = np.argsort(h, kind="stable")
         return g.iloc[order[:n_per_group]]
 
-    return ds.groupby(group_col).map_groups(take, batch_format="pandas")
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(take, batch_format="pandas")
+    )
 
 
 #: Knuth multiplicative hash — chosen over splitmix64 for

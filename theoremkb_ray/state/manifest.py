@@ -39,19 +39,23 @@ def write_partition_manifest(
     content_hash: str,
     stage: str,
     lineage: str,
+    pred_counts: dict[str, int] | None = None,
 ) -> None:
+    doc = {
+        "part": part,
+        "rows": rows,
+        "content_hash": content_hash,
+        "stage": stage,
+        "lineage": lineage,
+    }
+    if pred_counts is not None:
+        # per-partition predicate histogram: exact selectivity for
+        # the BGP planner without touching data (|predicates| is
+        # small and fixed by the schema — bytes per manifest bounded)
+        doc["pred_counts"] = pred_counts
     tmp = manifest_path(out_dir, part) + f".tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
-        json.dump(
-            {
-                "part": part,
-                "rows": rows,
-                "content_hash": content_hash,
-                "stage": stage,
-                "lineage": lineage,
-            },
-            f,
-        )
+        json.dump(doc, f)
     os.replace(tmp, manifest_path(out_dir, part))
 
 

@@ -124,3 +124,41 @@ def apply_join_patch() -> None:
         _do_add_input_skip_schemaless
     )
     _PATCHED = True
+
+
+_PANDAS_PATCHED = False
+
+
+def apply_empty_to_pandas_patch() -> None:
+    """Ray 2.49.2 ``Dataset.to_pandas()`` returns a ZERO-COLUMN frame
+    for an empty dataset even when the dataset carries a schema
+    (empty blocks are skipped during collection), so every typed-empty
+    result this repo deliberately returns (exact_dedup, kgquery's
+    ``empty_schema`` paths, bgp_query) loses its columns exactly when
+    a caller would select on them. Wrap to_pandas: when the collected
+    frame has no columns but the dataset schema does, return a typed
+    empty frame built from the schema instead. Idempotent; defers to
+    the original in every non-empty case."""
+    global _PANDAS_PATCHED
+    if _PANDAS_PATCHED:
+        return
+    from ray.data import Dataset
+
+    orig = Dataset.to_pandas
+
+    def to_pandas_typed_empty(self, *args, **kwargs):
+        df = orig(self, *args, **kwargs)
+        if len(df.columns) == 0 and len(df) == 0:
+            # fetch_if_missing: to_pandas just executed the plan, so
+            # the schema is already resolved (or trivially resolvable)
+            schema = self.schema(fetch_if_missing=True)
+            base = getattr(schema, "base_schema", None)
+            if base is not None and getattr(base, "names", None):
+                try:
+                    return base.empty_table().to_pandas()
+                except Exception:
+                    return df
+        return df
+
+    Dataset.to_pandas = to_pandas_typed_empty
+    _PANDAS_PATCHED = True

@@ -273,7 +273,12 @@ def _split_oversized(
     next_id = max(keys) + 1
     refs, plans = [], []
     for k in big:
-        s = int(-(-sizes[k] // max_bytes))  # ceil
+        # 2x oversplit: ceil(size/max) targets sub-partitions AT the
+        # cap, so ordinary hash variance (few fine keys per sub, or a
+        # chunky per-key payload) routinely lands the max sub 2-3x
+        # over it. Doubling s targets cap/2 — realized maxima stay
+        # near/below the cap for the cost of a few extra reduce tasks.
+        s = 2 * int(-(-sizes[k] // max_bytes))
         sub_ids = list(range(next_id, next_id + s))
         next_id += s
         refs.append(resplit.remote(base, key_col, fine_col, k, sub_ids))
