@@ -561,6 +561,20 @@ def _seg_report_noisy(sf_dir: str):
     return noise_robust_report()
 
 
+def _seg_report_words_noisy(sf_dir: str):
+    """Word-granularity CRF under the same noisy regime as
+    seg_report_noisy (15% label noise + 25% head look-alike
+    distractors, clean held-out eval): WORD-level B/I/O P/R — the
+    last model family previously evaluated clean-synth only.
+    Reference bar: B .98/.95, I .93/.82 (Training_word_based.ipynb
+    cells 10, 16). Recorded evidence (BASELINE.md round-5):
+    B .9987/1.000, I .9849/1.000. Model scoring — no SQL oracle
+    (rows-only check)."""
+    from theoremkb_ray.stages.words import noise_robust_report_words
+
+    return noise_robust_report_words()
+
+
 def _seg_report_cnn1d_noisy(sf_dir: str):
     """T3 analog under the same noisy regime as seg_report_noisy
     (15% label noise + 25% distractors, clean held-out eval): the
@@ -1481,6 +1495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "seg_report_words": _seg_report_words,
             "seg_report_cnn1d": _seg_report_cnn1d,
             "seg_report_noisy": _seg_report_noisy,
+            "seg_report_words_noisy": _seg_report_words_noisy,
             "seg_report_cnn1d_noisy": _seg_report_cnn1d_noisy,
             "nlp_classify": _nlp_classify,
             "nlp_classify_noisy": _nlp_classify_noisy,

@@ -126,3 +126,18 @@ def test_word_report_meets_bar():
     weighted = (rep["precision"] * rep["support"]).sum() / rep["support"].sum()
     assert weighted >= 0.95
     assert (rep["recall"] * rep["support"]).sum() / rep["support"].sum() >= 0.95
+
+
+def test_word_noise_robust_tagger_meets_reference_bar(ray_session):
+    """Round-5: word-granularity CRF trained on 15%-corrupted gold
+    over a 25%-distractor corpus must clear the reference's published
+    WORD-level bars (B .98/.95, I .93/.82 — reference
+    Styling/tools/notebooks/Training_word_based.ipynb cells 10, 16)."""
+    from theoremkb_ray.stages.words import noise_robust_report_words
+
+    rep = noise_robust_report_words().set_index("tag_class")
+    assert rep.loc["B", "precision"] >= 0.98
+    assert rep.loc["B", "recall"] >= 0.95
+    assert rep.loc["I", "precision"] >= 0.93
+    assert rep.loc["I", "recall"] >= 0.82
+    assert rep.loc["O", "recall"] >= 0.94

@@ -550,3 +550,87 @@ def near_dup_filter(delta_ds, store_dir: str):
     kept = delta_ds.map_batches(drop_dups, batch_format="pyarrow")
     kept_sig = new_sig.map_batches(drop_dups, batch_format="pyarrow")
     return kept, {"n_near_dup": int(n_near)}, kept_sig
+
+
+# -------------------------------------------- auto-compaction (r5)
+
+
+def delta_pressure(store_dir: str) -> dict:
+    """Segment-count and byte-ratio pressure of the LSM store: how
+    many ``delta_NNN`` segments exist and how large they are relative
+    to the base. Pure filesystem metadata — no data read."""
+    segs = sorted(
+        d
+        for d in glob.glob(os.path.join(store_dir, "delta_*"))
+        if os.path.isdir(d)
+    )
+
+    def tree_bytes(root: str) -> int:
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(root, "part=*", "*.parquet"))
+        )
+
+    base_bytes = tree_bytes(store_dir)
+    delta_bytes = sum(tree_bytes(s) for s in segs)
+    return {
+        "segments": len(segs),
+        "base_bytes": base_bytes,
+        "delta_bytes": delta_bytes,
+        "ratio": (delta_bytes / base_bytes) if base_bytes else float(
+            "inf" if delta_bytes else 0.0
+        ),
+    }
+
+
+def maybe_compact(
+    store_dir: str,
+    max_segments: int = 8,
+    max_bytes_ratio: float = 0.5,
+    num_partitions: int | None = None,
+) -> dict | None:
+    """Size-tiered compaction policy: fold the delta segments back
+    into the base when EITHER threshold trips — ``max_segments``
+    delta directories (every point lookup touches O(segments) files)
+    or delta bytes >= ``max_bytes_ratio`` of the base (the classic
+    LSM amplification bound). Returns the compaction summary, or
+    None when below both thresholds.
+
+    Mechanics: ``repartition_store`` writes a NEW store next to the
+    old one (``<store>.compact`` — the old store stays fully
+    readable until the new manifests are complete, and the
+    ``_processed/`` + ``_near/`` sidecars are carried), then the
+    directories swap via two renames. A crash before the first
+    rename loses nothing (stray .compact dir is removed on the next
+    attempt); between the renames the old store survives as
+    ``<store>.pre_compact`` for manual recovery — the documented
+    non-atomic window of a filesystem without atomic dir swap."""
+    import shutil
+
+    from ..sources.sinks import repartition_store
+
+    p = delta_pressure(store_dir)
+    if p["segments"] == 0:
+        return None
+    if p["segments"] < max_segments and p["ratio"] < max_bytes_ratio:
+        return None
+    if num_partitions is None:
+        with open(os.path.join(store_dir, "_store_meta.json")) as f:
+            num_partitions = int(json.load(f)["num_partitions"])
+    tmp = store_dir.rstrip("/") + ".compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    res = repartition_store(store_dir, tmp, num_partitions)
+    old = store_dir.rstrip("/") + ".pre_compact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(store_dir, old)
+    os.rename(tmp, store_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    res.update(
+        {
+            "compacted_segments": p["segments"],
+            "trigger": (
+                "segments" if p["segments"] >= max_segments else "bytes"
+            ),
+        }
+    )
+    return res

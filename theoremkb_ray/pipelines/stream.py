@@ -36,13 +36,22 @@ def watch_and_ingest(
     poll_interval: float = 0.5,
     max_rounds: int | None = None,
     stop_after_idle: int = 2,
+    compact_max_segments: int = 8,
+    compact_max_bytes_ratio: float = 0.5,
     **delta_kwargs,
 ) -> pd.DataFrame:
     """Poll ``watch_dir`` for corpus parquet files and ingest new
     documents as delta segments until ``stop_after_idle`` consecutive
     idle rounds (or ``max_rounds``). Returns the per-round log
-    (round, files, n_new, rows, segment)."""
-    from .delta import run_kg_delta
+    (round, files, n_new, rows, segment, compacted).
+
+    After every ingesting round the size-tiered compaction policy
+    runs (`delta.maybe_compact`): when ``compact_max_segments``
+    delta directories have accumulated OR their bytes reach
+    ``compact_max_bytes_ratio`` of the base, the segments fold back
+    into the base partitions (sidecars carried, store contents
+    unchanged). Set ``compact_max_segments=0`` to disable."""
+    from .delta import maybe_compact, run_kg_delta
 
     rows = []
     idle = 0
@@ -74,6 +83,15 @@ def watch_and_ingest(
             )
         else:
             n_new, n_rows, seg = 0, 0, None
+        compacted = 0
+        if n_new and compact_max_segments:
+            c = maybe_compact(
+                store_dir,
+                max_segments=compact_max_segments,
+                max_bytes_ratio=compact_max_bytes_ratio,
+            )
+            if c is not None:
+                compacted = c["compacted_segments"]
         rows.append(
             {
                 "round": rnd,
@@ -81,6 +99,7 @@ def watch_and_ingest(
                 "n_new": n_new,
                 "rows": n_rows,
                 "segment": seg,
+                "compacted": compacted,
             }
         )
         idle = idle + 1 if n_new == 0 else 0

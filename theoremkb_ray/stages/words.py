@@ -444,3 +444,98 @@ def word_classification_report(tokenized_ds, gold_spans: pa.Table):
             }
         )
     return pd.DataFrame(rows)
+
+
+def noise_robust_report_words(
+    num_docs: int = 300,
+    seed: int = 17,
+    label_noise: float = 0.15,
+    distractor_rate: float = 0.25,
+    epochs: int = 10,
+    eval_docs: int = 100,
+):
+    """WORD-level tagger quality under the reference's real operating
+    regime (the last model family previously evaluated clean-synth
+    only): training gold corrupted at ``label_noise`` (boundary
+    jitter / kind relabel / span drop — synth.corrupt_gold_spans)
+    over a corpus whose filler contains head LOOK-ALIKE lines
+    (synth.inject_distractors); eval on a held-out corpus with the
+    same distractor rate but CLEAN labels, scored word-level after
+    collapsing tags to {O, B, I} — the reference's word-based tag
+    classes and report (its published word-level bar: B .98/.95,
+    I .93/.82 on 428 papers / 5.6M words,
+    Styling/tools/notebooks/Training_word_based.ipynb cells 10, 16).
+    Returns DataFrame(tag_class, precision, recall, f1, support)."""
+    import pandas as pd
+
+    from ..synth import (
+        corrupt_gold_spans,
+        generate_corpus,
+        inject_distractors,
+    )
+    from .crf import LinearChainTagger
+
+    def featurize(corpus_tbl: pa.Table, gold_tbl: pa.Table):
+        corpus = corpus_tbl.to_pandas()
+        lines_col = pa.array(
+            [c.split("\n") for c in corpus["content"]],
+            pa.list_(pa.string()),
+        )
+        X, w_off, line_idx = featurize_words(lines_col)
+        doc_ids = (
+            corpus["repo"] + "/" + corpus["path"] + "@" + corpus["commit"]
+        ).to_numpy()
+        g = gold_tbl.to_pandas()
+        gold_by_doc: dict[str, list] = {}
+        for d, l, s0, s1 in zip(
+            g["doc_id"], g["label"], g["start_line"], g["end_line"]
+        ):
+            gold_by_doc.setdefault(d, []).append((l, s0, s1))
+        y = gold_word_tags(w_off, line_idx, doc_ids, gold_by_doc)
+        return X, w_off, y
+
+    tr = generate_corpus(num_docs, seed=seed, dup_fraction=0.0)
+    tr_corpus = inject_distractors(
+        tr["corpus"], tr["gold_spans"], rate=distractor_rate, seed=seed
+    )
+    noisy_gold = corrupt_gold_spans(
+        tr["gold_spans"], rate=label_noise, seed=seed
+    )
+    X, off, y = featurize(tr_corpus, noisy_gold)
+    model = LinearChainTagger(
+        np.zeros((N_TAGS, N_WORD_FEATS)), np.zeros((N_TAGS, N_TAGS))
+    ).fit(X, off, y, epochs=epochs)
+
+    te = generate_corpus(eval_docs, seed=seed + 1, dup_fraction=0.0)
+    te_corpus = inject_distractors(
+        te["corpus"], te["gold_spans"], rate=distractor_rate,
+        seed=seed + 1,
+    )
+    X2, off2, y2 = featurize(te_corpus, te["gold_spans"])
+    pred = model.decode_batch(X2, off2)
+
+    def collapse(t: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(t), dtype=np.int8)
+        out[(t > 0) & ((t - 1) % 2 == 0)] = 1  # B-*
+        out[(t > 0) & ((t - 1) % 2 == 1)] = 2  # I-*
+        return out
+
+    yc, pc_ = collapse(y2), collapse(pred)
+    rows = []
+    for cid, cname in ((0, "O"), (1, "B"), (2, "I")):
+        tp = int(((pc_ == cid) & (yc == cid)).sum())
+        fp = int(((pc_ == cid) & (yc != cid)).sum())
+        fn = int(((pc_ != cid) & (yc == cid)).sum())
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * p * r / (p + r) if p + r else 0.0
+        rows.append(
+            {
+                "tag_class": cname,
+                "precision": round(p, 4),
+                "recall": round(r, 4),
+                "f1": round(f1, 4),
+                "support": tp + fn,
+            }
+        )
+    return pd.DataFrame(rows)
