@@ -10,6 +10,9 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+import theoremkb_ray.pipelines.relcore as relcore  # _pq patch point after the r5 split
+
+
 
 def _events(rows):
     tbl = pd.DataFrame(
@@ -49,23 +52,23 @@ def _funnel_from_ds(ds):
     """Run q_funnel_users' pipeline on an in-memory events Dataset."""
     import theoremkb_ray.pipelines.relational as rel
 
-    orig = rel._pq
+    orig = relcore._pq
     try:
-        rel._pq = lambda sf_dir, table, columns=None: ds
+        relcore._pq = lambda sf_dir, table, columns=None: ds
         return rel.q_funnel_users("unused")
     finally:
-        rel._pq = orig
+        relcore._pq = orig
 
 
 def _retention_from_ds(ds):
     import theoremkb_ray.pipelines.relational as rel
 
-    orig = rel._pq
+    orig = relcore._pq
     try:
-        rel._pq = lambda sf_dir, table, columns=None: ds
+        relcore._pq = lambda sf_dir, table, columns=None: ds
         return rel.q_retention_cohorts("unused")
     finally:
-        rel._pq = orig
+        relcore._pq = orig
 
 
 def test_retention_cohorts_hand_computed():
@@ -291,12 +294,12 @@ def test_prefix_dup_groups():
             }
         )
     )
-    orig = rel._pq
+    orig = relcore._pq
     try:
-        rel._pq = lambda sf_dir, table, columns=None: ds
+        relcore._pq = lambda sf_dir, table, columns=None: ds
         out = rel.q_prefix_dup_docs("unused").to_pandas()
     finally:
-        rel._pq = orig
+        relcore._pq = orig
     out = out.sort_values("doc_id").reset_index(drop=True)
     assert out["doc_id"].tolist() == [0, 1]
     assert out["group_n"].tolist() == [2, 2]
@@ -314,12 +317,12 @@ def test_cumulative_users_hand_computed():
             (3, 2 * DAY + 2, "a"),              # u3 day2
         ]
     )
-    orig = rel._pq
+    orig = relcore._pq
     try:
-        rel._pq = lambda sf_dir, table, columns=None: ds
+        relcore._pq = lambda sf_dir, table, columns=None: ds
         out = rel.q_cumulative_users("unused").to_pandas()
     finally:
-        rel._pq = orig
+        relcore._pq = orig
     out = out.sort_values("day").reset_index(drop=True)
     assert out["day"].tolist() == [0, 1, 2]
     assert out["n_active"].tolist() == [1, 1, 2]

@@ -12,6 +12,7 @@ import pyarrow as pa
 import ray.data as rd
 
 import theoremkb_ray.pipelines.relational as rel
+import theoremkb_ray.pipelines.relcore as relcore  # _pq patch point after the r5 split
 
 
 def _run(qfn, tables: dict, n_blocks: int = 3):
@@ -23,17 +24,17 @@ def _run(qfn, tables: dict, n_blocks: int = 3):
         ).repartition(n_blocks)
         for name, df in tables.items()
     }
-    orig = rel._pq
+    orig = relcore._pq
 
     def fake_pq(sf_dir, table, columns=None):
         ds = dss[table]
         return ds.select_columns(columns) if columns else ds
 
     try:
-        rel._pq = fake_pq
+        relcore._pq = fake_pq
         out = qfn("unused")
     finally:
-        rel._pq = orig
+        relcore._pq = orig
     if isinstance(out, pd.DataFrame):
         return out
     return out.to_pandas()
