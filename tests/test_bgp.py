@@ -176,3 +176,65 @@ def test_bgp_literal_and_empty_results(ray_session, tmp_path):
     ).to_pandas()
     assert len(empty) == 0
     assert set(empty.columns) == {"t", "p"}
+
+
+def test_bgp_optional_left_join_semantics(ray_session, tmp_path):
+    """OPTIONAL leg: required rows survive with nulls when the
+    optional pattern has no match; matched rows carry the binding."""
+    from theoremkb_ray.stages.kgquery import bgp_query
+
+    rows, store = _theorem_store(tmp_path, n_docs=30)
+    got = bgp_query(
+        store,
+        [("?d", "states", "?t")],
+        optional=[("?t", "proved_by", "?p")],
+    ).to_pandas()
+    stated = [(s, o) for s, p, o in rows if p == "states"]
+    proved = {s: o for s, p, o in rows if p == "proved_by"}
+    assert len(got) == len(stated)  # every required row survives
+    by_t = dict(zip(got["t"], got["p"]))
+    for d, t in stated:
+        want = proved.get(t)
+        assert by_t[t] == want or (want is None and pd.isna(by_t[t]))
+    # both populated and null cases actually occurred
+    assert got["p"].notna().any() and got["p"].isna().any()
+
+
+def test_bgp_optional_rejects_rebinding_and_disconnected(
+    ray_session, tmp_path
+):
+    from theoremkb_ray.stages.kgquery import bgp_query
+
+    rows, store = _theorem_store(tmp_path, n_docs=12)
+    with pytest.raises(ValueError, match="disconnected OPTIONAL"):
+        bgp_query(
+            store,
+            [("?d", "states", "?t")],
+            optional=[("?x", "proved_by", "?y")],
+        )
+    with pytest.raises(ValueError, match="no new variable"):
+        bgp_query(
+            store,
+            [("?d", "states", "?t")],
+            optional=[("?d", "cites", "?t")],
+        )
+
+
+def test_reachable_store_bfs_levels(ray_session, tmp_path):
+    """Per-hop pruned scans + broadcast frontier must reproduce exact
+    BFS levels over the cites edges."""
+    from theoremkb_ray.stages.kgquery import reachable_store
+
+    rows, store = _theorem_store(tmp_path, n_docs=60)
+    edges = [(s, o) for s, p, o in rows if p == "cites"]
+    seeds = ["doc/0000", "doc/0006"]
+    # brute BFS
+    want = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in (1, 2, 3):
+        nxt = {o for s, o in edges if s in frontier} - want.keys()
+        for n in nxt:
+            want[n] = hop
+        frontier = nxt
+    got = reachable_store(store, "cites", seeds, max_hops=3)
+    assert dict(zip(got["node"], got["hop"])) == want

@@ -1774,3 +1774,183 @@ WHERE c_mktsegment = 'BUILDING'
 
 
 REGISTRY.update({'bgp_customers': (q_bgp_customers, SQL_BGP_CUSTOMERS)})
+
+
+# --------------------------- OPTIONAL BGP + property path (r5)
+
+
+def _spender_store(sf_dir: str):
+    """Materialize a small customer store to scratch: in_nation edges
+    for every customer plus a big_spender edge ONLY where
+    c_acctbal > 5000 — the partial predicate OPTIONAL needs. Returns
+    the store path (caller removes it)."""
+    import os
+    import tempfile
+
+    from ..sources.sinks import materialize_triples
+    from ..state.spool import scratch_dir
+
+    cust = _pq(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False)
+        subj = np.char.add("cust/", c.astype("U"))
+        rich = bal > 5000
+        return pa.table(
+            {
+                "subject": pa.array(
+                    np.concatenate([subj, subj[rich]]), pa.string()
+                ),
+                "predicate": pa.array(
+                    ["in_nation"] * len(c)
+                    + ["big_spender"] * int(rich.sum())
+                ),
+                "object": pa.array(
+                    np.concatenate(
+                        [
+                            np.char.add("nation/", nk.astype("U")),
+                            np.full(int(rich.sum()), "yes", object),
+                        ]
+                    ),
+                    pa.string(),
+                ),
+            }
+        )
+
+    os.makedirs(scratch_dir(), exist_ok=True)
+    store = tempfile.mkdtemp(prefix="bgp_opt_", dir=scratch_dir())
+    materialize_triples(
+        cust.map_batches(to_triples, batch_format="pyarrow"),
+        store,
+        num_partitions=4,
+        resume=False,
+    )
+    return store
+
+
+def q_bgp_optional_customers(sf_dir: str):
+    """OPTIONAL BGP leg through the planner: required
+    (?c in_nation ?n) LEFT-joined with optional (?c big_spender ?b)
+    over a materialized store — customers without the edge keep their
+    row with b null (SPARQL OPTIONAL semantics; SQL twin = LEFT JOIN
+    against the acctbal predicate that mints the edge)."""
+    import shutil
+
+    from ..stages.kgquery import bgp_query
+
+    store = _spender_store(sf_dir)
+    try:
+        return bgp_query(
+            store,
+            [("?c", "in_nation", "?n")],
+            optional=[("?c", "big_spender", "?b")],
+        ).materialize()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+SQL_BGP_OPTIONAL_CUSTOMERS = """
+SELECT 'cust/' || CAST(c_custkey AS VARCHAR) AS c,
+       'nation/' || CAST(c_nationkey AS VARCHAR) AS n,
+       CASE WHEN c_acctbal > 5000 THEN 'yes' END AS b
+FROM customer
+"""
+
+
+REGISTRY.update(
+    {
+        "bgp_optional_customers": (
+            q_bgp_optional_customers,
+            SQL_BGP_OPTIONAL_CUSTOMERS,
+        )
+    }
+)
+
+
+REACH_SEED_MOD = 1000
+REACH_HOPS = 3
+
+
+def q_kg_reach_customers(sf_dir: str):
+    """Bounded property path (``refers{0,3}``) over a materialized
+    store via per-hop PRUNED scans + broadcast frontier
+    (stages/kgquery.py:reachable_store): deterministic ring-ish edges
+    cust/k -refers-> cust/((7k mod K)+1), seeds = custkey % 1000 == 1,
+    BFS level per reached node. The SQL twin is the recursive CTE
+    DuckDB runs over the same derived edge set."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.sinks import materialize_triples
+    from ..stages.kgquery import reachable_store
+    from ..state.spool import scratch_dir
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    keys = cust.to_pandas()["c_custkey"].to_numpy(np.int64)
+    kmax = int(keys.max())
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = (c * 7) % kmax + 1
+        return pa.table(
+            {
+                "subject": pa.array(
+                    np.char.add("cust/", c.astype("U")), pa.string()
+                ),
+                "predicate": pa.array(["refers"] * len(c)),
+                "object": pa.array(
+                    np.char.add("cust/", o.astype("U")), pa.string()
+                ),
+            }
+        )
+
+    os.makedirs(scratch_dir(), exist_ok=True)
+    store = tempfile.mkdtemp(prefix="kg_reach_", dir=scratch_dir())
+    try:
+        materialize_triples(
+            cust.map_batches(to_edges, batch_format="pyarrow"),
+            store,
+            num_partitions=4,
+            resume=False,
+        )
+        seeds = [
+            f"cust/{k}" for k in sorted(keys)
+            if k % REACH_SEED_MOD == 1
+        ]
+        return reachable_store(
+            store, "refers", seeds, max_hops=REACH_HOPS
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+SQL_KG_REACH_CUSTOMERS = f"""
+WITH RECURSIVE
+edges AS (
+  SELECT 'cust/' || CAST(c_custkey AS VARCHAR) AS s,
+         'cust/' || CAST(((c_custkey * 7) %
+             (SELECT max(c_custkey) FROM customer)) + 1 AS VARCHAR) AS o
+  FROM customer
+),
+reach(node, hop) AS (
+  SELECT 'cust/' || CAST(c_custkey AS VARCHAR), 0
+  FROM customer WHERE c_custkey % {REACH_SEED_MOD} = 1
+  UNION ALL
+  SELECT e.o, r.hop + 1
+  FROM reach r JOIN edges e ON e.s = r.node
+  WHERE r.hop < {REACH_HOPS}
+)
+SELECT node, min(hop) AS hop FROM reach GROUP BY node ORDER BY node
+"""
+
+
+REGISTRY.update(
+    {"kg_reach_customers": (q_kg_reach_customers, SQL_KG_REACH_CUSTOMERS)}
+)

@@ -763,6 +763,7 @@ def bgp_query(
     store_dir: str,
     patterns: list[tuple],
     nbuckets: int = _COCITE_BUCKETS,
+    optional: list[tuple] | None = None,
 ):
     """Execute a basic graph pattern over a materialized store:
     :func:`bgp_plan` orders the legs by row-group-statistics
@@ -774,6 +775,13 @@ def bgp_query(
 
     Bag semantics (like the SQL join the oracle runs): no implicit
     DISTINCT. Returns a Dataset with one column per variable.
+
+    ``optional`` patterns run AFTER the required chain as LEFT joins
+    (SPARQL OPTIONAL): bindings keep their rows when the pattern has
+    no match, with the pattern's new variables null. Each optional
+    pattern must share >= 1 variable with the required bindings and
+    may only introduce NEW variables (the simple, well-defined
+    OPTIONAL subset; re-binding an existing var raises).
     Reference analog: the graph tables these queries serve,
     Styling/tools/theoremdb/extract_graph.py:298-307 — composed there
     with hand-written pandas joins, planned here."""
@@ -787,12 +795,36 @@ def bgp_query(
     # de-dup while preserving order (s == o same-var patterns)
     bound_cols = list(dict.fromkeys(bound_cols))
 
-    for step in plan[1:]:
+    steps = [dict(p, how="inner") for p in plan[1:]]
+    # OPTIONAL legs run last, in caller order (their join columns are
+    # resolved against the bindings at execution time below)
+    steps += [
+        {"pattern": opat, "join_vars": None, "how": "left"}
+        for opat in (optional or [])
+    ]
+
+    for step in steps:
         right = _scan_pattern(store_dir, step["pattern"])
         right_cols = list(
             dict.fromkeys(t[1:] for t in step["pattern"] if _is_var(t))
         )
-        join_cols = [v[1:] for v in step["join_vars"]]
+        if step["how"] == "left":
+            shared = [c for c in right_cols if c in bound_cols]
+            new = [c for c in right_cols if c not in bound_cols]
+            if not shared:
+                raise ValueError(
+                    f"disconnected OPTIONAL pattern {step['pattern']}: "
+                    "shares no variable with the required bindings"
+                )
+            if not new:
+                raise ValueError(
+                    f"OPTIONAL pattern {step['pattern']} introduces no "
+                    "new variable; re-binding existing vars is not "
+                    "supported (use a required pattern)"
+                )
+            join_cols = shared
+        else:
+            join_cols = [v[1:] for v in step["join_vars"]]
         all_cols = bound_cols + [
             c for c in right_cols if c not in bound_cols
         ]
@@ -845,14 +877,25 @@ def bgp_query(
 
         def per_bucket(g: pd.DataFrame, all_cols=all_cols,
                        join_cols=join_cols, bound_cols=list(bound_cols),
-                       right_cols=list(right_cols)) -> pd.DataFrame:
+                       right_cols=list(right_cols),
+                       how=step["how"]) -> pd.DataFrame:
             left = g[g["side"] == 0][bound_cols]
             rt = g[g["side"] == 1][right_cols]
-            if len(left) == 0 or len(rt) == 0:
+            if len(left) == 0 or (len(rt) == 0 and how == "inner"):
                 return pd.DataFrame(
                     {c: pd.Series(dtype="object") for c in all_cols}
                 )
-            out = left.merge(rt, on=join_cols)
+            if len(rt) == 0:  # left join, nothing on the right
+                out = left.copy()
+                for c in all_cols:
+                    if c not in out.columns:
+                        out[c] = None
+                return out[all_cols]
+            out = left.merge(rt, on=join_cols, how=how)
+            if how == "left":
+                # pandas fills misses with NaN; normalize to None so
+                # Arrow infers string-or-null, not float
+                out = out.where(pd.notna(out), None)
             return out[all_cols]
 
         bindings = _spooled(
@@ -866,3 +909,63 @@ def bgp_query(
         )
         bound_cols = all_cols
     return bindings
+
+
+def reachable_store(
+    store_dir: str,
+    predicate: str,
+    seeds: list[str],
+    max_hops: int = 4,
+):
+    """Bounded transitive closure (SPARQL property-path ``pred{1,H}``)
+    over ONE predicate of a materialized store: BFS levels from
+    ``seeds``, returning (node, hop) with hop = first-reached level
+    (0 for seeds).
+
+    Per hop: ONE pruned scan of the predicate's row groups
+    (sources/sinks.py:read_triples pushdown — the store is never read
+    whole), with the current frontier broadcast once via ``ray.put``
+    and each batch semi-joined against it by sorted searchsorted.
+    Driver state is the reached-NODE set — node-bounded, not
+    edge-bounded, which is this operator's documented partitioning
+    assumption (node ids for the queried component fit one machine;
+    for edge-scale frontiers use stages/graph.py's distributed BFS).
+    Reference analog: the citation-graph walks of
+    Styling/tools/theoremdb/extract_graph.py done in networkx."""
+    import ray
+
+    from ..sources.sinks import read_triples
+    from ..state.broadcast import get_broadcast
+
+    reached: dict[str, int] = {s: 0 for s in seeds}
+    frontier = sorted(set(seeds))
+    for hop in range(1, max_hops + 1):
+        if not frontier:
+            break
+        ref = ray.put(np.array(frontier, dtype=object))
+
+        def step(b: pa.Table, ref=ref) -> pa.Table:
+            fr = get_broadcast(ref)
+            subj = b["subject"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(fr, subj)
+            idx[idx >= len(fr)] = len(fr) - 1
+            hit = fr[idx] == subj
+            return pa.table(
+                {"node": b.filter(pa.array(hit))["object"]}
+            )
+
+        objs: set[str] = set()
+        scan = read_triples(store_dir, predicate=predicate).map_batches(
+            step, batch_format="pyarrow"
+        )
+        for t in scan.iter_batches(batch_format="pyarrow"):
+            objs.update(t["node"].to_pylist())
+        new = sorted(objs - reached.keys())
+        for n in new:
+            reached[n] = hop
+        frontier = new
+    out = pd.DataFrame(
+        sorted(reached.items()), columns=["node", "hop"]
+    )
+    out["hop"] = out["hop"].astype(np.int64)
+    return out
