@@ -236,10 +236,12 @@ class TtlDedupActor:
     ``{key_hash: last_kept_event_ts}`` map per actor.
 
     Semantics contract: exact iff every occurrence of a key reaches
-    the SAME actor in event-time order (single actor, or caller
-    routing by ``hash(key) % n_actors``); otherwise per-actor
-    approximate (duplicates admitted across actors, never false
-    drops of first-seen keys). State is bounded: entries older than
+    the SAME actor in event-time order — which
+    :func:`ttl_dedup_streaming` enforces with built-in
+    ``mix(hash(key)) % n_actors`` routing (prefer it over wiring this
+    class manually); used bare with unrouted batches the semantics
+    are per-actor approximate (duplicates admitted across actors,
+    never false drops of first-seen keys). State is bounded: entries older than
     ``ttl_us`` are swept whenever the map exceeds ``sweep_above``.
     For at-rest data prefer :func:`ttl_dedup` (exact under any
     partitioning)."""
