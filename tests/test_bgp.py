@@ -238,3 +238,73 @@ def test_reachable_store_bfs_levels(ray_session, tmp_path):
         frontier = nxt
     got = reachable_store(store, "cites", seeds, max_hops=3)
     assert dict(zip(got["node"], got["hop"])) == want
+
+
+def test_bgp_minus_drops_matched_bindings(ray_session, tmp_path):
+    """MINUS: bindings whose shared vars match the pattern are
+    dropped; the pattern's existential vars never join the output."""
+    from theoremkb_ray.stages.kgquery import bgp_query
+
+    rows, store = _theorem_store(tmp_path, n_docs=30)
+    got = bgp_query(
+        store,
+        [("?d", "states", "?t")],
+        minus=[("?t", "proved_by", "?p")],
+    ).to_pandas()
+    proved = {s for s, p, o in rows if p == "proved_by"}
+    want = sorted(
+        (s, o) for s, p, o in rows if p == "states" and o not in proved
+    )
+    assert sorted(zip(got["d"], got["t"])) == want
+    assert set(got.columns) == {"d", "t"}  # no existential ?p
+    with pytest.raises(ValueError, match="disconnected MINUS"):
+        bgp_query(
+            store,
+            [("?d", "states", "?t")],
+            minus=[("?x", "cites", "?y")],
+        )
+
+
+def test_predicate_stats_manifest_only_and_deltas(
+    ray_session, tmp_path
+):
+    """predicate_stats answers from manifests alone and folds delta
+    segments; the planner's est_rows uses the same histograms across
+    base + delta."""
+    import os
+
+    import ray.data as rd
+
+    from theoremkb_ray.sources.sinks import materialize_triples
+    from theoremkb_ray.stages.kgquery import (
+        _manifest_pred_rows,
+        predicate_stats,
+    )
+
+    rows, store = _theorem_store(tmp_path, n_docs=40)
+    base = predicate_stats(store)
+    want = {}
+    for s, p, o in rows:
+        want[p] = want.get(p, 0) + 1
+    assert dict(zip(base["predicate"], base["n"])) == want
+    # append a delta segment with extra cites edges
+    extra = pa.table(
+        {
+            "subject": pa.array([f"doc/n{i}" for i in range(7)]),
+            "predicate": pa.array(["cites"] * 7),
+            "object": pa.array(["doc/0000"] * 7),
+            "confidence": pa.array([1.0] * 7),
+            "provenance": pa.array(["delta"] * 7),
+        }
+    )
+    materialize_triples(
+        rd.from_arrow(extra),
+        os.path.join(store, "delta_000"),
+        num_partitions=2,
+        resume=False,
+    )
+    after = predicate_stats(store)
+    got = dict(zip(after["predicate"], after["n"]))
+    assert got["cites"] == want["cites"] + 7
+    assert got["states"] == want["states"]
+    assert _manifest_pred_rows(store, "cites") == want["cites"] + 7

@@ -1954,3 +1954,99 @@ SELECT node, min(hop) AS hop FROM reach GROUP BY node ORDER BY node
 REGISTRY.update(
     {"kg_reach_customers": (q_kg_reach_customers, SQL_KG_REACH_CUSTOMERS)}
 )
+
+
+# ----------------------- MINUS BGP + manifest-only stats (r5)
+
+
+def q_bgp_minus_customers(sf_dir: str):
+    """SPARQL MINUS through the planner: (?c in_nation ?n) MINUS
+    (?c in_segment BUILDING) over the customer store — bindings whose
+    subject has the excluded edge are dropped in the same adaptive
+    exchange (right side ships only distinct shared-var tuples). SQL
+    twin: NOT EXISTS / <> filter."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.sinks import materialize_triples
+    from ..stages.kgquery import bgp_query
+    from ..state.spool import scratch_dir
+
+    os.makedirs(scratch_dir(), exist_ok=True)
+    store = tempfile.mkdtemp(prefix="bgp_minus_", dir=scratch_dir())
+    try:
+        materialize_triples(
+            _cust_triples(sf_dir), store, num_partitions=4, resume=False
+        )
+        return bgp_query(
+            store,
+            [("?c", "in_nation", "?n")],
+            minus=[("?c", "in_segment", "BUILDING")],
+        ).materialize()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+SQL_BGP_MINUS_CUSTOMERS = """
+SELECT 'cust/' || CAST(c_custkey AS VARCHAR) AS c,
+       'nation/' || n_name AS n
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+WHERE c_mktsegment <> 'BUILDING'
+"""
+
+
+REGISTRY.update(
+    {
+        "bgp_minus_customers": (
+            q_bgp_minus_customers,
+            SQL_BGP_MINUS_CUSTOMERS,
+        )
+    }
+)
+
+
+def q_kg_pred_stats_customers(sf_dir: str):
+    """Store-wide GROUP BY predicate answered from partition
+    manifests ALONE (stages/kgquery.py:predicate_stats — zero data
+    rows read after materialization): the instant form of the
+    reference's kind tallies. SQL twin re-derives the same counts
+    from the relational tables that mint each predicate's edges."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.sinks import materialize_triples
+    from ..stages.kgquery import predicate_stats
+    from ..state.spool import scratch_dir
+
+    os.makedirs(scratch_dir(), exist_ok=True)
+    store = tempfile.mkdtemp(prefix="kg_stats_", dir=scratch_dir())
+    try:
+        materialize_triples(
+            _cust_triples(sf_dir), store, num_partitions=4, resume=False
+        )
+        return predicate_stats(store)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+SQL_KG_PRED_STATS_CUSTOMERS = """
+SELECT predicate, n FROM (
+  SELECT 'in_nation' AS predicate, count(*) AS n FROM customer
+  UNION ALL
+  SELECT 'in_region', count(*) FROM nation
+  UNION ALL
+  SELECT 'in_segment', count(*) FROM customer
+) ORDER BY predicate
+"""
+
+
+REGISTRY.update(
+    {
+        "kg_pred_stats_customers": (
+            q_kg_pred_stats_customers,
+            SQL_KG_PRED_STATS_CUSTOMERS,
+        )
+    }
+)

@@ -764,6 +764,7 @@ def bgp_query(
     patterns: list[tuple],
     nbuckets: int = _COCITE_BUCKETS,
     optional: list[tuple] | None = None,
+    minus: list[tuple] | None = None,
 ):
     """Execute a basic graph pattern over a materialized store:
     :func:`bgp_plan` orders the legs by row-group-statistics
@@ -782,6 +783,13 @@ def bgp_query(
     pattern must share >= 1 variable with the required bindings and
     may only introduce NEW variables (the simple, well-defined
     OPTIONAL subset; re-binding an existing var raises).
+
+    ``minus`` patterns run LAST (SPARQL MINUS / FILTER NOT EXISTS):
+    a binding is dropped when the pattern matches on its shared
+    variables; the pattern's own extra variables are existential and
+    never join the output. Same one-adaptive-exchange shape as every
+    other leg — the right side ships only its DISTINCT shared-var
+    tuples plus a presence marker.
     Reference analog: the graph tables these queries serve,
     Styling/tools/theoremdb/extract_graph.py:298-307 — composed there
     with hand-written pandas joins, planned here."""
@@ -801,6 +809,10 @@ def bgp_query(
     steps += [
         {"pattern": opat, "join_vars": None, "how": "left"}
         for opat in (optional or [])
+    ]
+    steps += [
+        {"pattern": mpat, "join_vars": None, "how": "minus"}
+        for mpat in (minus or [])
     ]
 
     for step in steps:
@@ -823,11 +835,25 @@ def bgp_query(
                     "supported (use a required pattern)"
                 )
             join_cols = shared
+        elif step["how"] == "minus":
+            shared = [c for c in right_cols if c in bound_cols]
+            if not shared:
+                raise ValueError(
+                    f"disconnected MINUS pattern {step['pattern']}: "
+                    "shares no variable with the bindings"
+                )
+            join_cols = shared
         else:
             join_cols = [v[1:] for v in step["join_vars"]]
-        all_cols = bound_cols + [
-            c for c in right_cols if c not in bound_cols
-        ]
+        if step["how"] == "minus":
+            # output schema unchanged; the right side contributes
+            # only its shared columns (existence check)
+            all_cols = list(bound_cols)
+            right_cols = list(join_cols)
+        else:
+            all_cols = bound_cols + [
+                c for c in right_cols if c not in bound_cols
+            ]
 
         def tag(side: int, have: list[str], all_cols=all_cols,
                 join_cols=join_cols):
@@ -885,11 +911,20 @@ def bgp_query(
                 return pd.DataFrame(
                     {c: pd.Series(dtype="object") for c in all_cols}
                 )
-            if len(rt) == 0:  # left join, nothing on the right
+            if len(rt) == 0:  # left/minus, nothing on the right
                 out = left.copy()
                 for c in all_cols:
                     if c not in out.columns:
                         out[c] = None
+                return out[all_cols]
+            if how == "minus":
+                rt2 = rt[join_cols].drop_duplicates()
+                out = left.merge(
+                    rt2, on=join_cols, how="left", indicator=True
+                )
+                out = out[out["_merge"] == "left_only"].drop(
+                    columns=["_merge"]
+                )
                 return out[all_cols]
             out = left.merge(rt, on=join_cols, how=how)
             if how == "left":
@@ -968,4 +1003,61 @@ def reachable_store(
         sorted(reached.items()), columns=["node", "hop"]
     )
     out["hop"] = out["hop"].astype(np.int64)
+    return out
+
+
+def predicate_stats(store_dir: str) -> pd.DataFrame:
+    """Store-wide ``GROUP BY predicate`` answered from the sink's
+    partition manifests alone — ZERO data rows read. The sink records
+    an exact per-partition predicate histogram in every manifest
+    (sources/sinks.py pred_counts; |predicates| is schema-bounded),
+    so the fold is a driver-side sum over segments x partitions.
+    Falls back to one pruned-column scan + groupby for stores written
+    before the histograms existed. Returns DataFrame(predicate, n)
+    sorted by predicate — the instant-answer form of the kind-tally
+    queries the reference computes by scanning its CSVs
+    (Styling/tools/theoremdb/extract_graph.py)."""
+    import glob
+    import os
+
+    from ..state.manifest import read_manifests
+
+    totals: dict[str, int] = {}
+    dirs = [store_dir] + sorted(
+        d
+        for d in glob.glob(os.path.join(store_dir, "delta_*"))
+        if os.path.isdir(d)
+    )
+    seen = False
+    for d in dirs:
+        for m in read_manifests(d):
+            seen = True
+            pc_map = m.get("pred_counts")
+            if pc_map is None:  # pre-histogram store: real scan
+                from ray.data.aggregate import Count
+
+                from ..sources.sinks import read_triples
+
+                df = (
+                    read_triples(store_dir)
+                    .select_columns(["predicate"])
+                    .groupby("predicate")
+                    .count()
+                    .to_pandas()
+                    .rename(columns={"count()": "n"})
+                    .sort_values("predicate", kind="mergesort")
+                    .reset_index(drop=True)
+                )
+                df["n"] = df["n"].astype(np.int64)
+                return df
+            for k, v in pc_map.items():
+                totals[k] = totals.get(k, 0) + int(v)
+    if not seen:
+        raise FileNotFoundError(
+            f"no partition manifests under {store_dir!r}"
+        )
+    out = pd.DataFrame(
+        sorted(totals.items()), columns=["predicate", "n"]
+    )
+    out["n"] = out["n"].astype(np.int64)
     return out
