@@ -308,3 +308,59 @@ def test_predicate_stats_manifest_only_and_deltas(
     assert got["cites"] == want["cites"] + 7
     assert got["states"] == want["states"]
     assert _manifest_pred_rows(store, "cites") == want["cites"] + 7
+
+
+def test_reachable_store_alternation_and_inverse(ray_session, tmp_path):
+    from theoremkb_ray.stages.kgquery import reachable_store
+
+    rows, store = _theorem_store(tmp_path, n_docs=40)
+    # alternation: cites|states from one doc — hop 1 = its citation
+    # target AND its stated theorems
+    got = reachable_store(
+        store, ["cites", "states"], ["doc/0000"], max_hops=1
+    )
+    hop1 = {
+        o for s, p, o in rows
+        if s == "doc/0000" and p in ("cites", "states")
+    } - {"doc/0000"}  # self-loop stays at hop 0 (min-hop semantics)
+    assert {n for n, h in zip(got["node"], got["hop"]) if h == 1} == hop1
+    # inverse: ^cites from a cited doc = its citers at hop 1
+    target = next(o for s, p, o in rows if p == "cites" and s != o)
+    goti = reachable_store(
+        store, "cites", [target], max_hops=1, inverse=True
+    )
+    citers = {
+        s for s, p, o in rows if p == "cites" and o == target
+    } - {target}
+    assert {
+        n for n, h in zip(goti["node"], goti["hop"]) if h == 1
+    } == citers
+
+
+def test_bgp_query_sees_delta_segments(ray_session, tmp_path):
+    """The planner's scans union delta_NNN segments (read_triples
+    layout): a binding introduced only by a delta appears."""
+    import os
+
+    from theoremkb_ray.sources.sinks import materialize_triples
+    from theoremkb_ray.stages.kgquery import bgp_query
+
+    rows, store = _theorem_store(tmp_path, n_docs=12)
+    extra = pa.table(
+        {
+            "subject": pa.array(["doc/new1"]),
+            "predicate": pa.array(["states"]),
+            "object": pa.array(["thm/new1.0"]),
+            "confidence": pa.array([1.0]),
+            "provenance": pa.array(["delta"]),
+        }
+    )
+    materialize_triples(
+        rd.from_arrow(extra),
+        os.path.join(store, "delta_000"),
+        num_partitions=2,
+        resume=False,
+    )
+    got = bgp_query(store, [("?d", "states", "?t")]).to_pandas()
+    assert ("doc/new1", "thm/new1.0") in set(zip(got["d"], got["t"]))
+    assert len(got) == 1 + sum(1 for r in rows if r[1] == "states")

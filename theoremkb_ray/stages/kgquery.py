@@ -948,14 +948,20 @@ def bgp_query(
 
 def reachable_store(
     store_dir: str,
-    predicate: str,
+    predicate: str | list[str],
     seeds: list[str],
     max_hops: int = 4,
+    inverse: bool = False,
 ):
     """Bounded transitive closure (SPARQL property-path ``pred{1,H}``)
-    over ONE predicate of a materialized store: BFS levels from
-    ``seeds``, returning (node, hop) with hop = first-reached level
-    (0 for seeds).
+    over a materialized store: BFS levels from ``seeds``, returning
+    (node, hop) with hop = first-reached level (0 for seeds).
+
+    ``predicate`` may be a list — SPARQL alternation ``(p1|p2){1,H}``
+    — in which case the per-hop scan prunes to the UNION of the
+    predicates' row groups (read_triples predicate-list pushdown).
+    ``inverse=True`` walks edges object -> subject (SPARQL ``^pred``),
+    same pruned scan with the roles swapped.
 
     Per hop: ONE pruned scan of the predicate's row groups
     (sources/sinks.py:read_triples pushdown — the store is never read
@@ -979,14 +985,19 @@ def reachable_store(
             break
         ref = ray.put(np.array(frontier, dtype=object))
 
-        def step(b: pa.Table, ref=ref) -> pa.Table:
+        src_col, dst_col = (
+            ("object", "subject") if inverse else ("subject", "object")
+        )
+
+        def step(b: pa.Table, ref=ref, src_col=src_col,
+                 dst_col=dst_col) -> pa.Table:
             fr = get_broadcast(ref)
-            subj = b["subject"].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(fr, subj)
+            src = b[src_col].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(fr, src)
             idx[idx >= len(fr)] = len(fr) - 1
-            hit = fr[idx] == subj
+            hit = fr[idx] == src
             return pa.table(
-                {"node": b.filter(pa.array(hit))["object"]}
+                {"node": b.filter(pa.array(hit))[dst_col]}
             )
 
         objs: set[str] = set()
