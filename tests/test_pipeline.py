@@ -111,3 +111,76 @@ def test_flagship_invariant_under_partitioning(tmp_path):
     a = triples(str(tmp_path / "s3"), 3)
     b = triples(str(tmp_path / "s8"), 8)
     assert a == b and len(a) > 0
+
+
+def test_flagship_store_serves_planner_family(tmp_path):
+    """Round-5 integration: the REAL flagship store (run_kg output)
+    serves the whole planner family — BGP chain, OPTIONAL, MINUS,
+    manifest-only predicate stats, and bounded reachability — with
+    answers consistent with the store's own triples."""
+    import pyarrow.parquet as pq
+
+    from theoremkb_ray.pipelines.kg import run_kg
+    from theoremkb_ray.sources.sinks import read_triples
+    from theoremkb_ray.stages.kgquery import (
+        bgp_query,
+        predicate_stats,
+        reachable_store,
+    )
+    from theoremkb_ray.synth import materialize_corpus
+
+    cdir = materialize_corpus(str(tmp_path / "c"), num_docs=60, seed=9)
+    links = pq.read_table(f"{cdir}/links.parquet")
+    store = str(tmp_path / "store")
+    run_kg(
+        f"{cdir}/corpus.parquet", store, links_tbl=links,
+        segmenter="naive", canonicalize=False, num_partitions=4,
+    )
+    trip = read_triples(store).to_pandas()
+    triples = set(zip(trip["subject"], trip["predicate"], trip["object"]))
+
+    # manifest-only stats == actual predicate counts
+    stats = predicate_stats(store)
+    want_counts = trip["predicate"].value_counts().to_dict()
+    assert dict(zip(stats["predicate"], stats["n"])) == want_counts
+
+    # BGP chain over the store's own predicates:
+    # ?d states ?t . ?t proved_by ?p
+    got = bgp_query(
+        store, [("?d", "states", "?t"), ("?t", "proved_by", "?p")]
+    ).to_pandas()
+    states = {(s, o) for s, p, o in triples if p == "states"}
+    proved = {}
+    for s, p, o in triples:
+        if p == "proved_by":
+            proved.setdefault(s, set()).add(o)
+    want = sorted(
+        (d, t, pr)
+        for d, t in states
+        for pr in proved.get(t, set())
+    )
+    assert sorted(zip(got["d"], got["t"], got["p"])) == want
+    assert len(want) > 0
+
+    # OPTIONAL keeps unproved theorems with null p; MINUS drops the
+    # proved ones — together they partition the required rows
+    opt = bgp_query(
+        store, [("?d", "states", "?t")],
+        optional=[("?t", "proved_by", "?p")],
+    ).to_pandas()
+    mns = bgp_query(
+        store, [("?d", "states", "?t")],
+        minus=[("?t", "proved_by", "?p")],
+    ).to_pandas()
+    assert len(mns) == int(opt["p"].isna().sum())
+
+    # reachability over cites from the most-citing doc
+    cites = [(s, o) for s, p, o in triples if p == "cites"]
+    if cites:
+        seed = cites[0][0]
+        r = reachable_store(store, "cites", [seed], max_hops=2)
+        direct = {o for s, o in cites if s == seed} - {seed}
+        got1 = {
+            n for n, h in zip(r["node"], r["hop"]) if h == 1
+        }
+        assert got1 == direct
