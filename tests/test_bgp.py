@@ -364,3 +364,75 @@ def test_bgp_query_sees_delta_segments(ray_session, tmp_path):
     got = bgp_query(store, [("?d", "states", "?t")]).to_pandas()
     assert ("doc/new1", "thm/new1.0") in set(zip(got["d"], got["t"]))
     assert len(got) == 1 + sum(1 for r in rows if r[1] == "states")
+
+
+def test_construct_materializes_and_enables_downstream_queries(
+    ray_session, tmp_path
+):
+    """CONSTRUCT round-trip: derive (?d has_proved_thm ?t) from
+    states+proved_by, append as a delta segment, and verify (a) the
+    derived predicate appears in manifest-only stats, (b) a follow-up
+    BGP uses it, (c) auto-compaction folds it with results
+    unchanged."""
+    import os
+
+    from theoremkb_ray.pipelines.delta import maybe_compact
+    from theoremkb_ray.stages.kgquery import (
+        bgp_query,
+        materialize_construct,
+        predicate_stats,
+    )
+
+    rows, store = _theorem_store(tmp_path, n_docs=30)
+    res = materialize_construct(
+        store,
+        [("?d", "states", "?t"), ("?t", "proved_by", "?p")],
+        [("?d", "has_proved_thm", "?t")],
+    )
+    proved = {s for s, p, o in rows if p == "proved_by"}
+    want = sorted(
+        set(
+            (s, o)
+            for s, p, o in rows
+            if p == "states" and o in proved
+        )
+    )
+    assert res["rows"] == len(want) and res["segment"].endswith(
+        "delta_000"
+    )
+    stats = predicate_stats(store)
+    assert (
+        dict(zip(stats["predicate"], stats["n"]))["has_proved_thm"]
+        == len(want)
+    )
+    got = bgp_query(store, [("?d", "has_proved_thm", "?t")]).to_pandas()
+    assert sorted(zip(got["d"], got["t"])) == want
+    # compaction folds the derived segment; query results unchanged
+    c = maybe_compact(store, max_segments=1)
+    assert c is not None and c["compacted_segments"] == 1
+    got2 = bgp_query(store, [("?d", "has_proved_thm", "?t")]).to_pandas()
+    assert sorted(zip(got2["d"], got2["t"])) == want
+
+
+def test_construct_optional_null_suppression_and_unbound_raise(
+    ray_session, tmp_path
+):
+    from theoremkb_ray.stages.kgquery import bgp_construct
+
+    rows, store = _theorem_store(tmp_path, n_docs=30)
+    # template var from an OPTIONAL leg: null bindings emit nothing
+    got = bgp_construct(
+        store,
+        [("?d", "states", "?t")],
+        [("?t", "proof_of_record", "?p")],
+        optional=[("?t", "proved_by", "?p")],
+    ).to_pandas()
+    want = sorted(
+        (s, o) for s, p, o in rows if p == "proved_by"
+    )
+    assert sorted(zip(got["subject"], got["object"])) == want
+    assert set(got["predicate"]) == {"proof_of_record"}
+    with pytest.raises(ValueError, match="unbound"):
+        bgp_construct(
+            store, [("?d", "states", "?t")], [("?d", "x", "?zzz")]
+        )

@@ -2050,3 +2050,52 @@ REGISTRY.update(
         )
     }
 )
+
+
+def q_kg_construct_customers(sf_dir: str):
+    """SPARQL CONSTRUCT as the KG-enrichment rule it exists for:
+    derive (?c located_in ?r) from in_nation ∘ in_region over the
+    customer store (stages/kgquery.py:bgp_construct — planned pruned
+    scans + the adaptive exchange, then a pure per-batch template
+    emit). SQL twin: the same join projected to triple columns."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.sinks import materialize_triples
+    from ..stages.kgquery import bgp_construct
+    from ..state.spool import scratch_dir
+
+    os.makedirs(scratch_dir(), exist_ok=True)
+    store = tempfile.mkdtemp(prefix="kg_cons_", dir=scratch_dir())
+    try:
+        materialize_triples(
+            _cust_triples(sf_dir), store, num_partitions=4, resume=False
+        )
+        return bgp_construct(
+            store,
+            [("?c", "in_nation", "?n"), ("?n", "in_region", "?r")],
+            [("?c", "located_in", "?r")],
+        ).materialize()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+SQL_KG_CONSTRUCT_CUSTOMERS = """
+SELECT 'cust/' || CAST(c_custkey AS VARCHAR) AS subject,
+       'located_in' AS predicate,
+       'region/' || r_name AS object
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+"""
+
+
+REGISTRY.update(
+    {
+        "kg_construct_customers": (
+            q_kg_construct_customers,
+            SQL_KG_CONSTRUCT_CUSTOMERS,
+        )
+    }
+)

@@ -1072,3 +1072,112 @@ def predicate_stats(store_dir: str) -> pd.DataFrame:
     )
     out["n"] = out["n"].astype(np.int64)
     return out
+
+
+def bgp_construct(
+    store_dir: str,
+    patterns: list[tuple],
+    template: list[tuple],
+    optional: list[tuple] | None = None,
+    minus: list[tuple] | None = None,
+    nbuckets: int = _COCITE_BUCKETS,
+):
+    """SPARQL CONSTRUCT: evaluate a BGP (with optional/minus legs)
+    and emit NEW triples from ``template`` — the rule-based
+    enrichment step of KG construction (e.g. derive
+    ``(?c located_in ?r)`` from ``in_nation ∘ in_region``). Each
+    template entry is ``(s, p, o)`` of variables (must be bound by
+    the patterns; a template var an OPTIONAL leg left null drops that
+    binding's emission for that template, like SPARQL's
+    incomplete-triple rule) or literals. Returns a Dataset
+    (subject, predicate, object) — feed it to
+    :func:`materialize_construct` to append the derivation to the
+    store as a delta segment."""
+    tvars = {t for pat in template for t in pat if _is_var(t)}
+    bound = {
+        t[1:]
+        for pat in list(patterns) + list(optional or [])
+        for t in pat
+        if _is_var(t)
+    }
+    missing = sorted(v for v in tvars if v[1:] not in bound)
+    if missing:
+        raise ValueError(
+            f"CONSTRUCT template uses unbound variables {missing}"
+        )
+    bindings = bgp_query(
+        store_dir, patterns, nbuckets=nbuckets,
+        optional=optional, minus=minus,
+    )
+
+    def emit(b: pa.Table) -> pa.Table:
+        outs = []
+        for s, p, o in template:
+            cols = {}
+            null_mask = None
+            for name, term in (
+                ("subject", s), ("predicate", p), ("object", o)
+            ):
+                if _is_var(term):
+                    arr = pc.cast(b[term[1:]], pa.string())
+                    nulls = pc.is_null(arr)
+                    null_mask = (
+                        nulls
+                        if null_mask is None
+                        else pc.or_(null_mask, nulls)
+                    )
+                    cols[name] = arr
+                else:
+                    cols[name] = pa.array(
+                        [term] * b.num_rows, pa.string()
+                    )
+            t = pa.table(cols)
+            if null_mask is not None:
+                # SPARQL incomplete-triple rule: a null (OPTIONAL
+                # miss) in any position suppresses that triple
+                t = t.filter(pc.invert(null_mask))
+            outs.append(t)
+        return pa.concat_tables(outs)
+
+    return bindings.map_batches(emit, batch_format="pyarrow")
+
+
+def materialize_construct(
+    store_dir: str,
+    patterns: list[tuple],
+    template: list[tuple],
+    optional: list[tuple] | None = None,
+    minus: list[tuple] | None = None,
+) -> dict:
+    """Run :func:`bgp_construct` and append the derived triples to
+    the SAME store as a new ``delta_NNN`` segment (store partition
+    function + salt from ``_store_meta.json``, per-partition
+    manifests with ``lineage="construct:..."``) — materialized
+    inference over the LSM layout: queries see the derived edges
+    immediately via the segment union, and the next auto-compaction
+    folds them into the base. Returns {"segment", "rows"}."""
+    import json
+    import os
+
+    from ..sources.sinks import materialize_triples
+
+    with open(os.path.join(store_dir, "_store_meta.json")) as f:
+        meta = json.load(f)
+    n_seg = len(
+        [d for d in os.listdir(store_dir) if d.startswith("delta_")]
+    )
+    seg_dir = os.path.join(store_dir, f"delta_{n_seg:03d}")
+    rule = " . ".join("(%s %s %s)" % pat for pat in template)
+    summary = materialize_triples(
+        bgp_construct(
+            store_dir, patterns, template,
+            optional=optional, minus=minus,
+        ),
+        seg_dir,
+        num_partitions=int(meta["num_partitions"]),
+        salt_repos=meta.get("salt_repos") or {},
+        resume=False,
+        lineage=f"construct:{rule}",
+    )
+    rows = sum(r["rows"] for r in summary.take_all())
+    return {"segment": seg_dir, "rows": int(rows)}
