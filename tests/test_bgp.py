@@ -436,3 +436,52 @@ def test_construct_optional_null_suppression_and_unbound_raise(
         bgp_construct(
             store, [("?d", "states", "?t")], [("?d", "x", "?zzz")]
         )
+
+
+def test_fixpoint_transitivity_closes_chain(ray_session, tmp_path):
+    """Forward chaining: (?a succ ?b)(?b succ ?c) -> (?a succ ?c)
+    over an 8-node chain reaches the full transitive closure
+    (n*(n-1)/2 edges) in O(log n) iterations and then STOPS (an
+    iteration deriving nothing new)."""
+    import ray.data as rd
+
+    from theoremkb_ray.sources.sinks import materialize_triples, read_triples
+    from theoremkb_ray.stages.kgquery import apply_rules_to_fixpoint
+
+    n = 8
+    tbl = pa.table(
+        {
+            "subject": pa.array([f"n/{i}" for i in range(n - 1)]),
+            "predicate": pa.array(["succ"] * (n - 1)),
+            "object": pa.array([f"n/{i+1}" for i in range(n - 1)]),
+        }
+    )
+    store = os.path.join(str(tmp_path), "chain")
+    materialize_triples(
+        rd.from_arrow(tbl), store, num_partitions=2, resume=False
+    )
+    log = apply_rules_to_fixpoint(
+        store,
+        [
+            {
+                "patterns": [
+                    ("?a", "succ", "?b"),
+                    ("?b", "succ", "?c"),
+                ],
+                "template": [("?a", "succ", "?c")],
+            }
+        ],
+        max_iters=10,
+    )
+    # converged: last row derived nothing
+    assert log.iloc[-1]["derived_new"] == 0
+    # chain of 8: closure has 28 edges; doubling => 3 productive iters
+    assert len(log) == 4
+    trip = read_triples(store).to_pandas()
+    edges = set(zip(trip["subject"], trip["object"]))
+    want = {
+        (f"n/{i}", f"n/{j}")
+        for i in range(n)
+        for j in range(i + 1, n)
+    }
+    assert edges == want and len(trip) == n * (n - 1) // 2

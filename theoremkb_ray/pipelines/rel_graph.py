@@ -2099,3 +2099,101 @@ REGISTRY.update(
         )
     }
 )
+
+
+CLOSURE_CHAIN = 64
+
+
+def q_kg_closure_customers(sf_dir: str):
+    """Forward-chaining fixpoint as an oracle-checked query: seed a
+    64-node succ-chain store (cust/k -succ-> cust/k+1 for k <
+    CLOSURE_CHAIN), apply the transitivity rule
+    (?a succ ?b)(?b succ ?c) -> (?a succ ?c) to fixpoint
+    (stages/kgquery.py:apply_rules_to_fixpoint — O(log n) iterations,
+    each one planned BGP + one head-pruned diff exchange + one
+    segment append), and return the closed edge set. SQL twin: the
+    recursive CTE computing the same transitive closure."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.sinks import materialize_triples, read_triples
+    from ..stages.kgquery import apply_rules_to_fixpoint
+    from ..state.spool import scratch_dir
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = c[c < CLOSURE_CHAIN]
+        return pa.table(
+            {
+                "subject": pa.array(
+                    np.char.add("cust/", c.astype("U")), pa.string()
+                ),
+                "predicate": pa.array(["succ"] * len(c)),
+                "object": pa.array(
+                    np.char.add("cust/", (c + 1).astype("U")),
+                    pa.string(),
+                ),
+            }
+        )
+
+    os.makedirs(scratch_dir(), exist_ok=True)
+    store = tempfile.mkdtemp(prefix="kg_closure_", dir=scratch_dir())
+    try:
+        materialize_triples(
+            cust.map_batches(to_edges, batch_format="pyarrow"),
+            store,
+            num_partitions=4,
+            resume=False,
+        )
+        apply_rules_to_fixpoint(
+            store,
+            [
+                {
+                    "patterns": [
+                        ("?a", "succ", "?b"),
+                        ("?b", "succ", "?c"),
+                    ],
+                    "template": [("?a", "succ", "?c")],
+                }
+            ],
+            max_iters=12,
+        )
+        out = (
+            read_triples(store)
+            .to_pandas()[["subject", "object"]]
+            .sort_values(["subject", "object"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+SQL_KG_CLOSURE_CUSTOMERS = f"""
+WITH RECURSIVE
+edges AS (
+  SELECT c_custkey AS a, c_custkey + 1 AS b FROM customer
+  WHERE c_custkey < {CLOSURE_CHAIN}
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+)
+SELECT 'cust/' || CAST(a AS VARCHAR) AS subject,
+       'cust/' || CAST(b AS VARCHAR) AS object
+FROM reach ORDER BY subject, object
+"""
+
+
+REGISTRY.update(
+    {
+        "kg_closure_customers": (
+            q_kg_closure_customers,
+            SQL_KG_CLOSURE_CUSTOMERS,
+        )
+    }
+)

@@ -1181,3 +1181,158 @@ def materialize_construct(
     )
     rows = sum(r["rows"] for r in summary.take_all())
     return {"segment": seg_dir, "rows": int(rows)}
+
+
+def _new_triples_only(derived, store_dir: str, head_preds: list[str]):
+    """Distinct derived triples NOT already in the store: one
+    adaptive exchange keyed on hash(s,p,o). The store side is a
+    PRUNED scan of only the head predicates' row groups — a rule can
+    only re-derive triples of its own head predicate, so the rest of
+    a 100 TB store never enters the diff."""
+    from ..functions.hashing import hash_strings
+    from ..sources.sinks import read_triples
+
+    def keyed(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table(
+                    {
+                        "bucket": pa.array([], pa.int64()),
+                        "fine": pa.array([], pa.int64()),
+                        "side": pa.array([], pa.int64()),
+                        "subject": pa.array([], pa.string()),
+                        "predicate": pa.array([], pa.string()),
+                        "object": pa.array([], pa.string()),
+                    }
+                )
+            key = pc.binary_join_element_wise(
+                b["subject"], b["predicate"], b["object"], "\x1f"
+            )
+            h = hash_strings(key.to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "bucket": pa.array(
+                        (h % np.uint64(_COCITE_BUCKETS)).astype(np.int64)
+                    ),
+                    "fine": pa.array(h.view(np.int64)),
+                    "side": pa.array(np.full(b.num_rows, side, np.int64)),
+                    "subject": b["subject"],
+                    "predicate": b["predicate"],
+                    "object": b["object"],
+                }
+            )
+
+        return fn
+
+    store_side = read_triples(
+        store_dir, predicate=sorted(set(head_preds))
+    ).map_batches(keyed(1), batch_format="pyarrow")
+    legs = derived.map_batches(keyed(0), batch_format="pyarrow").union(
+        store_side
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        new = g[g["side"] == 0]
+        if len(new) == 0:
+            return pd.DataFrame(
+                {
+                    c: pd.Series(dtype="object")
+                    for c in ("subject", "predicate", "object")
+                }
+            )
+        have = set(g.loc[g["side"] == 1, "fine"])
+        new = new[~new["fine"].isin(have)]
+        new = new.sort_values(
+            ["subject", "predicate", "object"], kind="mergesort"
+        ).drop_duplicates(["subject", "predicate", "object"])
+        return new[["subject", "predicate", "object"]]
+
+    return _spooled(
+        legs,
+        per_bucket,
+        "fine",
+        drop=[],  # per_bucket needs the fine hash for the diff
+        empty_schema=pa.schema(
+            [("subject", pa.string()), ("predicate", pa.string()),
+             ("object", pa.string())]
+        ),
+    )
+
+
+def apply_rules_to_fixpoint(
+    store_dir: str,
+    rules: list[dict],
+    max_iters: int = 10,
+) -> pd.DataFrame:
+    """Forward chaining: apply CONSTRUCT ``rules`` repeatedly,
+    appending each iteration's NEW triples as one delta segment,
+    until an iteration derives nothing (or ``max_iters``) — naive
+    datalog over the LSM store, the classic materialized-inference
+    loop (e.g. a transitivity rule closes a chain in O(log n)
+    iterations because later rounds re-read earlier derivations).
+
+    Each rule is ``{"patterns": [...], "template": [...]}`` plus
+    optional ``"optional"`` / ``"minus"`` legs. Per iteration, per
+    rule: one planned BGP evaluation (pruned scans, adaptive
+    exchanges), then ONE diff exchange against the store restricted
+    to the rule heads' predicates (:func:`_new_triples_only`), then
+    one segment append. Returns the iteration log
+    (iter, derived_new, segment)."""
+    log = []
+    for it in range(1, max_iters + 1):
+        import ray.data as rd
+
+        new_parts = []
+        head_preds = []
+        for rule in rules:
+            derived = bgp_construct(
+                store_dir,
+                rule["patterns"],
+                rule["template"],
+                optional=rule.get("optional"),
+                minus=rule.get("minus"),
+            )
+            head_preds += [
+                t[1] for t in rule["template"] if not _is_var(t[1])
+            ]
+            new_parts.append(derived)
+        derived_all = new_parts[0]
+        for d in new_parts[1:]:
+            derived_all = derived_all.union(d)
+        new = _new_triples_only(derived_all, store_dir, head_preds)
+        n_new = new.count()
+        if n_new == 0:
+            log.append({"iter": it, "derived_new": 0, "segment": None})
+            break
+        res = _append_segment(store_dir, new, f"fixpoint iter {it}")
+        log.append(
+            {"iter": it, "derived_new": int(n_new),
+             "segment": res["segment"]}
+        )
+    return pd.DataFrame(log)
+
+
+def _append_segment(store_dir: str, triples, lineage: str) -> dict:
+    """Append a triples Dataset to the store as the next delta
+    segment (store partition function + salt from _store_meta)."""
+    import json
+    import os
+
+    from ..sources.sinks import materialize_triples
+
+    with open(os.path.join(store_dir, "_store_meta.json")) as f:
+        meta = json.load(f)
+    n_seg = len(
+        [d for d in os.listdir(store_dir) if d.startswith("delta_")]
+    )
+    seg_dir = os.path.join(store_dir, f"delta_{n_seg:03d}")
+    summary = materialize_triples(
+        triples,
+        seg_dir,
+        num_partitions=int(meta["num_partitions"]),
+        salt_repos=meta.get("salt_repos") or {},
+        resume=False,
+        lineage=lineage,
+    )
+    rows = sum(r["rows"] for r in summary.take_all())
+    return {"segment": seg_dir, "rows": int(rows)}
