@@ -2145,7 +2145,7 @@ def q_kg_closure_customers(sf_dir: str):
         materialize_triples(
             cust.map_batches(to_edges, batch_format="pyarrow"),
             store,
-            num_partitions=4,
+            num_partitions=2,
             resume=False,
         )
         apply_rules_to_fixpoint(
@@ -2160,6 +2160,9 @@ def q_kg_closure_customers(sf_dir: str):
                 }
             ],
             max_iters=12,
+            # 64-node rule domain: small fan-out, else empty-bucket
+            # task overhead dominates the O(log n) iterations
+            nbuckets=4,
         )
         out = (
             read_triples(store)

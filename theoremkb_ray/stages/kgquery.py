@@ -1183,7 +1183,8 @@ def materialize_construct(
     return {"segment": seg_dir, "rows": int(rows)}
 
 
-def _new_triples_only(derived, store_dir: str, head_preds: list[str]):
+def _new_triples_only(derived, store_dir: str, head_preds: list[str],
+                      nbuckets: int = _COCITE_BUCKETS):
     """Distinct derived triples NOT already in the store: one
     adaptive exchange keyed on hash(s,p,o). The store side is a
     PRUNED scan of only the head predicates' row groups — a rule can
@@ -1212,7 +1213,7 @@ def _new_triples_only(derived, store_dir: str, head_preds: list[str]):
             return pa.table(
                 {
                     "bucket": pa.array(
-                        (h % np.uint64(_COCITE_BUCKETS)).astype(np.int64)
+                        (h % np.uint64(nbuckets)).astype(np.int64)
                     ),
                     "fine": pa.array(h.view(np.int64)),
                     "side": pa.array(np.full(b.num_rows, side, np.int64)),
@@ -1263,6 +1264,7 @@ def apply_rules_to_fixpoint(
     store_dir: str,
     rules: list[dict],
     max_iters: int = 10,
+    nbuckets: int = _COCITE_BUCKETS,
 ) -> pd.DataFrame:
     """Forward chaining: apply CONSTRUCT ``rules`` repeatedly,
     appending each iteration's NEW triples as one delta segment,
@@ -1277,7 +1279,17 @@ def apply_rules_to_fixpoint(
     exchanges), then ONE diff exchange against the store restricted
     to the rule heads' predicates (:func:`_new_triples_only`), then
     one segment append. Returns the iteration log
-    (iter, derived_new, segment)."""
+    (iter, derived_new, segment).
+
+    ``nbuckets`` sets both exchanges' coarse fan-out — the default
+    suits store-scale rule bodies; pass a small value for
+    few-thousand-triple rule domains, where per-iteration wall is
+    otherwise dominated by empty-bucket task overhead (the adaptive
+    re-split still grows fan-out when a bucket outgrows the cap).
+    Per-iteration segment appends are deliberate: a crashed fixpoint
+    resumes from its last materialized iteration (an in-memory
+    accumulation variant measured SLOWER at small scale — extra
+    union/materialize rounds — and loses that restartability)."""
     log = []
     for it in range(1, max_iters + 1):
         import ray.data as rd
@@ -1291,6 +1303,7 @@ def apply_rules_to_fixpoint(
                 rule["template"],
                 optional=rule.get("optional"),
                 minus=rule.get("minus"),
+                nbuckets=nbuckets,
             )
             head_preds += [
                 t[1] for t in rule["template"] if not _is_var(t[1])
@@ -1299,7 +1312,9 @@ def apply_rules_to_fixpoint(
         derived_all = new_parts[0]
         for d in new_parts[1:]:
             derived_all = derived_all.union(d)
-        new = _new_triples_only(derived_all, store_dir, head_preds)
+        new = _new_triples_only(
+            derived_all, store_dir, head_preds, nbuckets=nbuckets
+        )
         n_new = new.count()
         if n_new == 0:
             log.append({"iter": it, "derived_new": 0, "segment": None})
